@@ -1,0 +1,232 @@
+"""The migration executor: the reference's per-row loop collapsed into
+one distributed dataflow.
+
+Reference loop (DataMigrationExecutor.php:104-149,164-232), per row:
+extract+cast ids → mapper lookup source→dest ids → read existing dest
+entity (or defaultResult) → transform(row, entity) → null = skip →
+write entity → addMapping → after the loop, orphan diff.
+
+Spark dataflow (SURVEY §3.2): the whole loop is
+
+    source
+      → cast ids (C2)
+      → left-join mapping table (C3)
+      → left-join destination snapshot → ``__existing`` struct (C4)
+      → transform (C1; filter = skip)
+      → assign deterministic dest ids
+      → MERGE into destination (C5) + MERGE into mapping table
+      → anti-join for orphans (C6) + policy (C7)
+
+Per-row becomes per-partition; the joins shuffle on the key columns
+(or broadcast when one side is small — AQE decides at runtime); no
+data ever round-trips through the driver.
+
+Transform contract (mirrors DataMigrationInterface::transform):
+- receives the prepared DataFrame: source columns, ``__src__`` struct
+  (the cast source-id tuple — DO NOT drop it), ``__existing`` struct
+  (previously-migrated destination entity, null on first sight), and
+  ``__dest_<id>`` precomputed destination ids (existing mapping if
+  present, else a deterministic hash of the source key).
+- returns the entity DataFrame. Dropping rows (``.filter``) = the
+  reference's "return null to skip". Updating-in-place = coalescing
+  against ``__existing.<col>``.
+- must either keep the ``__dest_*`` columns or output destination id
+  columns under their declared names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a2b_spark.core.ids import cast_ids, deterministic_dest_id
+from a2b_spark.core.migration import Migration
+from a2b_spark.mapping.store import (
+    MappingStore,
+    STATUS_MIGRATED,
+    dest_col,
+    mapping_batch,
+    src_col,
+)
+
+SRC_STRUCT = "__src__"
+EXISTING = "__existing"
+
+
+def existing_field(df: DataFrame, name: str, default) -> F.Column:
+    """Read a field off the previously-migrated entity, with a default
+    for rows (or runs) where no prior entity exists — the declarative
+    analogue of the reference's ``defaultResult()``
+    (AbstractDataMigration.php:42-45).
+
+    Handles both "destination doesn't exist yet" (``__existing`` is an
+    untyped null) and "destination exists but lacks the field" (schema
+    evolution between runs).
+    """
+    from pyspark.sql import types as T
+
+    if EXISTING not in df.columns:
+        raise ValueError("existing_field() must be called on the prepared DataFrame")
+    dtype = df.schema[EXISTING].dataType
+    if not isinstance(dtype, T.StructType) or name not in dtype.fieldNames():
+        return F.lit(default)
+    return F.when(F.col(EXISTING).isNull(), F.lit(default)).otherwise(
+        F.col(f"{EXISTING}.{name}")
+    )
+
+
+@dataclass
+class MigrationResult:
+    migration: str
+    rows_in: int
+    rows_written: int
+    rows_skipped: int
+    orphan_count: int
+    orphans: Optional[DataFrame]  # dest-id rows; None when policy consumed them
+
+
+def prepare(
+    spark: SparkSession, m: Migration, mapper: MappingStore
+) -> tuple[DataFrame, Optional[DataFrame], DataFrame]:
+    """Stages C2-C4: returns (prepared_df, dest_snapshot, existing_ids).
+
+    ``existing_ids`` is captured from the snapshot *before* any write —
+    the reference snapshots getExistingIds() pre-run
+    (DataMigrationExecutor.php:119) and orphan semantics depend on it.
+    """
+    src = m.source.load(spark)
+    src = cast_ids(src, m.source_ids)
+    src = src.withColumn(SRC_STRUCT, F.struct(*[F.col(f.name) for f in m.source_ids]))
+
+    map_df = mapper.load(m.mapping_key(), m.source_ids, m.destination_ids)
+    cond = None
+    for f in m.source_ids:
+        c = src[f.name].eqNullSafe(map_df[src_col(f)])
+        cond = c if cond is None else (cond & c)
+    joined = src.join(map_df, on=cond, how="left")
+
+    dest_names = [f.name for f in m.destination_ids]
+    snap = m.destination.read_snapshot(spark)
+    if snap is not None:
+        snap_keyed = snap.select(
+            *[F.col(n).alias(f"__snap_{n}") for n in dest_names],
+            F.struct(*[F.col(c) for c in snap.columns]).alias(EXISTING),
+        )
+        scond = None
+        for f in m.destination_ids:
+            c = joined[dest_col(f)].eqNullSafe(snap_keyed[f"__snap_{f.name}"])
+            scond = c if scond is None else (scond & c)
+        joined = joined.join(snap_keyed, on=scond, how="left").drop(
+            *[f"__snap_{n}" for n in dest_names]
+        )
+        existing_ids = snap.select(*dest_names).distinct()
+    else:
+        joined = joined.withColumn(EXISTING, F.lit(None))
+        existing_ids = None
+
+    # Precompute destination ids: keep the mapped id when the row was
+    # migrated before, else mint a deterministic one (C5 + §4.3).
+    for f in m.destination_ids:
+        mapped = F.col(dest_col(f))
+        if f.type == "int":
+            fresh = deterministic_dest_id([sf.name for sf in m.source_ids], m.mapping_key())
+        else:
+            fresh = F.concat_ws(
+                "/", F.lit(m.mapping_key()), *[F.col(sf.name).cast("string") for sf in m.source_ids]
+            )
+        joined = joined.withColumn(f"__dest_{f.name}", F.coalesce(mapped, fresh))
+    joined = joined.drop(*[src_col(f) for f in m.source_ids])
+    joined = joined.drop(*[dest_col(f) for f in m.destination_ids], "updated", "status")
+    return joined, snap, existing_ids
+
+
+def finalize_entity(entity: DataFrame, m: Migration) -> DataFrame:
+    """Normalize the transform's output: materialize destination id
+    columns under their declared names, drop helper columns."""
+    for f in m.destination_ids:
+        helper = f"__dest_{f.name}"
+        if f.name in entity.columns:
+            if helper in entity.columns:
+                entity = entity.drop(helper)
+        elif helper in entity.columns:
+            entity = entity.withColumnRenamed(helper, f.name)
+        else:
+            raise ValueError(
+                f"transform for {m.name!r} lost destination id {f.name!r} "
+                f"(keep '__dest_{f.name}' or emit {f.name!r})"
+            )
+    if EXISTING in entity.columns:
+        entity = entity.drop(EXISTING)
+    return entity
+
+
+def run_migration(
+    spark: SparkSession,
+    m: Migration,
+    mapper: MappingStore,
+    orphan_policy: str = "keep",
+    collect_stats: bool = True,
+) -> MigrationResult:
+    """Execute one migration end-to-end (entry point 2 of the reference,
+    DataMigrationExecutor::execute).
+
+    orphan_policy ∈ {keep, prune, preserve, report} — the reference's
+    interactive prompt (MigrateCommand.php:123-133) is replaced by
+    explicit policy; ``report`` returns the orphan rows.
+    """
+    if orphan_policy not in {"keep", "prune", "preserve", "report"}:
+        raise ValueError(f"unknown orphan policy {orphan_policy!r}")
+
+    prepared, snap, existing_ids = prepare(spark, m, mapper)
+    rows_in = prepared.count() if collect_stats else -1
+
+    entity = m.transform(prepared)
+    entity = finalize_entity(entity, m)
+
+    # Cache: the entity feeds the destination merge, the mapping merge,
+    # and the orphan diff — three actions over one plan.
+    entity = entity.persist()
+    try:
+        rows_written = entity.count()
+
+        dest_names = [f.name for f in m.destination_ids]
+        m.destination.merge(entity.drop(SRC_STRUCT))
+
+        mb = mapping_batch(entity, m.source_ids, m.destination_ids)
+        mapper.merge(m.mapping_key(), mb, m.source_ids, m.destination_ids, STATUS_MIGRATED)
+
+        orphans_df = None
+        orphan_count = 0
+        if existing_ids is not None:
+            new_ids = entity.select(*dest_names)
+            orphan_ids = existing_ids.join(new_ids, on=dest_names, how="left_anti")
+            # Materialize the orphan rows (readMultiple analogue, C6)
+            orphan_rows = snap.join(orphan_ids, on=dest_names, how="left_semi")
+            orphan_count = orphan_ids.count()
+            if orphan_policy == "prune" and orphan_count:
+                m.destination.delete_keys(orphan_ids)
+            elif orphan_policy == "preserve" and orphan_count:
+                # Reference --preserve: keep rows and add mapping rows with
+                # all-NULL source ids (DataMigrationExecutor.php:275-328).
+                null_src = orphan_ids.select(
+                    *[F.lit(None).cast(f.spark_type).alias(src_col(f)) for f in m.source_ids],
+                    *[F.col(f.name).alias(dest_col(f)) for f in m.destination_ids],
+                )
+                mapper.append_preserved(m.mapping_key(), null_src, m.source_ids, m.destination_ids)
+            if orphan_policy == "report":
+                orphans_df = orphan_rows
+
+        skipped = (rows_in - rows_written) if collect_stats else -1
+        return MigrationResult(
+            migration=m.name,
+            rows_in=rows_in,
+            rows_written=rows_written,
+            rows_skipped=skipped,
+            orphan_count=orphan_count,
+            orphans=orphans_df,
+        )
+    finally:
+        entity.unpersist()

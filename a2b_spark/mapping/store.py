@@ -1,0 +1,189 @@
+"""Persistent source-ID ↔ destination-ID mapping store.
+
+Reference: one RDBMS table per migration with columns
+``source_<id>..., dest_<id>..., updated DATETIMETZ, status SMALLINT``
+(0=migrated, 1=stub) and a unique index over all id columns
+(DataMigrationMapper.php:24-30, 189-257). Re-runs look keys up here so
+they *update* instead of duplicate; reverse lookups support
+cross-migration references.
+
+Spark design: one keyed Parquet table per mapping key under a base
+directory; all lookups are joins (broadcast when small), never
+driver-side point reads. At 100 TB the mapping table is itself big —
+it merges through the same partition-aware ``merge_keyed`` path and
+lookups stay distributed joins on the source-key columns.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from a2b_spark.core.migration import IdField
+from a2b_spark.storage.table import VersionedParquetTable
+
+STATUS_MIGRATED = 0  # reference: DataMigrationMapper STATUS_MIGRATED
+STATUS_STUB = 1  # reference: DataMigrationMapper STATUS_STUB
+
+
+def tableize(name: str) -> str:
+    """Sanitize a migration name into a directory-safe table name
+    (analogue of the reference's inflector tableize,
+    DataMigrationMapper.php:171-181)."""
+    s = re.sub(r"(?<!^)(?=[A-Z])", "_", name)
+    return re.sub(r"[^A-Za-z0-9_]+", "_", s).lower().strip("_")
+
+
+def src_col(f: IdField) -> str:
+    return f"source_{f.name}"
+
+
+def dest_col(f: IdField) -> str:
+    return f"dest_{f.name}"
+
+
+class MappingStore:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def path(self, mapping_key: str) -> str:
+        return os.path.join(self.base_dir, tableize(mapping_key))
+
+    def schema(self, source_ids: Sequence[IdField], dest_ids: Sequence[IdField]) -> T.StructType:
+        fields = [
+            T.StructField(src_col(f), T.LongType() if f.type == "int" else T.StringType())
+            for f in source_ids
+        ] + [
+            T.StructField(dest_col(f), T.LongType() if f.type == "int" else T.StringType())
+            for f in dest_ids
+        ]
+        fields += [
+            T.StructField("updated", T.TimestampType()),
+            T.StructField("status", T.ShortType()),
+        ]
+        return T.StructType(fields)
+
+    def table(
+        self, mapping_key: str, source_ids: Sequence[IdField], dest_ids: Sequence[IdField], key_side: str = "source"
+    ) -> VersionedParquetTable:
+        keys = (
+            [src_col(f) for f in source_ids]
+            if key_side == "source"
+            else [dest_col(f) for f in dest_ids]
+        )
+        return VersionedParquetTable(self.path(mapping_key), keys)
+
+    def load(
+        self, mapping_key: str, source_ids: Sequence[IdField], dest_ids: Sequence[IdField]
+    ) -> DataFrame:
+        """The mapping table as a DataFrame (empty with correct schema if
+        the migration has never run)."""
+        df = self.table(mapping_key, source_ids, dest_ids).read(self.spark)
+        if df is not None:
+            return df
+        return self.spark.createDataFrame([], self.schema(source_ids, dest_ids))
+
+    def merge(
+        self,
+        mapping_key: str,
+        batch: DataFrame,
+        source_ids: Sequence[IdField],
+        dest_ids: Sequence[IdField],
+        status: int = STATUS_MIGRATED,
+        key_side: str = "source",
+    ) -> None:
+        """Upsert mapping rows keyed on the source-id columns: insert if
+        unseen, else refresh ``updated``+``status`` and the dest ids
+        (reference addMapping/updateMapping, DataMigrationMapper.php:90-135).
+
+        ``batch`` must carry the source_*/dest_* columns (use
+        :func:`mapping_batch` to build it from an entity DataFrame).
+
+        ``key_side="dest"`` keys the upsert on the dest-id columns —
+        used by orphan *preserve*, whose mapping rows have all-NULL
+        source ids (several such rows must not null-safe-match each
+        other on the source key).
+        """
+        stamped = batch.withColumn("updated", F.current_timestamp()).withColumn(
+            "status", F.lit(status).cast("short")
+        )
+        self.table(mapping_key, source_ids, dest_ids, key_side).merge(stamped)
+
+    def append_preserved(
+        self,
+        mapping_key: str,
+        batch: DataFrame,
+        source_ids: Sequence[IdField],
+        dest_ids: Sequence[IdField],
+    ) -> None:
+        """Orphan *preserve*: add mapping rows with all-NULL source ids
+        (reference DataMigrationExecutor.php:275-328). Insert-only —
+        existing rows (including the orphan's old source mapping) are
+        kept; re-runs don't duplicate."""
+        stamped = batch.withColumn("updated", F.current_timestamp()).withColumn(
+            "status", F.lit(STATUS_MIGRATED).cast("short")
+        )
+        all_keys = [src_col(f) for f in source_ids] + [dest_col(f) for f in dest_ids]
+        self.table(mapping_key, source_ids, dest_ids).append(stamped, dedupe_keys=all_keys)
+
+    def dest_ids_for(
+        self,
+        mapping_key: str,
+        keys_df: DataFrame,
+        source_ids: Sequence[IdField],
+        dest_ids: Sequence[IdField],
+    ) -> DataFrame:
+        """Source→dest lookup as a join (reference C3
+        getDestIdsFromSourceIds, DataMigrationMapper.php:412-418).
+        Returns keys_df's columns plus the dest_* columns (null = no
+        mapping — the NoMappingForIdsException analogue is a null)."""
+        m = self.load(mapping_key, source_ids, dest_ids)
+        cond = None
+        for f in source_ids:
+            c = keys_df[f.name].eqNullSafe(m[src_col(f)])
+            cond = c if cond is None else (cond & c)
+        joined = keys_df.join(F.broadcast(m) if _is_small(m) else m, on=cond, how="left")
+        return joined.select(*[keys_df[c] for c in keys_df.columns], *[m[dest_col(f)] for f in dest_ids])
+
+    def source_ids_for(
+        self,
+        mapping_key: str,
+        keys_df: DataFrame,
+        source_ids: Sequence[IdField],
+        dest_ids: Sequence[IdField],
+    ) -> DataFrame:
+        """Reverse (dest→source) lookup, reference
+        getSourceIdsFromDestIds (DataMigrationMapper.php:502-508)."""
+        m = self.load(mapping_key, source_ids, dest_ids)
+        cond = None
+        for f in dest_ids:
+            c = keys_df[f.name].eqNullSafe(m[dest_col(f)])
+            cond = c if cond is None else (cond & c)
+        joined = keys_df.join(m, on=cond, how="left")
+        return joined.select(*[keys_df[c] for c in keys_df.columns], *[m[src_col(f)] for f in source_ids])
+
+
+def mapping_batch(
+    entity: DataFrame, source_ids: Sequence[IdField], dest_ids: Sequence[IdField]
+) -> DataFrame:
+    """Project an entity DataFrame into mapping-table shape.
+
+    Source id values ride in the executor-maintained ``__src__`` struct
+    (collision-proof when a field name appears in both id sets); dest
+    id values are the entity's plain columns."""
+    cols = [F.col(f"__src__.{f.name}").alias(src_col(f)) for f in source_ids]
+    cols += [F.col(f.name).alias(dest_col(f)) for f in dest_ids]
+    return entity.select(*cols)
+
+
+def _is_small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:
+    # Heuristic placeholder: AQE converts to broadcast at runtime when
+    # the build side is small; we don't force-collect a count here.
+    return False

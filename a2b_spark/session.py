@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[N]``; the same configuration block is what
+we would ship to a 1000-executor cluster — AQE (runtime join-strategy
+re-planning + skew-join splitting + partition coalescing) carries the
+plan from sf0.001 to 100 TB without hand-retuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "a2b_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions default to the core count locally — on a real
+    cluster this would be ~2-3× total executor cores, and AQE coalesces
+    downward from there.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load the standard test tables from a scale-factor dir as DataFrames."""
+    return tuple(spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names)

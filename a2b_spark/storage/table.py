@@ -1,0 +1,200 @@
+"""Versioned Parquet table: MVCC-style snapshot isolation + atomic
+commits on plain Parquet — a minimal stand-in for Delta/Iceberg.
+
+Why: Spark reads lazily. A merge whose plan still references the
+current table contents must not delete those files mid-job, and the
+orphan anti-diff (executor C6) compares against the *pre-run* snapshot
+after the destination has already been rewritten. Swapping files in
+place (first attempt) breaks both. Versioning fixes it the same way
+real table formats do:
+
+    path/
+      _CURRENT            ← text file naming the live version (atomic os.replace)
+      v_0000000001/…parquet
+      v_0000000002/…parquet
+
+- Readers resolve ``_CURRENT`` once; the version dir they hold is
+  immutable, so in-flight plans never lose files.
+- Writers produce a whole new version dir, then flip ``_CURRENT``
+  atomically. Concurrent readers see old-or-new, never a mix —
+  the same all-or-nothing guarantee the reference gets from its
+  tempfile+copy flush (CsvDestinationDriver.php:198-203).
+- Partitioned merges rewrite ONLY touched partitions and hard-link
+  the untouched partition files into the new version (metadata-only
+  copy, the local-FS analogue of Iceberg manifest reuse). Cost is
+  O(touched data + total file count), not O(table).
+- ``vacuum`` trims old versions (default retention 3) at commit time.
+
+On a real cluster this module is the seam where Delta/Iceberg slots
+in; every caller goes through read()/merge()/overwrite()/delete_keys().
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.merge import merge_dataframes
+
+CURRENT = "_CURRENT"
+
+
+class VersionedParquetTable:
+    def __init__(
+        self,
+        path: str,
+        key_cols: Sequence[str],
+        partition_by: Sequence[str] | None = None,
+        retention: int = 3,
+    ):
+        self.path = path
+        self.key_cols = tuple(key_cols)
+        self.partition_by = tuple(partition_by) if partition_by else None
+        self.retention = retention
+
+    # ------------------------------------------------------------- reads
+    def current_version(self) -> Optional[str]:
+        marker = os.path.join(self.path, CURRENT)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            name = f.read().strip()
+        return name or None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def read(self, spark: SparkSession) -> Optional[DataFrame]:
+        v = self.current_version()
+        if v is None:
+            return None
+        return spark.read.parquet(os.path.join(self.path, v))
+
+    # ------------------------------------------------------------ writes
+    def _next_version(self) -> str:
+        v = self.current_version()
+        n = int(v.split("_")[1]) + 1 if v else 1
+        return f"v_{n:010d}"
+
+    def _commit(self, version: str) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{CURRENT}.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.path, CURRENT))  # atomic flip
+        self.vacuum()
+
+    def overwrite(self, df: DataFrame) -> None:
+        version = self._next_version()
+        target = os.path.join(self.path, version)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(target)
+        self._commit(version)
+
+    def merge(self, batch: DataFrame) -> None:
+        """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE WHEN NOT
+        MATCHED INSERT), NULL-safe on the key columns."""
+        spark = batch.sparkSession
+        current = self.read(spark)
+        if current is None:
+            self.overwrite(batch)
+            return
+        if self.partition_by:
+            self._merge_partitioned(spark, current, batch)
+        else:
+            self.overwrite(merge_dataframes(current, batch, self.key_cols))
+
+    def append(self, batch: DataFrame, dedupe_keys: Sequence[str] | None = None) -> None:
+        """Insert-only commit: add batch rows, optionally skipping rows
+        whose ``dedupe_keys`` tuple already exists (NULL-safe), so
+        re-runs are idempotent."""
+        current = self.read(batch.sparkSession)
+        if current is None:
+            self.overwrite(batch)
+            return
+        if dedupe_keys:
+            c = current.alias("e")
+            b = batch.alias("b")
+            cond = None
+            for k in dedupe_keys:
+                e = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
+                cond = e if cond is None else (cond & e)
+            batch = b.join(c, on=cond, how="left_anti")
+        self.overwrite(current.unionByName(batch, allowMissingColumns=True))
+
+    def delete_keys(self, keys_df: DataFrame) -> None:
+        current = self.read(keys_df.sparkSession)
+        if current is None:
+            return
+        remaining = current.join(
+            keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
+        )
+        self.overwrite(remaining)
+
+    # ------------------------------------------------- partitioned merge
+    def _merge_partitioned(self, spark: SparkSession, current: DataFrame, batch: DataFrame) -> None:
+        old_version = self.current_version()
+        old_dir = os.path.join(self.path, old_version)
+        # Touched partitions: small driver-side list (partition columns
+        # are low-cardinality by design — this is not a data collect).
+        touched = {
+            tuple(str(x) for x in r)
+            for r in batch.select(*self.partition_by).distinct().collect()
+        }
+        if not touched:
+            return
+        cond = None
+        for i, c in enumerate(self.partition_by):
+            e = F.col(c).cast("string").isin([t[i] for t in touched])
+            cond = e if cond is None else (cond & e)
+        merged_touched = merge_dataframes(current.filter(cond), batch, self.key_cols)
+
+        version = self._next_version()
+        target = os.path.join(self.path, version)
+        (
+            merged_touched.write.mode("overwrite")
+            .partitionBy(*self.partition_by)
+            .parquet(target)
+        )
+        # Hard-link untouched partition dirs from the old version —
+        # metadata-only reuse, no data movement.
+        for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
+            if values in touched:
+                continue
+            dst = os.path.join(target, os.path.relpath(leaf, old_dir))
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(leaf):
+                if fn.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
+        self._commit(version)
+
+    # ------------------------------------------------------------ vacuum
+    def vacuum(self, keep: int | None = None) -> None:
+        keep = self.retention if keep is None else keep
+        if not os.path.isdir(self.path):
+            return
+        versions = sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
+        for d in versions[:-keep] if keep else versions:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+
+def _leaf_partitions(root: str, depth: int):
+    """Yield (leaf_dir, partition_value_tuple) for a Hive-layout tree."""
+    stack = [(root, ())]
+    while stack:
+        d, vals = stack.pop()
+        if len(vals) == depth:
+            yield d, vals
+            continue
+        for name in os.listdir(d):
+            sub = os.path.join(d, name)
+            if os.path.isdir(sub) and "=" in name:
+                stack.append((sub, vals + (name.split("=", 1)[1],)))
