@@ -1,0 +1,518 @@
+"""Relational operator coverage (SURVEY §2.4): the operations the
+reference delegates to its source database — projection/alias, filter,
+equi-join, aggregation, anti/semi join, merge (full-outer coalesce),
+point lookup — plus the standard analytics surface beyond it (window
+functions, rollup, set ops, sessionization, JSON extraction).
+
+Every query here is pure built-in DataFrame API (whole-stage codegen,
+no Python UDFs) and is paired with a DuckDB oracle in ORACLES.
+
+Scale notes: dimension joins (region/nation/supplier) are explicitly
+broadcast; fact-fact joins shuffle on their keys and AQE handles
+skew/strategy at runtime. Filters sit directly on the scans so
+Catalyst pushes them into the Parquet readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_us`` (µs since epoch, long) — the parquet file
+    stores TIMESTAMP(NANOS), which Spark reads as a ns long under
+    nanosAsLong; integer µs are exact across engines."""
+    e = _t(spark, sf_dir, "events")
+    ts_type = dict(e.dtypes)["ts"]
+    us = F.expr("ts div 1000") if ts_type == "bigint" else F.unix_micros(F.col("ts"))
+    return e.withColumn("ts_us", us.cast("long"))
+
+
+def dsum(col, alias: str, scale: int = 2):
+    """Exact decimal accumulation, double at the boundary — engine-
+    portable deterministic SUM over float money columns."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias) if isinstance(col, str) else F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------- Q01
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan+filter+group+agg.
+    Exercises: filter pushdown, partial aggregation (map-side combine),
+    decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price", 6),
+            dsum(charge, "sum_charge", 6),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+O_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------- Q02
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + column alias + predicate (the embedded source-SQL
+    pattern of the reference, doc/drivers/source/dbal.rst:29-48)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("price"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+    )
+
+
+O_Q02 = """
+SELECT o_orderkey, o_custkey, o_totalprice AS price,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year
+FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+"""
+
+
+# --------------------------------------------------------------- Q03
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + group + top-10. Customer filter is
+    applied before the join (pushdown); ordering has a deterministic
+    tiebreak so the top-k set is stable."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, "revenue", 6))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_Q03 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------- Q04
+def q04_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: fact tables shuffle-join, dimension
+    tables (nation/region/supplier) broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue", 6))
+    )
+
+
+O_Q04 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------- Q05
+def q05_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: row_number per nation (top-3 by balance,
+    custkey tiebreak). One shuffle on the partition key."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+O_Q05 = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer)
+SELECT n_name, c_custkey, c_name, c_acctbal, CAST(rk AS INTEGER) AS rk
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------- Q06
+def q06_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (grouping sets) — beyond the reference's surface."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"), dsum("o_totalprice", "total"))
+    )
+
+
+O_Q06 = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------- Q07
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the orphan-detection primitive (reference C6,
+    DataMigrationExecutor.php:368-382)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+O_Q07 = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------- Q08
+def q08_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join — the previously-migrated existence check (reference
+    rowMigratedPreviously, DataMigrationMapper.php:366-383)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_acctbal")
+
+
+O_Q08 = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+# --------------------------------------------------------------- Q09
+def q09_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's keyed MERGE itself (C5): existing customer entities
+    full-outer-merged with an updated batch, batch wins on match.
+    Runs a2b_spark.storage.merge.merge_dataframes — the exact code the
+    executor uses — against a SQL FULL OUTER JOIN + COALESCE oracle."""
+    from a2b_spark.storage.merge import merge_dataframes
+
+    c = _t(spark, sf_dir, "customer")
+    existing = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("balance"),
+        F.lit("old").alias("status"),
+    )
+    batch = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            (F.col("c_acctbal") + 100.0).alias("balance"),
+            F.lit("new").alias("status"),
+        )
+    )
+    return merge_dataframes(existing, batch, ["id"])
+
+
+O_Q09 = """
+WITH existing AS (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal AS balance, 'old' AS status FROM customer),
+batch AS (
+  SELECT c_custkey AS id, c_name AS name, c_acctbal + 100.0 AS balance, 'new' AS status
+  FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT COALESCE(b.id, e.id) AS id, COALESCE(b.name, e.name) AS name,
+       COALESCE(b.balance, e.balance) AS balance, COALESCE(b.status, e.status) AS status
+FROM existing e FULL OUTER JOIN batch b ON e.id = b.id
+"""
+
+
+# --------------------------------------------------------------- Q10
+def q10_orphan_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan anti-diff as a query: destination keys with no source
+    counterpart after a filtered re-run (C6/C7 report policy)."""
+    c = _t(spark, sf_dir, "customer")
+    dest_ids = c.select(F.col("c_custkey").alias("id"))
+    new_source = c.filter(F.col("c_acctbal") >= 0).select(F.col("c_custkey").alias("id"))
+    return dest_ids.join(new_source, "id", "left_anti")
+
+
+O_Q10 = """
+SELECT c_custkey AS id FROM customer
+EXCEPT
+SELECT c_custkey AS id FROM customer WHERE c_acctbal >= 0
+"""
+
+
+# --------------------------------------------------------------- Q11
+def q11_idmap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-map lookup shape (C3): orders resolve their customer's
+    destination id through a mapping relation via broadcast equi-join
+    (the reference's per-row getDestIdsFromSourceIds → one join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    id_map = c.select(
+        F.col("c_custkey").alias("source_id"),
+        (F.col("c_custkey") * 1000 + 7).cast("long").alias("dest_id"),
+    )
+    return (
+        o.join(F.broadcast(id_map), o.o_custkey == id_map.source_id, "left")
+        .groupBy("dest_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"), dsum("o_totalprice", "total"))
+    )
+
+
+O_Q11 = """
+WITH id_map AS (SELECT c_custkey AS source_id, CAST(c_custkey * 1000 + 7 AS BIGINT) AS dest_id FROM customer)
+SELECT dest_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders LEFT JOIN id_map ON o_custkey = source_id
+GROUP BY dest_id
+"""
+
+
+# --------------------------------------------------------------- Q12
+def q12_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-point readback (C14 readMultiple): key-set lookup."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey").isin([1, 2, 3, 5, 8, 13, 21, 34, 55, 89])).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+O_Q12 = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+"""
+
+
+# --------------------------------------------------------------- Q13
+def q13_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window over an event stream: per-user inter-event gap in
+    microseconds (integer-exact across engines)."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    us = F.col("ts_us")
+    return (
+        e.withColumn("gap_us", us - F.lag(us).over(w))
+        .select("user_id", "event_id", "gap_us")
+    )
+
+
+O_Q13 = """
+SELECT user_id, event_id,
+  (epoch_ns(ts) // 1000) - LAG(epoch_ns(ts) // 1000)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+# --------------------------------------------------------------- Q14
+def q14_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): a new session starts after a
+    >30 min silence; count sessions per user. The batch analogue of
+    streaming session windows."""
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    us = F.col("ts_us")
+    gap = us - F.lag(us).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+
+
+O_Q14 = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN (epoch_ns(ts) // 1000)
+            - LAG(epoch_ns(ts) // 1000) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          > 30 * 60 * 1000000
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------- Q15
+def q15_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a key out of the JSON props
+    column, aggregate per event type."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            dsum("value", "sum_value"),
+        )
+    )
+
+
+O_Q15 = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------- Q16
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: (BUILDING ∖ big-spenders) ∪ (AUTOMOBILE ∩ positive
+    balance), tagged by branch."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("c_custkey"))
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    pos = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    a = building.exceptAll(big).distinct().withColumn("branch", F.lit("minus"))
+    b = auto.intersect(pos).withColumn("branch", F.lit("intersect"))
+    return a.unionByName(b)
+
+
+O_Q16 = """
+SELECT c_custkey, 'minus' AS branch FROM (
+  SELECT DISTINCT c_custkey FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000))
+UNION ALL
+SELECT c_custkey, 'intersect' AS branch FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+"""
+
+
+# --------------------------------------------------------------- Q17
+def q17_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate kitchen-sink on one scan: distinct counts, extrema."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum("l_extendedprice", "sum_price"),
+    )
+
+
+O_Q17 = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_shipping_priority": q03_shipping_priority,
+    "q04_region_revenue": q04_region_revenue,
+    "q05_top_customers_per_nation": q05_top_customers_per_nation,
+    "q06_rollup_orders": q06_rollup_orders,
+    "q07_customers_without_orders": q07_customers_without_orders,
+    "q08_customers_with_orders": q08_customers_with_orders,
+    "q09_merge_upsert": q09_merge_upsert,
+    "q10_orphan_diff": q10_orphan_diff,
+    "q11_idmap_lookup": q11_idmap_lookup,
+    "q12_point_lookup": q12_point_lookup,
+    "q13_event_gaps": q13_event_gaps,
+    "q14_sessionize": q14_sessionize,
+    "q15_events_json": q15_events_json,
+    "q16_set_ops": q16_set_ops,
+    "q17_agg_stats": q17_agg_stats,
+}
+
+ORACLES = {
+    "q01_pricing_summary": O_Q01,
+    "q02_filter_project": O_Q02,
+    "q03_shipping_priority": O_Q03,
+    "q04_region_revenue": O_Q04,
+    "q05_top_customers_per_nation": O_Q05,
+    "q06_rollup_orders": O_Q06,
+    "q07_customers_without_orders": O_Q07,
+    "q08_customers_with_orders": O_Q08,
+    "q09_merge_upsert": O_Q09,
+    "q10_orphan_diff": O_Q10,
+    "q11_idmap_lookup": O_Q11,
+    "q12_point_lookup": O_Q12,
+    "q13_event_gaps": O_Q13,
+    "q14_sessionize": O_Q14,
+    "q15_events_json": O_Q15,
+    "q16_set_ops": O_Q16,
+    "q17_agg_stats": O_Q17,
+}

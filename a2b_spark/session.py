@@ -38,6 +38,9 @@ def get_spark(app_name: str = "a2b_spark", shuffle_partitions: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # events.parquet carries TIMESTAMP(NANOS); read as long (ns since
+        # epoch) — queries normalize to microseconds explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry and its
+``oracle_sql()`` twin on the same parquet tables, compares row count,
+column-name set, and exact sorted values. Stricter than the driver's
+value-hash (exact equality incl. float bits), so a PASS here should be
+a PASS there.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("string")
+        elif s.dtype == object:
+            df[c] = s.apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    sort_cols = list(df.columns)
+    try:
+        df = df.sort_values(by=sort_cols, kind="mergesort")
+    except TypeError:
+        df = df.sort_values(by=sort_cols, key=lambda s: s.astype(str), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
+    a, b = normalize(sdf), normalize(odf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c], b[c]
+            if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+                eq = np.allclose(av.fillna(np.nan), bv.fillna(np.nan), rtol=0, atol=0, equal_nan=True)
+                if not eq:
+                    diff = (av - bv).abs()
+                    problems.append(
+                        f"column {c!r}: {int((~np.isclose(av, bv, rtol=0, atol=0, equal_nan=True)).sum())} "
+                        f"value diffs, max abs diff {diff.max():.3e}"
+                    )
+            else:
+                neq = ~(av.eq(bv) | (av.isna() & bv.isna()))
+                if neq.any():
+                    i = int(neq.idxmax())
+                    problems.append(
+                        f"column {c!r}: {int(neq.sum())} value diffs, first at row {i}: "
+                        f"spark={av[i]!r} oracle={bv[i]!r}"
+                    )
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    import __spark_entry__ as entry
+    from a2b_spark import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {type(exc).__name__}: {exc}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+            failed.append(name)
+        else:
+            print(f"PASS {name} rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    missing = [k for k in oracles if k not in qs]
+    if missing:
+        print(f"WARN oracle_sql keys without queries(): {missing}")
+    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
