@@ -1,0 +1,115 @@
+"""Text-analysis column expressions — all Catalyst built-ins (JVM,
+whole-stage codegen); no Python UDFs anywhere on this path, so these
+run at full scan speed over 100 TB of documents.
+
+Cross-engine parity notes (the DuckDB oracles mirror these exactly):
+- tokenization = split on a single space (matches string_split);
+- word n-gram shingles are distinct, space-joined;
+- ratios are double divisions of exact integer counts → bit-identical
+  across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword/marker profiles for the heuristic
+# language-ID (n-gram/marker approach; deterministic, SQL-mirrorable).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "es": ["el", "la", "de", "que"],
+    "fr": ["le", "les", "des", "est"],
+    "de": ["der", "die", "und", "ist"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def word_tokens(col) -> Column:
+    """Single-space tokenization (parity with DuckDB string_split)."""
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles. Empty array when the document is
+    shorter than k tokens (guard against Spark's descending sequence())."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
+    shingled = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(tokens) >= k, F.array_distinct(shingled)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(col) -> Column:
+    return F.size(word_tokens(col)).cast("long")
+
+
+def distinct_token_count(col) -> Column:
+    return F.size(F.array_distinct(word_tokens(col))).cast("long")
+
+
+def punct_count(col) -> Column:
+    return F.regexp_count(col if isinstance(col, Column) else F.col(col), F.lit(r"[.,!?;:]")).cast("long")
+
+
+def stopword_count(col, stopwords: list[str] | None = None) -> Column:
+    toks = word_tokens(col)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def quality_features(col) -> dict[str, Column]:
+    """Document quality signals: length, token stats, punctuation and
+    stopword ratios, mean word length. All exact-integer-derived."""
+    toks = word_tokens(col)
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(col).cast("long")
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_distinct_words": F.size(F.array_distinct(toks)).cast("long"),
+        "punct_ratio": punct_count(col).cast("double") / n_chars.cast("double"),
+        "stopword_ratio": stopword_count(col).cast("double") / n_words.cast("double"),
+        "avg_word_len": (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"),
+    }
+
+
+def lang_scores(col) -> Column:
+    """Marker-word hit count per language as a struct; argmax with a
+    fixed language order is the prediction."""
+    toks = word_tokens(col)
+    fields = []
+    for lang, markers in LANG_MARKERS.items():
+        m = F.array(*[F.lit(x) for x in markers])
+        fields.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(m, t))).alias(lang)
+        )
+    return F.struct(*fields)
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID: CJK character presence wins, else the
+    marker-profile argmax (ties resolved in fixed en>es>fr>de order)."""
+    scores = lang_scores(col)
+    has_cjk = F.regexp_count(col if isinstance(col, Column) else F.col(col), F.lit(r"[一-鿿]")) > 0
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        better = scores[lang] > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized lowercase text (portable across engines)."""
+    norm = F.lower(F.trim(F.regexp_replace(col if isinstance(col, Column) else F.col(col), r"\s+", " ")))
+    return F.md5(norm)

@@ -7,12 +7,12 @@ accumulation and only convert to DOUBLE at the end, so Spark and
 DuckDB produce bit-identical values regardless of summation order.
 """
 
-from a2b_spark.queries import relational
+from a2b_spark.queries import pipeline, relational
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational,):
+for mod in (relational, pipeline):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1,0 +1,283 @@
+"""LLM-data-pipeline operator coverage (BASELINE.json north star):
+deduplication, similarity search, text analysis, multimodal plumbing —
+each over the driver-provided ``documents``/``embeddings`` tables,
+oracle-checked against DuckDB where SQL-expressible.
+
+Approximate operators (minhash LSH, simhash, SRP-LSH) are paired with
+*exact* oracles where their recall is provably ~1 at the configured
+threshold, and left rows-only where genuinely non-SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a2b_spark.functions import text as TXT
+from a2b_spark.operators import dedup as D
+from a2b_spark.operators import similarity as S
+from a2b_spark.queries.relational import _t, dsum
+
+
+# --------------------------------------------------------------- Q20
+def q20_dedup_exact_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact keyed dedup with deterministic survivor: first event per
+    (user_id, event_type) by (ts, event_id)."""
+    from a2b_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    return D.exact_dedup(e, ["user_id", "event_type"], ["ts_us", "event_id"]).select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+O_Q20 = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- Q21
+def q21_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup: md5 fingerprint of normalized text; keeps
+    the smallest doc_id per fingerprint and counts the group."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.withColumn("fp", TXT.fingerprint(F.col("text")))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").cast("long").alias("keep_doc"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+O_Q21 = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- Q22
+def q22_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: per-document char/word counts, punctuation and
+    stopword ratios, mean word length."""
+    d = _t(spark, sf_dir, "documents")
+    feats = TXT.quality_features(F.col("text"))
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+_SW = "','".join(TXT.STOPWORDS)
+O_Q22 = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(ws) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+  CAST(len([w for w in ws if list_contains(['{_SW}'], w)]) AS DOUBLE) / len(ws) AS stopword_ratio,
+  CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len
+FROM t
+"""
+
+
+# --------------------------------------------------------------- Q23
+def q23_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per (lang, source): total tokens,
+    distinct tokens (exploded — the distributed wordcount shape)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", "source", F.explode(TXT.word_tokens("text")).alias("tok"))
+    return tok.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct"),
+    )
+
+
+O_Q23 = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+FROM (SELECT lang, source, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------------------- Q24
+def q24_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-word argmax + CJK detection),
+    compared against the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+def _lang_case() -> str:
+    score = {
+        lang: f"len([w for w in ws if list_contains([{', '.join(repr(m) for m in markers)}], w)])"
+        for lang, markers in TXT.LANG_MARKERS.items()
+    }
+    # argmax with fixed en>es>fr>de priority (strict > comparisons in order)
+    return f"""
+      CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+           WHEN {score['es']} > {score['en']}
+                AND {score['es']} >= {score['fr']} AND {score['es']} >= {score['de']} THEN 'es'
+           WHEN {score['fr']} > {score['en']} AND {score['fr']} > {score['es']}
+                AND {score['fr']} >= {score['de']} THEN 'fr'
+           WHEN {score['de']} > {score['en']} AND {score['de']} > {score['es']}
+                AND {score['de']} > {score['fr']} THEN 'de'
+           ELSE 'en' END
+    """
+
+
+O_Q24 = f"""
+WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, lang, {_lang_case()} AS pred_lang FROM t
+"""
+
+
+# --------------------------------------------------------------- Q25
+def q25_near_dup_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram jaccard near-dup pairs (threshold 0.8) — the
+    ground-truth verifier for the LSH path."""
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+
+
+O_JACCARD = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+"""
+
+
+# --------------------------------------------------------------- Q26
+def q26_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) near-dup pairs with exact-jaccard verify —
+    the 100 TB dedup path. Oracle is the exact all-pairs join: recall
+    at the planted ≥0.95 similarities is 1-1e-11, so outputs match."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+
+
+# --------------------------------------------------------------- Q27
+def q27_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 banded near-dup candidates (Hamming ≤ 3). Signature
+    uses engine-internal xxhash64 → not SQL-expressible; rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+# --------------------------------------------------------------- Q28
+def q28_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.knn_bruteforce(q, e, "embedding", "vec_id", k=5)
+
+
+O_Q28 = """
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_inner_product(q.vec, c.vec)
+               / (sqrt(list_inner_product(q.vec, q.vec)) * sqrt(list_inner_product(c.vec, c.vec))), 6) AS cos
+  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id != c.vec_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rk
+  FROM scored)
+SELECT query_id, corpus_id, cos, CAST(rk AS INTEGER) AS rk FROM ranked WHERE rk <= 5
+"""
+
+
+# --------------------------------------------------------------- Q29
+def q29_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.45."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs_exact(e, "embedding", "vec_id", threshold=0.45)
+
+
+O_Q29 = """
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.vec, b.vec)
+             / (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec))), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.vec, b.vec)
+            / (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec))), 6) >= 0.45
+"""
+
+
+# --------------------------------------------------------------- Q30
+def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate KNN (8 bits × 4 tables, exact re-rank) —
+    the scale path for similarity search. Approximate by construction;
+    rows-only check (hyperplanes derive from engine-internal hashes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.knn_lsh(q, e, "embedding", "vec_id", k=5)
+
+
+# --------------------------------------------------------------- Q31
+def q31_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat text as an opaque binary payload with
+    typed metadata (byte length, md5, magic prefix) — the schema and
+    batch shape real image/audio columns use. Decode itself is stubbed
+    (see a2b_spark.operators.multimodal)."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("digest"),
+        F.substring(F.col("text"), 1, 8).alias("magic"),
+        F.length(payload).cast("long").alias("payload_len"),
+    )
+
+
+O_Q31 = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS digest, substring(text, 1, 8) AS magic,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+FROM documents
+"""
+
+
+QUERIES = {
+    "q20_dedup_exact_keys": q20_dedup_exact_keys,
+    "q21_dedup_fingerprint": q21_dedup_fingerprint,
+    "q22_text_quality": q22_text_quality,
+    "q23_token_stats": q23_token_stats,
+    "q24_lang_id": q24_lang_id,
+    "q25_near_dup_exact_jaccard": q25_near_dup_exact_jaccard,
+    "q26_near_dup_minhash_lsh": q26_near_dup_minhash_lsh,
+    "q27_near_dup_simhash": q27_near_dup_simhash,
+    "q28_knn_bruteforce": q28_knn_bruteforce,
+    "q29_embedding_dups": q29_embedding_dups,
+    "q30_knn_lsh": q30_knn_lsh,
+    "q31_multimodal_meta": q31_multimodal_meta,
+}
+
+ORACLES = {
+    "q20_dedup_exact_keys": O_Q20,
+    "q21_dedup_fingerprint": O_Q21,
+    "q22_text_quality": O_Q22,
+    "q23_token_stats": O_Q23,
+    "q24_lang_id": O_Q24,
+    "q25_near_dup_exact_jaccard": O_JACCARD,
+    "q26_near_dup_minhash_lsh": O_JACCARD,  # LSH output == exact pairs at this threshold
+    # q27 simhash: rows-only (engine-internal hash function)
+    "q28_knn_bruteforce": O_Q28,
+    "q29_embedding_dups": O_Q29,
+    # q30 knn_lsh: rows-only (approximate by construction)
+    "q31_multimodal_meta": O_Q31,
+}

@@ -1,0 +1,84 @@
+"""Operator-level tests on the driver testdata (sf0.001: 500 docs,
+500 embeddings — same documents as sf0.01)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.operators import dedup as D
+from a2b_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_exact_dedup_deterministic(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = D.exact_dedup(df, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    assert out.count() == df.select("o_custkey").distinct().count()
+    # survivor = earliest orderdate (then smallest key)
+    first = out.filter(F.col("o_custkey") == df.select("o_custkey").first()[0]).first()
+    all_rows = df.filter(F.col("o_custkey") == first.o_custkey).orderBy(
+        "o_orderdate", "o_orderkey"
+    ).first()
+    assert first.o_orderkey == all_rows.o_orderkey
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(docs, "text", "doc_id", 0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_near_dup_pairs(docs, "text", "doc_id", 0.8).collect()
+    }
+    assert exact, "testdata should contain planted near-duplicates"
+    assert lsh == exact, "LSH+verify must equal exact pairs at this threshold"
+
+
+def test_simhash_finds_planted_dups(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.exact_jaccard_pairs(docs, "text", "doc_id", 0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_dup_pairs(docs, "text", "doc_id", 3).collect()
+    }
+    # simhash is a different similarity — require substantial overlap,
+    # not equality
+    assert len(exact & sim) >= len(exact) // 2
+
+
+def test_knn_bruteforce_shape_and_selfexclusion(embs):
+    q = embs.filter(F.col("vec_id") < 5)
+    out = S.knn_bruteforce(q, embs, "embedding", "vec_id", k=3).collect()
+    assert len(out) == 15
+    assert all(r.query_id != r.corpus_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        sims = [r.cos for r in sorted(rows, key=lambda r: r.rk)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_knn_lsh_recall(embs):
+    q = embs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in S.knn_bruteforce(q, embs, "embedding", "vec_id", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.corpus_id)
+        for r in S.knn_lsh(q, embs, "embedding", "vec_id", k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"SRP-LSH recall suspiciously low: {recall}"
