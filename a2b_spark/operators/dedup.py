@@ -27,6 +27,18 @@ from a2b_spark.functions.text import word_shingles, word_tokens
 from a2b_spark.functions.vectors import as_double, cosine, hyperplane_bits
 
 
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure at least core-count partitions before compute-heavy
+    per-row stages (signatures, all-pairs stream side). A small local
+    parquet file scans as ONE split and would serialize the whole
+    stage; at 100 TB the scan already has thousands of splits and this
+    is a no-op — the shuffle only happens when the input is tiny."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> DataFrame:
     """Keep exactly one row per key tuple — the first under
     ``order_by`` (deterministic, unlike dropDuplicates)."""
@@ -41,7 +53,9 @@ def exact_dedup(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> 
 def shingle_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """id + distinct word-k-gram shingle set (the unit of jaccard)."""
     toks = word_tokens(text_col)
-    return df.select(F.col(id_col), word_shingles(toks, k).alias("shingles"))
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), word_shingles(toks, k).alias("shingles")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -52,12 +66,35 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def minhash_signature(shingles: Column, k: int = 64) -> Column:
-    """k independent minhashes: sig_i = min over shingles of
-    xxhash64(i, shingle). Pure map-side built-ins."""
+_MERSENNE31 = 2147483647  # 2^31 - 1, prime
+
+
+def shingle_hash_pairs(shingles: Column) -> Column:
+    """Per-shingle (h1, h2) base hashes for Carter-Wegman minhashing —
+    the only place the (expensive) string hashing happens. MUST be
+    projected into its own named column before minhash_signature runs
+    over it, otherwise Catalyst re-inlines the string hashing into
+    every one of the k signature slots."""
+    return F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)).alias("h1"),
+            (F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_MERSENNE31 - 1)) + 1).alias("h2"),
+        ),
+    )
+
+
+def minhash_signature(hash_pairs: Column, k: int = 64) -> Column:
+    """k minhashes from pre-computed base hashes: slot i is
+    min over shingles of (h1 + i·h2) mod p — the classic 2-universal
+    "permutation" family. Only cheap long arithmetic per slot (k·|sh|
+    mul/add/mod), string hashing stays at 2·|sh| per doc. All values
+    < 2^37, safe under ANSI mode."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(i, s))),
+        lambda i: F.array_min(
+            F.transform(hash_pairs, lambda h: F.pmod(h["h1"] + i * h["h2"], F.lit(_MERSENNE31)))
+        ),
     )
 
 
@@ -107,10 +144,20 @@ def minhash_near_dup_pairs(
     is missed with p=(1-0.8⁴)¹⁶ ≈ 2e-4 and pairs at ≥0.95 with p≈1e-11
     — so output matches the exact all-pairs join with near certainty
     at a fraction of its cost. Returns (id_a, id_b, jaccard)."""
+    from pyspark import StorageLevel
+
     rows = num_hashes // bands
-    sh = shingle_docs(df, text_col, id_col, shingle_k)
-    sigs = sh.select(id_col, "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("signature"))
-    cands = lsh_candidate_pairs(sigs.select(id_col, "signature"), id_col, bands, rows)
+    # shingles feed three consumers (signatures + both verify sides):
+    # persist the one expensive text→shingle pass instead of running it
+    # three times. MEMORY_AND_DISK: spills instead of OOM at scale.
+    sh = shingle_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    # two projections on purpose: hs must be a materialized column so
+    # the k signature slots share it (CollapseProject would otherwise
+    # duplicate the string hashing k times)
+    sigs = sh.select(id_col, shingle_hash_pairs(F.col("shingles")).alias("hs")).select(
+        id_col, minhash_signature(F.col("hs"), num_hashes).alias("signature")
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -125,14 +172,33 @@ def minhash_near_dup_pairs(
 def exact_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, shingle_k: int = 3
 ) -> DataFrame:
-    """All-pairs exact jaccard — O(n²), for oracle verification and
-    small inputs only. The scale path is minhash_near_dup_pairs."""
+    """EXACT jaccard pairs without the O(n²) cross join: inverted-index
+    similarity join (Vernica et al.). Explode shingles, equi-join on the
+    shingle, count shared shingles per pair; since shingle sets are
+    distinct-element, jaccard = co / (|a| + |b| - co) exactly — same
+    integers, hence bit-identical doubles, as intersect/union.
+
+    Cost is Σ_shingle df(s)² instead of n²: pairs that share nothing
+    never meet. Skewed (very frequent) shingles are the hazard at
+    scale — AQE skew-join splits those buckets; a PPJoin-style prefix
+    filter is the next refinement if corpus-frequency skew dominates."""
     sh = shingle_docs(df, text_col, id_col, shingle_k)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inv = sh.select(
+        F.col(id_col), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s")
+    co = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        co.withColumn(
+            "jaccard",
+            F.col("co").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("co")).cast("double"),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -174,7 +240,9 @@ def simhash_near_dup_pairs(
     """SimHash banding (4×16-bit) candidates + Hamming verify. A pair
     within Hamming distance 3 shares at least one exact 16-bit band
     (pigeonhole), so recall is exact for max_hamming ≤ 3."""
-    sigs = df.select(F.col(id_col), simhash64(word_tokens(text_col)).alias("sig"))
+    sigs = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), simhash64(word_tokens(text_col)).alias("sig")
+    )
     banded = sigs.select(
         id_col,
         "sig",
@@ -223,7 +291,7 @@ def embedding_dup_pairs_exact(
 ) -> DataFrame:
     """All-pairs cosine near-dup — O(n²) verifier/oracle path."""
     e = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    a = spread(e, 4).select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -240,10 +308,9 @@ def embedding_dup_pairs_lsh(
     sign-signature bucket — the 100 TB path (map + one bucket-keyed
     shuffle + small within-bucket joins). Approximate: recall depends
     on the angle/bits tradeoff."""
-    e = df.select(
-        F.col(id_col),
-        as_double(vec_col).alias("v"),
-    ).withColumn("bucket", hyperplane_bits(F.col("v"), n_bits))
+    e = spread(df.select(F.col(id_col), as_double(vec_col).alias("v"))).withColumn(
+        "bucket", hyperplane_bits(F.col("v"), n_bits)
+    )
     a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
     return (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from a2b_spark.functions.vectors import as_double, cosine, hyperplane_bits
+from a2b_spark.operators.dedup import spread
 
 
 def knn_bruteforce(
@@ -29,7 +30,10 @@ def knn_bruteforce(
     """Exact top-k cosine neighbors for each query vector (self-matches
     excluded). Queries are broadcast; the big corpus never shuffles."""
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    # corpus is the stream side of the broadcast join — its partition
+    # count IS the parallelism; spread() is a no-op on real multi-split
+    # scans and only kicks in for tiny single-file local inputs
+    c = spread(corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv")), 4)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
@@ -81,7 +85,7 @@ def knn_lsh(
         ).select(f"{prefix}_id", f"{prefix}v", "tb.table", "tb.bucket")
 
     qb = with_buckets(queries, "query")
-    cb = with_buckets(corpus, "corpus")
+    cb = with_buckets(spread(corpus), "corpus")
     cands = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("corpus_id"))
