@@ -134,8 +134,11 @@ def prepare(
         if f.type == "int":
             fresh = deterministic_dest_id([sf.name for sf in m.source_ids], m.mapping_key())
         else:
+            # "~"-separated: string ids double as path segments in
+            # file-layout sinks (YamlDirDestination), so no "/" (path
+            # nesting) and no ":" (illegal in Hadoop URIs)
             fresh = F.concat_ws(
-                "/", F.lit(m.mapping_key()), *[F.col(sf.name).cast("string") for sf in m.source_ids]
+                "~", F.lit(m.mapping_key()), *[F.col(sf.name).cast("string") for sf in m.source_ids]
             )
         joined = joined.withColumn(f"__dest_{f.name}", F.coalesce(mapped, fresh))
     joined = joined.drop(*[src_col(f) for f in m.source_ids])

@@ -1,0 +1,104 @@
+"""YAML directory source (S3).
+
+Reference: YamlSourceDriver (src/Drivers/Source/YamlSourceDriver.php:
+59-95) — recursively find ``*.ya?ml`` under a directory (skip
+dotfiles), parse each file into one entity, and derive the id values
+from the file path: the last N path segments (sans extension) are the
+N id fields in order (src/Drivers/YamlDriverTrait.php:51-63).
+
+Spark design: ``binaryFile`` scan (distributed, splits by file) →
+Arrow-batched ``mapInPandas`` turning each YAML document into a JSON
+line → parsed against a declared schema (``from_json``), or
+schema-inferred via ``spark.read.json`` when none is given (inference
+reads the JSON lines twice — declare a schema in production). Path ids
+are extracted with ``regexp_extract`` column expressions, mirroring
+the trait's segment rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from a2b_spark.core.migration import IdField
+from a2b_spark.sources.files import InvalidSourceError
+
+_JSONL_SCHEMA = T.StructType(
+    [T.StructField("path", T.StringType()), T.StructField("json", T.StringType())]
+)
+
+
+def _yaml_to_jsonl(batches) -> Iterator:
+    import pandas as pd
+    import yaml
+
+    for pdf in batches:
+        out = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            doc = yaml.safe_load(bytes(content).decode("utf-8"))
+            out.append((path, json.dumps(doc)))
+        yield pd.DataFrame(out, columns=["path", "json"])
+
+
+class YamlDirSource:
+    """One entity per ``*.ya?ml`` file under ``path``; ids derived from
+    the file path when ``id_fields`` is given."""
+
+    def __init__(
+        self,
+        path: str,
+        id_fields: Sequence[IdField] = (),
+        schema: Optional[T.StructType] = None,
+        recursive: bool = True,
+    ):
+        self.path = path
+        self.id_fields = tuple(id_fields)
+        self.schema = schema
+        self.recursive = recursive
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if not os.path.isdir(self.path):
+            raise InvalidSourceError(f"YAML source dir does not exist: {self.path}")
+        raw = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.{yaml,yml}")
+            .option("recursiveFileLookup", str(self.recursive).lower())
+            .load(self.path)
+            .select("path", "content")
+            # dotfiles are skipped (reference: finder ignores dot dirs/files)
+            .filter(~F.element_at(F.split(F.col("path"), "/"), -1).startswith("."))
+        )
+        jsonl = raw.mapInPandas(_yaml_to_jsonl, schema=_JSONL_SCHEMA)
+
+        if self.schema is not None:
+            parsed = jsonl.select(
+                "path", F.from_json(F.col("json"), self.schema).alias("doc")
+            ).select("path", "doc.*")
+        else:
+            # schema inference: sample-read the JSON lines (driver-side
+            # schema only; the data itself stays distributed)
+            inferred = spark.read.json(jsonl.select("json").rdd.map(lambda r: r.json)).schema
+            parsed = jsonl.select(
+                "path", F.from_json(F.col("json"), inferred).alias("doc")
+            ).select("path", "doc.*")
+
+        # path → id values: the LAST len(id_fields) segments, in order,
+        # with the extension stripped from the final one
+        # (YamlDriverTrait::buildIdsFromFilePath)
+        n = len(self.id_fields)
+        if n:
+            segs = F.split(F.col("path"), "/")
+            for i, f in enumerate(self.id_fields):
+                seg = F.element_at(segs, i - n)  # negative index from the end
+                if i == n - 1:
+                    seg = F.regexp_replace(seg, r"\.ya?ml$", "")
+                parsed = parsed.withColumn(f.name, seg.cast(f.spark_type))
+        return parsed.drop("path")
+
+    def count(self, spark: SparkSession) -> int:
+        return self.load(spark).count()

@@ -42,20 +42,39 @@ from pyspark.sql import functions as F
 from a2b_spark.storage.merge import merge_dataframes
 
 CURRENT = "_CURRENT"
+SCHEMA = "_SCHEMA"
+
+# per-format reader/writer options (CSV mirrors the reference's
+# header-row convention, CsvSourceDriver.php:39-72)
+_FORMAT_OPTIONS: dict[str, dict[str, str]] = {
+    "parquet": {},
+    "csv": {"header": "true"},
+    "json": {},
+}
 
 
 class VersionedParquetTable:
+    """Versioned keyed table; ``fmt`` selects the file format. Parquet
+    is the scale path; csv/json exist for reference-parity sinks
+    (CsvDestinationDriver) and interchange. Non-parquet formats persist
+    their schema (``_SCHEMA``) at write time and re-apply it on read —
+    type-stable round trips without inference drift."""
+
     def __init__(
         self,
         path: str,
         key_cols: Sequence[str],
         partition_by: Sequence[str] | None = None,
         retention: int = 3,
+        fmt: str = "parquet",
     ):
+        if fmt not in _FORMAT_OPTIONS:
+            raise ValueError(f"unsupported table format {fmt!r}")
         self.path = path
         self.key_cols = tuple(key_cols)
         self.partition_by = tuple(partition_by) if partition_by else None
         self.retention = retention
+        self.fmt = fmt
 
     # ------------------------------------------------------------- reads
     def current_version(self) -> Optional[str]:
@@ -73,7 +92,14 @@ class VersionedParquetTable:
         v = self.current_version()
         if v is None:
             return None
-        return spark.read.parquet(os.path.join(self.path, v))
+        reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
+        schema_file = os.path.join(self.path, SCHEMA)
+        if self.fmt != "parquet" and os.path.exists(schema_file):
+            from pyspark.sql import types as T
+
+            with open(schema_file) as f:
+                reader = reader.schema(T.StructType.fromJson(__import__("json").loads(f.read())))
+        return reader.load(os.path.join(self.path, v))
 
     # ------------------------------------------------------------ writes
     def _next_version(self) -> str:
@@ -92,10 +118,18 @@ class VersionedParquetTable:
     def overwrite(self, df: DataFrame) -> None:
         version = self._next_version()
         target = os.path.join(self.path, version)
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(target)
+        writer.save(target)
+        if self.fmt != "parquet":
+            import json as _json
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f".{SCHEMA}.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(_json.dumps(df.schema.jsonValue()))
+            os.replace(tmp, os.path.join(self.path, SCHEMA))
         self._commit(version)
 
     def merge(self, batch: DataFrame) -> None:
@@ -160,8 +194,10 @@ class VersionedParquetTable:
         target = os.path.join(self.path, version)
         (
             merged_touched.write.mode("overwrite")
+            .format(self.fmt)
+            .options(**_FORMAT_OPTIONS[self.fmt])
             .partitionBy(*self.partition_by)
-            .parquet(target)
+            .save(target)
         )
         # Hard-link untouched partition dirs from the old version —
         # metadata-only reuse, no data movement.
