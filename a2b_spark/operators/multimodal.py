@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (BASELINE.json north star; no counterpart in the reference —
+A2B is scalar-row ETL): media rides as an opaque ``binary`` payload
+column plus a typed metadata struct. Everything metadata-level
+(sniffing, sizes, digests) is JVM built-ins at scan speed; decode /
+feature-extraction runs as Arrow-batched ``mapInPandas`` so each
+Python batch amortizes interpreter cost and memory stays bounded by
+(batch size × payload size), not partition size.
+
+The actual pixel/sample decode requires codec libraries (PIL, ffmpeg,
+torchaudio) that are NOT in this container — ``decode_media`` is
+therefore STUBBED: with ``decoder="fake"`` it produces a deterministic
+synthetic decode (hash-derived), with ``decoder="real"`` it raises
+NotImplementedError at the import site. The Spark-side contract —
+schemas, batch iteration, partition sizing, output shape — is real and
+tested; swapping in a real decoder changes only the inner function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# magic-byte prefixes (hex) → format label; checked JVM-side
+_MAGIC = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),  # wav/avi container
+    ("494433", "mp3"),
+    ("664C6143", "flac"),
+    ("000000", "mp4"),  # ftyp boxes start with size; loose
+]
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def sniff_format(bin_col: Column) -> Column:
+    """Magic-byte format sniff — pure built-ins (hex prefix compare)."""
+    prefix = F.upper(F.hex(F.substring(bin_col, 1, 8)))
+    expr = F.lit("unknown")
+    for magic, label in reversed(_MAGIC):
+        expr = F.when(prefix.startswith(magic), F.lit(label)).otherwise(expr)
+    return expr
+
+
+def media_metadata(bin_col: Column) -> Column:
+    """Typed metadata struct for an opaque binary payload: byte size,
+    md5 digest, sniffed container format. Scan-speed built-ins."""
+    return F.struct(
+        F.octet_length(bin_col).cast("long").alias("n_bytes"),
+        F.md5(bin_col).alias("digest"),
+        sniff_format(bin_col).alias("format"),
+    )
+
+
+def with_media_metadata(df: DataFrame, bin_col: str, out: str = "meta") -> DataFrame:
+    return df.withColumn(out, media_metadata(F.col(bin_col)))
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, n_features: int = 8) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for a codec: dimensions and features are
+    a pure function of the payload bytes, so tests are reproducible."""
+    h = hashlib.sha256(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    channels = 1 + h[2] % 3
+    feats = [round(b / 255.0, 6) for b in h[3 : 3 + n_features]]
+    return width, height, channels, feats
+
+
+def decode_media(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    decoder: str = "fake",
+    n_features: int = 8,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    ``decoder="real"`` is the seam for PIL/ffmpeg — NotImplementedError
+    here because codec libs are not in this container. ``"fake"`` runs
+    the full distributed plumbing with a deterministic synthetic
+    decode. ``batch_rows`` caps Arrow batch size so executor memory is
+    bounded by batch_rows × payload size even for large media."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decode needs codec libraries (PIL/ffmpeg) not present "
+            "in this environment; use decoder='fake' for plumbing tests"
+        )
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                w, hgt, c, feats = _fake_decode(bytes(payload), n_features)
+                rows.append((int(mid), w, hgt, c, feats))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "features"]
+            )
+
+    try:
+        return df.select(id_col, bin_col).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def sample_frames(
+    df: DataFrame, bin_col: str, id_col: str, every_n: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emits one row per
+    sampled frame (media_id, frame_no, frame binary). The splitter is
+    the same deterministic fake (slices of the payload) — a real
+    ffmpeg-backed splitter drops into the same mapInPandas shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def split_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                n = max(1, len(b) // max(every_n, 1))
+                for i in range(min(n, max_frames)):
+                    lo = i * every_n
+                    rows.append((int(mid), i, b[lo : lo + every_n]))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
+
+    return df.select(id_col, bin_col).mapInPandas(split_batches, schema=out_schema)

@@ -281,3 +281,128 @@ ORACLES = {
     # q30 knn_lsh: rows-only (approximate by construction)
     "q31_multimodal_meta": O_Q31,
 }
+
+
+# --------------------------------------------------------------- Q32
+def q32_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (streaming-identical
+    expression; see a2b_spark.streaming.windows.tumbling_agg): hourly
+    event count + exact value sum per event_type."""
+    from a2b_spark.queries.relational import _events
+    from a2b_spark.streaming.windows import tumbling_agg
+
+    e = _events(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
+    out = tumbling_agg(
+        e,
+        "ts2",
+        "1 hour",
+        ["event_type"],
+        {"n": F.count(F.lit(1)).cast("long"), "sum_v": dsum("value", "sum_v")},
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("ws_us"), "event_type", "n", "sum_v"
+    )
+
+
+O_Q32 = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS ws_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- Q33
+def q33_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 2h windows hopping 1h — each event
+    lands in exactly two windows."""
+    from a2b_spark.queries.relational import _events
+    from a2b_spark.streaming.windows import sliding_agg
+
+    e = _events(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
+    out = sliding_agg(
+        e, "ts2", "2 hours", "1 hour", ["event_type"], {"n": F.count(F.lit(1)).cast("long")}
+    )
+    return out.select(F.unix_micros("window_start").alias("ws_us"), "event_type", "n")
+
+
+O_Q33 = """
+WITH b AS (
+  SELECT event_type,
+         unnest([epoch_us(time_bucket(INTERVAL '1 hour', ts)),
+                 epoch_us(time_bucket(INTERVAL '1 hour', ts)) - 3600000000]) AS ws_us
+  FROM events)
+SELECT ws_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- Q34
+def q34_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing over real Spark machinery: documents'
+    text bytes as the opaque payload, metadata JVM-side, deterministic
+    fake decode via Arrow mapInPandas (a2b_spark.operators.multimodal).
+    Oracle mirrors the hash-derived fake decode in SQL (sha256)."""
+    from a2b_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    dec = MM.decode_media(d, "payload", "media_id")
+    return dec.select("media_id", "width", "height", "channels")
+
+
+O_Q34 = """
+WITH h AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+SELECT media_id,
+  CAST(16 + CAST(('0x' || substring(hx, 1, 2)) AS INTEGER) % 240 AS INTEGER) AS width,
+  CAST(16 + CAST(('0x' || substring(hx, 3, 2)) AS INTEGER) % 240 AS INTEGER) AS height,
+  CAST(1 + CAST(('0x' || substring(hx, 5, 2)) AS INTEGER) % 3 AS INTEGER) AS channels
+FROM h
+"""
+
+
+# --------------------------------------------------------------- Q35
+def q35_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video payload -> frame rows). Fake
+    splitter (payload slices); per-frame byte accounting is oracled."""
+    from a2b_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    frames = MM.sample_frames(d, "payload", "media_id", every_n=64, max_frames=4)
+    return frames.select(
+        "media_id", "frame_no", F.octet_length("frame").cast("long").alias("frame_bytes")
+    )
+
+
+O_Q35 = """
+WITH d AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS nb FROM documents),
+f AS (
+  SELECT media_id, nb, unnest(range(least(greatest(nb // 64, 1), 4))) AS frame_no
+  FROM d)
+SELECT media_id, CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(least(64, nb - frame_no * 64) AS BIGINT) AS frame_bytes
+FROM f
+"""
+
+
+QUERIES.update(
+    {
+        "q32_tumbling_window": q32_tumbling_window,
+        "q33_sliding_window": q33_sliding_window,
+        "q34_media_decode": q34_media_decode,
+        "q35_frame_sample": q35_frame_sample,
+    }
+)
+
+ORACLES.update(
+    {
+        "q32_tumbling_window": O_Q32,
+        "q33_sliding_window": O_Q33,
+        "q34_media_decode": O_Q34,
+        "q35_frame_sample": O_Q35,
+    }
+)
