@@ -31,6 +31,10 @@ def get_spark(app_name: str = "a2b_spark", shuffle_partitions: int | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR scheduling: independent migrations submit jobs from
+        # multiple driver threads (exec.runner); FAIR keeps one long
+        # migration from starving its DAG-level peers
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

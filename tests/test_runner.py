@@ -1,0 +1,111 @@
+"""Pipeline runner: DAG order, groups/explicit selection, parallel
+levels, simulate mode (reference MigrateCommandTest territory)."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.core.migration import IdField, Migration, MigrationRegistry
+from a2b_spark.exec.references import ReferenceStore
+from a2b_spark.exec.runner import run_pipeline, simulate_migration
+from a2b_spark.mapping.store import MappingStore
+from a2b_spark.sinks.parquet import ParquetDestination
+from a2b_spark.sources.base import DataFrameSource
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path, sf_dir):
+    """region -> nation -> customer DAG with a cross-migration
+    reference from customer to nation."""
+    reg = MigrationRegistry()
+    mapper = MappingStore(spark, str(tmp_path / "maps"))
+
+    def simple(name, table, key, extra_group="default", depends=()):
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        return Migration(
+            name=name,
+            source=DataFrameSource(df),
+            destination=ParquetDestination(str(tmp_path / f"{name}_dest"), key_cols=("id",)),
+            source_ids=(IdField(key, "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=lambda d: d.drop("__existing"),
+            depends=depends,
+            group=extra_group,
+        )
+
+    reg.register(simple("region", "region", "r_regionkey"))
+    reg.register(simple("nation", "nation", "n_nationkey", depends=("region",)))
+    reg.register(simple("supplier", "supplier", "s_suppkey", extra_group="aux"))
+
+    cust_df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def cust_transform(d):
+        return d.select(
+            "__src__", "__dest_id", "c_custkey", "c_nationkey", F.col("c_name").alias("name")
+        )
+
+    reg.register(
+        Migration(
+            name="customer",
+            source=DataFrameSource(cust_df),
+            destination=ParquetDestination(str(tmp_path / "customer_dest"), key_cols=("id",)),
+            source_ids=(IdField("c_custkey", "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=cust_transform,
+            depends=("nation",),
+        )
+    )
+    return reg, mapper
+
+
+def test_dag_order_and_results(spark, pipeline):
+    reg, mapper = pipeline
+    order = []
+    results = run_pipeline(
+        spark,
+        reg,
+        mapper,
+        names=("customer",),
+        progress=lambda stage, name, r: order.append(name) if stage == "start" else None,
+    )
+    # depends closure pulled in region+nation, in dependency order
+    assert order == ["region", "nation", "customer"]
+    assert set(results) == {"region", "nation", "customer"}
+    assert results["customer"].rows_written > 0
+
+    # referenced output is resolvable after the pipeline ran
+    refs = ReferenceStore(spark, reg, mapper)
+    tbl = refs.lookup_table("nation")
+    assert tbl.count() == results["nation"].rows_written
+
+
+def test_group_selection(spark, pipeline):
+    reg, mapper = pipeline
+    results = run_pipeline(spark, reg, mapper, groups=("aux",))
+    assert set(results) == {"supplier"}
+
+
+def test_parallel_levels_thread_fanout(spark, pipeline):
+    reg, mapper = pipeline
+    seen_threads = set()
+    run_pipeline(
+        spark,
+        reg,
+        mapper,
+        groups=("default", "aux"),
+        max_parallel=4,
+        progress=lambda s, n, r: seen_threads.add(threading.get_ident()),
+    )
+    # at least one level ran on >1 driver thread (region+supplier are
+    # independent); smoke-proof that concurrent submission works
+    assert len(seen_threads) >= 2
+
+
+def test_simulate_writes_nothing(spark, pipeline):
+    reg, mapper = pipeline
+    results = run_pipeline(spark, reg, mapper, names=("region",), simulate=True)
+    assert results["region"].rows_written > 0
+    assert reg.get("region").destination.read_snapshot(spark) is None
+    sim = simulate_migration(reg.get("region"))
+    assert sim.destination is not reg.get("region").destination
