@@ -284,8 +284,10 @@ WITH existing AS (
 batch AS (
   SELECT c_custkey AS id, c_name AS name, c_acctbal + 100.0 AS balance, 'new' AS status
   FROM customer WHERE c_mktsegment = 'BUILDING')
-SELECT COALESCE(b.id, e.id) AS id, COALESCE(b.name, e.name) AS name,
-       COALESCE(b.balance, e.balance) AS balance, COALESCE(b.status, e.status) AS status
+SELECT COALESCE(b.id, e.id) AS id,
+       CASE WHEN b.id IS NOT NULL THEN b.name ELSE e.name END AS name,
+       CASE WHEN b.id IS NOT NULL THEN b.balance ELSE e.balance END AS balance,
+       CASE WHEN b.id IS NOT NULL THEN b.status ELSE e.status END AS status
 FROM existing e FULL OUTER JOIN batch b ON e.id = b.id
 """
 

@@ -151,3 +151,14 @@ def test_deterministic_dest_ids_disjoint_batches(spark, tmp_path, customers):
         for r in m.destination.read_snapshot(spark).select("c_custkey", "id").collect()
     }
     assert first == second
+
+
+def test_merge_matched_null_overwrites(spark):
+    """MERGE semantics: a matched batch row's explicit NULL replaces
+    the existing value (COALESCE-style resurrection is a bug)."""
+    from a2b_spark.storage.merge import merge_dataframes
+
+    existing = spark.createDataFrame([(1, "keep"), (2, "stale")], "id bigint, v string")
+    batch = spark.createDataFrame([(2, None), (3, "new")], "id bigint, v string")
+    out = {r["id"]: r["v"] for r in merge_dataframes(existing, batch, ["id"]).collect()}
+    assert out == {1: "keep", 2: None, 3: "new"}
