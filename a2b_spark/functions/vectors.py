@@ -9,8 +9,12 @@ left-fold, matching the explicit formulas used in the DuckDB oracles
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_double(vec) -> Column:
@@ -31,6 +35,82 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def pair_cosine_raw() -> "callable":
+    """Arrow-batched exact-fold cosine over two array<double> columns.
+    Bit-identical to ``cosine()`` (same left-to-right IEEE-754 float64
+    fold, one vectorized numpy add per dimension) at ~100× the speed of
+    the interpreted higher-order-function path. Returns the RAW double;
+    round JVM-side with F.round for oracle parity."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos_raw(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
+        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        d = ma.shape[1]
+        dots = np.zeros(len(a))
+        na = np.zeros(len(a))
+        nb = np.zeros(len(a))
+        for i in range(d):  # exact sequential fold (oracle parity)
+            dots = dots + ma[:, i] * mb[:, i]
+            na = na + ma[:, i] * ma[:, i]
+            nb = nb + mb[:, i] * mb[:, i]
+        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_raw
+
+
+def srp_planes(n_tables: int, n_bits: int, dim: int, seed: int = 20260813) -> "object":
+    """Deterministic SRP hyperplane tensor (n_tables·n_bits, dim),
+    standard-normal from a fixed-seed PCG64 — identical across runs,
+    partitions, and platforms (the invariant the LSH bucket join
+    depends on)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_tables * n_bits, dim))
+
+
+def srp_buckets(
+    df, vec_col: str, id_col: str, n_bits: int = 8, n_tables: int = 8, seed: int = 20260813
+):
+    """(id, table, bucket) rows: ``n_tables`` independent sign-random-
+    projection buckets per vector, packed to an int64. Vectorized
+    numpy over Arrow batches — one matmul per batch; rows explode
+    ×n_tables but carry only (id, table, bucket), never the vector
+    (candidates join back to vectors by id — at 100 TB the vector
+    payload must not ride the bucket shuffle)."""
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    def gen(batches):
+        pack = 1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64)
+        planes = None  # built lazily once dim is known
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            if planes is None:
+                planes = srp_planes(n_tables, n_bits, v.shape[1], seed)
+            signs = (v @ planes.T) >= 0  # (m, n_tables*n_bits)
+            bits = signs.reshape(len(pdf), n_tables, n_bits).astype(np.int64)
+            buckets = (bits * pack[None, None, :]).sum(axis=2)  # (m, n_tables)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 
 
 def hyperplane_bits(vec: Column, n_bits: int = 16, seed: str = "a2b-lsh", table=None) -> Column:

@@ -6,25 +6,36 @@ explicitly-named exact verifier used on *candidates*):
 - exact/key dedup: one hash-shuffle on the dedup key; deterministic
   survivor via window row_number (dropDuplicates keeps an arbitrary
   row — unacceptable for reproducible pipelines).
-- MinHash+LSH: shingle → k independent minhashes (map-only, built-in
-  xxhash64 inside higher-order functions) → band hashes → shuffle on
-  (band, hash) buckets → candidate pairs only within buckets → exact
-  jaccard verification on candidates. Cost O(n·k + candidate pairs).
-- SimHash: 64-bit signature by sign-aggregated token hashes, banded
-  for candidates, Hamming-distance verify.
-- Embedding near-dup: exact all-pairs variant for oracle-checked
-  correctness at small n; SRP-LSH-bucketed variant for scale.
+- MinHash+LSH: shingle → k independent minhashes → band hashes →
+  shuffle on (band, hash) buckets → candidate pairs only within
+  buckets → exact jaccard verification on candidates.
+  Cost O(n·k + candidate pairs).
+- SimHash: 64-bit signature from per-token hash bit-votes, banded
+  for candidates (pigeonhole-exact recall at Hamming ≤ 3),
+  Hamming-distance verify.
+- Embedding near-dup: blocked all-pairs (exact, matmul-tiled) for the
+  verifier/oracle path; SRP-LSH-bucketed variant for scale.
+
+Execution-strategy note (measured, not guessed): per-element Catalyst
+higher-order-function lambdas are interpreted (~µs each) and
+CollapseProject re-inlines their inputs — a shingle transform written
+as ``element_at(split(text), i)`` re-splits the whole document on
+every lambda call. The hot per-document kernels (shingling, minhash
+slots, simhash bit-votes) therefore run as Arrow-batched pandas
+stages with vectorized numpy — JVM keeps every join, shuffle, and
+aggregation; Python only ever sees map-local batches.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
-
-from a2b_spark.functions.text import word_shingles, word_tokens
-from a2b_spark.functions.vectors import as_double, cosine, hyperplane_bits
+from pyspark.sql import types as T
 
 
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
@@ -51,11 +62,40 @@ def exact_dedup(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> 
 
 
 def shingle_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """id + distinct word-k-gram shingle set (the unit of jaccard)."""
-    toks = word_tokens(text_col)
-    return spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), word_shingles(toks, k).alias("shingles")
+    """id + distinct word-k-gram shingle set (the unit of jaccard).
+
+    Tokenization parity contract (mirrored by the DuckDB oracles):
+    split on a single space, empties preserved; shingles are
+    space-joined k-grams, deduped keeping first occurrence; docs
+    shorter than k tokens get an empty set.
+    """
+    src = spread(df.select(id_col, text_col))
+    id_field = src.schema[id_col]
+    out_schema = T.StructType(
+        [id_field, T.StructField("shingles", T.ArrayType(T.StringType()), False)]
     )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                if t is None:
+                    out.append([])
+                    continue
+                ws = t.split(" ")
+                if len(ws) < k:
+                    out.append([])
+                else:
+                    out.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
+                            )
+                        )
+                    )
+            yield pd.DataFrame({id_col: pdf[id_col], "shingles": out})
+
+    return src.mapInPandas(gen, out_schema)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -69,33 +109,54 @@ def jaccard(a: Column, b: Column) -> Column:
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime
 
 
-def shingle_hash_pairs(shingles: Column) -> Column:
-    """Per-shingle (h1, h2) base hashes for Carter-Wegman minhashing —
-    the only place the (expensive) string hashing happens. MUST be
-    projected into its own named column before minhash_signature runs
-    over it, otherwise Catalyst re-inlines the string hashing into
-    every one of the k signature slots."""
-    return F.transform(
-        shingles,
-        lambda s: F.struct(
-            F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)).alias("h1"),
-            (F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_MERSENNE31 - 1)) + 1).alias("h2"),
-        ),
+def shingle_hash_pairs(df: DataFrame, id_col: str) -> DataFrame:
+    """Per-shingle (h1, h2) Carter-Wegman base hashes as two parallel
+    long arrays. xxhash64 is a native codegen'd expression, so the one
+    expensive string-hash pass stays JVM-side; the shingles column is
+    a materialized attribute (mapInPandas output), so nothing gets
+    re-inlined into the lambdas."""
+    return df.select(
+        id_col,
+        F.transform(
+            F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+        ).alias("h1"),
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_MERSENNE31 - 1)) + 1,
+        ).alias("h2"),
     )
 
 
-def minhash_signature(hash_pairs: Column, k: int = 64) -> Column:
-    """k minhashes from pre-computed base hashes: slot i is
-    min over shingles of (h1 + i·h2) mod p — the classic 2-universal
-    "permutation" family. Only cheap long arithmetic per slot (k·|sh|
-    mul/add/mod), string hashing stays at 2·|sh| per doc. All values
-    < 2^37, safe under ANSI mode."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(hash_pairs, lambda h: F.pmod(h["h1"] + i * h["h2"], F.lit(_MERSENNE31)))
-        ),
-    )
+def _minhash_sig_udf(k: int):
+    """Vectorized minhash: slot i = min over shingles of
+    (h1 + i·h2) mod p — the classic 2-universal family. All values
+    < 2^38, exact in int64. Flat segment layout + minimum.reduceat:
+    one (k × Σ|sh|) integer kernel per Arrow chunk."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        idx = np.arange(k, dtype=np.int64)[:, None]
+        out: list = []
+        chunk = 2048
+        for lo in range(0, len(h1), chunk):
+            a = [np.asarray(x, dtype=np.int64) for x in h1.iloc[lo : lo + chunk]]
+            b = [np.asarray(x, dtype=np.int64) for x in h2.iloc[lo : lo + chunk]]
+            lens = np.array([len(x) for x in a])
+            if lens.sum() == 0:
+                out.extend([None] * len(a))
+                continue
+            # empty docs would break reduceat (empty segments); they are
+            # filtered upstream, but guard anyway by emitting None
+            f1, f2 = np.concatenate(a), np.concatenate(b)
+            m = (f1[None, :] + idx * f2[None, :]) % _MERSENNE31  # (k, total)
+            nonempty = lens > 0
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
+            mins = np.minimum.reduceat(m, starts, axis=1).T  # (n_nonempty, k)
+            it = iter(mins)
+            out.extend(next(it) if ne else None for ne in nonempty)
+        return pd.Series(out)
+
+    return sig
 
 
 def lsh_candidate_pairs(
@@ -148,14 +209,15 @@ def minhash_near_dup_pairs(
 
     rows = num_hashes // bands
     # shingles feed three consumers (signatures + both verify sides):
-    # persist the one expensive text→shingle pass instead of running it
-    # three times. MEMORY_AND_DISK: spills instead of OOM at scale.
+    # persist the one text→shingle pass instead of running it three
+    # times. MEMORY_AND_DISK: spills instead of OOM at scale.
     sh = shingle_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
-    # two projections on purpose: hs must be a materialized column so
-    # the k signature slots share it (CollapseProject would otherwise
-    # duplicate the string hashing k times)
-    sigs = sh.select(id_col, shingle_hash_pairs(F.col("shingles")).alias("hs")).select(
-        id_col, minhash_signature(F.col("hs"), num_hashes).alias("signature")
+    # empty-shingle docs can never reach jaccard ≥ threshold (> 0):
+    # dropping them up front shrinks signatures AND keeps the
+    # all-short-docs degenerate bucket out of the candidate join
+    sig = _minhash_sig_udf(num_hashes)
+    sigs = shingle_hash_pairs(sh.filter(F.size("shingles") > 0), id_col).select(
+        id_col, sig(F.col("h1"), F.col("h2")).alias("signature")
     )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -178,6 +240,11 @@ def exact_jaccard_pairs(
     distinct-element, jaccard = co / (|a| + |b| - co) exactly — same
     integers, hence bit-identical doubles, as intersect/union.
 
+    A size-ratio prune runs before the pair aggregation: jaccard ≥ t
+    implies min(|a|,|b|) ≥ t·max(|a|,|b|), so grossly mismatched pairs
+    never enter the shuffle (epsilon guards the double rounding so no
+    true pair is dropped).
+
     Cost is Σ_shingle df(s)² instead of n²: pairs that share nothing
     never meet. Skewed (very frequent) shingles are the hazard at
     scale — AQE skew-join splits those buckets; a PPJoin-style prefix
@@ -188,9 +255,13 @@ def exact_jaccard_pairs(
     )
     a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s")
     b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s")
+    size_ok = (
+        F.least("sz_a", "sz_b").cast("double") / F.greatest("sz_a", "sz_b")
+        >= F.lit(threshold) - F.lit(1e-12)
+    )
     co = (
         a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("co"))
     )
@@ -204,34 +275,38 @@ def exact_jaccard_pairs(
     )
 
 
-def simhash64(tokens: Column, bands: int = 4, band_bits: int = 16) -> Column:
-    """64-bit SimHash stored as ``bands`` band values (array<long>,
-    band_bits bits each — avoids signed-64 top-bit overflow under ANSI
-    mode). Bit b's sign is Σ_tokens ±1 where the ±1 for (token, b) is
-    the parity of xxhash64(token, b). Map-only built-ins."""
+def _simhash_bands_udf(bands: int, band_bits: int):
+    """Vectorized SimHash from per-token 64-bit hashes: bit b's vote is
+    ±1 by bit b of the token hash; the signature bit is the vote-sum
+    sign, packed MSB-first into ``bands`` values of ``band_bits`` bits
+    (multi-band layout avoids signed-64 issues and drives the
+    pigeonhole banding join directly)."""
     nbits = bands * band_bits
-    counts = F.aggregate(
-        tokens,
-        F.array_repeat(F.lit(0).cast("long"), nbits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nbits - 1)),
-                lambda b: F.when(F.pmod(F.xxhash64(t, b), 2) == 1, 1)
-                .otherwise(-1)
-                .cast("long"),
-            ),
-            lambda a, x: a + x,
-        ),
-    )
-    def band_value(j: int) -> Column:
-        return F.aggregate(
-            F.slice(counts, j * band_bits + 1, band_bits),
-            F.lit(0).cast("long"),
-            lambda acc, c: acc * 2 + F.when(c >= 0, 1).otherwise(0).cast("long"),
-        )
+    shifts = np.arange(nbits, dtype=np.int64)
+    weights = 1 << np.arange(band_bits - 1, -1, -1, dtype=np.int64)
 
-    return F.array(*[band_value(j) for j in range(bands)])
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        out: list = []
+        chunk = 4096
+        for lo in range(0, len(hs), chunk):
+            arrs = [np.asarray(x, dtype=np.int64) for x in hs.iloc[lo : lo + chunk]]
+            lens = np.array([len(x) for x in arrs])
+            if lens.sum() == 0:
+                out.extend([None] * len(arrs))
+                continue
+            flat = np.concatenate(arrs)
+            votes = (((flat[:, None] >> shifts[None, :]) & 1) * 2 - 1).astype(np.int64)
+            nonempty = lens > 0
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
+            sums = np.add.reduceat(votes, starts, axis=0)  # (n_nonempty, nbits)
+            bits = (sums >= 0).astype(np.int64).reshape(-1, bands, band_bits)
+            vals = (bits * weights[None, None, :]).sum(axis=2)  # (n_nonempty, bands)
+            it = iter(vals)
+            out.extend(next(it) if ne else None for ne in nonempty)
+        return pd.Series(out)
+
+    return sig
 
 
 def simhash_near_dup_pairs(
@@ -239,9 +314,17 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash banding (4×16-bit) candidates + Hamming verify. A pair
     within Hamming distance 3 shares at least one exact 16-bit band
-    (pigeonhole), so recall is exact for max_hamming ≤ 3."""
-    sigs = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), simhash64(word_tokens(text_col)).alias("sig")
+    (pigeonhole), so recall is exact for max_hamming ≤ 3. Token
+    hashing stays JVM-side (one codegen'd xxhash64 per token); the
+    64-bit vote/pack kernel is vectorized numpy."""
+    bands, band_bits = 4, 16
+    sig = _simhash_bands_udf(bands, band_bits)
+    hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias("hs"),
+    )
+    sigs = hashed.select(F.col(id_col), sig(F.col("hs")).alias("sig")).filter(
+        F.col("sig").isNotNull()
     )
     banded = sigs.select(
         id_col,
@@ -253,7 +336,7 @@ def simhash_near_dup_pairs(
                         F.lit(j).alias("band"),
                         F.element_at(F.col("sig"), j + 1).alias("bh"),
                     )
-                    for j in range(4)
+                    for j in range(bands)
                 ]
             )
         ).alias("b"),
@@ -287,15 +370,70 @@ def simhash_near_dup_pairs(
 
 
 def embedding_dup_pairs_exact(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float
+    df: DataFrame, vec_col: str, id_col: str, threshold: float, n_blocks: int = 8
 ) -> DataFrame:
-    """All-pairs cosine near-dup — O(n²) verifier/oracle path."""
-    e = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    a = spread(e, 4).select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    """All-pairs cosine near-dup, exact — blocked matmul instead of a
+    row-level O(n²) join. Rows hash into ``n_blocks`` buckets; each of
+    the B(B+1)/2 block pairs is one applyInPandas group computing its
+    tile of the similarity matrix in numpy. Replication factor is B
+    (each row joins B block-pairs), and per-group memory is
+    (n/B)²·8 bytes — pick B ≈ n·√(8/mem) at scale.
+
+    Determinism contract with the DuckDB oracle: the dot products and
+    norms are evaluated as the same left-to-right IEEE-754 float64
+    fold (a rank-1-update loop over dimensions, one vectorized numpy
+    add per step), so raw cosines are bit-identical to a sequential
+    per-pair fold; rounding stays JVM-side (F.round, HALF_UP)."""
+    from a2b_spark.functions.vectors import as_double
+
+    spark = df.sparkSession
+    e = spread(df.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))).withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
+    )
+    rep = e.join(
+        F.broadcast(pairs), (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj"))
+    )
+    # raw-cosine prefilter margin: JVM round(x, 6) moves x by < 5e-7
+    margin = threshold - 1e-6
+
+    def tile(key, pdf):  # (block-pair key, group) -> pair tile; unannotated so Spark uses positional eval
+        bi, bj = key
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+            )
+        la = np.vstack([np.asarray(x, dtype=np.float64) for x in left["v"]])
+        rb = np.vstack([np.asarray(x, dtype=np.float64) for x in right["v"]])
+        ids_a = left["vid"].to_numpy()
+        ids_b = right["vid"].to_numpy()
+        d = la.shape[1]
+        dots = np.zeros((la.shape[0], rb.shape[0]))
+        na = np.zeros(la.shape[0])
+        nb = np.zeros(rb.shape[0])
+        for i in range(d):  # exact sequential fold, vectorized across pairs
+            dots = dots + np.outer(la[:, i], rb[:, i])
+            na = na + la[:, i] * la[:, i]
+            nb = nb + rb[:, i] * rb[:, i]
+        cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+        ia, ib = np.broadcast_arrays(ids_a[:, None], ids_b[None, :])
+        keep = (ia != ib) & (cos >= margin)
+        ia, ib, cv = ia[keep], ib[keep], cos[keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cos_raw": cv})
+        # intra-block tiles see each unordered pair twice ((x,y),(y,x))
+        return out.drop_duplicates(["id_a", "id_b"]) if bi == bj else out
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    tiles = rep.groupBy("bi", "bj").applyInPandas(
+        tile, f"id_a {id_type}, id_b {id_type}, cos_raw double"
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        tiles.withColumn("cos", F.round(F.col("cos_raw"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -306,17 +444,23 @@ def embedding_dup_pairs_lsh(
 ) -> DataFrame:
     """SRP-LSH bucketed near-dup: vectors only compare within their
     sign-signature bucket — the 100 TB path (map + one bucket-keyed
-    shuffle + small within-bucket joins). Approximate: recall depends
-    on the angle/bits tradeoff."""
-    e = spread(df.select(F.col(id_col), as_double(vec_col).alias("v"))).withColumn(
-        "bucket", hyperplane_bits(F.col("v"), n_bits)
-    )
-    a = e.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    shuffle + small within-bucket joins + id join-back for the exact
+    re-score). Approximate: recall depends on the angle/bits
+    tradeoff."""
+    from a2b_spark.functions.vectors import as_double, pair_cosine_raw, srp_buckets
+
+    e = spread(df.select(F.col(id_col), F.col(vec_col)))
+    buckets = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=1)
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    cands = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    va = e.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    vb = e.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    cos_raw = pair_cosine_raw()
     return (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cos_raw(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
