@@ -109,6 +109,32 @@ def jaccard(a: Column, b: Column) -> Column:
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime
 
 
+def _ids_packable(df: DataFrame, id_col: str) -> bool:
+    """True when the id column is integral, non-negative, and < 2^31 —
+    then an ordered (id_a, id_b) pair packs EXACTLY (no collisions)
+    into one signed 64-bit key. Spark's hash aggregate is ~6x faster
+    on a single long key than on a compound (id_a, id_b) key
+    (primitive fast-map vs generic UnsafeRow path), and pair
+    dedup/counting aggregations are the hot shuffle of every
+    similarity join. Costs one tiny agg over an already-persisted
+    input."""
+    if not isinstance(df.schema[id_col].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return False
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    return lo is not None and lo >= 0 and hi < (1 << 31)
+
+
+def _pack_pair(id_a, id_b) -> Column:
+    """(id_a, id_b) -> id_a·2^31 | id_b, exact for ids in [0, 2^31)."""
+    return F.shiftleft(F.col(id_a).cast("long"), 31).bitwiseOR(F.col(id_b).cast("long"))
+
+
+def _unpack_pair(pk: Column, dtype: T.DataType) -> tuple[Column, Column]:
+    a = F.shiftright(pk, 31).cast(dtype)
+    b = pk.bitwiseAND(F.lit((1 << 31) - 1)).cast(dtype)
+    return a, b
+
+
 def shingle_hash_pairs(df: DataFrame, id_col: str) -> DataFrame:
     """Per-shingle (h1, h2) Carter-Wegman base hashes as two parallel
     long arrays. xxhash64 is a native codegen'd expression, so the one
@@ -160,11 +186,13 @@ def _minhash_sig_udf(k: int):
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+    sigs: DataFrame, id_col: str, bands: int = 16, rows: int = 4, packable: bool = False
 ) -> DataFrame:
     """Band the signature; docs sharing any band-hash become candidate
     pairs. One shuffle keyed on (band, band_hash); bucket sizes stay
-    tiny because a band hash is 64-bit. Returns (id_a, id_b)."""
+    tiny because a band hash is 64-bit. The pair dedup (a pair can
+    collide in several bands) runs on the packed 64-bit key when
+    ``packable`` (see _ids_packable). Returns (id_a, id_b)."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -179,16 +207,21 @@ def lsh_candidate_pairs(
     ).select(id_col, "b.band", "b.bh")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    if packable:
+        dtype = sigs.schema[id_col].dataType
+        ua, ub = _unpack_pair(F.col("pk"), dtype)
+        return (
+            pairs.select(_pack_pair("id_a", "id_b").alias("pk"))
+            .distinct()
+            .select(ua.alias("id_a"), ub.alias("id_b"))
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return pairs.distinct()
 
 
 def minhash_near_dup_pairs(
@@ -219,7 +252,7 @@ def minhash_near_dup_pairs(
     sigs = shingle_hash_pairs(sh.filter(F.size("shingles") > 0), id_col).select(
         id_col, sig(F.col("h1"), F.col("h2")).alias("signature")
     )
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=_ids_packable(sh, id_col))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -248,23 +281,39 @@ def exact_jaccard_pairs(
     Cost is Σ_shingle df(s)² instead of n²: pairs that share nothing
     never meet. Skewed (very frequent) shingles are the hazard at
     scale — AQE skew-join splits those buckets; a PPJoin-style prefix
-    filter is the next refinement if corpus-frequency skew dominates."""
+    filter is the next refinement if corpus-frequency skew dominates.
+
+    The co-occurrence count groups by a packed 64-bit pair key when
+    ids allow (see _ids_packable) — the group key is near-unique, so
+    the aggregate's key path is the whole cost of this stage."""
+    from pyspark import StorageLevel
+
     sh = shingle_docs(df, text_col, id_col, shingle_k)
+    # one text→shingle Python pass feeds both sides of the self-join
     inv = sh.select(
         F.col(id_col), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s")
     b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s")
     size_ok = (
         F.least("sz_a", "sz_b").cast("double") / F.greatest("sz_a", "sz_b")
         >= F.lit(threshold) - F.lit(1e-12)
     )
-    co = (
-        a.join(b, "s")
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("co"))
-    )
+    joined = a.join(b, "s").filter((F.col("id_a") < F.col("id_b")) & size_ok)
+    if _ids_packable(inv, id_col):
+        dtype = df.schema[id_col].dataType
+        ua, ub = _unpack_pair(F.col("pk"), dtype)
+        co = (
+            joined.groupBy(_pack_pair("id_a", "id_b").alias("pk"))
+            .agg(
+                F.count(F.lit(1)).alias("co"),
+                F.first("sz_a").alias("sz_a"),  # constant within a pair group
+                F.first("sz_b").alias("sz_b"),
+            )
+            .select(ua.alias("id_a"), ub.alias("id_b"), "sz_a", "sz_b", "co")
+        )
+    else:
+        co = joined.groupBy("id_a", "id_b", "sz_a", "sz_b").agg(F.count(F.lit(1)).alias("co"))
     return (
         co.withColumn(
             "jaccard",
@@ -317,18 +366,24 @@ def simhash_near_dup_pairs(
     (pigeonhole), so recall is exact for max_hamming ≤ 3. Token
     hashing stays JVM-side (one codegen'd xxhash64 per token); the
     64-bit vote/pack kernel is vectorized numpy."""
+    from pyspark import StorageLevel
+
     bands, band_bits = 4, 16
     sig = _simhash_bands_udf(bands, band_bits)
     hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias("hs"),
     )
-    sigs = hashed.select(F.col(id_col), sig(F.col("hs")).alias("sig")).filter(
-        F.col("sig").isNotNull()
+    # sigs feed the banding pass plus both sides of the verify join-back
+    sigs = (
+        hashed.select(F.col(id_col), sig(F.col("hs")).alias("sig"))
+        .filter(F.col("sig").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # band rows carry only (id, band, bh): the ×bands bucket shuffle
+    # must never ship the signature payload
     banded = sigs.select(
         id_col,
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -340,23 +395,26 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "sig", "b.band", "b.bh")
+    ).select(id_col, "b.band", "b.bh")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    if _ids_packable(sigs, id_col):
+        dtype = sigs.schema[id_col].dataType
+        ua, ub = _unpack_pair(F.col("pk"), dtype)
+        cands = (
+            pairs.select(_pack_pair("id_a", "id_b").alias("pk"))
+            .distinct()
+            .select(ua.alias("id_a"), ub.alias("id_b"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    else:
+        cands = pairs.distinct()
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     hamming = F.aggregate(
         F.zip_with(
             F.col("sig_a"), F.col("sig_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
@@ -364,9 +422,13 @@ def simhash_near_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return pairs.withColumn("hamming", hamming.cast("int")).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return (
+        cands.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_dup_pairs_exact(

@@ -130,6 +130,7 @@ def knn_lsh(
     (cos ≥ 0.9) raise n_bits to 12-16 and drop tables, which shrinks
     buckets and cost by orders of magnitude."""
     from a2b_spark.functions.vectors import pair_cosine_raw, srp_buckets
+    from a2b_spark.operators.dedup import _ids_packable, _pack_pair, _unpack_pair
 
     qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
@@ -139,12 +140,24 @@ def knn_lsh(
     cb = srp_buckets(spread(corpus), vec_col, id_col, n_bits, n_tables).withColumnRenamed(
         id_col, "corpus_id"
     )
-    cands = (
+    raw = (
         qb.join(cb, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id")
-        .distinct()
     )
+    # a pair can collide in many of the n_tables buckets: dedup on the
+    # packed 64-bit key when ids allow (parquet min/max stats make the
+    # packability probe ~free); ordered pair here, not unordered
+    if _ids_packable(corpus, id_col) and _ids_packable(queries, id_col):
+        dtype = corpus.schema[id_col].dataType
+        uq, uc = _unpack_pair(F.col("pk"), dtype)
+        cands = (
+            raw.select(_pack_pair("query_id", "corpus_id").alias("pk"))
+            .distinct()
+            .select(uq.alias("query_id"), uc.alias("corpus_id"))
+        )
+    else:
+        cands = raw.distinct()
     cos_raw = pair_cosine_raw()
     scored = (
         cands.join(F.broadcast(qv), "query_id")

@@ -35,8 +35,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        df = fn(spark, SF_DIR)
+        # time construction + execution: some operators run eager
+        # planning actions (packability probes, broadcast collects)
+        # during construction, and excluding them would under-report
         t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
