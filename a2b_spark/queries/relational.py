@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-sufficient on ANY session (the correctness driver builds its
+    # own): events.parquet stores TIMESTAMP(NANOS), which Spark refuses
+    # unless nanos are read as raw longs. Runtime-settable conf.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
