@@ -46,19 +46,29 @@ def pair_cosine_raw() -> "callable":
 
     @F.pandas_udf(T.DoubleType())
     def cos_raw(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
-        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b])
+        # null vector on either side -> NaN (fails any >= threshold
+        # filter), mirroring the null-propagating Catalyst cosine()
+        valid = np.fromiter(
+            (x is not None and y is not None for x, y in zip(a, b)),
+            dtype=bool,
+            count=len(a),
+        )
+        out = np.full(len(a), np.nan)
+        if not valid.any():
+            return pd.Series(out)
+        ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a[valid]])
+        mb = np.vstack([np.asarray(x, dtype=np.float64) for x in b[valid]])
         d = ma.shape[1]
-        dots = np.zeros(len(a))
-        na = np.zeros(len(a))
-        nb = np.zeros(len(a))
+        n = int(valid.sum())
+        dots = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
         for i in range(d):  # exact sequential fold (oracle parity)
             dots = dots + ma[:, i] * mb[:, i]
             na = na + ma[:, i] * ma[:, i]
             nb = nb + mb[:, i] * mb[:, i]
-        return pd.Series(dots / (np.sqrt(na) * np.sqrt(nb)))
+        out[valid] = dots / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
 
     return cos_raw
 
@@ -95,6 +105,13 @@ def srp_buckets(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # rows with a null vector cannot be bucketed — drop them
+            # (the old Catalyst path yielded null and filtered later)
+            nonnull = pdf[vec_col].notna()
+            if not nonnull.all():
+                pdf = pdf[nonnull]
+                if len(pdf) == 0:
+                    continue
             v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             if planes is None:
                 planes = srp_planes(n_tables, n_bits, v.shape[1], seed)

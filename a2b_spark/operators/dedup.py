@@ -109,6 +109,23 @@ def jaccard(a: Column, b: Column) -> Column:
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime
 
 
+def _chunk_bounds(lens: np.ndarray, flat_cap: int) -> list[tuple[int, int]]:
+    """Split [0, n) into contiguous chunks whose cumulative element
+    count stays under ``flat_cap`` (a doc longer than the cap gets a
+    chunk of its own). Bounds the (k × Σlen) working matrices of the
+    signature kernels regardless of document length distribution."""
+    bounds: list[tuple[int, int]] = []
+    lo, acc = 0, 0
+    for i, ln in enumerate(lens):
+        if i > lo and acc + int(ln) > flat_cap:
+            bounds.append((lo, i))
+            lo, acc = i, 0
+        acc += int(ln)
+    if lo < len(lens):
+        bounds.append((lo, len(lens)))
+    return bounds
+
+
 def _ids_packable(df: DataFrame, id_col: str) -> bool:
     """True when the id column is integral, non-negative, and < 2^31 —
     then an ordered (id_a, id_b) pair packs EXACTLY (no collisions)
@@ -159,15 +176,28 @@ def _minhash_sig_udf(k: int):
     < 2^38, exact in int64. Flat segment layout + minimum.reduceat:
     one (k × Σ|sh|) integer kernel per Arrow chunk."""
 
+    # the m matrix below is k × (Σ shingles in chunk) int64 — cap the
+    # cumulative shingle count per chunk (~256 MB peak) so a run of
+    # long documents can't push one chunk into multi-GB territory
+    flat_cap = max(4096, (256 << 20) // (8 * k))
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(h1: pd.Series, h2: pd.Series) -> pd.Series:
         idx = np.arange(k, dtype=np.int64)[:, None]
+        a_all = [
+            np.empty(0, dtype=np.int64) if x is None else np.asarray(x, dtype=np.int64)
+            for x in h1
+        ]
+        b_all = [
+            np.empty(0, dtype=np.int64) if x is None else np.asarray(x, dtype=np.int64)
+            for x in h2
+        ]
+        lens_all = np.fromiter((len(x) for x in a_all), dtype=np.int64, count=len(a_all))
         out: list = []
-        chunk = 2048
-        for lo in range(0, len(h1), chunk):
-            a = [np.asarray(x, dtype=np.int64) for x in h1.iloc[lo : lo + chunk]]
-            b = [np.asarray(x, dtype=np.int64) for x in h2.iloc[lo : lo + chunk]]
-            lens = np.array([len(x) for x in a])
+        for lo, hi in _chunk_bounds(lens_all, flat_cap):
+            a = a_all[lo:hi]
+            b = b_all[lo:hi]
+            lens = lens_all[lo:hi]
             if lens.sum() == 0:
                 out.extend([None] * len(a))
                 continue
@@ -334,13 +364,25 @@ def _simhash_bands_udf(bands: int, band_bits: int):
     shifts = np.arange(nbits, dtype=np.int64)
     weights = 1 << np.arange(band_bits - 1, -1, -1, dtype=np.int64)
 
+    # Peak memory of the vote matrix is (Σ tokens in chunk) × nbits
+    # int64 — chunk by cumulative token count, not doc count, so a
+    # run of long documents can't blow a single chunk into GBs.
+    flat_cap = max(4096, (256 << 20) // (8 * nbits))
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(hs: pd.Series) -> pd.Series:
+        # null token array (null text upstream) behaves like an empty
+        # doc: None signature, filtered by sig.isNotNull()
+        arrs_all = [
+            np.empty(0, dtype=np.int64) if x is None else np.asarray(x, dtype=np.int64)
+            for x in hs
+        ]
+        lens_all = np.fromiter((len(x) for x in arrs_all), dtype=np.int64, count=len(arrs_all))
+        bounds = _chunk_bounds(lens_all, flat_cap)
         out: list = []
-        chunk = 4096
-        for lo in range(0, len(hs), chunk):
-            arrs = [np.asarray(x, dtype=np.int64) for x in hs.iloc[lo : lo + chunk]]
-            lens = np.array([len(x) for x in arrs])
+        for lo, hi in bounds:
+            arrs = arrs_all[lo:hi]
+            lens = lens_all[lo:hi]
             if lens.sum() == 0:
                 out.extend([None] * len(arrs))
                 continue
@@ -449,6 +491,8 @@ def embedding_dup_pairs_exact(
     from a2b_spark.functions.vectors import as_double
 
     spark = df.sparkSession
+    # null vectors can't be compared — drop before the numpy tiles
+    df = df.filter(F.col(vec_col).isNotNull())
     e = spread(df.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))).withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
     )
@@ -511,7 +555,7 @@ def embedding_dup_pairs_lsh(
     tradeoff."""
     from a2b_spark.functions.vectors import as_double, pair_cosine_raw, srp_buckets
 
-    e = spread(df.select(F.col(id_col), F.col(vec_col)))
+    e = spread(df.select(F.col(id_col), F.col(vec_col)).filter(F.col(vec_col).isNotNull()))
     buckets = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=1)
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "bucket")

@@ -38,12 +38,30 @@ def knn_bruteforce(
     vec_col: str,
     id_col: str,
     k: int = 5,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-matches
     excluded). The query set is collected and broadcast — by contract
     it is small (point-lookup side); the corpus never leaves the
-    executors."""
-    qpd = queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv")).toPandas()
+    executors.
+
+    NOTE this collect is an eager action at construction time and the
+    query matrix lives in driver + every executor's memory:
+    ``max_query_rows`` (default 100k ≈ 0.6 GB at dim=768) makes the
+    contract explicit — a larger query side raises instead of OOMing
+    the driver. Null-vector rows are dropped on both sides."""
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    qpd = (
+        queries.select(F.col(id_col).alias("qid"), as_double(vec_col).alias("qv"))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qpd) > max_query_rows:
+        raise ValueError(
+            f"knn_bruteforce query side exceeds max_query_rows={max_query_rows}; "
+            "use knn_lsh (distributed candidates) or raise the bound explicitly"
+        )
     if len(qpd) == 0:
         id_type = corpus.schema[id_col].dataType
         return corpus.sparkSession.createDataFrame(
@@ -132,6 +150,9 @@ def knn_lsh(
     from a2b_spark.functions.vectors import pair_cosine_raw, srp_buckets
     from a2b_spark.operators.dedup import _ids_packable, _pack_pair, _unpack_pair
 
+    # null vectors bucket nowhere and NaN-poison the re-rank — drop them
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
     qb = srp_buckets(queries, vec_col, id_col, n_bits, n_tables).withColumnRenamed(

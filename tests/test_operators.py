@@ -82,3 +82,54 @@ def test_knn_lsh_recall(embs):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"SRP-LSH recall suspiciously low: {recall}"
+
+
+def test_null_text_robustness(spark, docs):
+    """Null text must not crash the signature kernels (regression:
+    np.asarray(None) raised inside the simhash/minhash UDFs); null-text
+    docs simply can't pair."""
+    from pyspark.sql import types as T
+
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, "x y z " * 10)],
+        T.StructType(
+            [
+                T.StructField("doc_id", docs.schema["doc_id"].dataType),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+    )
+    mixed = docs.select("doc_id", "text").unionByName(extra)
+    sim = D.simhash_near_dup_pairs(mixed, "text", "doc_id", 3).collect()
+    assert all(r.id_a != 90001 and r.id_b != 90001 for r in sim)
+    mh = D.minhash_near_dup_pairs(mixed, "text", "doc_id", 0.8).collect()
+    assert all(r.id_a != 90001 and r.id_b != 90001 for r in mh)
+
+
+def test_null_vector_robustness(spark, embs):
+    """Null embedding rows are dropped, not crash-inducing, across the
+    cosine kernels (regression: np.vstack shape mismatch)."""
+    from pyspark.sql import types as T
+
+    extra = spark.createDataFrame(
+        [(90001, None)],
+        T.StructType(
+            [
+                T.StructField("vec_id", embs.schema["vec_id"].dataType),
+                T.StructField("embedding", embs.schema["embedding"].dataType),
+            ]
+        ),
+    )
+    mixed = embs.select("vec_id", "embedding").unionByName(extra)
+    q = mixed.filter((F.col("vec_id") < 3) | (F.col("vec_id") == 90001))
+    out = S.knn_bruteforce(q, mixed, "embedding", "vec_id", k=3).collect()
+    assert all(r.query_id != 90001 and r.corpus_id != 90001 for r in out)
+    lsh = S.knn_lsh(q, mixed, "embedding", "vec_id", k=3).collect()
+    assert all(r.query_id != 90001 and r.corpus_id != 90001 for r in lsh)
+    dup = D.embedding_dup_pairs_lsh(mixed, "embedding", "vec_id", 0.99).collect()
+    assert all(r.id_a != 90001 and r.id_b != 90001 for r in dup)
+
+
+def test_knn_bruteforce_query_bound(embs):
+    with pytest.raises(ValueError, match="max_query_rows"):
+        S.knn_bruteforce(embs, embs, "embedding", "vec_id", k=3, max_query_rows=10)
