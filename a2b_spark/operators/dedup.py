@@ -401,20 +401,33 @@ def _simhash_bands_udf(bands: int, band_bits: int):
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash banding (4×16-bit) candidates + Hamming verify. A pair
-    within Hamming distance 3 shares at least one exact 16-bit band
-    (pigeonhole), so recall is exact for max_hamming ≤ 3. Token
-    hashing stays JVM-side (one codegen'd xxhash64 per token); the
-    64-bit vote/pack kernel is vectorized numpy."""
+    """SimHash banding candidates + Hamming verify. A pair within
+    Hamming distance 3 shares at least one exact band (pigeonhole over
+    4 bands), so recall is exact for max_hamming ≤ 3. Token hashing
+    stays JVM-side; the vote/pack kernel is vectorized numpy.
+
+    ``token_hash``: "xxhash64" (default, 4×16-bit signature, one
+    codegen'd hash per token) or "md5" (4×15-bit = 60-bit signature
+    from the top 60 bits of md5 — slower, but expressible in ANSI SQL
+    so the whole operator can be oracle-checked bit-for-bit)."""
     from pyspark import StorageLevel
 
-    bands, band_bits = 4, 16
+    if token_hash == "md5":
+        bands, band_bits = 4, 15  # 15 hex chars = 60 bits, exact in int64
+        def th(t):
+            return F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    else:
+        bands, band_bits = 4, 16
+
+        def th(t):
+            return F.xxhash64(t)
     sig = _simhash_bands_udf(bands, band_bits)
     hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.transform(F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)).alias("hs"),
+        F.transform(F.split(F.col(text_col), " "), th).alias("hs"),
     )
     # sigs feed the banding pass plus both sides of the verify join-back
     sigs = (

@@ -131,8 +131,8 @@ def knn_lsh(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    n_bits: int = 4,
-    n_tables: int = 24,
+    n_bits: int = 8,
+    n_tables: int = 16,
 ) -> DataFrame:
     """Approximate top-k: n_tables independent SRP signatures; a corpus
     vector is a candidate if it shares any table's bucket with the
@@ -142,11 +142,13 @@ def knn_lsh(
     Arrow-batched numpy kernel. Shuffles on (table, bucket) and on the
     candidate id joins only — never |q|×|c|.
 
-    Tuning: P(candidate) per table = (1-θ/π)^n_bits. Defaults (4 bits ×
-    24 tables → recall ≈ 0.98 at cos≈0.4 neighbors) suit weakly-similar
-    corpora like random embeddings; for genuine near-dup search
-    (cos ≥ 0.9) raise n_bits to 12-16 and drop tables, which shrinks
-    buckets and cost by orders of magnitude."""
+    Tuning: P(candidate) per table = (1-θ/π)^n_bits. Defaults (8 bits ×
+    16 tables) target the advertised near-dup regime (cos ≥ 0.9 →
+    per-table p ≈ 0.29, miss ≈ 0.4%) with 256 buckets/table so bucket
+    joins stay tiny. For mid-similarity KNN over small corpora, drop
+    bits and raise tables instead — 2 bits × 32 tables gives recall ≈ 1
+    even for orthogonal neighbors ((1-0.25)³² ≈ 1e-4 miss) at the cost
+    of n/4-sized buckets."""
     from a2b_spark.functions.vectors import pair_cosine_raw, srp_buckets
     from a2b_spark.operators.dedup import _ids_packable, _pack_pair, _unpack_pair
 

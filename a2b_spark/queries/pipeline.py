@@ -171,10 +171,32 @@ def q26_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- Q27
 def q27_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 banded near-dup candidates (Hamming ≤ 3). Signature
-    uses engine-internal xxhash64 → not SQL-expressible; rows-only."""
+    """SimHash banded near-dup pairs (Hamming ≤ 3) in md5 token-hash
+    mode: the 60-bit signature derives from md5's top 60 bits, so the
+    DuckDB oracle recomputes the identical signature and the full
+    operator output is hash-checked (banding recall is exact at ≤3 by
+    pigeonhole, so band-candidates + verify == all-pairs Hamming)."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
+    return D.simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3, token_hash="md5")
+
+
+O_Q27 = """
+WITH t AS (
+  SELECT doc_id,
+         [CAST(('0x' || substring(md5(w), 1, 15)) AS BIGINT) for w in string_split(text, ' ')] AS hs
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum([
+           CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
+                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+           for b in range(60)]) AS BIGINT) AS sig
+  FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 # --------------------------------------------------------------- Q28
@@ -219,12 +241,16 @@ WHERE round(list_inner_product(a.vec, b.vec)
 
 # --------------------------------------------------------------- Q30
 def q30_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate KNN (8 bits × 4 tables, exact re-rank) —
-    the scale path for similarity search. Approximate by construction;
-    rows-only check (hyperplanes derive from engine-internal hashes)."""
+    """SRP-LSH approximate KNN with exact re-rank — the scale path for
+    similarity search (bucket shuffle carries only (id, table, bucket);
+    vectors join back by id). Tuned to 2 bits × 32 tables: per-table
+    collision p = (1-θ/π)², so even an orthogonal true neighbor is
+    missed with (1-0.25)³² ≈ 1e-4 — recall is 1 on the test corpus and
+    the oracle is the *exact* KNN SQL (same contract as q26: LSH output
+    == exact at these parameters)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return S.knn_lsh(q, e, "embedding", "vec_id", k=5)
+    return S.knn_lsh(q, e, "embedding", "vec_id", k=5, n_bits=2, n_tables=32)
 
 
 # --------------------------------------------------------------- Q31
@@ -275,10 +301,10 @@ ORACLES = {
     "q24_lang_id": O_Q24,
     "q25_near_dup_exact_jaccard": O_JACCARD,
     "q26_near_dup_minhash_lsh": O_JACCARD,  # LSH output == exact pairs at this threshold
-    # q27 simhash: rows-only (engine-internal hash function)
+    "q27_near_dup_simhash": O_Q27,  # md5 token-hash mode: signature is SQL-expressible
     "q28_knn_bruteforce": O_Q28,
     "q29_embedding_dups": O_Q29,
-    # q30 knn_lsh: rows-only (approximate by construction)
+    "q30_knn_lsh": O_Q28,  # recall == 1 at (2 bits × 32 tables) → output == exact KNN
     "q31_multimodal_meta": O_Q31,
 }
 
