@@ -133,8 +133,13 @@ def _ids_packable(df: DataFrame, id_col: str) -> bool:
     on a single long key than on a compound (id_a, id_b) key
     (primitive fast-map vs generic UnsafeRow path), and pair
     dedup/counting aggregations are the hot shuffle of every
-    similarity join. Costs one tiny agg over an already-persisted
-    input."""
+    similarity join.
+
+    Probe the RAW source df, not a derived/persisted frame: min/max
+    over a pruned parquet scan is answered from footer statistics
+    (aggregate pushdown), while probing a frame downstream of a
+    Python stage would eagerly materialize that whole pipeline before
+    the main job even starts."""
     if not isinstance(df.schema[id_col].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return False
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
@@ -282,7 +287,7 @@ def minhash_near_dup_pairs(
     sigs = shingle_hash_pairs(sh.filter(F.size("shingles") > 0), id_col).select(
         id_col, sig(F.col("h1"), F.col("h2")).alias("signature")
     )
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=_ids_packable(sh, id_col))
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=_ids_packable(df, id_col))
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -330,7 +335,7 @@ def exact_jaccard_pairs(
         >= F.lit(threshold) - F.lit(1e-12)
     )
     joined = a.join(b, "s").filter((F.col("id_a") < F.col("id_b")) & size_ok)
-    if _ids_packable(inv, id_col):
+    if _ids_packable(df, id_col):
         dtype = df.schema[id_col].dataType
         ua, ub = _unpack_pair(F.col("pk"), dtype)
         co = (
@@ -458,7 +463,7 @@ def simhash_near_dup_pairs(
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    if _ids_packable(sigs, id_col):
+    if _ids_packable(df, id_col):
         dtype = sigs.schema[id_col].dataType
         ua, ub = _unpack_pair(F.col("pk"), dtype)
         cands = (
@@ -559,20 +564,48 @@ def embedding_dup_pairs_exact(
 
 
 def embedding_dup_pairs_lsh(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float, n_bits: int = 12
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_bits: int = 3,
+    n_tables: int = 36,
 ) -> DataFrame:
-    """SRP-LSH bucketed near-dup: vectors only compare within their
-    sign-signature bucket — the 100 TB path (map + one bucket-keyed
-    shuffle + small within-bucket joins + id join-back for the exact
-    re-score). Approximate: recall depends on the angle/bits
-    tradeoff."""
+    """SRP-LSH bucketed embedding near-dup — the 100 TB path: map-only
+    signatures, one (table, bucket)-keyed shuffle carrying only ids,
+    within-bucket candidate joins, packed-key pair dedup, and an exact
+    cosine re-score on candidates only (so false positives are
+    impossible; the approximation is recall only).
+
+    Recall: a pair at angle θ collides in one table with p = (1-θ/π)^b
+    and is missed with (1-p)^T. The defaults (3 bits × 36 tables) miss
+    a cos=0.45 pair with (1-0.649³)³⁶ ≈ 1e-5 — effectively exact down
+    to mid similarities, which is what lets the exact all-pairs join
+    (embedding_dup_pairs_exact / O_Q29) serve as its oracle. For
+    higher thresholds raise n_bits and drop tables to shrink buckets."""
     from a2b_spark.functions.vectors import as_double, pair_cosine_raw, srp_buckets
 
     e = spread(df.select(F.col(id_col), F.col(vec_col)).filter(F.col(vec_col).isNotNull()))
-    buckets = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=1)
-    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
-    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
-    cands = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    buckets = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=n_tables)
+    a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    raw = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    # a pair collides in up to n_tables buckets — dedup before the
+    # vector join-back so each candidate is scored exactly once
+    if _ids_packable(df, id_col):
+        dtype = df.schema[id_col].dataType
+        ua, ub = _unpack_pair(F.col("pk"), dtype)
+        cands = (
+            raw.select(_pack_pair("id_a", "id_b").alias("pk"))
+            .distinct()
+            .select(ua.alias("id_a"), ub.alias("id_b"))
+        )
+    else:
+        cands = raw.distinct()
     va = e.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
     vb = e.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
     cos_raw = pair_cosine_raw()

@@ -415,8 +415,20 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q36
+def q36_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed embedding near-dup (the 100 TB scale path for
+    what q29 computes exactly): candidates from 36 independent 3-bit
+    sign-projection tables, exact cosine re-score. Miss probability for
+    a cos=0.45 pair is ~1e-5, so the exact all-pairs oracle (O_Q29)
+    hash-matches — same contract as q26/q30."""
+    e = _t(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.45)
+
+
 QUERIES.update(
     {
+        "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
         "q34_media_decode": q34_media_decode,
@@ -426,6 +438,7 @@ QUERIES.update(
 
 ORACLES.update(
     {
+        "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
         "q34_media_decode": O_Q34,

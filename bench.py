@@ -33,6 +33,23 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Warm up the session before timing: JVM JIT, noop-sink codepath,
+    # and the Python-worker/Arrow channel otherwise all get billed to
+    # whichever query runs first (q01 ate ~8s of warmup in round 1).
+    from pyspark.sql import functions as F
+
+    # lambda form: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's hint inference can't resolve here
+    _warm = F.pandas_udf(lambda s: s, "long")
+
+    spark.range(1_000_000).select(F.sum("id")).write.format("noop").mode("overwrite").save()
+    spark.range(10_000).select(_warm("id")).write.format("noop").mode("overwrite").save()
+    # fork + warm the full Python worker pool (pandas/numpy imports)
+    # across all cores for the mapInPandas eval type too
+    spark.range(0, int(CPUS) * 4, 1, int(CPUS)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         # time construction + execution: some operators run eager

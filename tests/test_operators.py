@@ -142,3 +142,18 @@ def test_null_vector_robustness(spark, embs):
 def test_knn_bruteforce_query_bound(embs):
     with pytest.raises(ValueError, match="max_query_rows"):
         S.knn_bruteforce(embs, embs, "embedding", "vec_id", k=3, max_query_rows=10)
+
+
+def test_embedding_lsh_matches_exact(embs):
+    """The scale-path LSH dedup must equal the exact all-pairs join at
+    its configured parameters (recall ~1 by the SRP collision math)."""
+    exact = {
+        (r.id_a, r.id_b, r.cos)
+        for r in D.embedding_dup_pairs_exact(embs, "embedding", "vec_id", 0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.cos)
+        for r in D.embedding_dup_pairs_lsh(embs, "embedding", "vec_id", 0.45).collect()
+    }
+    assert exact, "testdata should contain embedding near-duplicates"
+    assert lsh == exact
