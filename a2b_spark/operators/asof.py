@@ -43,8 +43,17 @@ def asof_join(
     ``right_tiebreak``: column ordering duplicate-timestamp right rows
     (the greatest wins, matching "latest"); required for deterministic
     output when right timestamps can collide.
+
+    NULL semantics match join-based ASOF (DuckDB ``ASOF JOIN``): right
+    rows with a NULL key or NULL timestamp can never match and are
+    dropped up front; left rows always survive (LEFT join) — a NULL
+    key or NULL timestamp on the left simply yields NULL payload.
+    Without the filter, the window's partitionBy would group NULL keys
+    together and "match" them — a divergence, not a feature.
     """
     on = list(on)
+    for c in [*on, ts_col]:
+        right = right.filter(F.col(c).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__asof")
     tb = (
         F.col(right_tiebreak)

@@ -415,6 +415,48 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q37
+def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase event matched with the user's
+    latest click at-or-before it (attribution shape). Exercises the
+    union-and-window ASOF formulation (operators/asof.py) — one key
+    shuffle + sort, no range-join blowup; DuckDB's native ASOF JOIN is
+    the oracle."""
+    from a2b_spark.operators.asof import asof_join
+    from a2b_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts_us").alias("click_ts_us"),
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        ts_col="ts_us",
+        right_cols=["click_event_id", "click_ts_us"],
+        right_tiebreak="click_event_id",
+    )
+
+
+O_Q37 = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+l AS (SELECT event_id, user_id, ts_us, value FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts_us, event_id AS click_event_id, ts_us AS click_ts_us
+      FROM e WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, l.ts_us, l.value, r.click_event_id, r.click_ts_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
 # --------------------------------------------------------------- Q36
 def q36_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed embedding near-dup (the 100 TB scale path for
@@ -429,6 +471,7 @@ def q36_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {
         "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
+        "q37_asof_join": q37_asof_join,
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
         "q34_media_decode": q34_media_decode,
@@ -439,6 +482,7 @@ QUERIES.update(
 ORACLES.update(
     {
         "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
+        "q37_asof_join": O_Q37,
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
         "q34_media_decode": O_Q34,

@@ -157,3 +157,33 @@ def test_embedding_lsh_matches_exact(embs):
     }
     assert exact, "testdata should contain embedding near-duplicates"
     assert lsh == exact
+
+
+def test_asof_join_basic_ties_and_nulls(spark):
+    """ASOF semantics: latest right at-or-before left ts; equal-ts right
+    rows match (<= contract) with the tiebreak column picking the
+    winner; NULL keys never match (DuckDB ASOF JOIN parity)."""
+    from a2b_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (None, 10, "d"), (1, None, "e")],
+        "k int, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, 100),  # equal-ts tie with rid 101
+            (1, 10, 101),  # wins at left ts=10 (greatest tiebreak)
+            (1, 15, 102),  # wins at left ts=20
+            (2, 6, 103),   # after left ts=5 -> no match
+            (None, 1, 104),  # NULL key: must never match anything
+            (1, None, 105),  # NULL ts: must never match anything
+        ],
+        "k int, ts int, rid int",
+    )
+    out = {
+        r.tag: r.rid
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_cols=["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert out == {"a": 101, "b": 102, "c": None, "d": None, "e": None}
