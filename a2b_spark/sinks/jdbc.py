@@ -4,15 +4,28 @@
 The reference persists entities one at a time with a flush every 100
 (:156-164). Spark-side, inserts are ``df.write.jdbc`` with
 ``batchsize`` (the same batching knob, but per executor partition —
-1000s of rows in flight instead of 100), and the upsert path stages
-the merge in Spark (snapshot ⟕ batch, resolve, overwrite-with-truncate)
-because plain JDBC has no portable MERGE. On warehouses with real
-MERGE (Postgres 15+, Delta over JDBC, etc.) ``merge_sql_template``
-lets callers push the merge down instead of rewriting the table.
+1000s of rows in flight instead of 100).
 
-Untested in this container (no JDBC driver jars baked in); the logic
-mirrors ParquetDestination against the same Destination protocol, and
-every Spark call is the documented public API.
+Upserts have two paths:
+
+* **Staged merge (preferred)** — when ``merge_sql_template`` is set,
+  the batch is written to a staging table with ``df.write.jdbc`` and a
+  single server-side ``MERGE`` / ``INSERT ... ON CONFLICT`` statement
+  folds it into the target. Cost is O(batch), the statement executes
+  inside one transaction on the server (atomic — a failure leaves the
+  target untouched), and no data rides back through Spark. Ready-made
+  templates: ``ANSI_MERGE_SQL`` (MERGE engines: Postgres 15+, Oracle,
+  SQL Server, DB2) and ``POSTGRES_UPSERT_SQL`` (ON CONFLICT engines:
+  Postgres 9.5+, SQLite, DuckDB).
+* **Truncate-rewrite (fallback)** — without a template there is no
+  portable merge in plain JDBC: read the snapshot, merge in Spark,
+  truncate + rewrite. O(table) per merge and non-atomic mid-write;
+  acceptable only for small parity tables, which the docstring of
+  ``merge`` says out loud.
+
+Untested against a live server in this container (no JDBC driver jars
+baked in); the SQL generation is unit-tested, and every Spark call is
+the documented public API.
 """
 
 from __future__ import annotations
@@ -23,6 +36,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 from a2b_spark.storage.merge import merge_dataframes
 
+# Placeholders available to merge_sql_template:
+#   {target}      target table name
+#   {staging}     staging table name
+#   {key_match}   "t.k1 = s.k1 AND t.k2 = s.k2"
+#   {update_set}  "c1 = s.c1, c2 = s.c2"          (non-key columns)
+#   {update_set_excluded}  "c1 = EXCLUDED.c1, ..."  (non-key columns)
+#   {insert_cols} "k1, c1, c2"
+#   {src_cols}    "s.k1, s.c1, s.c2"
+#   {key_cols}    "k1, k2"
+ANSI_MERGE_SQL = (
+    "MERGE INTO {target} t USING {staging} s ON {key_match} "
+    "WHEN MATCHED THEN UPDATE SET {update_set} "
+    "WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({src_cols})"
+)
+
+POSTGRES_UPSERT_SQL = (
+    "INSERT INTO {target} ({insert_cols}) "
+    "SELECT {insert_cols} FROM {staging} "
+    "ON CONFLICT ({key_cols}) DO UPDATE SET {update_set_excluded}"
+)
+
 
 class JdbcDestination:
     def __init__(
@@ -32,12 +66,16 @@ class JdbcDestination:
         key_cols: Sequence[str],
         properties: Optional[dict] = None,
         batchsize: int = 10_000,
+        merge_sql_template: Optional[str] = None,
+        staging_table: Optional[str] = None,
     ):
         self.url = url
         self.table = table
         self.key_cols = tuple(key_cols)
         self.properties = dict(properties or {})
         self.batchsize = batchsize
+        self.merge_sql_template = merge_sql_template
+        self.staging_table = staging_table or f"{table}__a2b_stage"
 
     def _reader(self, spark: SparkSession):
         r = (
@@ -49,38 +87,112 @@ class JdbcDestination:
             r = r.option(k, v)
         return r
 
+    def _writer(self, df: DataFrame, table: str):
+        w = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", table)
+            .option("batchsize", str(self.batchsize))
+            .option("truncate", "true")  # keep DDL; replace rows
+            .mode("overwrite")
+        )
+        for k, v in self.properties.items():
+            w = w.option(k, v)
+        return w
+
     def read_snapshot(self, spark: SparkSession) -> Optional[DataFrame]:
         try:
             return self._reader(spark).load()
         except Exception:
             return None  # table absent on first run
 
-    def merge(self, batch: DataFrame) -> None:
+    # -------------------------------------------------- staged merge
+    def build_merge_sql(self, columns: Sequence[str]) -> str:
+        """Render ``merge_sql_template`` for a batch with ``columns``.
+
+        Pure string construction — unit-testable without a server.
+        Key columns come first in insert order iff they come first in
+        ``columns``; placeholders preserve the batch's column order so
+        the staged table and the statement always agree.
+        """
+        if not self.merge_sql_template:
+            raise ValueError("merge_sql_template is not configured")
+        cols = list(columns)
+        missing = [k for k in self.key_cols if k not in cols]
+        if missing:
+            raise ValueError(f"batch is missing key columns: {missing}")
+        value_cols = [c for c in cols if c not in self.key_cols]
+        return self.merge_sql_template.format(
+            target=self.table,
+            staging=self.staging_table,
+            key_match=" AND ".join(f"t.{k} = s.{k}" for k in self.key_cols),
+            update_set=", ".join(f"{c} = s.{c}" for c in value_cols),
+            update_set_excluded=", ".join(f"{c} = EXCLUDED.{c}" for c in value_cols),
+            insert_cols=", ".join(cols),
+            src_cols=", ".join(f"s.{c}" for c in cols),
+            key_cols=", ".join(self.key_cols),
+        )
+
+    def _execute_sql(self, spark: SparkSession, sql: str) -> None:
+        """Run one statement server-side through the JVM's DriverManager
+        (the same driver jar Spark's JDBC source uses)."""
+        jvm = spark._sc._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def _merge_staged(self, batch: DataFrame) -> None:
+        """O(batch) atomic upsert: stage the batch, one MERGE statement."""
+        self._writer(batch, self.staging_table).save()
+        self._execute_sql(batch.sparkSession, self.build_merge_sql(batch.columns))
+
+    # ------------------------------------------------ rewrite merge
+    def _merge_rewrite(self, batch: DataFrame) -> None:
+        """Fallback upsert: snapshot ⟕ batch in Spark, truncate+rewrite.
+        O(table) and non-atomic mid-write — parity-table scale only."""
         spark = batch.sparkSession
         current = self.read_snapshot(spark)
         if current is not None:
             batch = merge_dataframes(current, batch, self.key_cols)
-        writer = (
-            batch.write.format("jdbc")
-            .option("url", self.url)
-            .option("dbtable", self.table)
-            .option("batchsize", str(self.batchsize))
-            .option("truncate", "true")  # keep DDL; replace rows
-            .mode("overwrite")
-        )
-        for k, v in self.properties.items():
-            writer = writer.option(k, v)
-        writer.save()
+        self._writer(batch, self.table).save()
+
+    def merge(self, batch: DataFrame) -> None:
+        if self.merge_sql_template:
+            self._merge_staged(batch)
+        else:
+            self._merge_rewrite(batch)
 
     def delete_keys(self, keys_df: DataFrame) -> None:
         spark = keys_df.sparkSession
+        if self.merge_sql_template:
+            # server-side anti-delete: stage the keys, one DELETE
+            stage_keys = keys_df.select(*self.key_cols).distinct()
+            self._writer(stage_keys, self.staging_table).save()
+            key_match = " AND ".join(
+                f"t.{k} = s.{k}" for k in self.key_cols
+            )
+            self._execute_sql(
+                spark,
+                f"DELETE FROM {self.table} AS t WHERE EXISTS "
+                f"(SELECT 1 FROM {self.staging_table} s WHERE {key_match})",
+            )
+            return
         current = self.read_snapshot(spark)
         if current is None:
             return
         remaining = current.join(
             keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
         )
-        self.merge(remaining)
+        self._merge_rewrite(remaining)
 
     def read_multiple(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
         snap = self.read_snapshot(spark)

@@ -1,0 +1,56 @@
+"""JDBC sink SQL generation (no driver jars in the container, so the
+server round-trip is untested; the statement construction is the part
+we own and it is exercised here)."""
+
+import pytest
+
+from a2b_spark.sinks.jdbc import ANSI_MERGE_SQL, POSTGRES_UPSERT_SQL, JdbcDestination
+
+
+def _dest(template):
+    return JdbcDestination(
+        "jdbc:postgresql://db/x", "tgt", ["k1", "k2"], merge_sql_template=template
+    )
+
+
+def test_ansi_merge_sql():
+    sql = _dest(ANSI_MERGE_SQL).build_merge_sql(["k1", "k2", "a", "b"])
+    assert sql == (
+        "MERGE INTO tgt t USING tgt__a2b_stage s "
+        "ON t.k1 = s.k1 AND t.k2 = s.k2 "
+        "WHEN MATCHED THEN UPDATE SET a = s.a, b = s.b "
+        "WHEN NOT MATCHED THEN INSERT (k1, k2, a, b) VALUES (s.k1, s.k2, s.a, s.b)"
+    )
+
+
+def test_postgres_upsert_sql():
+    sql = _dest(POSTGRES_UPSERT_SQL).build_merge_sql(["k1", "k2", "a"])
+    assert sql == (
+        "INSERT INTO tgt (k1, k2, a) SELECT k1, k2, a FROM tgt__a2b_stage "
+        "ON CONFLICT (k1, k2) DO UPDATE SET a = EXCLUDED.a"
+    )
+
+
+def test_column_order_preserved():
+    # batch column order drives insert order so the staged table and
+    # statement always agree, regardless of key position
+    sql = _dest(ANSI_MERGE_SQL).build_merge_sql(["b", "k2", "a", "k1"])
+    assert "INSERT (b, k2, a, k1) VALUES (s.b, s.k2, s.a, s.k1)" in sql
+
+
+def test_missing_key_raises():
+    with pytest.raises(ValueError, match="missing key columns"):
+        _dest(ANSI_MERGE_SQL).build_merge_sql(["k1", "a"])
+
+
+def test_no_template_raises():
+    d = JdbcDestination("jdbc:x", "t", ["k"])
+    with pytest.raises(ValueError, match="not configured"):
+        d.build_merge_sql(["k", "a"])
+
+
+def test_custom_staging_table():
+    d = JdbcDestination(
+        "jdbc:x", "t", ["k"], merge_sql_template=ANSI_MERGE_SQL, staging_table="my_stage"
+    )
+    assert "USING my_stage s" in d.build_merge_sql(["k", "v"])
