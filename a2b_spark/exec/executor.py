@@ -166,6 +166,31 @@ def finalize_entity(entity: DataFrame, m: Migration) -> DataFrame:
     return entity
 
 
+def _persist_orphan_report(
+    spark: SparkSession, m: Migration, orphan_rows: DataFrame
+) -> DataFrame:
+    """Materialize the ``report`` policy's orphans so they outlive the
+    session — the reference materializes orphan *entities*, not just a
+    transient result (DataMigrationExecutor.php:130-135).
+
+    Path-based destinations get a ``<dest>/_orphans`` versioned table
+    (overwritten per run: the report is "orphans as of this run", not
+    an accumulating log); the returned DataFrame reads from the
+    persisted table, so it stays valid after later merges. For
+    destinations with no filesystem path (console, JDBC) the live
+    DataFrame is returned unpersisted, as before.
+    """
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    dest_path = getattr(m.destination, "path", None)
+    if not dest_path:
+        return orphan_rows
+    dest_names = [f.name for f in m.destination_ids]
+    report = VersionedParquetTable(f"{dest_path}/_orphans", dest_names)
+    report.overwrite(orphan_rows)
+    return report.read(spark)
+
+
 def run_migration(
     spark: SparkSession,
     m: Migration,
@@ -220,7 +245,7 @@ def run_migration(
                 )
                 mapper.append_preserved(m.mapping_key(), null_src, m.source_ids, m.destination_ids)
             if orphan_policy == "report":
-                orphans_df = orphan_rows
+                orphans_df = _persist_orphan_report(spark, m, orphan_rows)
 
         skipped = (rows_in - rows_written) if collect_stats else -1
         return MigrationResult(

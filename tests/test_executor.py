@@ -128,6 +128,18 @@ def test_orphans(spark, tmp_path, customers, policy):
         assert dest.count() == 40, "keep/report/preserve retain orphan rows"
     if policy == "report":
         assert r.orphans is not None and r.orphans.count() == 5
+        # the report is persisted (reference materializes orphan
+        # entities) and survives the returned DataFrame's session state
+        from a2b_spark.storage.table import VersionedParquetTable
+
+        report = VersionedParquetTable(
+            str(tmp_path / "dest" / "_orphans"), ("id",)
+        ).read(spark)
+        assert report is not None and report.count() == 5
+        reported_keys = {row.c_custkey for row in report.collect()}
+        assert reported_keys == dropped
+        # orphans table must not pollute the destination snapshot
+        assert dest.count() == 40
     if policy == "preserve":
         map_df = mapper.load(m2.mapping_key(), m2.source_ids, m2.destination_ids)
         preserved = map_df.filter(F.col("source_c_custkey").isNull())
