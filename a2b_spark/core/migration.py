@@ -71,12 +71,21 @@ class MigrationRegistry:
     """Collects migrations; resolves groups, explicit selection, and the
     dependency DAG (reference: DataMigrationManager.php:256-266, 271-326)."""
 
-    def __init__(self):
+    def __init__(self, params: Optional[dict] = None):
+        """``params``: container-parameter dict; ``%name%`` placeholders
+        in each registered migration's source/destination configuration
+        are resolved at registration (reference
+        DataMigrationManager.php:155-183)."""
         self._migrations: dict[str, Migration] = {}
+        self._params = dict(params or {})
 
     def register(self, migration: Migration) -> Migration:
         if migration.name in self._migrations:
             raise ValueError(f"duplicate migration {migration.name!r}")
+        if self._params:
+            from a2b_spark.core.params import resolve_params
+
+            resolve_params(migration, self._params)
         self._migrations[migration.name] = migration
         return migration
 
