@@ -167,40 +167,58 @@ class VersionedParquetTable:
         current = self.read(keys_df.sparkSession)
         if current is None:
             return
+        if self.partition_by and all(c in keys_df.columns for c in self.partition_by):
+            # Partition-aware delete: anti-join only inside touched
+            # partitions, hard-link the rest — O(touched), not O(table).
+            touched = self._touched_partitions(keys_df)
+            if not touched:
+                return
+            remaining_touched = current.filter(self._partition_filter(touched)).join(
+                keys_df.select(*self.key_cols).distinct(),
+                on=list(self.key_cols),
+                how="left_anti",
+            )
+            self._commit_touched(remaining_touched, touched)
+            return
         remaining = current.join(
             keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
         )
         self.overwrite(remaining)
 
     # ------------------------------------------------- partitioned merge
-    def _merge_partitioned(self, spark: SparkSession, current: DataFrame, batch: DataFrame) -> None:
-        old_version = self.current_version()
-        old_dir = os.path.join(self.path, old_version)
-        # Touched partitions: small driver-side list (partition columns
-        # are low-cardinality by design — this is not a data collect).
-        touched = {
+    def _touched_partitions(self, df: DataFrame) -> set[tuple]:
+        """Partition tuples present in ``df`` — a small driver-side list
+        (partition columns are low-cardinality by design; this is not a
+        data collect)."""
+        return {
             tuple(str(x) for x in r)
-            for r in batch.select(*self.partition_by).distinct().collect()
+            for r in df.select(*self.partition_by).distinct().collect()
         }
-        if not touched:
-            return
+
+    def _partition_filter(self, touched: set[tuple]):
         cond = None
         for i, c in enumerate(self.partition_by):
             e = F.col(c).cast("string").isin([t[i] for t in touched])
             cond = e if cond is None else (cond & e)
-        merged_touched = merge_dataframes(current.filter(cond), batch, self.key_cols)
+        return cond
 
+    def _commit_touched(self, touched_df: DataFrame, touched: set[tuple]) -> None:
+        """Write a new version containing ``touched_df`` (the new
+        contents of the touched partitions) and hard-link every
+        untouched partition's files from the live version — a
+        metadata-only copy, the local-FS analogue of Iceberg manifest
+        reuse. Cost: O(touched data + total file count)."""
+        old_version = self.current_version()
+        old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
         target = os.path.join(self.path, version)
         (
-            merged_touched.write.mode("overwrite")
+            touched_df.write.mode("overwrite")
             .format(self.fmt)
             .options(**_FORMAT_OPTIONS[self.fmt])
             .partitionBy(*self.partition_by)
             .save(target)
         )
-        # Hard-link untouched partition dirs from the old version —
-        # metadata-only reuse, no data movement.
         for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
             if values in touched:
                 continue
@@ -211,6 +229,15 @@ class VersionedParquetTable:
                     continue
                 os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
         self._commit(version)
+
+    def _merge_partitioned(self, spark: SparkSession, current: DataFrame, batch: DataFrame) -> None:
+        touched = self._touched_partitions(batch)
+        if not touched:
+            return
+        merged_touched = merge_dataframes(
+            current.filter(self._partition_filter(touched)), batch, self.key_cols
+        )
+        self._commit_touched(merged_touched, touched)
 
     # ------------------------------------------------------------ vacuum
     def vacuum(self, keep: int | None = None) -> None:

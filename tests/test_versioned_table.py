@@ -1,0 +1,97 @@
+"""Versioned-table scale contract: partitioned merges and deletes touch
+only the partitions the batch touches; everything else is hard-linked
+(metadata-only) into the new version. This is the property that keeps
+a small incremental merge O(batch), not O(100 TB table)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.table import VersionedParquetTable
+
+
+def _inodes(version_dir):
+    """{relpath: inode} for every data file under a version dir."""
+    out = {}
+    for root, _, files in os.walk(version_dir):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, fn)
+            out[os.path.relpath(p, version_dir)] = os.stat(p).st_ino
+    return out
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("id",), partition_by=("p",))
+    base = spark.createDataFrame(
+        [(i, f"p{i % 4}", f"v{i}") for i in range(40)], "id int, p string, v string"
+    )
+    t.overwrite(base)
+    return t
+
+
+def test_partitioned_merge_rewrites_only_touched(spark, table):
+    v1 = os.path.join(table.path, table.current_version())
+    before = _inodes(v1)
+
+    batch = spark.createDataFrame(
+        [(0, "p0", "UPDATED"), (100, "p0", "NEW")], "id int, p string, v string"
+    )
+    table.merge(batch)
+    v2 = os.path.join(table.path, table.current_version())
+    assert v2 != v1
+    after = _inodes(v2)
+
+    touched = {f for f in after if f.startswith("p=p0")}
+    untouched = {f for f in after if not f.startswith("p=p0")}
+    assert touched and untouched
+    # untouched partitions: identical files, same inode (hard-linked)
+    for f in untouched:
+        assert after[f] == before[f], f"untouched partition file {f} was rewritten"
+    # touched partition: fresh files
+    for f in touched:
+        assert before.get(f) != after[f]
+
+    # contents correct: update applied, insert present, other partitions intact
+    cur = table.read(spark)
+    assert cur.count() == 41
+    assert cur.filter("id = 0").first().v == "UPDATED"
+    assert cur.filter("id = 100").first().v == "NEW"
+    assert cur.filter("p != 'p0'").count() == 30
+
+
+def test_partitioned_delete_rewrites_only_touched(spark, table):
+    v1 = os.path.join(table.path, table.current_version())
+    before = _inodes(v1)
+
+    # keys carry the partition column -> partition-aware path
+    keys = spark.createDataFrame([(1, "p1"), (5, "p1")], "id int, p string")
+    table.delete_keys(keys)
+    after = _inodes(os.path.join(table.path, table.current_version()))
+    for f in (f for f in after if not f.startswith("p=p1")):
+        assert after[f] == before[f], f"untouched partition file {f} was rewritten"
+    cur = table.read(spark)
+    assert cur.count() == 38
+    assert cur.filter(F.col("id").isin(1, 5)).count() == 0
+
+
+def test_snapshot_isolation_across_partitioned_merge(spark, table):
+    held = table.read(spark)
+    held_count = held.count()
+    table.merge(
+        spark.createDataFrame([(0, "p0", "X")], "id int, p string, v string")
+    )
+    # the pre-merge plan still reads its (immutable) version dir
+    assert held.count() == held_count
+
+
+def test_merge_new_partition_appears(spark, table):
+    table.merge(
+        spark.createDataFrame([(200, "p9", "fresh")], "id int, p string, v string")
+    )
+    cur = table.read(spark)
+    assert cur.filter("p = 'p9'").count() == 1
+    assert cur.count() == 41
