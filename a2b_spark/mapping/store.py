@@ -149,7 +149,10 @@ class MappingStore:
         for f in source_ids:
             c = keys_df[f.name].eqNullSafe(m[src_col(f)])
             cond = c if cond is None else (cond & c)
-        joined = keys_df.join(F.broadcast(m) if _is_small(m) else m, on=cond, how="left")
+        # No explicit broadcast hint: AQE converts to broadcast-hash at
+        # runtime when the mapping table's actual size is small, without
+        # an eager count here.
+        joined = keys_df.join(m, on=cond, how="left")
         return joined.select(*[keys_df[c] for c in keys_df.columns], *[m[dest_col(f)] for f in dest_ids])
 
     def source_ids_for(
@@ -181,9 +184,3 @@ def mapping_batch(
     cols = [F.col(f"__src__.{f.name}").alias(src_col(f)) for f in source_ids]
     cols += [F.col(f.name).alias(dest_col(f)) for f in dest_ids]
     return entity.select(*cols)
-
-
-def _is_small(df: DataFrame, threshold_rows: int = 5_000_000) -> bool:
-    # Heuristic placeholder: AQE converts to broadcast at runtime when
-    # the build side is small; we don't force-collect a count here.
-    return False

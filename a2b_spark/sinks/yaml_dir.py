@@ -76,10 +76,19 @@ class YamlDirDestination:
         batch.select(*ids, *payload_cols).foreachPartition(write_partition)
 
     def delete_keys(self, keys_df: DataFrame) -> None:
-        for row in keys_df.select(*self.key_cols).distinct().toLocalIterator():
-            p = self._file_path([row[k] for k in self.key_cols])
-            if os.path.exists(p):
-                os.remove(p)
+        """Distributed delete: each executor task unlinks its rows'
+        files — same shape as the writer, no per-row driver round trip
+        (local FS assumption is identical to merge's)."""
+        base, ids = self.path, self.key_cols
+
+        def delete_partition(rows):
+            for row in rows:
+                parts = [str(row[k]) for k in ids]
+                p = os.path.join(base, *parts[:-1], f"{parts[-1]}.yaml")
+                if os.path.exists(p):
+                    os.remove(p)
+
+        keys_df.select(*ids).distinct().foreachPartition(delete_partition)
 
     def existing_ids(self, spark: SparkSession) -> Optional[DataFrame]:
         snap = self.read_snapshot(spark)
