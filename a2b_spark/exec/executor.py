@@ -86,6 +86,7 @@ class MigrationResult:
     rows_skipped: int
     orphan_count: int
     orphans: Optional[DataFrame]  # dest-id rows; None when policy consumed them
+    spark_metrics: Optional[dict] = None  # job/stage/task counts (runner fills)
 
 
 def prepare(
@@ -209,7 +210,19 @@ def run_migration(
         raise ValueError(f"unknown orphan policy {orphan_policy!r}")
 
     prepared, snap, existing_ids = prepare(spark, m, mapper)
-    rows_in = prepared.count() if collect_stats else -1
+
+    # rows_in via Observation: counted on the SAME pass that
+    # materializes the entity batch — no separate count() job re-running
+    # the source scan + mapping/snapshot joins (at 100 TB that extra
+    # pass is a full table read). Requires the transform's output to
+    # derive from the prepared DataFrame, which the transform contract
+    # already guarantees.
+    obs = None
+    if collect_stats:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        prepared = prepared.observe(obs, F.count(F.lit(1)).alias("rows_in"))
 
     entity = m.transform(prepared)
     entity = finalize_entity(entity, m)
@@ -219,6 +232,7 @@ def run_migration(
     entity = entity.persist()
     try:
         rows_written = entity.count()
+        rows_in = int(obs.get["rows_in"]) if obs is not None else -1
 
         dest_names = [f.name for f in m.destination_ids]
         m.destination.merge(entity.drop(SRC_STRUCT))

@@ -80,6 +80,12 @@ def run_pipeline(
             r = run_migration(spark, target, mapper, orphan_policy=orphan_policy)
         finally:
             sc.setJobGroup(None, None)
+        # C16: job/stage/task counts for this migration's job group from
+        # the driver's status tracker (the Spark UI shows the live view
+        # under the same label)
+        from a2b_spark.exec.metrics import job_group_metrics
+
+        r.spark_metrics = job_group_metrics(sc, f"a2b:{m.name}")
         progress("done", m.name, r)
         return r
 

@@ -109,3 +109,34 @@ def test_simulate_writes_nothing(spark, pipeline):
     assert reg.get("region").destination.read_snapshot(spark) is None
     sim = simulate_migration(reg.get("region"))
     assert sim.destination is not reg.get("region").destination
+
+
+def test_run_pipeline_collects_spark_metrics(spark, tmp_path, sf_dir):
+    """C16: each migration's result carries job/stage/task counts from
+    its job group (status-tracker aggregation)."""
+    from a2b_spark.core.migration import IdField, Migration, MigrationRegistry
+    from a2b_spark.exec.runner import run_pipeline
+    from a2b_spark.mapping.store import MappingStore
+    from a2b_spark.sinks.parquet import ParquetDestination
+    from a2b_spark.sources.base import DataFrameSource
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(15)
+    reg = MigrationRegistry()
+    reg.register(
+        Migration(
+            name="metrics_mig",
+            source=DataFrameSource(src),
+            destination=ParquetDestination(str(tmp_path / "d"), key_cols=("id",)),
+            source_ids=(IdField("c_custkey", "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=lambda df: df.select("__src__", "__dest_id", "c_custkey"),
+        )
+    )
+    results = run_pipeline(
+        spark, reg, MappingStore(spark, str(tmp_path / "maps")), progress=lambda *a: None
+    )
+    r = results["metrics_mig"]
+    assert r.rows_in == 15 and r.rows_written == 15
+    m = r.spark_metrics
+    assert m is not None and m["jobs"] >= 1 and m["tasks"] >= 1
+    assert m["failed_tasks"] == 0
