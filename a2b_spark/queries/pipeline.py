@@ -415,6 +415,22 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q38
+def q38_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer KNN (the FAISS-style scale path alongside
+    q30's SRP-LSH): spherical k-means cells, single-cell corpus
+    assignment, top-n_probe cell probing, exact cosine re-rank.
+    n_probe = n_cells here because this synthetic corpus has
+    near-uniform background similarity (cos ≈ 0.4 everywhere) — cells
+    barely separate, so full probing is what makes recall exactly 1
+    and lets the exact-KNN SQL (O_Q28) serve as the oracle; the
+    operator's n_probe < n_cells speedup is exercised (and
+    recall-checked against bruteforce) in pytest instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return S.knn_ivf(q, e, "embedding", "vec_id", k=5, n_cells=16, n_probe=16)
+
+
 # --------------------------------------------------------------- Q37
 def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase event matched with the user's
@@ -472,6 +488,7 @@ QUERIES.update(
     {
         "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
         "q37_asof_join": q37_asof_join,
+        "q38_knn_ivf": q38_knn_ivf,
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
         "q34_media_decode": q34_media_decode,
@@ -483,6 +500,7 @@ ORACLES.update(
     {
         "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
         "q37_asof_join": O_Q37,
+        "q38_knn_ivf": O_Q28,  # n_probe == n_cells → recall 1 → output == exact KNN
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
         "q34_media_decode": O_Q34,

@@ -187,3 +187,39 @@ def test_asof_join_basic_ties_and_nulls(spark):
         ).collect()
     }
     assert out == {"a": 101, "b": 102, "c": None, "d": None, "e": None}
+
+
+def test_knn_ivf_full_probe_matches_bruteforce(spark, embs):
+    """n_probe == n_cells probes every cell -> recall exactly 1: IVF
+    output must equal exact bruteforce KNN."""
+    q = embs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.corpus_id, r.rk)
+        for r in S.knn_bruteforce(q, embs, "embedding", "vec_id", k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.corpus_id, r.rk)
+        for r in S.knn_ivf(
+            q, embs, "embedding", "vec_id", k=3, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert exact == ivf
+
+
+def test_knn_ivf_partial_probe_recall(spark, embs):
+    """The n_probe < n_cells speedup path: probing half the cells on
+    this near-uniform synthetic corpus must still recover most true
+    neighbors (and exercises the partial-probe join shape)."""
+    q = embs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in S.knn_bruteforce(q, embs, "embedding", "vec_id", k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.corpus_id)
+        for r in S.knn_ivf(
+            q, embs, "embedding", "vec_id", k=3, n_cells=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"partial-probe recall collapsed: {recall}"
