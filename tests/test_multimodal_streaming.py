@@ -124,3 +124,42 @@ def test_windowed_aggs_batch_semantics(spark, sf_dir):
         )
     )
     assert overl.count() == 0
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: a key that recurs in a
+    LATER micro-batch must be suppressed by state, not re-emitted."""
+    from a2b_spark.streaming.stateful import streaming_dedup_first_seen
+
+    src_dir = str(tmp_path / "stream_in")
+    os.makedirs(src_dir)
+    # batch 1: keys a,b ; batch 2: keys b,c (b is a cross-batch dup)
+    spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int").coalesce(
+        1
+    ).write.parquet(f"{src_dir}/batch1")
+    spark.createDataFrame([("b", 3), ("c", 4)], "k string, v int").coalesce(
+        1
+    ).write.parquet(f"{src_dir}/batch2")
+
+    sdf = (
+        spark.readStream.schema("k string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/batch*")
+    )
+    dedup = streaming_dedup_first_seen(sdf, ["k"])
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.k: r.v for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["b"] in (2, 3)  # exactly one of the b rows survived
+    n = spark.sql("SELECT count(*) c FROM dedup_out").first().c
+    assert n == 3, f"duplicate key re-emitted: {n} rows"
