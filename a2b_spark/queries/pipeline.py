@@ -479,7 +479,16 @@ def q36_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     what q29 computes exactly): candidates from 36 independent 3-bit
     sign-projection tables, exact cosine re-score. Miss probability for
     a cos=0.45 pair is ~1e-5, so the exact all-pairs oracle (O_Q29)
-    hash-matches — same contract as q26/q30."""
+    hash-matches — same contract as q26/q30.
+
+    Honest cost note: this synthetic corpus has near-uniform background
+    similarity (random pairs cos ≈ 0.4 vs threshold 0.45), the
+    adversarial regime for SRP — per-bit collision 0.61 vs 0.65 barely
+    separates, so candidate volume stays near-quadratic and the exact
+    blocked join (q29) is cheaper at bench SF. On real embedding
+    corpora (dup threshold ≥ 0.8 against near-orthogonal background)
+    the same operator's buckets collapse to ~nothing and it wins by
+    orders of magnitude; parameters are per-call tunable."""
     e = _t(spark, sf_dir, "embeddings")
     return D.embedding_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.45)
 

@@ -122,15 +122,23 @@ class JdbcDestination:
         if missing:
             raise ValueError(f"batch is missing key columns: {missing}")
         value_cols = [c for c in cols if c not in self.key_cols]
+
+        # Double-quote column identifiers, preserving case: Spark's JDBC
+        # writer creates columns quoted, so in case-folding engines
+        # (Derby, Postgres, Oracle) an unquoted reference would fold to
+        # the wrong case and miss.
+        def q(c: str) -> str:
+            return '"' + c.replace('"', '""') + '"'
+
         return self.merge_sql_template.format(
             target=self.table,
             staging=self.staging_table,
-            key_match=" AND ".join(f"t.{k} = s.{k}" for k in self.key_cols),
-            update_set=", ".join(f"{c} = s.{c}" for c in value_cols),
-            update_set_excluded=", ".join(f"{c} = EXCLUDED.{c}" for c in value_cols),
-            insert_cols=", ".join(cols),
-            src_cols=", ".join(f"s.{c}" for c in cols),
-            key_cols=", ".join(self.key_cols),
+            key_match=" AND ".join(f"t.{q(k)} = s.{q(k)}" for k in self.key_cols),
+            update_set=", ".join(f"{q(c)} = s.{q(c)}" for c in value_cols),
+            update_set_excluded=", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in value_cols),
+            insert_cols=", ".join(q(c) for c in cols),
+            src_cols=", ".join(f"s.{q(c)}" for c in cols),
+            key_cols=", ".join(q(k) for k in self.key_cols),
         )
 
     def _execute_sql(self, spark: SparkSession, sql: str) -> None:
@@ -178,7 +186,7 @@ class JdbcDestination:
             stage_keys = keys_df.select(*self.key_cols).distinct()
             self._writer(stage_keys, self.staging_table).save()
             key_match = " AND ".join(
-                f"t.{k} = s.{k}" for k in self.key_cols
+                f't."{k}" = s."{k}"' for k in self.key_cols
             )
             self._execute_sql(
                 spark,
