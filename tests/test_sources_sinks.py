@@ -129,3 +129,33 @@ def test_migration_into_yaml_and_csv(spark, tmp_path, sf_dir):
         r2 = run_migration(spark, m, mapper)  # update, not duplicate
         assert r1.rows_written == r2.rows_written == nations.count()
         assert dest.read_snapshot(spark).count() == nations.count()
+
+
+def test_jdbc_source_live_derby(spark, tmp_path):
+    """S2 live: JdbcSource pulls a real pushed-down query from embedded
+    Derby, including the partitioned-range parallel-read path."""
+    from a2b_spark.sources.sql import JdbcSource
+
+    url = f"jdbc:derby:{tmp_path}/srcdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    spark.range(100).selectExpr("id AS k", "id * 2 AS v").write.format("jdbc").option(
+        "url", url
+    ).option("dbtable", "src_t").options(**props).mode("overwrite").save()
+
+    plain = JdbcSource(url, 'SELECT "k", "v" FROM src_t WHERE "k" < 50', **props)
+    df = plain.load(spark)
+    assert df.count() == 50
+    assert df.agg({"v": "max"}).first()[0] == 98
+
+    ranged = JdbcSource(
+        url,
+        'SELECT "k", "v" FROM src_t',
+        partition_column='"k"',
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        **props,
+    )
+    rdf = ranged.load(spark)
+    assert rdf.rdd.getNumPartitions() == 4
+    assert rdf.count() == 100
