@@ -483,6 +483,84 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------- Q18
+def q18_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^n grouping-set combinations (rollup's big sibling;
+    one shuffle, Expand feeds partial aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"), dsum("o_totalprice", "total")
+    )
+
+
+O_Q18 = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------- Q19
+def q19_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts, status rows × priority columns. Explicit
+    pivot value list keeps it one pass (no distinct-values pre-job) —
+    the form that scales; Catalyst compiles it to conditional
+    aggregation, which is also exactly how the oracle states it."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    renames = {p: f"p{p[0]}" for p in prios}  # stable, engine-neutral names
+    return out.select(
+        "o_orderstatus", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in prios]
+    )
+
+
+O_Q19 = """
+SELECT o_orderstatus,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------- Q39
+def q39_grouped_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined grouped aggregation (pandas GROUPED_AGG UDAF — the
+    UDAF surface the reference lacks entirely): geometric mean of
+    account balance per market segment. Arrow-batched per group;
+    log-sum form keeps it numerically stable and oracle-expressible."""
+    import numpy as np
+
+    # explicit GROUPED_AGG eval type: this module's stringified
+    # annotations (`from __future__ import annotations`) break
+    # pandas_udf's hint inference
+    geomean = F.pandas_udf(
+        lambda v: float(np.exp(np.log(v[v > 0]).mean())),
+        "double",
+        F.PandasUDFType.GROUPED_AGG,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(geomean(F.col("c_acctbal")), 4).alias("geomean_bal"))
+    )
+
+
+O_Q39 = """
+SELECT c_mktsegment,
+  ROUND(EXP(AVG(CASE WHEN c_acctbal > 0 THEN LN(c_acctbal) END)), 4) AS geomean_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -501,6 +579,9 @@ QUERIES = {
     "q15_events_json": q15_events_json,
     "q16_set_ops": q16_set_ops,
     "q17_agg_stats": q17_agg_stats,
+    "q18_cube_orders": q18_cube_orders,
+    "q19_pivot_status_by_priority": q19_pivot_status_by_priority,
+    "q39_grouped_udaf_geomean": q39_grouped_udaf_geomean,
 }
 
 ORACLES = {
@@ -521,4 +602,7 @@ ORACLES = {
     "q15_events_json": O_Q15,
     "q16_set_ops": O_Q16,
     "q17_agg_stats": O_Q17,
+    "q18_cube_orders": O_Q18,
+    "q19_pivot_status_by_priority": O_Q19,
+    "q39_grouped_udaf_geomean": O_Q39,
 }
