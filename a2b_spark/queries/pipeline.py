@@ -415,6 +415,37 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q40
+def q40_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing): one (doc_id, fp)
+    row per selected k-gram window minimum. Pure Catalyst array
+    algebra — runs at scan speed, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(TXT.winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp"),
+    )
+
+
+O_Q40 = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 5 THEN
+      [CAST(('0x' || substring(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)
+       for i in generate_series(1, len(toks) - 4)]
+    ELSE [CAST(('0x' || substring(md5(array_to_string(toks, ' ')), 1, 15)) AS BIGINT)]
+    END AS hs
+  FROM t),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN [list_min(hs[j:j+3]) for j in generate_series(1, len(hs) - 3)]
+    ELSE [list_min(hs)] END AS mins
+  FROM kg)
+SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp FROM wins
+"""
+
+
 # --------------------------------------------------------------- Q38
 def q38_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer KNN (the FAISS-style scale path alongside
@@ -498,6 +529,7 @@ QUERIES.update(
         "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
         "q37_asof_join": q37_asof_join,
         "q38_knn_ivf": q38_knn_ivf,
+        "q40_winnow_fingerprints": q40_winnow_fingerprints,
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
         "q34_media_decode": q34_media_decode,
@@ -510,6 +542,7 @@ ORACLES.update(
         "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
         "q37_asof_join": O_Q37,
         "q38_knn_ivf": O_Q28,  # n_probe == n_cells → recall 1 → output == exact KNN
+        "q40_winnow_fingerprints": O_Q40,
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
         "q34_media_decode": O_Q34,

@@ -223,3 +223,25 @@ def test_knn_ivf_partial_probe_recall(spark, embs):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"partial-probe recall collapsed: {recall}"
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's core property: documents sharing a run of >= k+w-1
+    tokens share at least one fingerprint; short docs still fingerprint."""
+    from a2b_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four"),
+            (2, f"{shared} nine ten eleven twelve"),
+            (3, "completely different words here entirely now"),
+            (4, "tiny doc"),  # < k tokens -> whole-doc fingerprint
+        ],
+        "doc_id int, text string",
+    )
+    out = df.select("doc_id", winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps"))
+    fps = {r.doc_id: set(r.fps) for r in out.collect()}
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert len(fps[4]) == 1
