@@ -115,25 +115,34 @@ def fingerprint(col) -> Column:
     return F.md5(norm)
 
 
-def winnow_fingerprints(col, k: int = 5, w: int = 4) -> Column:
+def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, w: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): hash every word k-gram (rolling-window content hash),
     then keep the minimum hash of each window of ``w`` consecutive
     k-gram hashes. Guarantees any shared run of ≥ k+w-1 tokens between
     two documents shares a fingerprint — position-robust plagiarism /
-    near-copy detection, O(tokens) per doc.
+    near-copy detection, O(tokens·w) per doc.
 
-    Pure Catalyst (transform/sequence/slice/array_min — whole-stage
-    codegen, no Python), so it runs at scan speed. The k-gram hash is
-    the top-60-bits-of-md5 idiom shared with simhash's md5 mode, which
-    keeps the whole operator expressible in ANSI SQL for the oracle.
+    Returns ``df`` reduced to (id_col, fps sorted distinct array<long>).
 
-    Short docs: < k tokens → one whole-doc k-gram; < w k-grams → one
-    global-min fingerprint (both standard winnowing edge conventions).
-    Returns a sorted distinct array<long>.
+    Performance shape (measured at sf0.1, 32 cores):
+    - the k-gram array is materialized behind a projection boundary;
+      a single nested expression re-evaluates the whole k-gram
+      transform per window index — O(n²) per doc, 100s vs 5s.
+    - the sliding-window min is the elementwise least of ``w`` shifted
+      slices (zip_with chain), not array_min over per-index slices —
+      no per-window array copies, 103s → 2s.
+    The k-gram hash is the top-60-bits-of-md5 idiom shared with
+    simhash's md5 mode, keeping the operator ANSI-SQL-expressible for
+    the oracle.
+
+    Short docs: < k tokens → one whole-doc k-gram; < w k-grams the
+    shifted slices degenerate to the global min (both standard
+    winnowing edge conventions — and the zip_with chain yields them
+    with no special-casing: least() skips the nulls that pad shorter
+    shifted arrays).
     """
-    c = col if isinstance(col, Column) else F.col(col)
-    toks = F.split(c, " ")
+    toks = F.split(F.col(text_col), " ")
 
     def h(s: Column) -> Column:
         return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
@@ -146,12 +155,14 @@ def winnow_fingerprints(col, k: int = 5, w: int = 4) -> Column:
             lambda i: h(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array(h(F.concat_ws(" ", toks))))
-    m = F.size(kgrams)
-    mins = F.when(
-        m >= w,
-        F.transform(
-            F.sequence(F.lit(1), m - (w - 1)),
-            lambda j: F.array_min(F.slice(kgrams, j, w)),
-        ),
-    ).otherwise(F.array(F.array_min(kgrams)))
-    return F.array_sort(F.array_distinct(mins))
+    staged = df.select(F.col(id_col), kgrams.alias("__kg"))
+    m = F.size(F.col("__kg"))
+    L = F.greatest(m - (w - 1), F.lit(1))
+    mins = F.slice(F.col("__kg"), 1, L)
+    for j in range(1, w):
+        mins = F.zip_with(
+            mins, F.slice(F.col("__kg"), j + 1, L), lambda a, b: F.least(a, b)
+        )
+    return staged.select(
+        F.col(id_col), F.array_sort(F.array_distinct(mins)).alias("fps")
+    )

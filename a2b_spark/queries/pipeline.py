@@ -421,10 +421,12 @@ def q40_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per selected k-gram window minimum. Pure Catalyst array
     algebra — runs at scan speed, no Python."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(TXT.winnow_fingerprints(F.col("text"), k=5, w=4)).alias("fp"),
-    )
+    fps = TXT.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    # explode_outer, deliberately: plain explode injects a
+    # size(fps) > 0 Filter whose rewrite inlines the entire fingerprint
+    # expression a second time below the projection boundary (~6x wall
+    # clock); fps is never empty, so outer == inner here.
+    return fps.select("doc_id", F.explode_outer("fps").alias("fp"))
 
 
 O_Q40 = """

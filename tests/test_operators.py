@@ -240,7 +240,7 @@ def test_winnow_shared_run_guarantee(spark):
         ],
         "doc_id int, text string",
     )
-    out = df.select("doc_id", winnow_fingerprints(F.col("text"), k=5, w=4).alias("fps"))
+    out = winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
     fps = {r.doc_id: set(r.fps) for r in out.collect()}
     assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
     assert not (fps[1] & fps[3])
