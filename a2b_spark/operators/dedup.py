@@ -109,6 +109,18 @@ def jaccard(a: Column, b: Column) -> Column:
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly fill a persisted DataFrame's cache (one lightweight
+    count job) before fan-out consumers reference it. Without this,
+    the first action's concurrently-launched stages (AQE runs
+    independent shuffle-map stages in parallel) RACE to compute the
+    not-yet-cached partitions, each doing the full upstream work —
+    measured 2-3× the whole operator's cost on the simhash/minhash
+    signature passes."""
+    df.count()
+    return df
+
+
 def _chunk_bounds(lens: np.ndarray, flat_cap: int) -> list[tuple[int, int]]:
     """Split [0, n) into contiguous chunks whose cumulative element
     count stays under ``flat_cap`` (a doc longer than the cap gets a
@@ -279,7 +291,9 @@ def minhash_near_dup_pairs(
     # shingles feed three consumers (signatures + both verify sides):
     # persist the one text→shingle pass instead of running it three
     # times. MEMORY_AND_DISK: spills instead of OOM at scale.
-    sh = shingle_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _materialize(
+        shingle_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # empty-shingle docs can never reach jaccard ≥ threshold (> 0):
     # dropping them up front shrinks signatures AND keeps the
     # all-short-docs degenerate bucket out of the candidate join
@@ -325,9 +339,11 @@ def exact_jaccard_pairs(
 
     sh = shingle_docs(df, text_col, id_col, shingle_k)
     # one text→shingle Python pass feeds both sides of the self-join
-    inv = sh.select(
-        F.col(id_col), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inv = _materialize(
+        sh.select(
+            F.col(id_col), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s")
     b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s")
     size_ok = (
@@ -435,7 +451,7 @@ def simhash_near_dup_pairs(
         F.transform(F.split(F.col(text_col), " "), th).alias("hs"),
     )
     # sigs feed the banding pass plus both sides of the verify join-back
-    sigs = (
+    sigs = _materialize(
         hashed.select(F.col(id_col), sig(F.col("hs")).alias("sig"))
         .filter(F.col("sig").isNotNull())
         .persist(StorageLevel.MEMORY_AND_DISK)
