@@ -1,0 +1,74 @@
+"""Range (interval) join — points matched to intervals that contain
+them. Spark plans a bare `p BETWEEN s AND e` predicate as a broadcast
+nested-loop (O(|points|·|intervals|)); the scale formulation bins the
+range domain:
+
+    point  -> bin(p)                       (1 row per point)
+    interval -> explode bins(s..e)         ((e-s)/width + 1 rows)
+    equi-join on (equi_keys..., bin)       (hash join, shuffles once)
+    residual filter s <= p <= e            (drops same-bin non-overlaps)
+
+Each true match shares exactly one bin (the point's), so no dedup pass
+is needed. Pick ``bin_width`` ≈ the typical interval length: replication
+factor stays ~2 while bins keep the join selective. This is the same
+strategy DuckDB's native range join and Spark's (Databricks) range-join
+hints use — here it's plain DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    equi_keys: Sequence[str] = (),
+    bin_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner join of each point row to every interval row with
+    ``start <= point <= end`` (and equal ``equi_keys``). Columns of both
+    inputs are preserved; name collisions outside ``equi_keys`` are the
+    caller's to resolve. ``bin_width`` is in the units of the point
+    column (default: 1h in microseconds)."""
+    equi = list(equi_keys)
+
+    def b(c: str) -> Column:
+        # floor division (floor, not truncation, so negative domains
+        # bin consistently); double intermediate is exact below 2^53
+        return F.floor(F.col(c) / F.lit(bin_width)).cast("long")
+
+    p = points.withColumn("__bin", b(point_col))
+    i = intervals.withColumn("__bin", F.explode(F.sequence(b(start_col), b(end_col))))
+    joined = p.join(i, equi + ["__bin"]).filter(
+        (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
+def hash_sample(df: DataFrame, key_col: str, percent: int, salt: str = "") -> DataFrame:
+    """Deterministic hash sampling: keep rows whose key hashes into the
+    first ``percent`` of 100 buckets. Unlike ``df.sample`` this is
+    stable across runs, engines, partitionings and cluster sizes — the
+    property a training-data pipeline needs so a sample is reproducible
+    and joinable (the same key always lands on the same side of the
+    cut). Hash = top-60-bits-of-md5 (the engine's oracle-parity idiom),
+    salted to decorrelate independent samples."""
+    if not (0 <= percent <= 100):
+        raise ValueError("percent must be in [0, 100]")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(h % 100 < percent)

@@ -415,6 +415,71 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q42
+def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: clicks inside the 5 minutes before each
+    purchase by the same user (attribution window — ALL matches, vs
+    q37's latest-only ASOF). The bare BETWEEN predicate would plan as
+    a nested loop; binning turns it into one hash join on
+    (user_id, bin) + residual filter."""
+    from a2b_spark.operators.rangejoin import range_join
+    from a2b_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts_us") - 300_000_000).alias("w_start"),
+        F.col("ts_us").alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    j = range_join(
+        clicks,
+        purchases,
+        point_col="ts_us",
+        start_col="w_start",
+        end_col="w_end",
+        equi_keys=["user_id"],
+        bin_width=300_000_000,
+    )
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.min("click_id").alias("first_click"),
+    )
+
+
+O_Q42 = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+p AS (SELECT event_id AS purchase_id, user_id, ts_us - 300000000 AS w_start, ts_us AS w_end
+      FROM e WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts_us FROM e WHERE event_type = 'click')
+SELECT purchase_id, CAST(COUNT(*) AS BIGINT) AS n_clicks, MIN(click_id) AS first_click
+FROM p JOIN c ON p.user_id = c.user_id AND c.ts_us BETWEEN p.w_start AND p.w_end
+GROUP BY purchase_id
+"""
+
+
+# --------------------------------------------------------------- Q43
+def q43_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of documents — reproducible across
+    engines/runs/partitionings (the property df.sample lacks), verified
+    exactly by the oracle computing the same md5 bucket cut."""
+    from a2b_spark.operators.rangejoin import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", percent=10, salt="s1").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+O_Q43 = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+"""
+
+
 # --------------------------------------------------------------- Q40
 def q40_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (winnowing): one (doc_id, fp)
@@ -532,6 +597,8 @@ QUERIES.update(
         "q37_asof_join": q37_asof_join,
         "q38_knn_ivf": q38_knn_ivf,
         "q40_winnow_fingerprints": q40_winnow_fingerprints,
+        "q42_range_join": q42_range_join,
+        "q43_hash_sample": q43_hash_sample,
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
         "q34_media_decode": q34_media_decode,
@@ -545,6 +612,8 @@ ORACLES.update(
         "q37_asof_join": O_Q37,
         "q38_knn_ivf": O_Q28,  # n_probe == n_cells → recall 1 → output == exact KNN
         "q40_winnow_fingerprints": O_Q40,
+        "q42_range_join": O_Q42,
+        "q43_hash_sample": O_Q43,
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
         "q34_media_decode": O_Q34,

@@ -245,3 +245,40 @@ def test_winnow_shared_run_guarantee(spark):
     assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert len(fps[4]) == 1
+
+
+def test_range_join_matches_naive_predicate(spark):
+    """Binned range join must equal the naive BETWEEN predicate join,
+    including intervals spanning many bins and bin-boundary points."""
+    from a2b_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "u", 0), (2, "u", 100), (3, "u", 999), (4, "u", 1000), (5, "v", 500)],
+        "pid int, k string, t long",
+    )
+    ivs = spark.createDataFrame(
+        [(10, "u", 0, 99), (11, "u", 100, 2500), (12, "v", 400, 600), (13, "u", 999, 1000)],
+        "iid int, k string, s long, e long",
+    )
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.join(ivs, "k").filter("t BETWEEN s AND e").collect()
+    }
+    binned = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "t", "s", "e", equi_keys=["k"], bin_width=100).collect()
+    }
+    assert naive == binned and naive  # non-trivial match set
+
+
+def test_hash_sample_stable_and_bounded(spark, docs):
+    from a2b_spark.operators.rangejoin import hash_sample
+
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    assert s1 == s2  # deterministic
+    n = docs.count()
+    assert 0 < len(s1) < n * 0.25  # ~10%, loose bound
+    # nested property: a 5% sample is a subset of the 10% sample
+    s5 = {r.doc_id for r in hash_sample(docs, "doc_id", 5).select("doc_id").collect()}
+    assert s5 <= s1
