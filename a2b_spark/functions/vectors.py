@@ -83,22 +83,36 @@ def srp_planes(n_tables: int, n_bits: int, dim: int, seed: int = 20260813) -> "o
 
 
 def srp_buckets(
-    df, vec_col: str, id_col: str, n_bits: int = 8, n_tables: int = 8, seed: int = 20260813
+    df,
+    vec_col: str,
+    id_col: str,
+    n_bits: int = 8,
+    n_tables: int = 8,
+    seed: int = 20260813,
+    with_vec: bool = False,
 ):
     """(id, table, bucket) rows: ``n_tables`` independent sign-random-
     projection buckets per vector, packed to an int64. Vectorized
     numpy over Arrow batches — one matmul per batch; rows explode
     ×n_tables but carry only (id, table, bucket), never the vector
     (candidates join back to vectors by id — at 100 TB the vector
-    payload must not ride the bucket shuffle)."""
+    payload must not ride the bucket shuffle).
+
+    ``with_vec=True`` adds the double-cast vector as column ``v`` —
+    the payload-carrying variant feeding bucket-local TILE scoring
+    (×n_tables data amplification, so only for small/moderate
+    n_tables or when bucket-local matmul beats the per-pair
+    join-back; see embedding_dup_pairs_lsh for the tradeoff)."""
     id_type = df.schema[id_col].dataType
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_type),
-            T.StructField("table", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, id_type),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ]
+    if with_vec:
+        fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
+
     def gen(batches):
         pack = 1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64)
         planes = None  # built lazily once dim is known
@@ -119,13 +133,14 @@ def srp_buckets(
             bits = signs.reshape(len(pdf), n_tables, n_bits).astype(np.int64)
             buckets = (bits * pack[None, None, :]).sum(axis=2)  # (m, n_tables)
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(ids, n_tables),
-                    "table": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
-                    "bucket": buckets.reshape(-1),
-                }
-            )
+            out = {
+                id_col: np.repeat(ids, n_tables),
+                "table": np.tile(np.arange(n_tables, dtype=np.int32), len(ids)),
+                "bucket": buckets.reshape(-1),
+            }
+            if with_vec:
+                out["v"] = [row for row in v for _ in range(n_tables)]
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
 

@@ -586,22 +586,83 @@ def embedding_dup_pairs_lsh(
     threshold: float,
     n_bits: int = 3,
     n_tables: int = 36,
+    rerank: str = "tile",
 ) -> DataFrame:
     """SRP-LSH bucketed embedding near-dup — the 100 TB path: map-only
-    signatures, one (table, bucket)-keyed shuffle carrying only ids,
-    within-bucket candidate joins, packed-key pair dedup, and an exact
-    cosine re-score on candidates only (so false positives are
-    impossible; the approximation is recall only).
+    signatures, one (table, bucket)-keyed shuffle, within-bucket
+    candidates, and an exact cosine re-score on candidates only (so
+    false positives are impossible; the approximation is recall only).
 
     Recall: a pair at angle θ collides in one table with p = (1-θ/π)^b
     and is missed with (1-p)^T. The defaults (3 bits × 36 tables) miss
     a cos=0.45 pair with (1-0.649³)³⁶ ≈ 1e-5 — effectively exact down
     to mid similarities, which is what lets the exact all-pairs join
     (embedding_dup_pairs_exact / O_Q29) serve as its oracle. For
-    higher thresholds raise n_bits and drop tables to shrink buckets."""
+    higher thresholds raise n_bits and drop tables to shrink buckets.
+
+    Re-rank strategies (``rerank``):
+
+    - ``"tile"`` (default): score INSIDE each (table, bucket) group —
+      vectors ride the bucket shuffle (×n_tables payload) and each
+      group computes its pair tile as a chunked numpy matmul; only
+      pairs ≥ threshold leave the kernel, so the cross-table dedup
+      runs on survivors (hundreds), not candidates (millions). Wins
+      whenever candidate volume is large relative to output — always
+      at mid thresholds, and at high thresholds the buckets are tiny
+      so the payload amplification is bounded by actual near-dups.
+    - ``"join"``: payload-free bucket shuffle (ids only), packed-key
+      candidate dedup, then vectors join back by id for a per-pair
+      Arrow kernel. Minimum bytes shuffled per candidate — the right
+      shape when candidates are rare but each vector is huge.
+
+    Both produce bit-identical cosines (same IEEE-754 fold)."""
     from a2b_spark.functions.vectors import as_double, pair_cosine_raw, srp_buckets
 
     e = spread(df.select(F.col(id_col), F.col(vec_col)).filter(F.col(vec_col).isNotNull()))
+    if rerank == "tile":
+        margin = threshold - 1e-6  # raw-cosine prefilter; round moves < 5e-7
+        bv = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=n_tables, with_vec=True)
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def tile(key, pdf):
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_raw": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_raw": "float64"}
+                )
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            ids = pdf[id_col].to_numpy()
+            d = v.shape[1]
+            nrm = np.zeros(m)
+            for i in range(d):  # exact sequential fold (oracle parity)
+                nrm = nrm + v[:, i] * v[:, i]
+            nrm = np.sqrt(nrm)
+            outs = []
+            # chunk the tile rows: peak memory O(chunk × m), not O(m²)
+            for s in range(0, m, 1024):
+                ch = slice(s, min(s + 1024, m))
+                dots = np.zeros((ch.stop - ch.start, m))
+                for i in range(d):
+                    dots = dots + np.outer(v[ch, i], v[:, i])
+                cos = dots / (nrm[ch, None] * nrm[None, :])
+                ia, ib = np.broadcast_arrays(ids[ch, None], ids[None, :])
+                keep = (ia < ib) & (cos >= margin)
+                outs.append(
+                    pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cos_raw": cos[keep]})
+                )
+            return pd.concat(outs)
+        hits = bv.groupBy("table", "bucket").applyInPandas(
+            tile, f"id_a {id_type}, id_b {id_type}, cos_raw double"
+        )
+        # same pair found in several tables -> identical cos_raw (same
+        # fold) -> exact distinct is safe
+        return (
+            hits.distinct()
+            .withColumn("cos", F.round(F.col("cos_raw"), 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+
     buckets = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=n_tables)
     a = buckets.select(F.col(id_col).alias("id_a"), "table", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "table", "bucket")

@@ -591,8 +591,83 @@ def q36_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.45)
 
 
+# --------------------------------------------------------------- Q44
+def q44_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — the step between pair generation and the
+    keep/drop decision: minhash-LSH pairs (q26's operator) become
+    connected components, one (doc_id, cluster) row per document that
+    appears in any dup pair, cluster = min doc_id in its component.
+    The components run alternating large-star/small-star contraction
+    (operators/graph.py) — O(log n) rounds of edge-only shuffles, the
+    100 TB answer where naive label propagation is O(diameter).
+    Oracle: exact-jaccard edges + recursive-CTE transitive closure."""
+    from a2b_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+
+
+O_Q44 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster FROM reach GROUP BY a
+"""
+
+
+# --------------------------------------------------------------- Q46
+def q46_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics (LM-training accounting): top-20
+    bigrams by count, ties broken lexicographically. The bigram list is
+    built with zip_with over two array slices — pure Catalyst, scan
+    speed; the count is one wordcount shuffle; top-k is a TakeOrdered,
+    not a full sort."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.word_tokens("text")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+O_Q46 = """
+WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bigram FROM t)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 QUERIES.update(
     {
+        "q44_dup_clusters": q44_dup_clusters,
+        "q46_top_bigrams": q46_top_bigrams,
         "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
         "q37_asof_join": q37_asof_join,
         "q38_knn_ivf": q38_knn_ivf,
@@ -608,6 +683,8 @@ QUERIES.update(
 
 ORACLES.update(
     {
+        "q44_dup_clusters": O_Q44,
+        "q46_top_bigrams": O_Q46,
         "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
         "q37_asof_join": O_Q37,
         "q38_knn_ivf": O_Q28,  # n_probe == n_cells → recall 1 → output == exact KNN

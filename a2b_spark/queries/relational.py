@@ -561,8 +561,83 @@ FROM customer GROUP BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------- Q41
+def q41_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-MIN subquery) over the tables
+    we have: for each size-15 part, the supplier(s) whose lineitem hits
+    that part's minimum extended price. Spark-first: filter part FIRST
+    and broadcast-semi-join it into lineitem (cuts the window input to
+    the ~2% of rows that matter), then a window MIN over l_partkey —
+    one shuffle, no second scan of lineitem, where the literal
+    correlated-subquery translation would scan+aggregate lineitem
+    twice and join. Catalyst decorrelates the SQL form the same way —
+    this is that plan, stated directly."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    cand = li.join(
+        F.broadcast(p.select("p_partkey", "p_name")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    w = W.partitionBy("p_partkey")
+    best = cand.withColumn("min_price", F.min("l_extendedprice").over(w)).filter(
+        F.col("l_extendedprice") == F.col("min_price")
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            F.col("l_extendedprice").alias("price"),
+        )
+        .distinct()
+    )
+
+
+O_Q41 = """
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+       l.l_extendedprice AS price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size = 15
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+# --------------------------------------------------------------- Q45
+def q45_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90 / p99) of extended
+    price per return flag — the EXACT percentile (sort-based), not
+    percentile_approx: both engines state the same linear interpolation
+    over the sorted group, so values hash-match bit-for-bit after the
+    6-decimal round."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99"),
+    )
+
+
+O_Q45 = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q41_min_cost_supplier": q41_min_cost_supplier,
+    "q45_group_percentiles": q45_group_percentiles,
     "q02_filter_project": q02_filter_project,
     "q03_shipping_priority": q03_shipping_priority,
     "q04_region_revenue": q04_region_revenue,
@@ -586,6 +661,8 @@ QUERIES = {
 
 ORACLES = {
     "q01_pricing_summary": O_Q01,
+    "q41_min_cost_supplier": O_Q41,
+    "q45_group_percentiles": O_Q45,
     "q02_filter_project": O_Q02,
     "q03_shipping_priority": O_Q03,
     "q04_region_revenue": O_Q04,

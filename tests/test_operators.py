@@ -282,3 +282,39 @@ def test_hash_sample_stable_and_bounded(spark, docs):
     # nested property: a 5% sample is a subset of the 10% sample
     s5 = {r.doc_id for r in hash_sample(docs, "doc_id", 5).select("doc_id").collect()}
     assert s5 <= s1
+
+
+def test_connected_components_vs_union_find(spark):
+    from a2b_spark.operators.graph import connected_components
+
+    cases = [
+        # chain of 9 (forces multiple star rounds), reversed direction
+        [(i + 1, i) for i in range(8)],
+        # two components + clique + duplicate & self edges
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (1, 2), (5, 5)],
+        # star already
+        [(100, 1), (100, 2), (100, 3)],
+    ]
+    for edges in cases:
+        # brute-force union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {n: find(n) for n in parent}
+
+        df = spark.createDataFrame(edges, ["a", "b"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, "a", "b").collect()
+        }
+        assert got == expect, f"edges={edges}"
