@@ -75,14 +75,17 @@ def connected_components(
     O(log n) convergence would take a graph of 2^25 ≈ 3e7 chained
     components — a config error, not a data regime.
     """
+    # Materialize the input ONCE: edges usually arrive from an expensive
+    # pair-generation pipeline (minhash/LSH), and both `nodes` and the
+    # round-0 edge set (plus every downstream action) must not replay it.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     nodes = (
-        edges.select(F.col(src).alias("n"))
-        .union(edges.select(F.col(dst).alias("n")))
+        raw.select(F.col("a").alias("n"))
+        .union(raw.select(F.col("b").alias("n")))
         .distinct()
     )
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
