@@ -95,17 +95,32 @@ def lang_scores(col) -> Column:
 
 def lang_id(col) -> Column:
     """Heuristic language ID: CJK character presence wins, else the
-    marker-profile argmax (ties resolved in fixed en>es>fr>de order)."""
-    scores = lang_scores(col)
-    has_cjk = F.regexp_count(col if isinstance(col, Column) else F.col(col), F.lit(r"[一-鿿]")) > 0
+    marker-profile argmax (ties resolved in fixed en>es>fr>de order).
+
+    Single-evaluation formulation: one (score, priority, lang) struct
+    per language inside array_max — struct ordering compares score
+    first, then priority, so the max element is the strict argmax with
+    ties going to the earlier language. The previous chained-``when``
+    version re-embedded the whole score struct at every comparison,
+    blowing the codegen tree up (the 63s q24 outlier in BENCH_r02);
+    this one evaluates each tokenize+filter exactly once. CJK presence
+    is ``rlike`` (first-match short-circuit), not regexp_count."""
+    c = col if isinstance(col, Column) else F.col(col)
+    toks = word_tokens(c)
     langs = list(LANG_MARKERS)
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        better = scores[lang] > best_score
-        best = F.when(better, F.lit(lang)).otherwise(best)
-        best_score = F.when(better, scores[lang]).otherwise(best_score)
-    return F.when(has_cjk, F.lit("zh")).otherwise(best)
+    entries = []
+    for prio, lang in enumerate(langs):
+        m = F.array(*[F.lit(x) for x in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(m, t)))
+        entries.append(
+            F.struct(
+                score.alias("score"),
+                F.lit(len(langs) - prio).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*entries))["lang"]
+    return F.when(c.rlike(r"[一-鿿]"), F.lit("zh")).otherwise(best)
 
 
 def fingerprint(col) -> Column:
