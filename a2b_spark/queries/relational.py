@@ -28,12 +28,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_us`` (µs since epoch, long) — the parquet file
-    stores TIMESTAMP(NANOS), which Spark reads as a ns long under
-    nanosAsLong; integer µs are exact across engines."""
+    """events with ``ts_us`` (µs since epoch, long) — integer µs are
+    exact across engines. Handles every physical type the generator
+    has produced: TIMESTAMP(NANOS) (read as a ns long under
+    nanosAsLong), TIMESTAMP(MICROS) without tz (timestamp_ntz — the
+    wall-clock is treated as UTC, independent of session timezone),
+    and tz-adjusted TIMESTAMP (unix_micros)."""
     e = _t(spark, sf_dir, "events")
     ts_type = dict(e.dtypes)["ts"]
-    us = F.expr("ts div 1000") if ts_type == "bigint" else F.unix_micros(F.col("ts"))
+    if ts_type == "bigint":
+        us = F.expr("ts div 1000")
+    elif ts_type == "timestamp_ntz":
+        us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    else:
+        us = F.unix_micros(F.col("ts"))
     return e.withColumn("ts_us", us.cast("long"))
 
 

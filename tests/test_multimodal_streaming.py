@@ -97,9 +97,12 @@ def test_incremental_migration_merges_per_batch(spark, tmp_path, sf_dir):
 
 
 def test_windowed_aggs_batch_semantics(spark, sf_dir):
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # ts is a ns-since-epoch long (nanosAsLong); convert to timestamp
-    e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from a2b_spark.queries.relational import _events
+
+    # _events normalizes ts to µs-long regardless of the parquet
+    # physical type (TIMESTAMP(NANOS) read as long vs TIMESTAMP(MICROS)
+    # read as timestamp_ntz)
+    e = _events(spark, sf_dir).withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     tum = tumbling_agg(
         e, "ts", "1 hour", ["event_type"], {"n": F.count(F.lit(1)), "sum_v": F.sum("value")}
     )
