@@ -58,10 +58,23 @@ def punct_count(col) -> Column:
     return F.regexp_count(col if isinstance(col, Column) else F.col(col), F.lit(r"[.,!?;:]")).cast("long")
 
 
+def _word_match_re(words: list[str]) -> str:
+    """Regex counting occurrences of any of ``words`` as a whole
+    space-delimited token — exactly token-equality counting under
+    single-space tokenization (the lookarounds consume no separator, so
+    adjacent matches like 'of the' both count). One codegen'd regex
+    pass over the raw string replaces an interpreted per-token
+    higher-order-function filter (HOF lambdas sit outside whole-stage
+    codegen; this was q24's 13s-at-sf0.1 hot spot)."""
+    import re as _re
+
+    alts = "|".join(_re.escape(w) for w in words)
+    return rf"(?<=^| )(?:{alts})(?= |$)"
+
+
 def stopword_count(col, stopwords: list[str] | None = None) -> Column:
-    toks = word_tokens(col)
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.regexp_count(c, F.lit(_word_match_re(stopwords or STOPWORDS))).cast("long")
 
 
 def quality_features(col) -> dict[str, Column]:
@@ -83,13 +96,10 @@ def quality_features(col) -> dict[str, Column]:
 def lang_scores(col) -> Column:
     """Marker-word hit count per language as a struct; argmax with a
     fixed language order is the prediction."""
-    toks = word_tokens(col)
+    c = col if isinstance(col, Column) else F.col(col)
     fields = []
     for lang, markers in LANG_MARKERS.items():
-        m = F.array(*[F.lit(x) for x in markers])
-        fields.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(m, t))).alias(lang)
-        )
+        fields.append(F.regexp_count(c, F.lit(_word_match_re(markers))).alias(lang))
     return F.struct(*fields)
 
 
@@ -102,16 +112,14 @@ def lang_id(col) -> Column:
     first, then priority, so the max element is the strict argmax with
     ties going to the earlier language. The previous chained-``when``
     version re-embedded the whole score struct at every comparison,
-    blowing the codegen tree up (the 63s q24 outlier in BENCH_r02);
-    this one evaluates each tokenize+filter exactly once. CJK presence
-    is ``rlike`` (first-match short-circuit), not regexp_count."""
+    blowing the codegen tree up (the 63s q24 outlier in BENCH_r02).
+    Scores are one regexp_count pass per language (_word_match_re);
+    CJK presence is ``rlike`` (first-match short-circuit)."""
     c = col if isinstance(col, Column) else F.col(col)
-    toks = word_tokens(c)
     langs = list(LANG_MARKERS)
     entries = []
     for prio, lang in enumerate(langs):
-        m = F.array(*[F.lit(x) for x in LANG_MARKERS[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(m, t)))
+        score = F.regexp_count(c, F.lit(_word_match_re(LANG_MARKERS[lang])))
         entries.append(
             F.struct(
                 score.alias("score"),

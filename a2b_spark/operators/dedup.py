@@ -375,50 +375,43 @@ def exact_jaccard_pairs(
     )
 
 
-def _simhash_bands_udf(bands: int, band_bits: int):
-    """Vectorized SimHash from per-token 64-bit hashes: bit b's vote is
-    ±1 by bit b of the token hash; the signature bit is the vote-sum
-    sign, packed MSB-first into ``bands`` values of ``band_bits`` bits
-    (multi-band layout avoids signed-64 issues and drives the
-    pigeonhole banding join directly)."""
+def _simhash_sigs(df: DataFrame, text_col: str, id_col: str, th, bands: int, band_bits: int) -> DataFrame:
+    """SimHash signatures as a pure whole-stage-codegen aggregation:
+    explode tokens, hash each JVM-side, and compute per-bit vote sums
+    as ``nbits`` map-side-combined SUM aggregates (bit b's vote is ±1
+    by bit b of the token hash; the signature bit is the vote-sum
+    sign). Band j packs hash bits [j·band_bits, (j+1)·band_bits)
+    MSB-first.
+
+    This replaces an earlier Arrow pandas-UDF vote kernel: hashing
+    tokens inside a Catalyst higher-order-function lambda is
+    interpreted per element (HOFs sit outside codegen), which made the
+    hash pass — not the numpy votes — the operator's bottleneck.
+    Post-explode hashing is codegen'd, and the vote matrix never
+    materializes: each partition emits one partial-agg row per doc.
+    Docs with null text vanish at explode (the previous null-signature
+    filter); shuffle volume is one (id, nbits longs) row per doc."""
     nbits = bands * band_bits
-    shifts = np.arange(nbits, dtype=np.int64)
-    weights = 1 << np.arange(band_bits - 1, -1, -1, dtype=np.int64)
-
-    # Peak memory of the vote matrix is (Σ tokens in chunk) × nbits
-    # int64 — chunk by cumulative token count, not doc count, so a
-    # run of long documents can't blow a single chunk into GBs.
-    flat_cap = max(4096, (256 << 20) // (8 * nbits))
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(hs: pd.Series) -> pd.Series:
-        # null token array (null text upstream) behaves like an empty
-        # doc: None signature, filtered by sig.isNotNull()
-        arrs_all = [
-            np.empty(0, dtype=np.int64) if x is None else np.asarray(x, dtype=np.int64)
-            for x in hs
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    )
+    h = th(F.col("__t"))
+    votes = toks.select(F.col(id_col), h.alias("__h")).groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{b}")
+            for b in range(nbits)
         ]
-        lens_all = np.fromiter((len(x) for x in arrs_all), dtype=np.int64, count=len(arrs_all))
-        bounds = _chunk_bounds(lens_all, flat_cap)
-        out: list = []
-        for lo, hi in bounds:
-            arrs = arrs_all[lo:hi]
-            lens = lens_all[lo:hi]
-            if lens.sum() == 0:
-                out.extend([None] * len(arrs))
-                continue
-            flat = np.concatenate(arrs)
-            votes = (((flat[:, None] >> shifts[None, :]) & 1) * 2 - 1).astype(np.int64)
-            nonempty = lens > 0
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
-            sums = np.add.reduceat(votes, starts, axis=0)  # (n_nonempty, nbits)
-            bits = (sums >= 0).astype(np.int64).reshape(-1, bands, band_bits)
-            vals = (bits * weights[None, None, :]).sum(axis=2)  # (n_nonempty, bands)
-            it = iter(vals)
-            out.extend(next(it) if ne else None for ne in nonempty)
-        return pd.Series(out)
-
-    return sig
+    )
+    band_exprs = []
+    for j in range(bands):
+        e = None
+        for p in range(band_bits):
+            bit = (F.col(f"__v{j * band_bits + p}") >= 0).cast("long") * F.lit(
+                1 << (band_bits - 1 - p)
+            )
+            e = bit if e is None else e + bit
+        band_exprs.append(e)
+    return votes.select(F.col(id_col), F.array(*band_exprs).alias("sig"))
 
 
 def simhash_near_dup_pairs(
@@ -427,8 +420,8 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash banding candidates + Hamming verify. A pair within
     Hamming distance 3 shares at least one exact band (pigeonhole over
-    4 bands), so recall is exact for max_hamming ≤ 3. Token hashing
-    stays JVM-side; the vote/pack kernel is vectorized numpy.
+    4 bands), so recall is exact for max_hamming ≤ 3. The whole
+    signature computation is JVM-side codegen (see _simhash_sigs).
 
     ``token_hash``: "xxhash64" (default, 4×16-bit signature, one
     codegen'd hash per token) or "md5" (4×15-bit = 60-bit signature
@@ -445,15 +438,9 @@ def simhash_near_dup_pairs(
 
         def th(t):
             return F.xxhash64(t)
-    sig = _simhash_bands_udf(bands, band_bits)
-    hashed = spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col),
-        F.transform(F.split(F.col(text_col), " "), th).alias("hs"),
-    )
     # sigs feed the banding pass plus both sides of the verify join-back
     sigs = _materialize(
-        hashed.select(F.col(id_col), sig(F.col("hs")).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        _simhash_sigs(df, text_col, id_col, th, bands, band_bits)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band rows carry only (id, band, bh): the ×bands bucket shuffle
