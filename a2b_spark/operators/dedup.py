@@ -16,14 +16,21 @@ explicitly-named exact verifier used on *candidates*):
 - Embedding near-dup: blocked all-pairs (exact, matmul-tiled) for the
   verifier/oracle path; SRP-LSH-bucketed variant for scale.
 
-Execution-strategy note (measured, not guessed): per-element Catalyst
-higher-order-function lambdas are interpreted (~µs each) and
-CollapseProject re-inlines their inputs — a shingle transform written
-as ``element_at(split(text), i)`` re-splits the whole document on
-every lambda call. The hot per-document kernels (shingling, minhash
-slots, simhash bit-votes) therefore run as Arrow-batched pandas
-stages with vectorized numpy — JVM keeps every join, shuffle, and
-aggregation; Python only ever sees map-local batches.
+Execution-strategy notes (measured, not guessed):
+- Per-element Catalyst higher-order-function lambdas are interpreted
+  (~µs each) and CollapseProject re-inlines their inputs — a shingle
+  transform written as ``element_at(split(text), i)`` re-splits the
+  whole document on every lambda call; keep HOF lambdas short and
+  reference only materialized attributes.
+- The text kernels (k-gram hashing, minhash slots, simhash bit-votes)
+  run fully JVM-side: k-grams as one slice+concat_ws+xxhash64 HOF pass
+  per doc, signatures as explode + k map-side-combined MIN/SUM
+  aggregates. This replaced earlier Arrow pandas-UDF kernels — the
+  numpy math was fast, but shipping shingle strings / token-hash
+  arrays across the Arrow boundary cost more than the whole JVM
+  formulation.
+- Only the embedding (float-matrix) kernels remain in Python, where
+  BLAS-backed matmul genuinely beats anything expressible in Catalyst.
 """
 
 from __future__ import annotations
@@ -61,41 +68,35 @@ def exact_dedup(df: DataFrame, keys: Sequence[str], order_by: Sequence[str]) -> 
     )
 
 
-def shingle_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """id + distinct word-k-gram shingle set (the unit of jaccard).
+def kgram_hash_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """id + DISTINCT word-k-gram hash set (``khs``, array<long>) — the
+    unit of jaccard, with each shingle represented by its xxhash64
+    instead of the string itself.
 
     Tokenization parity contract (mirrored by the DuckDB oracles):
     split on a single space, empties preserved; shingles are
-    space-joined k-grams, deduped keeping first occurrence; docs
-    shorter than k tokens get an empty set.
-    """
-    src = spread(df.select(id_col, text_col))
-    id_field = src.schema[id_col]
-    out_schema = T.StructType(
-        [id_field, T.StructField("shingles", T.ArrayType(T.StringType()), False)]
+    space-joined k-grams, deduped; docs shorter than k tokens get an
+    empty set. Set operations (intersection/union/min) over the hash
+    set equal the same operations over the string set absent an
+    xxhash64 collision inside one comparison (~|set|²/2⁶⁴ ≈ 1e-15 per
+    doc) — the oracles compute on strings and still hash-match.
+
+    Entirely Catalyst (slice + concat_ws + xxhash64 per k-gram index):
+    an earlier mapInPandas string-shingler was 2-3× slower than this
+    even with vectorized Python, because the shingle *strings* had to
+    ride an Arrow batch back to the JVM; hashes never leave it."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    kg = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.array_distinct(kg).alias("khs")
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for t in pdf[text_col]:
-                if t is None:
-                    out.append([])
-                    continue
-                ws = t.split(" ")
-                if len(ws) < k:
-                    out.append([])
-                else:
-                    out.append(
-                        list(
-                            dict.fromkeys(
-                                " ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)
-                            )
-                        )
-                    )
-            yield pd.DataFrame({id_col: pdf[id_col], "shingles": out})
-
-    return src.mapInPandas(gen, out_schema)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -119,23 +120,6 @@ def _materialize(df: DataFrame) -> DataFrame:
     signature passes."""
     df.count()
     return df
-
-
-def _chunk_bounds(lens: np.ndarray, flat_cap: int) -> list[tuple[int, int]]:
-    """Split [0, n) into contiguous chunks whose cumulative element
-    count stays under ``flat_cap`` (a doc longer than the cap gets a
-    chunk of its own). Bounds the (k × Σlen) working matrices of the
-    signature kernels regardless of document length distribution."""
-    bounds: list[tuple[int, int]] = []
-    lo, acc = 0, 0
-    for i, ln in enumerate(lens):
-        if i > lo and acc + int(ln) > flat_cap:
-            bounds.append((lo, i))
-            lo, acc = i, 0
-        acc += int(ln)
-    if lo < len(lens):
-        bounds.append((lo, len(lens)))
-    return bounds
 
 
 def _ids_packable(df: DataFrame, id_col: str) -> bool:
@@ -169,67 +153,39 @@ def _unpack_pair(pk: Column, dtype: T.DataType) -> tuple[Column, Column]:
     return a, b
 
 
-def shingle_hash_pairs(df: DataFrame, id_col: str) -> DataFrame:
-    """Per-shingle (h1, h2) Carter-Wegman base hashes as two parallel
-    long arrays. xxhash64 is a native codegen'd expression, so the one
-    expensive string-hash pass stays JVM-side; the shingles column is
-    a materialized attribute (mapInPandas output), so nothing gets
-    re-inlined into the lambdas."""
-    return df.select(
-        id_col,
-        F.transform(
-            F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
-        ).alias("h1"),
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_MERSENNE31 - 1)) + 1,
-        ).alias("h2"),
+def _minhash_sigs(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """MinHash signatures as a pure whole-stage-codegen aggregation:
+    explode the k-gram hash set and compute slot i as
+    MIN((h1 + i·h2) mod p) over the doc's shingles — the classic
+    Carter-Wegman 2-universal family, with h1/h2 derived JVM-side from
+    the k-gram hash (h1 = kh mod p; h2 = xxhash64(kh, 1) mod (p-1)+1).
+    All values < 2^38, exact in int64.
+
+    ``num_hashes`` map-side-combined MIN aggregates replace an earlier
+    Arrow pandas-UDF reduceat kernel: the per-slot arithmetic is three
+    codegen'd integer ops, the shuffle carries one (id, k longs) row
+    per doc, and no shingle array ever crosses the Python boundary.
+    Empty-set docs produce no exploded rows and drop out — exactly the
+    previous null-signature filter."""
+    ex = sh.filter(F.size("khs") > 0).select(
+        F.col(id_col), F.explode("khs").alias("kh")
     )
-
-
-def _minhash_sig_udf(k: int):
-    """Vectorized minhash: slot i = min over shingles of
-    (h1 + i·h2) mod p — the classic 2-universal family. All values
-    < 2^38, exact in int64. Flat segment layout + minimum.reduceat:
-    one (k × Σ|sh|) integer kernel per Arrow chunk."""
-
-    # the m matrix below is k × (Σ shingles in chunk) int64 — cap the
-    # cumulative shingle count per chunk (~256 MB peak) so a run of
-    # long documents can't push one chunk into multi-GB territory
-    flat_cap = max(4096, (256 << 20) // (8 * k))
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        idx = np.arange(k, dtype=np.int64)[:, None]
-        a_all = [
-            np.empty(0, dtype=np.int64) if x is None else np.asarray(x, dtype=np.int64)
-            for x in h1
+    ex = ex.select(
+        F.col(id_col),
+        F.pmod(F.col("kh"), F.lit(_MERSENNE31)).alias("h1"),
+        (F.pmod(F.xxhash64(F.col("kh"), F.lit(1)), F.lit(_MERSENNE31 - 1)) + 1).alias("h2"),
+    )
+    # h1, h2 ≥ 0 and h1 + 63·h2 < 2^37: plain % is already non-negative
+    # here and costs one hardware mod where pmod costs two
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h1") + i * F.col("h2")) % _MERSENNE31).alias(f"__m{i}")
+            for i in range(num_hashes)
         ]
-        b_all = [
-            np.empty(0, dtype=np.int64) if x is None else np.asarray(x, dtype=np.int64)
-            for x in h2
-        ]
-        lens_all = np.fromiter((len(x) for x in a_all), dtype=np.int64, count=len(a_all))
-        out: list = []
-        for lo, hi in _chunk_bounds(lens_all, flat_cap):
-            a = a_all[lo:hi]
-            b = b_all[lo:hi]
-            lens = lens_all[lo:hi]
-            if lens.sum() == 0:
-                out.extend([None] * len(a))
-                continue
-            # empty docs would break reduceat (empty segments); they are
-            # filtered upstream, but guard anyway by emitting None
-            f1, f2 = np.concatenate(a), np.concatenate(b)
-            m = (f1[None, :] + idx * f2[None, :]) % _MERSENNE31  # (k, total)
-            nonempty = lens > 0
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))[nonempty]
-            mins = np.minimum.reduceat(m, starts, axis=1).T  # (n_nonempty, k)
-            it = iter(mins)
-            out.extend(next(it) if ne else None for ne in nonempty)
-        return pd.Series(out)
-
-    return sig
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[f"__m{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def lsh_candidate_pairs(
@@ -288,22 +244,18 @@ def minhash_near_dup_pairs(
     from pyspark import StorageLevel
 
     rows = num_hashes // bands
-    # shingles feed three consumers (signatures + both verify sides):
-    # persist the one text→shingle pass instead of running it three
-    # times. MEMORY_AND_DISK: spills instead of OOM at scale.
+    # k-gram hash sets feed three consumers (signatures + both verify
+    # sides): persist the one text→k-gram pass instead of running it
+    # three times. MEMORY_AND_DISK: spills instead of OOM at scale.
     sh = _materialize(
-        shingle_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
+        kgram_hash_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # empty-shingle docs can never reach jaccard ≥ threshold (> 0):
-    # dropping them up front shrinks signatures AND keeps the
-    # all-short-docs degenerate bucket out of the candidate join
-    sig = _minhash_sig_udf(num_hashes)
-    sigs = shingle_hash_pairs(sh.filter(F.size("shingles") > 0), id_col).select(
-        id_col, sig(F.col("h1"), F.col("h2")).alias("signature")
-    )
+    # empty-set docs can never reach jaccard ≥ threshold (> 0); they
+    # drop out inside _minhash_sigs and never enter the candidate join
+    sigs = _minhash_sigs(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=_ids_packable(df, id_col))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("khs").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("khs").alias("sh_b"))
     return (
         cands.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -337,11 +289,13 @@ def exact_jaccard_pairs(
     the aggregate's key path is the whole cost of this stage."""
     from pyspark import StorageLevel
 
-    sh = shingle_docs(df, text_col, id_col, shingle_k)
-    # one text→shingle Python pass feeds both sides of the self-join
+    sh = kgram_hash_docs(df, text_col, id_col, shingle_k)
+    # one text→k-gram-hash pass feeds both sides of the self-join; the
+    # inverted index posts (id, size, hash) with a LONG key — equi-join
+    # and aggregate hashing on 8-byte keys, not 20-byte shingle strings
     inv = _materialize(
         sh.select(
-            F.col(id_col), F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+            F.col(id_col), F.size("khs").alias("sz"), F.explode("khs").alias("s")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s")

@@ -1,0 +1,133 @@
+"""Corpus-statistics ranking operators: TF-IDF term extraction and
+BM25 keyword scoring — the relevance/quality primitives a training-data
+pipeline runs over a document corpus (salient-term profiling, query
+filtering, boilerplate down-ranking).
+
+Reference parity: the reference has no ranking surface at all (its
+relational work is delegated to the source database, SURVEY §2.4);
+these are beyond-reference operators in the BASELINE.json north-star
+set (text analysis), built the same Spark-first way as functions/text:
+100 % built-in expressions — explode + two aggregations + a window —
+so the whole thing is whole-stage codegen with map-side partial aggs.
+
+Scale notes:
+- Term statistics shuffle once on the token (docfreq) and once on
+  (doc, token) (termfreq); both are classic word-count shapes that
+  partial-aggregate before the exchange, so shuffle volume is bounded
+  by distinct keys, not corpus tokens.
+- The doc-frequency side is a per-term scalar table (vocabulary-sized);
+  Catalyst/AQE broadcasts it when small, shuffle-joins when a 100 TB
+  corpus makes the vocabulary huge. No driver collection anywhere.
+- Determinism contract with the DuckDB oracles: scores divide exact
+  integer counts and pass through ln() once; results are rounded to 6
+  decimals (the same boundary convention as the cosine operators) and
+  ties break on the term string ascending.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, token) rows under the single-space tokenization contract."""
+    return df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top ``top_k`` most-salient terms per document by TF-IDF.
+
+    tf = occurrences of the term in the doc (raw count);
+    idf = ln(N / df) with df = number of docs containing the term.
+    Output: (id, term, score rounded to 6, rank 1..top_k), rank by
+    score desc then term asc — fully deterministic.
+    """
+    n_docs = df.count()  # one scalar action; footer-stats cheap on parquet
+    toks = _doc_tokens(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        F.col(id_col),
+        F.col("token").alias("term"),
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("score"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents against a bag of query terms
+    (Robertson/Sparck Jones probabilistic relevance, the Lucene-default
+    scoring shape). idf uses the standard smoothed form
+    ln(1 + (N - df + 0.5)/(df + 0.5)); length normalization uses the
+    single-space token count.
+
+    Returns the ``top_k`` docs: (id, score rounded to 6, rank), ties
+    broken by id ascending. Everything is two word-count aggregations
+    + one broadcast-sized join against the per-term idf table — the
+    query side is a literal list, so the per-doc work is a scan.
+    """
+    n_docs = df.count()
+    toks = _doc_tokens(df, text_col, id_col)
+    doclen = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl")
+    )
+    avgdl = doclen.agg(F.avg("dl")).first()[0]
+    qt = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
+    tf = (
+        toks.filter(F.col("token").isin(qt))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contribution = (
+        idf
+        * (F.col("tf") * (F.lit(k1) + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl))))
+    )
+    # Per-term contributions are rounded then summed as DECIMAL: float
+    # addition is order-dependent and Spark's partial aggregation order
+    # is not the oracle's — exact decimal accumulation makes the score
+    # independent of both engines' summation order.
+    per_term = (
+        tf.join(dfreq, "token")
+        .join(doclen, id_col)
+        .select(
+            F.col(id_col),
+            F.round(contribution, 7).cast("decimal(20,7)").alias("s"),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.round(F.sum("s").cast("double"), 6).alias("score")
+    )
+    w = W.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

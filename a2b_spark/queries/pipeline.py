@@ -664,9 +664,113 @@ GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------- Q47
+def q47_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-3 by TF-IDF (explode + two
+    word-count aggregations + a window — all codegen; see
+    operators/ranking.py for the scale notes)."""
+    from a2b_spark.operators.ranking import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "text", "doc_id", top_k=3)
+
+
+O_Q47 = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, token AS term,
+         ROUND(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------- Q48
+_BM25_TERMS = ["spark", "merge", "window", "table"]
+
+
+def q48_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword ranking: top-20 docs for a fixed 4-term query
+    (k1=1.2, b=0.75). Exact-decimal per-term summation makes the score
+    independent of either engine's float-add order."""
+    from a2b_spark.operators.ranking import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, "text", "doc_id", _BM25_TERMS, top_k=20)
+
+
+_BM25_IN = ",".join(f"'{t}'" for t in _BM25_TERMS)
+O_Q48 = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM tok WHERE token IN ({_BM25_IN}) GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+per AS (
+  SELECT doc_id,
+         CAST(ROUND(
+           ln(1 + (n.n - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl.avgdl)), 7) AS DECIMAL(20,7)) AS s
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN avgdl),
+sc AS (SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score FROM per GROUP BY doc_id),
+r AS (SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM sc)
+SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------- Q49
+def q49_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP/DROP step that closes the dedup loop: cluster near-dup
+    pairs (q44's operator chain), keep each cluster's minimum doc_id as
+    canonical, and anti-join the rest out of the corpus — the actual
+    deduplicated training set, not just the pair/cluster report."""
+    from a2b_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").cast("long").alias("doc_id")
+    )
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+
+
+O_Q49 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+dropped AS (SELECT a FROM reach GROUP BY a HAVING MIN(b) != a)
+SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT a FROM dropped)
+"""
+
+
 QUERIES.update(
     {
         "q44_dup_clusters": q44_dup_clusters,
+        "q47_tfidf_top_terms": q47_tfidf_top_terms,
+        "q48_bm25": q48_bm25,
+        "q49_dedup_apply": q49_dedup_apply,
         "q46_top_bigrams": q46_top_bigrams,
         "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
         "q37_asof_join": q37_asof_join,
@@ -684,6 +788,9 @@ QUERIES.update(
 ORACLES.update(
     {
         "q44_dup_clusters": O_Q44,
+        "q47_tfidf_top_terms": O_Q47,
+        "q48_bm25": O_Q48,
+        "q49_dedup_apply": O_Q49,
         "q46_top_bigrams": O_Q46,
         "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
         "q37_asof_join": O_Q37,
