@@ -336,3 +336,187 @@ def knn_lsh(
         .filter(F.col("rk") <= k)
         .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def _kmeans_l2(sample: np.ndarray, n_cent: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic plain-L2 Lloyd k-means for PQ subquantizers
+    (seeded init, first-index argmin ties, empty cells keep their old
+    centroid). Runs on a driver-side sample only."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_cent, len(sample)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cent)):
+            pts = sample[assign == j]
+            if len(pts):
+                cent[j] = pts.mean(axis=0)
+    return cent
+
+
+def knn_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    shortlist: int = 256,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 20260813,
+) -> DataFrame:
+    """Product-quantization approximate KNN (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI'11) — the
+    memory-bound scale path alongside SRP-LSH (hash-based) and IVF
+    (partition-based):
+
+    1. TRAIN: L2-normalize a bounded deterministic corpus sample, split
+       the dimension into ``m`` subspaces, and fit an L2 k-means
+       codebook of ``ks`` centroids per subspace — driver-side, like
+       IVF's coarse quantizer.
+    2. ENCODE: broadcast codebooks; each corpus vector compresses to m
+       small codes (argmin subspace L2 on the normalized vector). At
+       100 TB this is the point: 64 float32 dims (256 B) become m=8
+       bytes — the whole corpus' codes fit in a fraction of the
+       executors' memory, and the scan never rereads the raw vectors.
+    3. SCORE (ADC): each query builds an m × ks inner-product lookup
+       table against the codebooks; a corpus vector's approximate
+       cosine is m table lookups summed. One Arrow pass over the code
+       table per query batch — no joins, no shuffle of vectors.
+    4. RE-RANK: deterministic ``shortlist`` per query by (ADC desc, id
+       asc), then exact cosine on the shortlist only — identical
+       determinism contract (pair_cosine_raw + round 6 + row_number)
+       to knn_bruteforce/knn_ivf, so with a shortlist that covers the
+       true top-k the output equals exact KNN and the exact-KNN SQL
+       serves as the oracle.
+
+    Recall knob: P(true neighbor outside shortlist) falls with
+    shortlist/|corpus|; on corpora with real cluster structure
+    shortlist ≈ 4k·m is plenty. The synthetic near-uniform corpus
+    (cos ≈ 0.4 background) is the hard regime — the wired query uses
+    shortlist large enough that recall is exactly 1 (checked in
+    pytest against bruteforce)."""
+    from a2b_spark.functions.vectors import pair_cosine_raw
+
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    spark = corpus.sparkSession
+
+    tr = (
+        corpus.select(as_double(vec_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .toPandas()
+    )
+    sample = np.vstack([np.asarray(v, dtype=np.float64) for v in tr["v"]])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.stack(
+        [
+            _kmeans_l2(sample[:, j * dsub : (j + 1) * dsub], ks, iters, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, ks, dsub)
+    bc = spark.sparkContext.broadcast(books)
+
+    id_type = corpus.schema[id_col].dataType
+    code_schema = T.StructType(
+        [
+            T.StructField("corpus_id", id_type),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"corpus_id": pdf["corpus_id"].to_numpy(), "code": list(codes)}
+            )
+
+    codes = spread(
+        corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("v"))
+    ).mapInPandas(encode, code_schema)
+
+    # query LUTs ride the broadcast; the contract-small query side is
+    # collected like knn_bruteforce's (bounded by the same guard there)
+    qp = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v"))
+        .toPandas()
+    )
+    qm = np.vstack([np.asarray(x, dtype=np.float64) for x in qp["v"]])
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qm = qm / qn
+    # luts[q, j, c] = <query_j_sub, codebook_j_c>
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub), books)
+    qids = qp["query_id"].to_numpy()
+    bq = spark.sparkContext.broadcast((qids, luts))
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("corpus_id", id_type),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, tables = bq.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            nc = len(cmat)
+            # scores[q, c] = sum_j tables[q, j, cmat[c, j]]
+            scores = np.zeros((nq, nc))
+            for j in range(m):
+                scores += tables[:, j, :][:, cmat[:, j]]
+            ids_c = pdf["corpus_id"].to_numpy()
+            iq, ic = np.broadcast_arrays(ids_q[:, None], ids_c[None, :])
+            keep = iq != ic
+            yield pd.DataFrame(
+                {"query_id": iq[keep], "corpus_id": ic[keep], "adc": scores[keep]}
+            )
+
+    adc = codes.mapInPandas(adc_score, adc_schema)
+    ws = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("corpus_id"))
+    cands = (
+        adc.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "corpus_id")
+    )
+
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    cos_raw = pair_cosine_raw()
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "corpus_id")
+        .withColumn("cos", F.round(cos_raw(F.col("qv"), F.col("cv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )

@@ -513,6 +513,21 @@ SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fp FROM wins
 """
 
 
+# --------------------------------------------------------------- Q50
+def q50_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization KNN (the memory-bound ANN family beside
+    SRP-LSH and IVF): m=16 4-dim subquantizers × 32 centroids, ADC
+    inner-product scoring over 16-byte codes, deterministic
+    shortlist-256 + exact re-rank. At these settings recall is exactly
+    1 on this corpus (pytest-checked against bruteforce at sf0.001 and
+    empirically at sf0.01/sf0.1), so the exact-KNN SQL is the oracle."""
+    from a2b_spark.operators.similarity import knn_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return knn_pq(q, e, "embedding", "vec_id", k=5, m=16, ks=32, shortlist=256)
+
+
 # --------------------------------------------------------------- Q38
 def q38_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer KNN (the FAISS-style scale path alongside
@@ -775,6 +790,7 @@ QUERIES.update(
         "q36_embedding_dups_lsh": q36_embedding_dups_lsh,
         "q37_asof_join": q37_asof_join,
         "q38_knn_ivf": q38_knn_ivf,
+        "q50_knn_pq": q50_knn_pq,
         "q40_winnow_fingerprints": q40_winnow_fingerprints,
         "q42_range_join": q42_range_join,
         "q43_hash_sample": q43_hash_sample,
@@ -795,6 +811,7 @@ ORACLES.update(
         "q36_embedding_dups_lsh": O_Q29,  # recall ~1 at 0.45 → output == exact all-pairs
         "q37_asof_join": O_Q37,
         "q38_knn_ivf": O_Q28,  # n_probe == n_cells → recall 1 → output == exact KNN
+        "q50_knn_pq": O_Q28,  # shortlist covers true top-k → output == exact KNN
         "q40_winnow_fingerprints": O_Q40,
         "q42_range_join": O_Q42,
         "q43_hash_sample": O_Q43,

@@ -1,0 +1,111 @@
+"""Ranking-operator unit tests: TF-IDF salience and BM25 ordering on
+tiny corpora with hand-checkable statistics, plus the dedup keep/drop
+closure (q49's operator chain) on planted duplicates."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.operators.ranking import bm25_scores, tfidf_top_terms
+
+
+@pytest.fixture()
+def corpus(spark):
+    # 4 docs; "rare" appears only in doc 1, "common" in all docs
+    return spark.createDataFrame(
+        [
+            (1, "common rare alpha beta"),
+            (2, "common alpha alpha gamma"),
+            (3, "common beta gamma gamma"),
+            (4, "common delta delta delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_tfidf_rare_term_wins(spark, corpus):
+    top = {
+        r.doc_id: (r.term, r.score)
+        for r in tfidf_top_terms(corpus, "text", "doc_id", top_k=1).collect()
+    }
+    # doc 1's most salient term is its hapax "rare": tf=1, idf=ln(4/1)
+    assert top[1][0] == "rare"
+    assert top[1][1] == pytest.approx(round(math.log(4.0), 6))
+    # doc 4: "delta" tf=3 idf=ln(4) dominates
+    assert top[4][0] == "delta"
+    assert top[4][1] == pytest.approx(round(3 * math.log(4.0), 6))
+
+
+def test_tfidf_idf_zero_for_universal_terms(spark, corpus):
+    out = tfidf_top_terms(corpus, "text", "doc_id", top_k=4).collect()
+    # "common" appears in every doc -> idf = ln(1) = 0 -> score 0
+    common = [r for r in out if r.term == "common"]
+    assert common and all(r.score == 0.0 for r in common)
+
+
+def test_tfidf_rank_determinism(spark, corpus):
+    out = tfidf_top_terms(corpus, "text", "doc_id", top_k=3)
+    a = [(r.doc_id, r.term, r.rank) for r in out.collect()]
+    b = [(r.doc_id, r.term, r.rank) for r in out.collect()]
+    assert a == b
+    for doc in {1, 2, 3, 4}:
+        ranks = sorted(r for (d, _, r) in a if d == doc)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_bm25_orders_by_term_density(spark, corpus):
+    # query "delta": only doc 4 contains it
+    out = bm25_scores(corpus, "text", "doc_id", ["delta"], top_k=10).collect()
+    assert [r.doc_id for r in out] == [4]
+    # multi-term query: doc 2 (alpha x2) should outrank docs with one hit
+    out = bm25_scores(corpus, "text", "doc_id", ["alpha"], top_k=10).collect()
+    assert out[0].doc_id == 2
+    assert out[0].rank == 1 and out[0].score > out[1].score
+
+
+def test_bm25_duplicate_query_terms_collapse(spark, corpus):
+    once = bm25_scores(corpus, "text", "doc_id", ["alpha"], top_k=10).collect()
+    twice = bm25_scores(corpus, "text", "doc_id", ["alpha", "alpha"], top_k=10).collect()
+    assert [(r.doc_id, r.score) for r in once] == [(r.doc_id, r.score) for r in twice]
+
+
+def test_dedup_apply_keeps_cluster_minimum(spark):
+    from a2b_spark.operators.dedup import minhash_near_dup_pairs
+    from a2b_spark.operators.graph import connected_components
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base),  # exact dup of 10
+            (12, base + " extra"),  # near dup of 10/11
+            (20, "completely different words describing unrelated things entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.6)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = sorted(
+        r.doc_id for r in docs.join(drop, "doc_id", "left_anti").select("doc_id").collect()
+    )
+    assert kept == [10, 20]
+
+
+def test_knn_pq_matches_bruteforce(spark, sf_dir):
+    from a2b_spark.operators.similarity import knn_bruteforce, knn_pq
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    pq = {
+        (r.query_id, r.corpus_id, r.cos, r.rk)
+        for r in knn_pq(q, e, "embedding", "vec_id", k=5, m=16, ks=32, shortlist=256).collect()
+    }
+    bf = {
+        (r.query_id, r.corpus_id, r.cos, r.rk)
+        for r in knn_bruteforce(q, e, "embedding", "vec_id", k=5).collect()
+    }
+    assert pq == bf
