@@ -366,6 +366,7 @@ def knn_pq(
     train_sample: int = 100_000,
     iters: int = 10,
     seed: int = 20260813,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Product-quantization approximate KNN (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI'11) — the
@@ -457,11 +458,17 @@ def knn_pq(
     ).mapInPandas(encode, code_schema)
 
     # query LUTs ride the broadcast; the contract-small query side is
-    # collected like knn_bruteforce's (bounded by the same guard there)
+    # collected under the same explicit bound as knn_bruteforce's
     qp = (
         queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v"))
+        .limit(max_query_rows + 1)
         .toPandas()
     )
+    if len(qp) > max_query_rows:
+        raise ValueError(
+            f"knn_pq query side exceeds max_query_rows={max_query_rows}; "
+            "use knn_lsh (distributed candidates) or raise the bound explicitly"
+        )
     qm = np.vstack([np.asarray(x, dtype=np.float64) for x in qp["v"]])
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     qn[qn == 0] = 1.0

@@ -166,3 +166,75 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     assert rows["b"] in (2, 3)  # exactly one of the b rows survived
     n = spark.sql("SELECT count(*) c FROM dedup_out").first().c
     assert n == 3, f"duplicate key re-emitted: {n} rows"
+
+
+def test_streaming_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: once the watermark
+    passes a window it is emitted exactly once and its state evicted;
+    a row for that window arriving in a LATER batch must be dropped —
+    not re-open the state and emit a duplicate window row.
+
+    (A late-per-watermark row that arrives in the same batch as the
+    window's finalization is still admitted — the watermark is a
+    state-eviction bound, not a per-row admission filter — so the late
+    arrival here lands two batches after the window closed.)"""
+    import datetime as dt
+    import time
+
+    from a2b_spark.streaming.windows import tumbling_agg, with_watermark
+
+    def ts(h, m, s=0):
+        return dt.datetime(2026, 1, 1, h, m, s)
+
+    src_dir = str(tmp_path / "wm_in")
+    os.makedirs(src_dir)
+    # batch 1: two events in the 10:00-10:05 window, plus 11:00
+    # advancing event time (watermark after the batch: 10:50)
+    spark.createDataFrame(
+        [(ts(10, 0, 30), "a"), (ts(10, 1, 30), "a"), (ts(11, 0), "a")],
+        "ts timestamp, k string",
+    ).coalesce(1).write.parquet(f"{src_dir}/b1")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 2: finalizes + evicts the 10:00 window (emitted with n=2)
+    spark.createDataFrame(
+        [(ts(12, 0), "a")], "ts timestamp, k string"
+    ).coalesce(1).write.parquet(f"{src_dir}/b2")
+    time.sleep(1.1)
+    # batch 3: the too-late 10:02 row (watermark is 11:50 by now) —
+    # must NOT resurrect the evicted window
+    spark.createDataFrame(
+        [(ts(10, 2), "a"), (ts(13, 0), "a")], "ts timestamp, k string"
+    ).coalesce(1).write.parquet(f"{src_dir}/b3")
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    agg = tumbling_agg(
+        with_watermark(sdf, "ts", "10 minutes"),
+        "ts",
+        "5 minutes",
+        ["k"],
+        {"n": F.count(F.lit(1)).cast("long")},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [
+        (r.window_start, r.n)
+        for r in spark.sql("SELECT * FROM wm_out ORDER BY window_start").collect()
+    ]
+    # the 10:00 window appears exactly once, with only on-time events
+    assert rows.count((ts(10, 0), 2)) == 1
+    assert sum(1 for w, _ in rows if w == ts(10, 0)) == 1
+    # and the late row produced no resurrected/duplicate emission
+    assert (ts(10, 5), 1) not in rows
