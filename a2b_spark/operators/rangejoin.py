@@ -72,3 +72,37 @@ def hash_sample(df: DataFrame, key_col: str, percent: int, salt: str = "") -> Da
         10,
     ).cast("long")
     return df.filter(h % 100 < percent)
+
+
+def stratified_hash_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, int], salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic hash sampling: each stratum keeps rows
+    whose key hashes into the first ``rates[stratum]`` of 100 buckets
+    (strata absent from ``rates`` are dropped). The standard
+    rebalancing move for skewed training corpora — downsample the
+    dominant language/source, keep the tail — with hash_sample's
+    reproducibility contract: stable across runs, engines and cluster
+    sizes, and consistent per key (a key sampled at 20% is a subset of
+    the same stratum at 50%).
+
+    One scan, no shuffle: the rate lookup is a literal CASE over the
+    stratum column, and the hash-threshold filter pushes down to the
+    scan like any other predicate."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rate = None
+    for stratum, pct in sorted(rates.items()):
+        if not (0 <= pct <= 100):
+            raise ValueError(f"rate for {stratum!r} must be in [0, 100]")
+        cond = F.col(stratum_col) == stratum
+        rate = F.when(cond, F.lit(pct)) if rate is None else rate.when(cond, F.lit(pct))
+    rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
+    return df.filter(h % 100 < rate)

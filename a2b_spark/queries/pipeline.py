@@ -480,6 +480,104 @@ WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS B
 """
 
 
+# --------------------------------------------------------------- Q51
+_STRATA = {"en": 25, "es": 100, "fr": 100}  # downsample dominant en, drop others
+
+
+def q51_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified rebalancing sample: downsample the
+    dominant language, keep the tails in full, drop unlisted strata —
+    the corpus-rebalancing move, with hash_sample's reproducibility
+    (stable across engines/runs/cluster sizes, per-key consistent
+    across rates)."""
+    from a2b_spark.operators.rangejoin import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(d, "doc_id", "lang", _STRATA, salt="s2").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN lang = '{s}' THEN {p}" for s, p in sorted(_STRATA.items())
+)
+O_Q51 = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5('s2' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      < (CASE {_STRATA_CASE} ELSE 0 END)
+"""
+
+
+# --------------------------------------------------------------- Q52
+def q52_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation pipeline — what a training-data
+    run actually ships: per-document quality features + language ID,
+    near-dup clustering with keep-minimum survivor selection, then one
+    filter composing all of it (lang == labeled 'en', quality bounds,
+    dup-drop anti-join). Every stage is an operator this engine already
+    oracle-checks in isolation; this query proves the composition."""
+    from a2b_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    feats = TXT.quality_features(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        TXT.lang_id(F.col("text")).alias("pred_lang"),
+        feats["n_words"].alias("n_words"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").cast("long").alias("doc_id")
+    )
+    return (
+        scored.join(drop, "doc_id", "left_anti")
+        .filter(
+            (F.col("pred_lang") == "en")
+            & (F.col("n_words") >= 20)
+            & (F.col("stopword_ratio") >= 0.05)
+        )
+        .select("doc_id", "lang", "source", "n_words", "stopword_ratio")
+    )
+
+
+def _o_q52() -> str:
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+dropped AS (SELECT a FROM reach GROUP BY a HAVING MIN(b) != a),
+scored AS (
+  SELECT doc_id, lang, source,
+         {_lang_case()} AS pred_lang,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         ROUND(CAST(len([w for w in ws if list_contains(['{_SW}'], w)]) AS DOUBLE)
+               / len(ws), 6) AS stopword_ratio
+  FROM (SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws FROM documents))
+SELECT doc_id, lang, source, n_words, stopword_ratio FROM scored
+WHERE doc_id NOT IN (SELECT a FROM dropped)
+  AND pred_lang = 'en' AND n_words >= 20 AND stopword_ratio >= 0.05
+"""
+
+
+O_Q52 = _o_q52()
+
+
 # --------------------------------------------------------------- Q40
 def q40_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints (winnowing): one (doc_id, fp)
@@ -791,6 +889,8 @@ QUERIES.update(
         "q37_asof_join": q37_asof_join,
         "q38_knn_ivf": q38_knn_ivf,
         "q50_knn_pq": q50_knn_pq,
+        "q51_stratified_sample": q51_stratified_sample,
+        "q52_corpus_curation": q52_corpus_curation,
         "q40_winnow_fingerprints": q40_winnow_fingerprints,
         "q42_range_join": q42_range_join,
         "q43_hash_sample": q43_hash_sample,
@@ -812,6 +912,8 @@ ORACLES.update(
         "q37_asof_join": O_Q37,
         "q38_knn_ivf": O_Q28,  # n_probe == n_cells → recall 1 → output == exact KNN
         "q50_knn_pq": O_Q28,  # shortlist covers true top-k → output == exact KNN
+        "q51_stratified_sample": O_Q51,
+        "q52_corpus_curation": O_Q52,
         "q40_winnow_fingerprints": O_Q40,
         "q42_range_join": O_Q42,
         "q43_hash_sample": O_Q43,

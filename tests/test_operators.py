@@ -318,3 +318,62 @@ def test_connected_components_vs_union_find(spark):
             for r in connected_components(df, "a", "b").collect()
         }
         assert got == expect, f"edges={edges}"
+
+
+def test_prefix_filter_recall_vs_naive_all_pairs(spark, docs):
+    """The PPJoin prefix filter must be recall-exact: compare
+    exact_jaccard_pairs against a brute-force all-pairs jaccard over
+    the same k-gram hash sets, at thresholds that stress the prefix
+    length arithmetic (incl. t*|s| landing on integers)."""
+    sub = docs.limit(120)
+    sh = D.kgram_hash_docs(sub, "text", "doc_id", 3)
+    full = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            D.jaccard(F.col("a.khs"), F.col("b.khs")).alias("j"),
+        )
+    )
+    for t in (0.5, 0.8, 0.9):
+        naive = {
+            (r.id_a, r.id_b)
+            for r in full.filter(F.col("j") >= t).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b)
+            for r in D.exact_jaccard_pairs(sub, "text", "doc_id", t).collect()
+        }
+        assert pref == naive, f"threshold {t}: prefix filter lost/invented pairs"
+
+
+def test_stratified_hash_sample(spark, docs):
+    from a2b_spark.operators.rangejoin import hash_sample, stratified_hash_sample
+
+    rates = {"en": 20, "es": 100}
+    out = stratified_hash_sample(docs, "doc_id", "lang", rates, salt="x")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    src = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # unlisted strata dropped entirely
+    assert set(counts) <= set(rates)
+    # 100% stratum kept in full
+    if "es" in src:
+        assert counts.get("es", 0) == src["es"]
+    # nested-rate property: the 20% en sample is a subset of the 50% one
+    s20 = {r.doc_id for r in out.filter(F.col("lang") == "en").select("doc_id").collect()}
+    s50 = {
+        r.doc_id
+        for r in stratified_hash_sample(docs, "doc_id", "lang", {"en": 50}, salt="x")
+        .select("doc_id")
+        .collect()
+    }
+    assert s20 <= s50
+    # per-stratum cut equals the flat hash_sample cut at the same rate
+    flat20 = {
+        r.doc_id
+        for r in hash_sample(docs.filter(F.col("lang") == "en"), "doc_id", 20, salt="x")
+        .select("doc_id")
+        .collect()
+    }
+    assert s20 == flat20
