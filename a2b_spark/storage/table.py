@@ -88,10 +88,26 @@ class VersionedParquetTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def read(self, spark: SparkSession) -> Optional[DataFrame]:
-        v = self.current_version()
+    def versions(self) -> list[str]:
+        """Retained version names, oldest → newest. Every committed
+        write is one entry until ``vacuum`` trims history — the
+        retention window bounds how far ``read(version=...)`` time
+        travel reaches (the same contract as Delta/Iceberg retention)."""
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
+
+    def read(self, spark: SparkSession, version: Optional[str] = None) -> Optional[DataFrame]:
+        """Read the live version, or a retained historical one (time
+        travel) when ``version`` names an entry of ``versions()``."""
+        v = version or self.current_version()
         if v is None:
             return None
+        if version is not None and not os.path.isdir(os.path.join(self.path, version)):
+            raise ValueError(
+                f"version {version!r} not retained at {self.path}; "
+                f"available: {self.versions()}"
+            )
         reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         schema_file = os.path.join(self.path, SCHEMA)
         if self.fmt != "parquet" and os.path.exists(schema_file):

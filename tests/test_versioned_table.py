@@ -95,3 +95,33 @@ def test_merge_new_partition_appears(spark, table):
     cur = table.read(spark)
     assert cur.filter("p = 'p9'").count() == 1
     assert cur.count() == 41
+
+
+def test_time_travel_reads_retained_versions(spark, table):
+    v1 = table.current_version()
+    table.merge(
+        spark.createDataFrame([(0, "p0", "CHANGED")], "id int, p string, v string")
+    )
+    v2 = table.current_version()
+    assert v1 != v2 and table.versions() == [v1, v2]
+    # historical read sees the pre-merge value, live read the new one
+    old = table.read(spark, version=v1)
+    assert old.filter("id = 0").first().v == "v0"
+    assert table.read(spark).filter("id = 0").first().v == "CHANGED"
+    with pytest.raises(ValueError, match="not retained"):
+        table.read(spark, version="v_does_not_exist")
+
+
+def test_vacuum_bounds_time_travel(spark, table):
+    for i in range(3):
+        table.merge(
+            spark.createDataFrame([(i, f"p{i % 4}", f"m{i}")], "id int, p string, v string")
+        )
+    all_versions = table.versions()
+    table.vacuum(keep=2)
+    kept = table.versions()
+    assert kept == all_versions[-2:]
+    # the live version survives vacuum and still reads
+    assert table.read(spark).count() == 40
+    with pytest.raises(ValueError):
+        table.read(spark, version=all_versions[0])
