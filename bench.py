@@ -58,10 +58,15 @@ def main() -> None:
     # shingle pass) can't occupy executor storage memory for the rest
     # of the run.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # one adaptive extra run when the min still looks like a spike:
+    # this box shows rare 3-5x outliers (GC/writeback bursts) that can
+    # hit BOTH timed runs of one query; a slow-looking min buys one
+    # more sample so a single noisy window can't misprice a query
+    retry_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "5"))
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        best = None
-        for _ in range(runs):
+
+        def timed_run() -> float:
             spark.catalog.clearCache()
             # time construction + execution: some operators run eager
             # planning actions (packability probes, broadcast collects)
@@ -69,8 +74,11 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            return time.perf_counter() - t0
+
+        best = min(timed_run() for _ in range(runs))
+        if best > retry_threshold:
+            best = min(best, timed_run())
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
     spark.catalog.clearCache()
