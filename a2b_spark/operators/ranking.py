@@ -131,3 +131,50 @@ def bm25_scores(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document mean token surprisal under the corpus' own unigram
+    LM — the classic cheap LM-quality signal for training-data
+    curation (gibberish and boilerplate both sit far from the corpus
+    mean; cf. CCNet's LM-perplexity filtering, which this approximates
+    with a unigram model computable as pure SQL).
+
+    p(w) = corpus_count(w) / corpus_tokens;
+    surprisal(doc) = Σ_w tf(doc,w) · (-ln p(w)) / len(doc).
+
+    Two word-count aggregations + one join against the vocabulary-
+    sized count table (broadcast when small, shuffle when a 100 TB
+    corpus makes it huge) — identical shuffle shape to tf-idf.
+
+    Cross-engine determinism: after the one ln() per vocabulary entry,
+    EVERYTHING is exact integer fixed-point. The per-token surprisal
+    becomes an integer in 1e-7 nats (decimal-scaled, never a float
+    multiply), the doc total is an integer SUM, and the mean is
+    half-up integer division ((2s+n) div 2n) — engines cannot disagree
+    on any rounding boundary the way double ROUND(x, 6) does (Spark
+    rounds the exact BigDecimal; DuckDB rounds via a float multiply —
+    measured 1e-6 flips on terminating means). Output:
+    (id, n_tokens, surprisal_e7 = mean surprisal in 1e-7 nats)."""
+    toks = _doc_tokens(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).first()[0]
+    i7 = (
+        F.round(-F.log(F.col("cnt").cast("double") / F.lit(float(total))), 7)
+        .cast("decimal(20,7)")
+        * 10_000_000
+    ).cast("long")
+    per_doc = (
+        tf.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf")).cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * i7).cast("long").alias("s7"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.expr("(2 * s7 + n_tokens) div (2 * n_tokens)").cast("long").alias("surprisal_e7"),
+    )

@@ -840,6 +840,36 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
 """
 
 
+# --------------------------------------------------------------- Q53
+def q53_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-quality signal: per-doc mean token surprisal under the
+    corpus' own unigram model (the SQL-computable core of
+    CCNet-style perplexity filtering)."""
+    from a2b_spark.operators.ranking import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(d, "text", "doc_id")
+
+
+O_Q53 = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+counts AS (SELECT token, SUM(tf) AS cnt FROM tf GROUP BY token),
+total AS (SELECT SUM(cnt) AS total FROM counts),
+i AS (
+  SELECT token,
+         CAST(CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / total.total), 7) AS DECIMAL(20,7))
+              * 10000000 AS BIGINT) AS i7
+  FROM counts CROSS JOIN total),
+per AS (
+  SELECT doc_id, SUM(tf) AS n_tokens, SUM(tf * i7) AS s7
+  FROM tf JOIN i USING (token) GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((2 * s7 + n_tokens) // (2 * n_tokens) AS BIGINT) AS surprisal_e7
+FROM per
+"""
+
+
 # --------------------------------------------------------------- Q49
 def q49_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KEEP/DROP step that closes the dedup loop: cluster near-dup
@@ -891,6 +921,7 @@ QUERIES.update(
         "q50_knn_pq": q50_knn_pq,
         "q51_stratified_sample": q51_stratified_sample,
         "q52_corpus_curation": q52_corpus_curation,
+        "q53_unigram_surprisal": q53_unigram_surprisal,
         "q40_winnow_fingerprints": q40_winnow_fingerprints,
         "q42_range_join": q42_range_join,
         "q43_hash_sample": q43_hash_sample,
@@ -914,6 +945,7 @@ ORACLES.update(
         "q50_knn_pq": O_Q28,  # shortlist covers true top-k → output == exact KNN
         "q51_stratified_sample": O_Q51,
         "q52_corpus_curation": O_Q52,
+        "q53_unigram_surprisal": O_Q53,
         "q40_winnow_fingerprints": O_Q40,
         "q42_range_join": O_Q42,
         "q43_hash_sample": O_Q43,

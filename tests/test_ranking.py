@@ -109,3 +109,29 @@ def test_knn_pq_matches_bruteforce(spark, sf_dir):
         for r in knn_bruteforce(q, e, "embedding", "vec_id", k=5).collect()
     }
     assert pq == bf
+
+
+def test_unigram_surprisal_uniform_corpus(spark):
+    from a2b_spark.operators.ranking import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a b b"), (2, "a b")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in unigram_surprisal(df, "text", "doc_id").collect()}
+    # p(a) = p(b) = 1/2 -> every token's surprisal is ln 2; the mean in
+    # 1e-7 nats is round(ln 2, 7) * 1e7 for both docs
+    expected = 6931472
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 2
+    assert out[1].surprisal_e7 == expected
+    assert out[2].surprisal_e7 == expected
+
+
+def test_unigram_surprisal_rare_token_scores_higher(spark):
+    from a2b_spark.operators.ranking import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common rare")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.surprisal_e7 for r in unigram_surprisal(df, "text", "doc_id").collect()}
+    assert out[2] > out[1]
