@@ -31,27 +31,8 @@ def word_tokens(col) -> Column:
     return F.split(col if isinstance(col, Column) else F.col(col), " ")
 
 
-def word_shingles(tokens: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles. Empty array when the document is
-    shorter than k tokens (guard against Spark's descending sequence())."""
-    idx = F.sequence(F.lit(1), F.size(tokens) - (k - 1))
-    shingled = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(tokens) >= k, F.array_distinct(shingled)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def token_count(col) -> Column:
     return F.size(word_tokens(col)).cast("long")
-
-
-def distinct_token_count(col) -> Column:
-    return F.size(F.array_distinct(word_tokens(col))).cast("long")
 
 
 def punct_count(col) -> Column:
@@ -91,16 +72,6 @@ def quality_features(col) -> dict[str, Column]:
         "stopword_ratio": stopword_count(col).cast("double") / n_words.cast("double"),
         "avg_word_len": (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"),
     }
-
-
-def lang_scores(col) -> Column:
-    """Marker-word hit count per language as a struct; argmax with a
-    fixed language order is the prediction."""
-    c = col if isinstance(col, Column) else F.col(col)
-    fields = []
-    for lang, markers in LANG_MARKERS.items():
-        fields.append(F.regexp_count(c, F.lit(_word_match_re(markers))).alias(lang))
-    return F.struct(*fields)
 
 
 def lang_id(col) -> Column:
