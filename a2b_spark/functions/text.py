@@ -50,7 +50,11 @@ def _word_match_re(words: list[str]) -> str:
     import re as _re
 
     alts = "|".join(_re.escape(w) for w in words)
-    return rf"(?<=^| )(?:{alts})(?= |$)"
+    # \z, not $: Java's $ (without MULTILINE) also matches BEFORE a
+    # trailing line terminator, so 'the\n' — a distinct token under
+    # space-splitting — would count as 'the' and diverge from the
+    # oracles' list_contains counting. \z is end-of-input only.
+    return rf"(?<=^| )(?:{alts})(?= |\z)"
 
 
 def stopword_count(col, stopwords: list[str] | None = None) -> Column:
@@ -136,11 +140,15 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, w: int = 4):
     with no special-casing: least() skips the nulls that pad shorter
     shifted arrays).
     """
-    toks = F.split(F.col(text_col), " ")
-
     def h(s: Column) -> Column:
         return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
+    # __toks materialized first: the k-gram lambda is interpreted per
+    # index with no CSE, so slicing split(text) directly would re-split
+    # the whole document per k-gram — O(L²) per doc (same staging as
+    # kgram_hash_docs)
+    toked = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     n = F.size(toks)
     kgrams = F.when(
         n >= k,
@@ -149,7 +157,7 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, w: int = 4):
             lambda i: h(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array(h(F.concat_ws(" ", toks))))
-    staged = df.select(F.col(id_col), kgrams.alias("__kg"))
+    staged = toked.select(F.col(id_col), kgrams.alias("__kg"))
     m = F.size(F.col("__kg"))
     L = F.greatest(m - (w - 1), F.lit(1))
     mins = F.slice(F.col("__kg"), 1, L)

@@ -84,8 +84,19 @@ def kgram_hash_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
     Entirely Catalyst (slice + concat_ws + xxhash64 per k-gram index):
     an earlier mapInPandas string-shingler was 2-3× slower than this
     even with vectorized Python, because the shingle *strings* had to
-    ride an Arrow batch back to the JVM; hashes never leave it."""
-    toks = F.split(F.col(text_col), " ")
+    ride an Arrow batch back to the JVM; hashes never leave it.
+
+    The token array is MATERIALIZED in its own projection before the
+    k-gram transform: HOF lambdas evaluate interpreted with no
+    common-subexpression elimination, so a lambda over
+    ``slice(split(text), i, k)`` re-splits the whole document once per
+    k-gram index — O(L²) per doc. ``__toks`` is referenced ≥3 times
+    and split() is not cheap, so CollapseProject keeps the boundary
+    and the lambda slices a bound array attribute instead."""
+    staged = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     kg = F.when(
         n >= k,
@@ -94,9 +105,7 @@ def kgram_hash_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return spread(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.array_distinct(kg).alias("khs")
-    )
+    return staged.select(F.col(id_col), F.array_distinct(kg).alias("khs"))
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -647,3 +656,29 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def dedup_drop_ids(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """The ids a near-dup dedup pass DROPS: minhash-LSH pairs →
+    connected components → everything except each cluster's minimum id
+    (the deterministic canonical survivor). One column, named
+    ``id_col`` — anti-join it against any frame keyed by the same id
+    (the raw corpus, or a derived/scored one)."""
+    from a2b_spark.operators.graph import connected_components
+
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold=threshold)
+    cc = connected_components(pairs, "id_a", "id_b")
+    dtype = df.schema[id_col].dataType
+    return cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").cast(dtype).alias(id_col)
+    )
+
+
+def dedup_apply(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """The keep/drop step that closes the dedup loop: ``df`` minus
+    every near-dup cluster member except the minimum-id survivor."""
+    return df.join(dedup_drop_ids(df, text_col, id_col, threshold), id_col, "left_anti")

@@ -52,6 +52,24 @@ def range_join(
     return joined.drop("__bin")
 
 
+def _bucket60(key_col: str, salt: str) -> Column:
+    """Salted 100-bucket assignment from the top 60 bits of md5 — the
+    engine's oracle-parity hash idiom, shared by every sampling
+    operator so their cuts are mutually consistent by construction."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
 def hash_sample(df: DataFrame, key_col: str, percent: int, salt: str = "") -> DataFrame:
     """Deterministic hash sampling: keep rows whose key hashes into the
     first ``percent`` of 100 buckets. Unlike ``df.sample`` this is
@@ -62,16 +80,7 @@ def hash_sample(df: DataFrame, key_col: str, percent: int, salt: str = "") -> Da
     salted to decorrelate independent samples."""
     if not (0 <= percent <= 100):
         raise ValueError("percent must be in [0, 100]")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return df.filter(h % 100 < percent)
+    return df.filter(_bucket60(key_col, salt) < percent)
 
 
 def stratified_hash_sample(
@@ -89,15 +98,6 @@ def stratified_hash_sample(
     One scan, no shuffle: the rate lookup is a literal CASE over the
     stratum column, and the hash-threshold filter pushes down to the
     scan like any other predicate."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
     rate = None
     for stratum, pct in sorted(rates.items()):
         if not (0 <= pct <= 100):
@@ -105,4 +105,4 @@ def stratified_hash_sample(
         cond = F.col(stratum_col) == stratum
         rate = F.when(cond, F.lit(pct)) if rate is None else rate.when(cond, F.lit(pct))
     rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
-    return df.filter(h % 100 < rate)
+    return df.filter(_bucket60(key_col, salt) < rate)

@@ -156,9 +156,19 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     rounds the exact BigDecimal; DuckDB rounds via a float multiply —
     measured 1e-6 flips on terminating means). Output:
     (id, n_tokens, surprisal_e7 = mean surprisal in 1e-7 nats)."""
+    from pyspark import StorageLevel
+
     toks = _doc_tokens(df, text_col, id_col)
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    # tf fans out (vocabulary counts + the per-doc aggregate) and the
+    # scalar `total` is a separate eager action — without persisting,
+    # the whole explode+count pipeline would run twice (exchange reuse
+    # does not span actions). Same _materialize discipline as dedup.
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     total = counts.agg(F.sum("cnt")).first()[0]
     i7 = (
         F.round(-F.log(F.col("cnt").cast("double") / F.lit(float(total))), 7)

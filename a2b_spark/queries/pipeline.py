@@ -516,8 +516,6 @@ def q52_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter composing all of it (lang == labeled 'en', quality bounds,
     dup-drop anti-join). Every stage is an operator this engine already
     oracle-checks in isolation; this query proves the composition."""
-    from a2b_spark.operators.graph import connected_components
-
     d = _t(spark, sf_dir, "documents")
     feats = TXT.quality_features(F.col("text"))
     scored = d.select(
@@ -528,13 +526,8 @@ def q52_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["n_words"].alias("n_words"),
         F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
     )
-    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
-    cc = connected_components(pairs, "id_a", "id_b")
-    drop = cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").cast("long").alias("doc_id")
-    )
     return (
-        scored.join(drop, "doc_id", "left_anti")
+        scored.join(D.dedup_drop_ids(d, "text", "doc_id", threshold=0.8), "doc_id", "left_anti")
         .filter(
             (F.col("pred_lang") == "en")
             & (F.col("n_words") >= 20)
@@ -876,15 +869,8 @@ def q49_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (q44's operator chain), keep each cluster's minimum doc_id as
     canonical, and anti-join the rest out of the corpus — the actual
     deduplicated training set, not just the pair/cluster report."""
-    from a2b_spark.operators.graph import connected_components
-
     d = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
-    cc = connected_components(pairs, "id_a", "id_b")
-    drop = cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").cast("long").alias("doc_id")
-    )
-    return d.join(drop, "doc_id", "left_anti").select("doc_id", "source")
+    return D.dedup_apply(d, "text", "doc_id", threshold=0.8).select("doc_id", "source")
 
 
 O_Q49 = """

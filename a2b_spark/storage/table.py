@@ -89,13 +89,21 @@ class VersionedParquetTable:
         return self.current_version() is not None
 
     def versions(self) -> list[str]:
-        """Retained version names, oldest → newest. Every committed
-        write is one entry until ``vacuum`` trims history — the
-        retention window bounds how far ``read(version=...)`` time
-        travel reaches (the same contract as Delta/Iceberg retention)."""
-        if not os.path.isdir(self.path):
+        """Retained COMMITTED version names, oldest → newest. Every
+        committed write is one entry until ``vacuum`` trims history —
+        the retention window bounds how far ``read(version=...)`` time
+        travel reaches (the same contract as Delta/Iceberg retention).
+
+        Only dirs ≤ the ``_CURRENT`` marker count: a writer mid-commit
+        (or one that crashed before the marker flip) leaves a
+        newer-named dir that is NOT readable history — listing it
+        would let time travel read a half-written version."""
+        cur = self.current_version()
+        if cur is None or not os.path.isdir(self.path):
             return []
-        return sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
+        return sorted(
+            d for d in os.listdir(self.path) if d.startswith("v_") and d <= cur
+        )
 
     def read(self, spark: SparkSession, version: Optional[str] = None) -> Optional[DataFrame]:
         """Read the live version, or a retained historical one (time
@@ -103,7 +111,7 @@ class VersionedParquetTable:
         v = version or self.current_version()
         if v is None:
             return None
-        if version is not None and not os.path.isdir(os.path.join(self.path, version)):
+        if version is not None and version not in self.versions():
             raise ValueError(
                 f"version {version!r} not retained at {self.path}; "
                 f"available: {self.versions()}"

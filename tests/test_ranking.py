@@ -71,8 +71,7 @@ def test_bm25_duplicate_query_terms_collapse(spark, corpus):
 
 
 def test_dedup_apply_keeps_cluster_minimum(spark):
-    from a2b_spark.operators.dedup import minhash_near_dup_pairs
-    from a2b_spark.operators.graph import connected_components
+    from a2b_spark.operators.dedup import dedup_apply
 
     base = "the quick brown fox jumps over the lazy dog again and again today"
     docs = spark.createDataFrame(
@@ -84,13 +83,9 @@ def test_dedup_apply_keeps_cluster_minimum(spark):
         ],
         "doc_id bigint, text string",
     )
-    pairs = minhash_near_dup_pairs(docs, "text", "doc_id", threshold=0.6)
-    cc = connected_components(pairs, "id_a", "id_b")
-    drop = cc.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
     kept = sorted(
-        r.doc_id for r in docs.join(drop, "doc_id", "left_anti").select("doc_id").collect()
+        r.doc_id
+        for r in dedup_apply(docs, "text", "doc_id", threshold=0.6).select("doc_id").collect()
     )
     assert kept == [10, 20]
 
