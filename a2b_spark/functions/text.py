@@ -106,6 +106,18 @@ def lang_id(col) -> Column:
     return F.when(c.rlike(r"[一-鿿]"), F.lit("zh")).otherwise(best)
 
 
+def normalize_text(col) -> Column:
+    """Canonical text normalization for dedup/training prep: lowercase,
+    collapse whitespace runs to one space, trim, strip control chars.
+    Pure codegen (two regexp_replace + lower + trim) — scan speed; the
+    same normalization fingerprint() applies before hashing, exposed
+    as a standalone column for pipelines that materialize the cleaned
+    text itself."""
+    c = col if isinstance(col, Column) else F.col(col)
+    c = F.regexp_replace(c, r"[\x00-\x1f]", " ")
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
 def fingerprint(col) -> Column:
     """Deterministic document fingerprint: md5 over the
     whitespace-normalized lowercase text (portable across engines)."""

@@ -833,6 +833,80 @@ SELECT doc_id, score, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20
 """
 
 
+# --------------------------------------------------------------- Q54
+def q54_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, whitespace collapse,
+    control-char strip) with before/after length accounting — the
+    standard cleaning step ahead of fingerprinting/dedup."""
+    d = _t(spark, sf_dir, "documents")
+    norm = TXT.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(norm).cast("long").alias("len_norm"),
+        F.substring(norm, 1, 40).alias("head"),
+    )
+
+
+O_Q54 = """
+WITH n AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(regexp_replace(text, '[\\x00-\\x1f]', ' ', 'g'),
+                                   '\\s+', ' ', 'g'))) AS norm
+  FROM documents)
+SELECT doc_id, CAST(length(text) AS BIGINT) AS len_raw,
+       CAST(length(norm) AS BIGINT) AS len_norm,
+       substring(norm, 1, 40) AS head
+FROM n
+"""
+
+
+# --------------------------------------------------------------- Q55
+def q55_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus 'datasheet' report: per (source, lang) doc counts,
+    token totals, and decimal-exact mean quality signals — the
+    aggregate view a curation run publishes alongside the data."""
+    d = _t(spark, sf_dir, "documents")
+    feats = TXT.quality_features(F.col("text"))
+    per_doc = d.select(
+        "source",
+        "lang",
+        feats["n_words"].alias("n_words"),
+        feats["n_chars"].alias("n_chars"),
+        # q53's fixed-point idiom: per-doc ratio rounded once to 1e-7,
+        # scaled to an exact integer; the group mean is half-up integer
+        # division — no decimal-division scale rules or double rounding
+        # for the engines to disagree on
+        (
+            F.round(feats["stopword_ratio"], 7).cast("decimal(20,7)") * 10_000_000
+        ).cast("long").alias("swr7"),
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr("(2 * sum(swr7) + count(1)) div (2 * count(1))")
+        .cast("long")
+        .alias("mean_stopword_ratio_e7"),
+    )
+
+
+O_Q55 = f"""
+WITH per AS (
+  SELECT source, lang,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(CAST(ROUND(CAST(len([w for w in ws if list_contains(['{_SW}'], w)]) AS DOUBLE)
+                         / len(ws), 7) AS DECIMAL(20,7)) * 10000000 AS BIGINT) AS swr7
+  FROM (SELECT source, lang, text, string_split(text, ' ') AS ws FROM documents))
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST((2 * SUM(swr7) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_stopword_ratio_e7
+FROM per GROUP BY source, lang
+"""
+
+
 # --------------------------------------------------------------- Q53
 def q53_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-quality signal: per-doc mean token surprisal under the
@@ -908,6 +982,8 @@ QUERIES.update(
         "q51_stratified_sample": q51_stratified_sample,
         "q52_corpus_curation": q52_corpus_curation,
         "q53_unigram_surprisal": q53_unigram_surprisal,
+        "q54_normalize_text": q54_normalize_text,
+        "q55_corpus_datasheet": q55_corpus_datasheet,
         "q40_winnow_fingerprints": q40_winnow_fingerprints,
         "q42_range_join": q42_range_join,
         "q43_hash_sample": q43_hash_sample,
@@ -932,6 +1008,8 @@ ORACLES.update(
         "q51_stratified_sample": O_Q51,
         "q52_corpus_curation": O_Q52,
         "q53_unigram_surprisal": O_Q53,
+        "q54_normalize_text": O_Q54,
+        "q55_corpus_datasheet": O_Q55,
         "q40_winnow_fingerprints": O_Q40,
         "q42_range_join": O_Q42,
         "q43_hash_sample": O_Q43,
