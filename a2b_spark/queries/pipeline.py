@@ -697,6 +697,43 @@ def q36_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.embedding_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.45)
 
 
+# --------------------------------------------------------------- Q56
+def q56_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster step on the EMBEDDING side: SRP-LSH near-dup pairs
+    (q36's operator, recall ≈ 1 at these parameters) → connected
+    components → (vec_id, cluster = min member). Same
+    large-star/small-star contraction as the text side (q44) — the
+    operator is modality-agnostic because it only ever sees the edge
+    list. Oracle: exact all-pairs cosine edges + recursive-CTE
+    transitive closure."""
+    from a2b_spark.operators.graph import connected_components
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_dup_pairs_lsh(e, "embedding", "vec_id", threshold=0.45)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+
+
+O_Q56 = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.vec, b.vec)
+              / (sqrt(list_inner_product(a.vec, a.vec)) * sqrt(list_inner_product(b.vec, b.vec))), 6) >= 0.45),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+SELECT a AS vec_id, CAST(MIN(b) AS BIGINT) AS cluster FROM reach GROUP BY a
+"""
+
+
 # --------------------------------------------------------------- Q44
 def q44_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING — the step between pair generation and the
@@ -984,6 +1021,7 @@ QUERIES.update(
         "q53_unigram_surprisal": q53_unigram_surprisal,
         "q54_normalize_text": q54_normalize_text,
         "q55_corpus_datasheet": q55_corpus_datasheet,
+        "q56_embedding_dup_clusters": q56_embedding_dup_clusters,
         "q40_winnow_fingerprints": q40_winnow_fingerprints,
         "q42_range_join": q42_range_join,
         "q43_hash_sample": q43_hash_sample,
@@ -1010,6 +1048,7 @@ ORACLES.update(
         "q53_unigram_surprisal": O_Q53,
         "q54_normalize_text": O_Q54,
         "q55_corpus_datasheet": O_Q55,
+        "q56_embedding_dup_clusters": O_Q56,
         "q40_winnow_fingerprints": O_Q40,
         "q42_range_join": O_Q42,
         "q43_hash_sample": O_Q43,
