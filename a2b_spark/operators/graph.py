@@ -3,14 +3,24 @@ needs between near-dup PAIR generation (minhash/simhash/embedding LSH)
 and actually dropping duplicates: pairs form clusters, and the keep
 decision is per-cluster (keep the minimum id), not per-pair.
 
-Algorithm: alternating large-star / small-star contraction
-(Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14). Each round is two groupBy-min shuffles over the edge list;
-convergence is O(log n) rounds even for path graphs — NOT the
-O(diameter) of naive label propagation. At 100 TB the edge list is the
-only shuffled payload (two longs per row), every round shrinks it
-toward star form, and `localCheckpoint` truncates the growing lineage
-so round N's plan doesn't replay rounds 1..N-1.
+Two execution paths, picked by edge-set size:
+
+- **Small graphs** (distinct edge count <= ``collect_threshold``,
+  default 2^20 ≈ 16 MB of id pairs): one BOUNDED ``limit(T+1)``
+  collect + driver union-find + broadcast join back. Near-dup pair
+  lists are tiny relative to their corpus (they're the output of an
+  LSH filter), so this is the common case even for large inputs, and
+  it replaces ~6 shuffles x O(log n) driver-synced rounds with two
+  jobs. The collect is capped at O(T) rows by construction — it can
+  never pull an unbounded edge list onto the driver.
+- **Large graphs**: alternating large-star / small-star contraction
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC'14). Each round is two groupBy-min shuffles over the edge list;
+  convergence is O(log n) rounds even for path graphs — NOT the
+  O(diameter) of naive label propagation. At 100 TB the edge list is
+  the only shuffled payload (two longs per row), every round shrinks
+  it toward star form, and `localCheckpoint` truncates the growing
+  lineage so round N's plan doesn't replay rounds 1..N-1.
 
 Determinism: both star operations are pure min-reductions — the result
 (each node mapped to its component's minimum id) is unique regardless
@@ -21,6 +31,34 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _driver_union_find(rows) -> dict:
+    """Union-find with path halving over a collected edge list; returns
+    {node: min id of its component} for every node in the edges."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    return {n: comp_min[r] for n, r in roots.items()}
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -63,6 +101,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
+    collect_threshold: int = 1 << 20,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component is the minimum node id reachable from it. Edges are
@@ -74,6 +113,13 @@ def connected_components(
     data). Raises if ``max_iter`` rounds don't converge, which for
     O(log n) convergence would take a graph of 2^25 ≈ 3e7 chained
     components — a config error, not a data regime.
+
+    Job budget: exactly ONE Spark job per round. The per-round
+    checkpoint is lazy (``eager=False``), so the convergence-signature
+    aggregate both materializes the checkpointed edge set (persisted,
+    lineage truncated) and fetches the O(1)-row signature in a single
+    action — an eager checkpoint plus a separate signature job would
+    double the driver-sync count on this latency-bound fixpoint loop.
     """
     # Materialize the input ONCE: edges usually arrive from an expensive
     # pair-generation pipeline (minhash/LSH), and both `nodes` and the
@@ -84,16 +130,48 @@ def connected_components(
         .union(raw.select(F.col("b").alias("n")))
         .distinct()
     )
+    # Lazy: the next action over `e` materializes this together with
+    # its own work — no standalone startup job for the initial edge set.
     e = (
         raw.filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # Small-graph fast path: the fixpoint loop costs ~6 shuffles x
+    # O(log n) rounds — pure scheduler latency when the (distinct,
+    # self-loop-free) edge set fits in one BOUNDED collect. limit(T+1)
+    # caps driver transfer at O(T) rows (two ids each, ~16 MB at the
+    # 2^20 default) regardless of input size; if more rows come back we
+    # fall through to the distributed loop having spent one bounded job
+    # (which also materialized e's checkpoint, so nothing is replayed).
+    # At 100 TB pair lists exceed T and always take the Kiveris path.
+    if collect_threshold:
+        head = e.limit(collect_threshold + 1).collect()
+        if len(head) <= collect_threshold:
+            comp = _driver_union_find([(r[0], r[1]) for r in head])
+            node_t = raw.schema["a"].dataType
+            comp_df = raw.sparkSession.createDataFrame(
+                list(comp.items()),
+                T.StructType(
+                    [
+                        T.StructField("n", node_t),
+                        T.StructField("component", node_t),
+                    ]
+                ),
+            )
+            return (
+                nodes.join(F.broadcast(comp_df), "n", "left")
+                .select(
+                    F.col("n").alias("node"),
+                    F.coalesce("component", "n").alias("component"),
+                )
+            )
     prev_sig = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # count + order-independent xor fingerprint (edges are distinct,
-        # so no self-cancelling duplicates; ANSI-safe, unlike sum)
+        # so no self-cancelling duplicates; ANSI-safe, unlike sum).
+        # This action materializes e2's checkpoint as a side effect.
         sig_row = e2.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("a", "b")).alias("h"),

@@ -313,11 +313,17 @@ def test_connected_components_vs_union_find(spark):
         expect = {n: find(n) for n in parent}
 
         df = spark.createDataFrame(edges, ["a", "b"])
-        got = {
-            r["node"]: r["component"]
-            for r in connected_components(df, "a", "b").collect()
-        }
-        assert got == expect, f"edges={edges}"
+        # both execution paths must agree with the reference:
+        # default = driver union-find fast path (edges under threshold),
+        # collect_threshold=0 = distributed Kiveris star loop
+        for thresh in (1 << 20, 0):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    df, "a", "b", collect_threshold=thresh
+                ).collect()
+            }
+            assert got == expect, f"edges={edges} thresh={thresh}"
 
 
 def test_prefix_filter_recall_vs_naive_all_pairs(spark, docs):
