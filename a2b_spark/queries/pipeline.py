@@ -363,6 +363,58 @@ FROM b GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------- Q57
+def q57_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows via the native ``F.session_window``
+    operator (a2b_spark.streaming.windows.session_agg — the same
+    expression drives streaming with a watermark): sessions close after
+    30 min of per-user silence; one row per (user, session) with event
+    count and exact value sum. Oracle = gaps-and-islands SQL; Spark's
+    session end is last-event-time + gap. Scale: one shuffle on
+    user_id, session merging inside the aggregation — no window
+    function over a global sort."""
+    from a2b_spark.queries.relational import _events
+    from a2b_spark.streaming.windows import session_agg
+
+    e = _events(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
+    out = session_agg(
+        e,
+        "ts2",
+        "30 minutes",
+        ["user_id"],
+        {"n": F.count(F.lit(1)).cast("long"), "sum_v": dsum("value", "sum_v")},
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n",
+        "sum_v",
+    )
+
+
+O_Q57 = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+FROM s GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------- Q34
 def q34_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing over real Spark machinery: documents'
@@ -1027,6 +1079,7 @@ QUERIES.update(
         "q43_hash_sample": q43_hash_sample,
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
+        "q57_session_window": q57_session_window,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1054,6 +1107,7 @@ ORACLES.update(
         "q43_hash_sample": O_Q43,
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
+        "q57_session_window": O_Q57,
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }
