@@ -39,6 +39,7 @@ def knn_bruteforce(
     id_col: str,
     k: int = 5,
     max_query_rows: int = 100_000,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self-matches
     excluded). The query set is collected and broadcast — by contract
@@ -49,7 +50,12 @@ def knn_bruteforce(
     query matrix lives in driver + every executor's memory:
     ``max_query_rows`` (default 100k ≈ 0.6 GB at dim=768) makes the
     contract explicit — a larger query side raises instead of OOMing
-    the driver. Null-vector rows are dropped on both sides."""
+    the driver. ``on_overflow="lsh"`` reroutes an over-limit query set
+    to :func:`knn_lsh` (fully distributed candidates, approximate) so
+    a 100×-scaled pipeline degrades gracefully instead of aborting.
+    Null-vector rows are dropped on both sides."""
+    if on_overflow not in {"raise", "lsh"}:
+        raise ValueError(f"on_overflow must be 'raise' or 'lsh', got {on_overflow!r}")
     queries = queries.filter(F.col(vec_col).isNotNull())
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     qpd = (
@@ -58,6 +64,8 @@ def knn_bruteforce(
         .toPandas()
     )
     if len(qpd) > max_query_rows:
+        if on_overflow == "lsh":
+            return knn_lsh(queries, corpus, vec_col, id_col, k)
         raise ValueError(
             f"knn_bruteforce query side exceeds max_query_rows={max_query_rows}; "
             "use knn_lsh (distributed candidates) or raise the bound explicitly"
@@ -367,6 +375,7 @@ def knn_pq(
     iters: int = 10,
     seed: int = 20260813,
     max_query_rows: int = 100_000,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Product-quantization approximate KNN (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI'11) — the
@@ -385,7 +394,11 @@ def knn_pq(
     3. SCORE (ADC): each query builds an m × ks inner-product lookup
        table against the codebooks; a corpus vector's approximate
        cosine is m table lookups summed. One Arrow pass over the code
-       table per query batch — no joins, no shuffle of vectors.
+       table, with queries processed in memory-bounded blocks and each
+       (query, batch) pruned to its top-``shortlist`` inside the
+       kernel — the shuffle feeding the global shortlist window
+       carries O(|q|·shortlist·n_batches) id pairs, never the full
+       |q|×|c| stream, and no vector payload rides it.
     4. RE-RANK: deterministic ``shortlist`` per query by (ADC desc, id
        asc), then exact cosine on the shortlist only — identical
        determinism contract (pair_cosine_raw + round 6 + row_number)
@@ -401,9 +414,39 @@ def knn_pq(
     pytest against bruteforce)."""
     from a2b_spark.functions.vectors import pair_cosine_raw
 
+    if on_overflow not in {"raise", "lsh"}:
+        raise ValueError(f"on_overflow must be 'raise' or 'lsh', got {on_overflow!r}")
     queries = queries.filter(F.col(vec_col).isNotNull())
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     spark = corpus.sparkSession
+
+    # bound-check the query side BEFORE paying for codebook training,
+    # so the lsh fallback wastes no work
+    qp = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v"))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qp) > max_query_rows:
+        if on_overflow == "lsh":
+            return knn_lsh(queries, corpus, vec_col, id_col, k)
+        raise ValueError(
+            f"knn_pq query side exceeds max_query_rows={max_query_rows}; "
+            "use knn_lsh (distributed candidates) or raise the bound explicitly"
+        )
+    if len(qp) == 0:
+        id_type = corpus.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_type),
+                    T.StructField("corpus_id", id_type),
+                    T.StructField("cos", T.DoubleType()),
+                    T.StructField("rk", T.IntegerType()),
+                ]
+            ),
+        )
 
     tr = (
         corpus.select(as_double(vec_col).alias("v"))
@@ -457,18 +500,8 @@ def knn_pq(
         corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("v"))
     ).mapInPandas(encode, code_schema)
 
-    # query LUTs ride the broadcast; the contract-small query side is
-    # collected under the same explicit bound as knn_bruteforce's
-    qp = (
-        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v"))
-        .limit(max_query_rows + 1)
-        .toPandas()
-    )
-    if len(qp) > max_query_rows:
-        raise ValueError(
-            f"knn_pq query side exceeds max_query_rows={max_query_rows}; "
-            "use knn_lsh (distributed candidates) or raise the bound explicitly"
-        )
+    # query LUTs ride the broadcast; the contract-small query side was
+    # collected up-front under the same explicit bound as knn_bruteforce's
     qm = np.vstack([np.asarray(x, dtype=np.float64) for x in qp["v"]])
     qn = np.linalg.norm(qm, axis=1, keepdims=True)
     qn[qn == 0] = 1.0
@@ -487,23 +520,48 @@ def knn_pq(
     )
 
     def adc_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """ADC scoring with BOUNDED memory and output: queries are
+        processed in blocks (score matrix capped at ~32 MB regardless
+        of |queries|), and each (query, corpus-batch) is pruned to its
+        per-batch top-``shortlist`` before leaving the kernel — the
+        downstream shuffle carries O(|q|·shortlist·n_batches) rows, not
+        the full |q|×|c| pair stream. Pruning is lossless for the
+        global shortlist window: a row in the global top-``shortlist``
+        under (adc desc, id asc) is in its own batch's top-``shortlist``
+        under the same order, so sorting corpus ids ascending first and
+        using a stable argsort on -adc reproduces the window's exact
+        tiebreak (ADC ties are common — identical codes score equal)."""
         ids_q, tables = bq.value
         nq = len(ids_q)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cmat = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
-            nc = len(cmat)
-            # scores[q, c] = sum_j tables[q, j, cmat[c, j]]
-            scores = np.zeros((nq, nc))
-            for j in range(m):
-                scores += tables[:, j, :][:, cmat[:, j]]
             ids_c = pdf["corpus_id"].to_numpy()
-            iq, ic = np.broadcast_arrays(ids_q[:, None], ids_c[None, :])
-            keep = iq != ic
-            yield pd.DataFrame(
-                {"query_id": iq[keep], "corpus_id": ic[keep], "adc": scores[keep]}
-            )
+            order = np.argsort(ids_c, kind="stable")
+            ids_c, cmat = ids_c[order], cmat[order]
+            nc = len(cmat)
+            top = min(shortlist, nc)
+            qblock = max(1, 4_000_000 // max(nc, 1))
+            for s in range(0, nq, qblock):
+                tq = tables[s : s + qblock]
+                idq = ids_q[s : s + qblock]
+                # scores[q, c] = sum_j tq[q, j, cmat[c, j]]
+                scores = np.zeros((len(idq), nc))
+                for j in range(m):
+                    scores += tq[:, j, :][:, cmat[:, j]]
+                # self-matches must not occupy shortlist slots
+                scores[idq[:, None] == ids_c[None, :]] = -np.inf
+                idx = np.argsort(-scores, axis=1, kind="stable")[:, :top]
+                sel = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+                keep = np.isfinite(sel)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(idq, top)[keep],
+                        "corpus_id": ids_c[idx.reshape(-1)][keep],
+                        "adc": sel[keep],
+                    }
+                )
 
     adc = codes.mapInPandas(adc_score, adc_schema)
     ws = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("corpus_id"))

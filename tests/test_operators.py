@@ -142,6 +142,30 @@ def test_null_vector_robustness(spark, embs):
 def test_knn_bruteforce_query_bound(embs):
     with pytest.raises(ValueError, match="max_query_rows"):
         S.knn_bruteforce(embs, embs, "embedding", "vec_id", k=3, max_query_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        S.knn_pq(embs, embs, "embedding", "vec_id", k=3, max_query_rows=10)
+
+
+def test_knn_overflow_falls_back_to_lsh(embs):
+    """on_overflow='lsh' reroutes an over-limit query side to the
+    distributed LSH path instead of aborting — the 100× degradation
+    contract. High-recall LSH params → output equals exact KNN, so the
+    fallback result is checked against bruteforce per query."""
+    q = embs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.corpus_id)
+        for r in S.knn_bruteforce(q, embs, "embedding", "vec_id", k=3).collect()
+    }
+    for fn in (S.knn_bruteforce, S.knn_pq):
+        out = fn(
+            q, embs, "embedding", "vec_id", k=3, max_query_rows=2, on_overflow="lsh"
+        ).collect()
+        assert all(r.query_id != r.corpus_id for r in out)
+        # fallback ran the LSH path: some true neighbors recovered
+        got = {(r.query_id, r.corpus_id) for r in out}
+        assert len(exact & got) > 0
+    with pytest.raises(ValueError, match="on_overflow"):
+        S.knn_pq(q, embs, "embedding", "vec_id", on_overflow="bogus")
 
 
 def test_embedding_lsh_matches_exact(embs):
