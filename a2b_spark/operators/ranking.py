@@ -88,12 +88,31 @@ def bm25_scores(
     + one broadcast-sized join against the per-term idf table — the
     query side is a literal list, so the per-doc work is a scan.
     """
-    n_docs = df.count()
     toks = _doc_tokens(df, text_col, id_col)
     doclen = df.select(
         F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("double").alias("dl")
     )
-    avgdl = doclen.agg(F.avg("dl")).first()[0]
+    # ONE scalar action for both corpus constants (n_docs + avgdl) —
+    # two separate jobs would each rescan the doc table
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if not n_docs or avgdl is None:
+        # empty corpus / all-null texts: no length norm exists — empty
+        # top-k frame rather than a float(None) crash
+        from pyspark.sql import types as T
+
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, df.schema[id_col].dataType),
+                    T.StructField("score", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
     qt = [t for t in dict.fromkeys(query_terms)]  # dedup, keep order
     tf = (
         toks.filter(F.col("token").isin(qt))
@@ -155,7 +174,15 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     on any rounding boundary the way double ROUND(x, 6) does (Spark
     rounds the exact BigDecimal; DuckDB rounds via a float multiply —
     measured 1e-6 flips on terminating means). Output:
-    (id, n_tokens, surprisal_e7 = mean surprisal in 1e-7 nats)."""
+    (id, n_tokens, surprisal_e7 = mean surprisal in 1e-7 nats).
+
+    Caching contract (same as the dedup operators): the token-count
+    intermediates stay persisted (MEMORY_AND_DISK, spillable) so the
+    returned DataFrame's actions don't replay the explode+count
+    pipeline. Library callers that run many corpora in one session
+    should ``spark.catalog.clearCache()`` between calls — there is no
+    safe point inside the operator to unpersist, because the caller
+    decides when (and how often) the result is materialized."""
     from pyspark import StorageLevel
 
     toks = _doc_tokens(df, text_col, id_col)

@@ -265,11 +265,26 @@ class VersionedParquetTable:
 
     # ------------------------------------------------------------ vacuum
     def vacuum(self, keep: int | None = None) -> None:
+        """Trim committed history to the newest ``keep`` versions.
+
+        Counts only COMMITTED versions (the same ``d <= _CURRENT`` rule
+        as :meth:`versions`): a crashed/mid-commit writer's orphan dir
+        (newer than the marker) must not occupy a retention slot —
+        otherwise it would silently push committed time-travel history,
+        or at keep=1 the live version itself, out of the window. Orphan
+        dirs newer than ``_CURRENT`` are deleted unconditionally; the
+        live version is always preserved."""
         keep = self.retention if keep is None else keep
         if not os.path.isdir(self.path):
             return
-        versions = sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
-        for d in versions[:-keep] if keep else versions:
+        cur = self.current_version()
+        all_dirs = sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
+        committed = [d for d in all_dirs if cur is not None and d <= cur]
+        orphans = [d for d in all_dirs if d not in committed]
+        doomed = committed[:-keep] if keep else committed
+        for d in doomed + orphans:
+            if d == cur:
+                continue
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 

@@ -37,6 +37,18 @@ def test_tfidf_rare_term_wins(spark, corpus):
     assert top[4][1] == pytest.approx(round(3 * math.log(4.0), 6))
 
 
+def test_bm25_empty_and_all_null_corpus(spark):
+    """Empty corpus / all-null texts have no avgdl — must return an
+    empty top-k frame, not crash on float(None)."""
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_scores(empty, "text", "doc_id", ["alpha"]).collect()
+    assert out == []
+    nulls = spark.createDataFrame([(1, None), (2, None)], "doc_id bigint, text string")
+    out = bm25_scores(nulls, "text", "doc_id", ["alpha"])
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "score", "rank"]
+
+
 def test_tfidf_idf_zero_for_universal_terms(spark, corpus):
     out = tfidf_top_terms(corpus, "text", "doc_id", top_k=4).collect()
     # "common" appears in every doc -> idf = ln(1) = 0 -> score 0

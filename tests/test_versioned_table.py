@@ -125,3 +125,23 @@ def test_vacuum_bounds_time_travel(spark, table):
     assert table.read(spark).count() == 40
     with pytest.raises(ValueError):
         table.read(spark, version=all_versions[0])
+
+
+def test_vacuum_ignores_orphan_dirs(spark, table):
+    """A crashed writer's orphan dir (newer than _CURRENT, never
+    committed) must not occupy a retention slot: with keep=1 vacuum
+    must keep the LIVE version, not count the orphan toward `keep` and
+    delete committed history. Orphans themselves are swept."""
+    table.merge(
+        spark.createDataFrame([(0, "p0", "CHANGED")], "id int, p string, v string")
+    )
+    live = table.current_version()
+    # simulate a mid-commit crash: a version dir newer than _CURRENT
+    orphan = os.path.join(table.path, "v_99999999999999_zz")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-half-written.parquet"), "w") as f:
+        f.write("garbage")
+    table.vacuum(keep=1)
+    assert table.versions() == [live]
+    assert not os.path.isdir(orphan), "orphan dir must be swept"
+    assert table.read(spark).count() == 40
