@@ -30,22 +30,58 @@ def range_join(
     start_col: str,
     end_col: str,
     equi_keys: Sequence[str] = (),
-    bin_width: int = 3_600_000_000,
+    bin_width: int | str = 3_600_000_000,
+    max_bins_per_interval: int = 65_536,
 ) -> DataFrame:
     """Inner join of each point row to every interval row with
     ``start <= point <= end`` (and equal ``equi_keys``). Columns of both
     inputs are preserved; name collisions outside ``equi_keys`` are the
     caller's to resolve. ``bin_width`` is in the units of the point
-    column (default: 1h in microseconds)."""
+    column (default: 1h in microseconds), or ``"auto"`` to derive it
+    from the p95 interval length (one cheap aggregate) so replication
+    stays ~2 without manual tuning.
+
+    Blowup guard: the explode replicates each interval by
+    span/bin_width rows, so one pathological interval (an open-ended
+    sentinel date, a mis-unit timestamp) against a small width could
+    emit millions of rows. Any interval spanning more than
+    ``max_bins_per_interval`` bins raises at execution time (JVM-side
+    ``raise_error``, no extra pass) naming the offending span — the
+    caller either fixes the data or explicitly raises the cap."""
     equi = list(equi_keys)
+    if bin_width == "auto":
+        # p95 interval length: wide enough that ≥95% of intervals
+        # replicate ≤2×, robust to sentinel outliers (unlike max)
+        w = intervals.agg(
+            F.percentile_approx(
+                F.col(end_col) - F.col(start_col), 0.95
+            ).alias("w")
+        ).first()["w"]
+        bin_width = max(int(w or 1), 1)
 
     def b(c: str) -> Column:
         # floor division (floor, not truncation, so negative domains
         # bin consistently); double intermediate is exact below 2^53
         return F.floor(F.col(c) / F.lit(bin_width)).cast("long")
 
+    n_bins = b(end_col) - b(start_col) + 1
+    seq = F.when(
+        n_bins > F.lit(max_bins_per_interval),
+        F.raise_error(
+            F.format_string(
+                "range_join: interval [%s, %s] spans %s bins at bin_width="
+                + str(bin_width)
+                + " (max_bins_per_interval="
+                + str(max_bins_per_interval)
+                + "); fix the data, widen bin_width, or raise the cap",
+                F.col(start_col).cast("string"),
+                F.col(end_col).cast("string"),
+                n_bins.cast("string"),
+            )
+        ).cast("array<bigint>"),
+    ).otherwise(F.sequence(b(start_col), b(end_col)))
     p = points.withColumn("__bin", b(point_col))
-    i = intervals.withColumn("__bin", F.explode(F.sequence(b(start_col), b(end_col))))
+    i = intervals.withColumn("__bin", F.explode(seq))
     joined = p.join(i, equi + ["__bin"]).filter(
         (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) <= F.col(end_col))
     )

@@ -293,6 +293,37 @@ def test_range_join_matches_naive_predicate(spark):
         for r in range_join(pts, ivs, "t", "s", "e", equi_keys=["k"], bin_width=100).collect()
     }
     assert naive == binned and naive  # non-trivial match set
+    # auto bin width (p95 interval length) must give identical results
+    auto = {
+        (r.pid, r.iid)
+        for r in range_join(pts, ivs, "t", "s", "e", equi_keys=["k"], bin_width="auto").collect()
+    }
+    assert auto == naive
+
+
+def test_range_join_span_guard(spark):
+    """A pathological interval (sentinel end date vs tiny bin width)
+    must raise with a clear message instead of exploding into millions
+    of rows; intervals under the cap join normally."""
+    from a2b_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 5)], "pid int, t long")
+    ivs = spark.createDataFrame(
+        [(10, 0, 9), (11, 0, 10_000_000)], "iid int, s long, e long"
+    )
+    bad = range_join(pts, ivs, "t", "s", "e", bin_width=1, max_bins_per_interval=1000)
+    with pytest.raises(Exception, match="range_join: interval"):
+        bad.collect()
+    ok = range_join(
+        pts,
+        ivs.filter("iid = 10"),
+        "t",
+        "s",
+        "e",
+        bin_width=1,
+        max_bins_per_interval=1000,
+    )
+    assert [(r.pid, r.iid) for r in ok.collect()] == [(1, 10)]
 
 
 def test_hash_sample_stable_and_bounded(spark, docs):
