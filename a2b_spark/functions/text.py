@@ -125,6 +125,103 @@ def fingerprint(col) -> Column:
     return F.md5(norm)
 
 
+# PII patterns: kept to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB) — character classes, bounded repeats,
+# \b word boundaries; no backrefs or lookarounds.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\+?\d[\d\-() ]{7,}\d\b", "[PHONE]"),
+]
+
+
+def redact_pii(col) -> Column:
+    """Rule-based PII redaction (emails → [EMAIL], IPv4 → [IP],
+    phone-shaped digit runs → [PHONE]) — the standard pre-training
+    scrub pass (cf. C4/Dolma pipeline rules). Pure codegen: three
+    chained regexp_replace, scan speed at 100 TB; patterns are
+    dialect-portable so the DuckDB oracle applies the identical rules.
+    Order matters (emails before phones, so digits inside an address
+    are already consumed); extend PII_PATTERNS for more rules."""
+    c = col if isinstance(col, Column) else F.col(col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the Dolma/RedPajama filter set): documents dominated by repeated
+    fragments are low-quality training text.
+
+    Returns (id, n_words, dup_word_ratio, top_bigram,
+    top_bigram_char_ratio):
+    - dup_word_ratio: fraction of word occurrences that are repeats
+      (1 - distinct/total);
+    - top_bigram_char_ratio: chars covered by ALL occurrences of the
+      most frequent word bigram / total chars (ties: lexicographically
+      first bigram — deterministic across engines).
+
+    Scale shape: bigram counting is explode → groupBy(doc, bigram) →
+    per-doc top-1 window — the word-count shape with map-side partial
+    aggregation; the per-doc scalars ride a broadcast-or-shuffle join
+    keyed by doc id. The token array is staged behind a projection
+    boundary (same O(L²) re-split hazard as winnow_fingerprints)."""
+    from pyspark.sql import Window as W
+
+    toked = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("__toks"),
+        F.length(F.col(text_col)).cast("long").alias("__nc"),
+    )
+    t = F.col("__toks")
+    nw = F.size(t)
+    base = toked.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        (
+            (nw - F.size(F.array_distinct(t))).cast("double")
+            / nw.cast("double")
+        ).alias("dup_word_ratio"),
+        F.col("__nc"),
+        F.when(
+            nw >= 2,
+            F.transform(
+                F.sequence(F.lit(1), nw - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bgs"),
+    )
+    counts = (
+        base.select(F.col(id_col), F.explode("__bgs").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("n"), F.asc("bg"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("bg").alias("top_bigram"), F.col("n").alias("__tn"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_words",
+            "dup_word_ratio",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            (
+                F.coalesce(
+                    F.col("__tn") * F.length("top_bigram"), F.lit(0)
+                ).cast("double")
+                / F.col("__nc").cast("double")
+            ).alias("top_bigram_char_ratio"),
+        )
+    )
+
+
 def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, w: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): hash every word k-gram (rolling-window content hash),

@@ -682,3 +682,51 @@ def dedup_apply(
     """The keep/drop step that closes the dedup loop: ``df`` minus
     every near-dup cluster member except the minimum-id survivor."""
     return df.join(dedup_drop_ids(df, text_col, id_col, threshold), id_col, "left_anti")
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: flag every corpus document sharing at
+    least one word ``n``-gram with a benchmark/eval document — the
+    GPT-3/PaLM 13-gram overlap rule (exact n-gram membership, not
+    similarity). Returns (id_col, n_shared_ngrams) for contaminated
+    docs only; anti-join the rest of the pipeline against it.
+
+    Scale shape: both sides reduce to DISTINCT (doc, md5(ngram)) rows —
+    the n-gram string never rides the shuffle, only its 32-hex digest.
+    The join is equi on the digest; the benchmark side is tiny by
+    definition (an eval set), so AQE broadcasts it and the corpus side
+    never shuffles. Token arrays are staged behind a projection
+    boundary (the O(L²) re-split hazard). Docs shorter than ``n``
+    words contribute their whole text as one gram — a short eval doc
+    still decontaminates its exact copies."""
+
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias(out), F.split(F.col(text_col), " ").alias("__toks")
+        )
+        t = F.col("__toks")
+        sz = F.size(t)
+        g = F.when(
+            sz >= n,
+            F.transform(
+                F.sequence(F.lit(1), sz - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+        return toked.select(
+            out, F.explode(F.array_distinct(g)).alias("__g")
+        ).select(out, F.md5("__g").alias("gh"))
+
+    c = grams(corpus, id_col)
+    b = grams(benchmark, "__bench_id").select("gh").distinct()
+    return (
+        c.join(b, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )

@@ -25,6 +25,12 @@ for mod in (relational, pipeline):
 # that were driver-green in rounds 1, 2 AND 3 (each also stays covered
 # by pytest + tools/check_oracle.py every round).
 _PRIORITIZED = [
+    # never driver-checked yet (new this round) — first in line
+    "q57_session_window",
+    "q58_repetition_stats",
+    "q59_decontaminate",
+    "q60_pii_redact",
+    # fell out of the round-3 driver file
     "q32_tumbling_window",
     "q33_sliding_window",
     "q34_media_decode",
@@ -32,14 +38,18 @@ _PRIORITIZED = [
     "q42_range_join",
     "q43_hash_sample",
 ]
+# all driver-green in rounds 1 AND 2 AND 3 (see CORRECTNESS_r0*.json)
 _DEPRIORITIZED = [
     "q02_filter_project",
+    "q05_top_customers_per_nation",
     "q07_customers_without_orders",
     "q08_customers_with_orders",
+    "q10_orphan_diff",
+    "q11_idmap_lookup",
     "q12_point_lookup",
+    "q13_event_gaps",
     "q15_events_json",
     "q16_set_ops",
-    "q19_pivot_status_by_priority",
 ]
 
 

@@ -1057,6 +1057,97 @@ SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT a FROM dropped)
 """
 
 
+# --------------------------------------------------------------- Q58
+def q58_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/Dolma repetition quality filters: per-doc duplicate-word
+    ratio and top-bigram character coverage (functions.text
+    .repetition_stats) — the signals that catch boilerplate/spam docs
+    a perplexity filter misses."""
+    d = _t(spark, sf_dir, "documents")
+    return TXT.repetition_stats(d, "text", "doc_id")
+
+
+O_Q58 = """
+WITH t AS (
+  SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS ws
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest([ws[i+1]||' '||ws[i+2]
+                         for i in range(0, greatest(len(ws)-1, 0))]) AS bg
+  FROM t),
+cnt AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, bg, n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, bg ASC) AS rn
+    FROM cnt) WHERE rn = 1)
+SELECT t.doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_ratio,
+       COALESCE(top.bg, '') AS top_bigram,
+       CAST(COALESCE(top.n * length(top.bg), 0) AS DOUBLE) / nc AS top_bigram_char_ratio
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+"""
+
+
+# --------------------------------------------------------------- Q59
+def q59_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (GPT-3 n-gram overlap rule): hold out
+    a deterministic 20% hash sample as the 'benchmark', flag every
+    remaining doc sharing a 5-gram with it (planted near-dups leak
+    across the cut, so the overlap set is non-trivial at sf0.01 —
+    larger n-grams find zero overlaps in this short-doc synthetic
+    corpus; production would use the GPT-3 13-gram). Composes the
+    engine's own sampling + decontamination operators."""
+    from a2b_spark.operators.dedup import ngram_decontaminate
+    from a2b_spark.operators.rangejoin import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = hash_sample(d, "doc_id", percent=20, salt="decon")
+    rest = d.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return ngram_decontaminate(rest, bench, "text", "doc_id", n=5)
+
+
+O_Q59 = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(('0x' || substring(md5('decon' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20 AS is_bench
+  FROM documents),
+g AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(CASE WHEN len(ws) >= 5
+           THEN [list_aggregate(ws[i+1:i+5], 'string_agg', ' ') for i in range(0, len(ws)-4)]
+           ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS ng
+  FROM d),
+b AS (SELECT DISTINCT ng FROM g WHERE is_bench)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+FROM g JOIN b USING (ng)
+WHERE NOT is_bench
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------- Q60
+def q60_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails/IPv4/phones → typed placeholders) —
+    functions.text.redact_pii, pure codegen. The synthetic corpus is
+    PII-free so this verifies the pass-through side cross-engine;
+    planted-PII behavior is pytest-verified (test_operators)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.redact_pii(F.col("text")).alias("clean_text"))
+
+
+O_Q60 = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+    '\b\+?\d[\d\-() ]{7,}\d\b', '[PHONE]', 'g') AS clean_text
+FROM documents
+"""
+
+
 QUERIES.update(
     {
         "q44_dup_clusters": q44_dup_clusters,
@@ -1080,6 +1171,9 @@ QUERIES.update(
         "q32_tumbling_window": q32_tumbling_window,
         "q33_sliding_window": q33_sliding_window,
         "q57_session_window": q57_session_window,
+        "q58_repetition_stats": q58_repetition_stats,
+        "q59_decontaminate": q59_decontaminate,
+        "q60_pii_redact": q60_pii_redact,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1108,6 +1202,9 @@ ORACLES.update(
         "q32_tumbling_window": O_Q32,
         "q33_sliding_window": O_Q33,
         "q57_session_window": O_Q57,
+        "q58_repetition_stats": O_Q58,
+        "q59_decontaminate": O_Q59,
+        "q60_pii_redact": O_Q60,
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }

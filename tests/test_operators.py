@@ -438,3 +438,80 @@ def test_stratified_hash_sample(spark, docs):
         .collect()
     }
     assert s20 == flat20
+
+
+def test_repetition_stats_hand_checked(spark):
+    from a2b_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    r1 = out[1]
+    assert r1.n_words == 6
+    assert r1.dup_word_ratio == pytest.approx(4 / 6)
+    # bigrams: "a b" x3, "b a" x2 -> top "a b", 3*len("a b")=9 chars of 11
+    assert r1.top_bigram == "a b"
+    assert r1.top_bigram_char_ratio == pytest.approx(9 / 11)
+    r2 = out[2]
+    assert r2.n_words == 1 and r2.dup_word_ratio == 0.0
+    assert r2.top_bigram == "" and r2.top_bigram_char_ratio == 0.0
+
+
+def test_ngram_decontaminate_exact_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),   # shares the 5-gram w2..w6 with bench
+            (2, "zz yy xx ww vv"),       # no overlap
+            (3, "s1 s2"),                # short doc, exact copy in bench
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "w2 w3 w4 w5 w6 qq"), (101, "s1 s2")], "doc_id bigint, text string"
+    )
+    out = {
+        r.doc_id: r.n_shared_ngrams
+        for r in D.ngram_decontaminate(corpus, bench, "text", "doc_id", n=5).collect()
+    }
+    assert out == {1: 1, 3: 1}
+
+
+def test_redact_pii_planted_and_engine_parity(spark):
+    """Planted PII must be redacted, and the Spark pass must agree
+    byte-for-byte with the DuckDB oracle expression on PII-bearing
+    text (the wired q60 corpus is PII-free, so parity on actual
+    redactions is proven here)."""
+    import duckdb
+
+    from a2b_spark.functions.text import redact_pii
+
+    texts = [
+        "mail bob.smith+x@ex-ample.co.uk today",
+        "server at 192.168.0.1 port 80",
+        "call +1 (555) 123-4567 now",
+        "plain text with no pii at all",
+        "a@b.io and 10.0.0.255 and 555-867-5309",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, t string"
+    )
+    got = {r.id: r.c for r in df.select("id", redact_pii(F.col("t")).alias("c")).collect()}
+    assert "[EMAIL]" in got[0] and "bob" not in got[0]
+    assert "[IP]" in got[1] and "192" not in got[1]
+    assert "[PHONE]" in got[2] and "555" not in got[2]
+    assert got[3] == texts[3]
+    con = duckdb.connect()
+    oracle = con.execute(
+        r"""
+        SELECT regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                 '\b\+?\d[\d\-() ]{7,}\d\b', '[PHONE]', 'g')
+        FROM (SELECT unnest(?) AS t)
+        """,
+        [texts],
+    ).fetchall()
+    assert [o[0] for o in oracle] == [got[i] for i in range(len(texts))]
