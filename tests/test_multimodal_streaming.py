@@ -238,3 +238,68 @@ def test_streaming_watermark_drops_late_data(spark, tmp_path):
     assert sum(1 for w, _ in rows if w == ts(10, 0)) == 1
     # and the late row produced no resurrected/duplicate emission
     assert (ts(10, 5), 1) not in rows
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """session_agg in STREAMING mode (q57 is its batch twin): events
+    arriving in separate micro-batches within the gap must merge into
+    one session; a >gap silence starts a new one. Requires a watermark
+    (Spark rejects streaming session windows without one)."""
+    import datetime as dt
+    import time
+
+    from a2b_spark.streaming.windows import session_agg, with_watermark
+
+    def ts(h, m):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    src_dir = str(tmp_path / "sw_in")
+    os.makedirs(src_dir)
+    # batch 1: two events 10 min apart (same 30-min-gap session)
+    spark.createDataFrame(
+        [(ts(10, 0), "u1"), (ts(10, 10), "u1")], "ts timestamp, k string"
+    ).coalesce(1).write.parquet(f"{src_dir}/b1")
+    time.sleep(1.1)
+    # batch 2: extends the same session (10:10 + 30min > 10:25), then a
+    # far event that closes it and starts a new session
+    spark.createDataFrame(
+        [(ts(10, 25), "u1"), (ts(14, 0), "u1")], "ts timestamp, k string"
+    ).coalesce(1).write.parquet(f"{src_dir}/b2")
+    time.sleep(1.1)
+    # batch 3: advance the watermark far enough to finalize everything
+    spark.createDataFrame(
+        [(ts(20, 0), "u1")], "ts timestamp, k string"
+    ).coalesce(1).write.parquet(f"{src_dir}/b3")
+
+    sdf = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    agg = session_agg(
+        with_watermark(sdf, "ts", "10 minutes"),
+        "ts",
+        "30 minutes",
+        ["k"],
+        {"n": F.count(F.lit(1)).cast("long")},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sw_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r.session_start, r.session_end): r.n
+        for r in spark.sql("SELECT * FROM sw_out").collect()
+    }
+    # one merged session 10:00-10:55 (last event 10:25 + 30 min) with 3
+    # events — batch-2's 10:25 row merged INTO the open cross-batch
+    # session; 14:00 closed it
+    assert rows.get((ts(10, 0), ts(10, 55))) == 3
+    assert rows.get((ts(14, 0), ts(14, 30))) == 1
