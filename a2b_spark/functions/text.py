@@ -166,7 +166,10 @@ def repetition_stats(df, text_col: str, id_col: str):
     per-doc top-1 window — the word-count shape with map-side partial
     aggregation; the per-doc scalars ride a broadcast-or-shuffle join
     keyed by doc id. The token array is staged behind a projection
-    boundary (same O(L²) re-split hazard as winnow_fingerprints)."""
+    boundary, and bigrams are built as zip_with of two shifted slices
+    (two array copies per doc) — the indexed transform(sequence, i ->
+    slice(toks, i, 2)) form re-slices per index and measured 3.3×
+    slower at sf0.1 (same lesson as winnow_fingerprints)."""
     from pyspark.sql import Window as W
 
     toked = df.select(
@@ -186,9 +189,10 @@ def repetition_stats(df, text_col: str, id_col: str):
         F.col("__nc"),
         F.when(
             nw >= 2,
-            F.transform(
-                F.sequence(F.lit(1), nw - 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            F.zip_with(
+                F.slice(t, 1, nw - 1),
+                F.slice(t, 2, nw - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
         )
         .otherwise(F.array().cast("array<string>"))
