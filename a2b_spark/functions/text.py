@@ -125,6 +125,30 @@ def fingerprint(col) -> Column:
     return F.md5(norm)
 
 
+# GPT-2-style pre-tokenization pattern (Radford et al. 2019; the
+# regex BPE pipelines split on before merging): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, residual
+# whitespace. Restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): \p{L}/\p{N} classes,
+# non-capturing groups, leftmost-first alternation.
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_ish_tokens(col) -> Column:
+    """Array of GPT-2-style pre-tokens — the realistic proxy for 'how
+    many BPE tokens will this doc cost' (each pre-token maps to >=1
+    BPE merge-table tokens; pre-token count is the standard cheap
+    budget estimate). One codegen regexp pass, scan speed."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_RE), 0)
+
+
 # PII patterns: kept to constructs with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB) — character classes, bounded repeats,
 # \b word boundaries; no backrefs or lookarounds.

@@ -30,6 +30,7 @@ _PRIORITIZED = [
     "q58_repetition_stats",
     "q59_decontaminate",
     "q60_pii_redact",
+    "q61_bpe_token_budget",
     # fell out of the round-3 driver file
     "q32_tumbling_window",
     "q33_sliding_window",
@@ -48,6 +49,7 @@ _DEPRIORITIZED = [
     "q11_idmap_lookup",
     "q12_point_lookup",
     "q13_event_gaps",
+    "q14_sessionize",
     "q15_events_json",
     "q16_set_ops",
 ]

@@ -1148,6 +1148,41 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------- Q61
+def q61_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting under GPT-2-style regex pre-tokenization
+    (functions.text.bpe_ish_tokens): per (lang, source), total
+    pre-token count, docs, and mean pre-tokens/doc (half-up fixed-point
+    — the engine's cross-engine mean idiom). The whitespace-token twin
+    is q23; this is the 'what will tokenization cost' estimate a
+    training-data pipeline budgets with."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang", "source", F.size(TXT.bpe_ish_tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST((2 * sum(nt) + count(1)) div (2 * count(1)) AS BIGINT)").alias(
+            "mean_tokens_per_doc"
+        ),
+    )
+
+
+O_Q61 = """
+WITH t AS (
+  SELECT lang, source,
+         len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+         )) AS nt
+  FROM documents)
+SELECT lang, source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((2 * SUM(nt) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS mean_tokens_per_doc
+FROM t GROUP BY lang, source
+"""
+
+
 QUERIES.update(
     {
         "q44_dup_clusters": q44_dup_clusters,
@@ -1174,6 +1209,7 @@ QUERIES.update(
         "q58_repetition_stats": q58_repetition_stats,
         "q59_decontaminate": q59_decontaminate,
         "q60_pii_redact": q60_pii_redact,
+        "q61_bpe_token_budget": q61_bpe_token_budget,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1205,6 +1241,7 @@ ORACLES.update(
         "q58_repetition_stats": O_Q58,
         "q59_decontaminate": O_Q59,
         "q60_pii_redact": O_Q60,
+        "q61_bpe_token_budget": O_Q61,
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }
