@@ -240,12 +240,17 @@ def repetition_stats(df, text_col: str, id_col: str):
             "n_words",
             "dup_word_ratio",
             F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
-            (
+            # zero-length text would be 0/0 — NULL in Spark, NaN in the
+            # DuckDB oracle; define it as 0.0 in both
+            F.when(
+                F.col("__nc") > 0,
                 F.coalesce(
                     F.col("__tn") * F.length("top_bigram"), F.lit(0)
                 ).cast("double")
-                / F.col("__nc").cast("double")
-            ).alias("top_bigram_char_ratio"),
+                / F.col("__nc").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_char_ratio"),
         )
     )
 

@@ -719,9 +719,14 @@ def ngram_decontaminate(
                 lambda i: F.concat_ws(" ", F.slice(t, i, n)),
             ),
         ).otherwise(F.array(F.concat_ws(" ", t)))
-        return toked.select(
-            out, F.explode(F.array_distinct(g)).alias("__g")
-        ).select(out, F.md5("__g").alias("gh"))
+        # empty grams (null or empty text — concat_ws never yields
+        # null) must not cross-match: a null-text corpus doc is not
+        # "contaminated" by a null-text benchmark doc
+        return (
+            toked.select(out, F.explode(F.array_distinct(g)).alias("__g"))
+            .filter(F.length("__g") > 0)
+            .select(out, F.md5("__g").alias("gh"))
+        )
 
     c = grams(corpus, id_col)
     b = grams(benchmark, "__bench_id").select("gh").distinct()

@@ -6,13 +6,17 @@ decision is per-cluster (keep the minimum id), not per-pair.
 Two execution paths, picked by edge-set size:
 
 - **Small graphs** (distinct edge count <= ``collect_threshold``,
-  default 2^20 ≈ 16 MB of id pairs): one BOUNDED ``limit(T+1)``
-  collect + driver union-find + broadcast join back. Near-dup pair
-  lists are tiny relative to their corpus (they're the output of an
-  LSH filter), so this is the common case even for large inputs, and
-  it replaces ~6 shuffles x O(log n) driver-synced rounds with two
-  jobs. The collect is capped at O(T) rows by construction — it can
-  never pull an unbounded edge list onto the driver.
+  default 2^18): one BOUNDED ``limit(T+1)`` Arrow fetch + driver
+  union-find + broadcast join back. Near-dup pair lists are tiny
+  relative to their corpus (they're the output of an LSH filter), so
+  this is the common case even for large inputs, and it replaces ~6
+  shuffles x O(log n) driver-synced rounds with two jobs. Honest
+  driver cost at the default: the Arrow transfer is ~4 MB of id
+  pairs, but the union-find's Python dicts dominate at ~50-150 MB
+  peak (4 dict structures over up to 2^19 nodes at ~tens of bytes
+  per entry) — bounded by construction, never proportional to the
+  input, and sized so a modest driver absorbs it; raise the
+  threshold explicitly on a large-memory driver.
 - **Large graphs**: alternating large-star / small-star contraction
   (Kiveris et al., "Connected Components in MapReduce and Beyond",
   SoCC'14). Each round is two groupBy-min shuffles over the edge list;
@@ -101,7 +105,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 25,
-    collect_threshold: int = 1 << 20,
+    collect_threshold: int = 1 << 18,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component is the minimum node id reachable from it. Edges are
@@ -139,16 +143,19 @@ def connected_components(
     )
     # Small-graph fast path: the fixpoint loop costs ~6 shuffles x
     # O(log n) rounds — pure scheduler latency when the (distinct,
-    # self-loop-free) edge set fits in one BOUNDED collect. limit(T+1)
-    # caps driver transfer at O(T) rows (two ids each, ~16 MB at the
-    # 2^20 default) regardless of input size; if more rows come back we
-    # fall through to the distributed loop having spent one bounded job
-    # (which also materialized e's checkpoint, so nothing is replayed).
-    # At 100 TB pair lists exceed T and always take the Kiveris path.
+    # self-loop-free) edge set fits in one BOUNDED fetch. limit(T+1)
+    # caps driver transfer at O(T) rows regardless of input size
+    # (Arrow columnar via toPandas — no per-row Row objects); if more
+    # rows come back we fall through to the distributed loop having
+    # spent one bounded job (which also materialized e's checkpoint,
+    # so nothing is replayed). At 100 TB pair lists exceed T and
+    # always take the Kiveris path.
     if collect_threshold:
-        head = e.limit(collect_threshold + 1).collect()
+        head = e.limit(collect_threshold + 1).toPandas()
         if len(head) <= collect_threshold:
-            comp = _driver_union_find([(r[0], r[1]) for r in head])
+            comp = _driver_union_find(
+                zip(head["a"].tolist(), head["b"].tolist())
+            )
             node_t = raw.schema["a"].dataType
             comp_df = raw.sparkSession.createDataFrame(
                 list(comp.items()),

@@ -64,16 +64,20 @@ def range_join(
         # bin consistently); double intermediate is exact below 2^53
         return F.floor(F.col(c) / F.lit(bin_width)).cast("long")
 
+    # n_bins < 1 (reversed interval, end < start) must ALSO raise:
+    # sequence(start, stop) with start > stop generates a DESCENDING
+    # sequence of |span|+1 elements — the same unbounded explode the
+    # cap exists to prevent, just with the sign flipped.
     n_bins = b(end_col) - b(start_col) + 1
     seq = F.when(
-        n_bins > F.lit(max_bins_per_interval),
+        (n_bins > F.lit(max_bins_per_interval)) | (n_bins < F.lit(1)),
         F.raise_error(
             F.format_string(
                 "range_join: interval [%s, %s] spans %s bins at bin_width="
                 + str(bin_width)
                 + " (max_bins_per_interval="
                 + str(max_bins_per_interval)
-                + "); fix the data, widen bin_width, or raise the cap",
+                + "); fix the data (reversed interval?), widen bin_width, or raise the cap",
                 F.col(start_col).cast("string"),
                 F.col(end_col).cast("string"),
                 n_bins.cast("string"),

@@ -65,7 +65,11 @@ def knn_bruteforce(
     )
     if len(qpd) > max_query_rows:
         if on_overflow == "lsh":
-            return knn_lsh(queries, corpus, vec_col, id_col, k)
+            # recall-oriented params, NOT knn_lsh's near-dup defaults
+            # (8x16 misses ~half the true top-k at mid similarity):
+            # 4 bits x 32 tables -> miss ~1e-3 at cos 0.5, ~1e-2 at
+            # cos 0.3, at the cost of n/16-sized buckets
+            return knn_lsh(queries, corpus, vec_col, id_col, k, n_bits=4, n_tables=32)
         raise ValueError(
             f"knn_bruteforce query side exceeds max_query_rows={max_query_rows}; "
             "use knn_lsh (distributed candidates) or raise the bound explicitly"
@@ -429,7 +433,8 @@ def knn_pq(
     )
     if len(qp) > max_query_rows:
         if on_overflow == "lsh":
-            return knn_lsh(queries, corpus, vec_col, id_col, k)
+            # recall-oriented params — see knn_bruteforce's fallback
+            return knn_lsh(queries, corpus, vec_col, id_col, k, n_bits=4, n_tables=32)
         raise ValueError(
             f"knn_pq query side exceeds max_query_rows={max_query_rows}; "
             "use knn_lsh (distributed candidates) or raise the bound explicitly"

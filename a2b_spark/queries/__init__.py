@@ -60,7 +60,11 @@ def _reorder() -> None:
     mid = [
         n for n in QUERIES if n not in _PRIORITIZED and n not in _DEPRIORITIZED
     ]
-    order = _PRIORITIZED + mid + [n for n in _DEPRIORITIZED if n in QUERIES]
+    order = (
+        [n for n in _PRIORITIZED if n in QUERIES]
+        + mid
+        + [n for n in _DEPRIORITIZED if n in QUERIES]
+    )
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLES = {n: ORACLES[n] for n in order if n in ORACLES}
 

@@ -1084,7 +1084,9 @@ SELECT t.doc_id,
        CAST(len(ws) AS BIGINT) AS n_words,
        CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_ratio,
        COALESCE(top.bg, '') AS top_bigram,
-       CAST(COALESCE(top.n * length(top.bg), 0) AS DOUBLE) / nc AS top_bigram_char_ratio
+       CASE WHEN nc > 0
+            THEN CAST(COALESCE(top.n * length(top.bg), 0) AS DOUBLE) / nc
+            ELSE 0.0 END AS top_bigram_char_ratio
 FROM t LEFT JOIN top ON t.doc_id = top.doc_id
 """
 

@@ -279,8 +279,14 @@ class VersionedParquetTable:
             return
         cur = self.current_version()
         all_dirs = sorted(d for d in os.listdir(self.path) if d.startswith("v_"))
-        committed = [d for d in all_dirs if cur is not None and d <= cur]
-        orphans = [d for d in all_dirs if d not in committed]
+        if cur is None:
+            # version dirs with no/empty _CURRENT marker = a damaged
+            # table (marker lost in a partial copy), not orphans —
+            # deleting here would turn a recoverable state (rewrite the
+            # marker by hand) into permanent data loss. No-op.
+            return
+        committed = [d for d in all_dirs if d <= cur]
+        orphans = [d for d in all_dirs if d > cur]
         doomed = committed[:-keep] if keep else committed
         for d in doomed + orphans:
             if d == cur:

@@ -161,9 +161,11 @@ def test_knn_overflow_falls_back_to_lsh(embs):
             q, embs, "embedding", "vec_id", k=3, max_query_rows=2, on_overflow="lsh"
         ).collect()
         assert all(r.query_id != r.corpus_id for r in out)
-        # fallback ran the LSH path: some true neighbors recovered
+        # the fallback must use recall-oriented LSH params (4x32), not
+        # the near-dup defaults — require near-exact recovery, so a
+        # param regression to the miss-half-the-neighbors regime fails
         got = {(r.query_id, r.corpus_id) for r in out}
-        assert len(exact & got) > 0
+        assert len(exact & got) / len(exact) >= 0.9
     with pytest.raises(ValueError, match="on_overflow"):
         S.knn_pq(q, embs, "embedding", "vec_id", on_overflow="bogus")
 
@@ -314,6 +316,11 @@ def test_range_join_span_guard(spark):
     bad = range_join(pts, ivs, "t", "s", "e", bin_width=1, max_bins_per_interval=1000)
     with pytest.raises(Exception, match="range_join: interval"):
         bad.collect()
+    # reversed interval (end < start): sequence() would generate a
+    # DESCENDING |span|+1-element explode — must raise, not explode
+    rev = spark.createDataFrame([(12, 10_000_000, 0)], "iid int, s long, e long")
+    with pytest.raises(Exception, match="range_join: interval"):
+        range_join(pts, rev, "t", "s", "e", bin_width=1, max_bins_per_interval=1000).collect()
     ok = range_join(
         pts,
         ivs.filter("iid = 10"),
@@ -475,6 +482,13 @@ def test_ngram_decontaminate_exact_overlap(spark):
         for r in D.ngram_decontaminate(corpus, bench, "text", "doc_id", n=5).collect()
     }
     assert out == {1: 1, 3: 1}
+    # null/empty texts reduce to the empty gram on both sides — they
+    # must NOT cross-match as "contamination"
+    corpus2 = spark.createDataFrame(
+        [(7, None), (8, "")], "doc_id bigint, text string"
+    )
+    bench2 = spark.createDataFrame([(100, "")], "doc_id bigint, text string")
+    assert D.ngram_decontaminate(corpus2, bench2, "text", "doc_id", n=5).count() == 0
 
 
 def test_redact_pii_planted_and_engine_parity(spark):

@@ -145,3 +145,21 @@ def test_vacuum_ignores_orphan_dirs(spark, table):
     assert table.versions() == [live]
     assert not os.path.isdir(orphan), "orphan dir must be swept"
     assert table.read(spark).count() == 40
+
+
+def test_vacuum_noop_without_current_marker(spark, table):
+    """A table whose _CURRENT marker is lost (partial copy) is damaged
+    but RECOVERABLE by rewriting the marker — vacuum must not classify
+    its version dirs as orphans and delete them."""
+    from a2b_spark.storage.table import CURRENT
+
+    marker = os.path.join(table.path, CURRENT)
+    dirs_before = sorted(d for d in os.listdir(table.path) if d.startswith("v_"))
+    os.remove(marker)
+    table.vacuum(keep=1)
+    dirs_after = sorted(d for d in os.listdir(table.path) if d.startswith("v_"))
+    assert dirs_after == dirs_before, "vacuum deleted dirs from a markerless table"
+    # recovery: rewrite the marker and the table reads again
+    with open(marker, "w") as f:
+        f.write(dirs_before[-1])
+    assert table.read(spark).count() == 40
