@@ -137,6 +137,95 @@ def decode_media(
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
 
 
+def resize_media(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    target_w: int,
+    target_h: int,
+    resizer: str = "fake",
+    max_out_bytes: int = 1 << 20,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Resize plumbing for image payloads: (id, payload) → (media_id,
+    width, height, channels, scale_x, scale_y, payload) with the
+    payload re-encoded at the target size. Same seam discipline as
+    decode_media: ``resizer="real"`` is where PIL's
+    ``Image.resize`` drops in (NotImplementedError here — no codecs in
+    this container); ``"fake"`` produces a deterministic hash-derived
+    payload of exactly target_w × target_h × channels bytes (capped at
+    ``max_out_bytes``), with source dims from the same fake decode, so
+    dims/scales/byte-counts are SQL-mirrorable for the oracle.
+
+    Scale: Arrow-batched mapInPandas; memory bounded by batch_rows ×
+    max(payload, out bytes). Scales are single divisions of exact ints
+    — bit-identical across engines, no rounding boundary."""
+    if resizer not in ("fake", "real"):
+        raise ValueError(f"unknown resizer {resizer!r}")
+    if resizer == "real":
+        raise NotImplementedError(
+            "real resize needs codec libraries (PIL) not present in this "
+            "environment; use resizer='fake' for plumbing tests"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("scale_x", T.DoubleType()),
+            T.StructField("scale_y", T.DoubleType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+
+    def resize_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                in_w, in_h, ch, _ = _fake_decode(b)
+                n_out = min(target_w * target_h * ch, max_out_bytes)
+                seed = hashlib.sha256(b + b"resize").digest()
+                out = (seed * (n_out // len(seed) + 1))[:n_out]
+                rows.append(
+                    (
+                        int(mid),
+                        target_w,
+                        target_h,
+                        ch,
+                        target_w / in_w,
+                        target_h / in_h,
+                        out,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "scale_x",
+                    "scale_y",
+                    "payload",
+                ],
+            )
+
+    try:
+        return df.select(id_col, bin_col).mapInPandas(resize_batches, schema=out_schema)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def sample_frames(
     df: DataFrame, bin_col: str, id_col: str, every_n: int = 10, max_frames: int = 8
 ) -> DataFrame:

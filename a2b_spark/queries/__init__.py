@@ -31,6 +31,7 @@ _PRIORITIZED = [
     "q59_decontaminate",
     "q60_pii_redact",
     "q61_bpe_token_budget",
+    "q62_media_resize",
     # fell out of the round-3 driver file
     "q32_tumbling_window",
     "q33_sliding_window",
@@ -49,6 +50,7 @@ _DEPRIORITIZED = [
     "q11_idmap_lookup",
     "q12_point_lookup",
     "q13_event_gaps",
+    "q17_agg_stats",
     "q14_sessionize",
     "q15_events_json",
     "q16_set_ops",

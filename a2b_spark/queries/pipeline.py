@@ -467,6 +467,50 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q62
+def q62_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (image payload → target-dims payload) via
+    Arrow-batched mapInPandas: target 64×64, channels and scale
+    factors derived from the fake decode's sha-based dims, output byte
+    count = 64·64·channels. Scales are single int divisions — exact
+    doubles, no rounding boundary (multimodal.resize_media)."""
+    from a2b_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    rs = MM.resize_media(d, "payload", "media_id", target_w=64, target_h=64)
+    return rs.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        "scale_x",
+        "scale_y",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+
+
+O_Q62 = """
+WITH h AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+d AS (
+  SELECT media_id,
+    16 + CAST(('0x' || substring(hx, 1, 2)) AS INTEGER) % 240 AS in_w,
+    16 + CAST(('0x' || substring(hx, 3, 2)) AS INTEGER) % 240 AS in_h,
+    1 + CAST(('0x' || substring(hx, 5, 2)) AS INTEGER) % 3 AS ch
+  FROM h)
+SELECT media_id,
+  CAST(64 AS INTEGER) AS width,
+  CAST(64 AS INTEGER) AS height,
+  CAST(ch AS INTEGER) AS channels,
+  64.0 / in_w AS scale_x,
+  64.0 / in_h AS scale_y,
+  CAST(64 * 64 * ch AS BIGINT) AS n_bytes
+FROM d
+"""
+
+
 # --------------------------------------------------------------- Q42
 def q42_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join: clicks inside the 5 minutes before each
@@ -1212,6 +1256,7 @@ QUERIES.update(
         "q59_decontaminate": q59_decontaminate,
         "q60_pii_redact": q60_pii_redact,
         "q61_bpe_token_budget": q61_bpe_token_budget,
+        "q62_media_resize": q62_media_resize,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1244,6 +1289,7 @@ ORACLES.update(
         "q59_decontaminate": O_Q59,
         "q60_pii_redact": O_Q60,
         "q61_bpe_token_budget": O_Q61,
+        "q62_media_resize": O_Q62,
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }

@@ -303,3 +303,32 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     # session; 14:00 closed it
     assert rows.get((ts(10, 0), ts(10, 55))) == 3
     assert rows.get((ts(14, 0), ts(14, 30))) == 1
+
+
+def test_resize_media_plumbing(spark):
+    """resize_media: deterministic output payload sized
+    target_w*target_h*channels (capped), exact scale factors, and the
+    real-codec seam raises."""
+    from a2b_spark.operators.multimodal import _fake_decode, resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"payload-two-longer"))],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_media(df, "payload", "media_id", 64, 64).collect()}
+    for mid, raw in [(1, b"payload-one"), (2, b"payload-two-longer")]:
+        in_w, in_h, ch, _ = _fake_decode(raw)
+        r = out[mid]
+        assert (r.width, r.height, r.channels) == (64, 64, ch)
+        assert len(r.payload) == 64 * 64 * ch
+        assert r.scale_x == 64 / in_w and r.scale_y == 64 / in_h
+    # determinism: same input -> byte-identical output
+    out2 = {r.media_id: bytes(r.payload) for r in resize_media(df, "payload", "media_id", 64, 64).collect()}
+    assert out2 == {m: bytes(r.payload) for m, r in out.items()}
+    # byte cap bounds the output even for huge targets
+    capped = resize_media(df, "payload", "media_id", 4096, 4096, max_out_bytes=1000).collect()
+    assert all(len(r.payload) == 1000 for r in capped)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_media(df, "payload", "media_id", 64, 64, resizer="real")
