@@ -32,6 +32,7 @@ _PRIORITIZED = [
     "q60_pii_redact",
     "q61_bpe_token_budget",
     "q62_media_resize",
+    "q63_media_features",
     # fell out of the round-3 driver file
     "q32_tumbling_window",
     "q33_sliding_window",
@@ -51,6 +52,7 @@ _DEPRIORITIZED = [
     "q12_point_lookup",
     "q13_event_gaps",
     "q17_agg_stats",
+    "q20_dedup_exact_keys",
     "q14_sessionize",
     "q15_events_json",
     "q16_set_ops",

@@ -467,6 +467,40 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q63
+def q63_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction output path of decode_media, oracle-checked:
+    the per-media feature vector (hash-derived in fake mode, model
+    embeddings behind the real seam) exploded to (media_id, feat_idx,
+    value) rows so the array contents themselves are value-hashed."""
+    from a2b_spark.operators import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    dec = MM.decode_media(d, "payload", "media_id")
+    # features are float32 in storage (the realistic embedding dtype);
+    # widen to double for the compare — the oracle models the same
+    # double -> float32 -> double round-trip
+    return dec.select(
+        "media_id", F.posexplode("features").alias("feat_idx", "value")
+    ).select(
+        "media_id",
+        F.col("feat_idx").cast("int").alias("feat_idx"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+O_Q63 = """
+WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+f AS (SELECT media_id, hx, unnest(range(8)) AS feat_idx FROM h)
+SELECT media_id, CAST(feat_idx AS INTEGER) AS feat_idx,
+       CAST(CAST(round(CAST(('0x' || substring(hx, 7 + 2 * feat_idx, 2)) AS INTEGER) / 255.0, 6)
+                 AS REAL) AS DOUBLE) AS value
+FROM f
+"""
+
+
 # --------------------------------------------------------------- Q62
 def q62_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize plumbing (image payload → target-dims payload) via
@@ -1257,6 +1291,7 @@ QUERIES.update(
         "q60_pii_redact": q60_pii_redact,
         "q61_bpe_token_budget": q61_bpe_token_budget,
         "q62_media_resize": q62_media_resize,
+        "q63_media_features": q63_media_features,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1290,6 +1325,7 @@ ORACLES.update(
         "q60_pii_redact": O_Q60,
         "q61_bpe_token_budget": O_Q61,
         "q62_media_resize": O_Q62,
+        "q63_media_features": O_Q63,
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }
