@@ -590,3 +590,224 @@ def knn_pq(
         .filter(F.col("rk") <= k)
         .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def knn_ivf_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    ks: int = 16,
+    shortlist: int = 256,
+    train_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 20260813,
+    max_query_rows: int = 100_000,
+    on_overflow: str = "raise",
+) -> DataFrame:
+    """IVF-PQ approximate KNN (Jégou et al. TPAMI'11 §IV, the FAISS
+    ``IVFADC`` index) — the composition of the coarse quantizer
+    (knn_ivf) and product quantization (knn_pq) that production ANN
+    systems run at corpus scale:
+
+    1. TRAIN: spherical k-means coarse centroids on a bounded sample,
+       then per-subspace L2 codebooks on the sample's RESIDUALS
+       (x - centroid[cell]) — residual PQ quantizes a far tighter
+       distribution than raw vectors, so the same m bytes carry more
+       precision.
+    2. ENCODE: one Arrow pass; each corpus vector → (cell, m-byte
+       code). At 100 TB the whole index is (id, int, m bytes) per
+       vector — memory-bound like knn_pq, partition-pruned like
+       knn_ivf.
+    3. SCAN (ADC with cell pruning): approx IP = <q, centroid_cell> +
+       Σ_j lut[q, j, code_j]; rows whose cell the query does not probe
+       are masked out INSIDE the kernel, so unlike a probes⋈codes
+       shuffle join the code table is scanned exactly once and only
+       pruned (query, id) pairs leave the executor — the same bounded
+       per-batch top-``shortlist`` discipline as knn_pq, with the
+       (adc desc, id asc) tiebreak preserved.
+    4. RE-RANK: exact cosine on the shortlist, identical determinism
+       contract to the other KNN operators. With n_probe = n_cells and
+       a covering shortlist, recall is exactly 1 and the exact-KNN SQL
+       serves as the oracle.
+    """
+    from a2b_spark.functions.vectors import pair_cosine_raw
+
+    if on_overflow not in {"raise", "lsh"}:
+        raise ValueError(f"on_overflow must be 'raise' or 'lsh', got {on_overflow!r}")
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    spark = corpus.sparkSession
+
+    qp = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("v"))
+        .limit(max_query_rows + 1)
+        .toPandas()
+    )
+    if len(qp) > max_query_rows:
+        if on_overflow == "lsh":
+            return knn_lsh(queries, corpus, vec_col, id_col, k, n_bits=4, n_tables=32)
+        raise ValueError(
+            f"knn_ivf_pq query side exceeds max_query_rows={max_query_rows}; "
+            "use knn_lsh (distributed candidates) or raise the bound explicitly"
+        )
+    if len(qp) == 0:
+        id_type = corpus.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("query_id", id_type),
+                    T.StructField("corpus_id", id_type),
+                    T.StructField("cos", T.DoubleType()),
+                    T.StructField("rk", T.IntegerType()),
+                ]
+            ),
+        )
+
+    # ---- TRAIN (driver-side bounded sample, like knn_ivf/knn_pq)
+    tr = (
+        corpus.select(as_double(vec_col).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+        .toPandas()
+    )
+    sample = np.vstack([np.asarray(v, dtype=np.float64) for v in tr["v"]])
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    cent = _kmeans_fit(sample, n_cells, iters, seed)  # (n_cells, d), unit
+    assign = (sample @ cent.T).argmax(axis=1)
+    resid = sample - cent[assign]
+    books = np.stack(
+        [
+            _kmeans_l2(resid[:, j * dsub : (j + 1) * dsub], ks, iters, seed + j)
+            for j in range(m)
+        ]
+    )  # (m, ks, dsub)
+    bc = spark.sparkContext.broadcast((cent, books))
+
+    # ---- ENCODE corpus → (corpus_id, cell, code)
+    id_type = corpus.schema[id_col].dataType
+    code_schema = T.StructType(
+        [
+            T.StructField("corpus_id", id_type),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c, cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            v = v / n
+            cells = (v @ c.T).argmax(axis=1)
+            r = v - c[cells]
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for j in range(m):
+                sub = r[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "corpus_id": pdf["corpus_id"].to_numpy(),
+                    "cell": cells.astype(np.int32),
+                    "code": list(codes),
+                }
+            )
+
+    codes = spread(
+        corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("v"))
+    ).mapInPandas(encode, code_schema)
+
+    # ---- query-side tables (driver): LUTs, centroid IPs, probe mask
+    qm = np.vstack([np.asarray(x, dtype=np.float64) for x in qp["v"]])
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qm = qm / qn
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m, dsub), books)
+    qcent = qm @ cent.T  # (nq, n_cells)
+    p = min(n_probe, n_cells)
+    # stable descending order — deterministic probe set (same rule as knn_ivf)
+    probe_order = np.argsort(-qcent, axis=1, kind="stable")[:, :p]
+    probe_mask = np.zeros_like(qcent, dtype=bool)
+    np.put_along_axis(probe_mask, probe_order, True, axis=1)
+    qids = qp["query_id"].to_numpy()
+    bq = spark.sparkContext.broadcast((qids, luts, qcent, probe_mask))
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("corpus_id", id_type),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, tables, qc, mask = bq.value
+        nq = len(ids_q)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.vstack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            cells = pdf["cell"].to_numpy()
+            ids_c = pdf["corpus_id"].to_numpy()
+            order = np.argsort(ids_c, kind="stable")
+            ids_c, cmat, cells = ids_c[order], cmat[order], cells[order]
+            nc = len(cmat)
+            top = min(shortlist, nc)
+            qblock = max(1, 4_000_000 // max(nc, 1))
+            for s in range(0, nq, qblock):
+                tq = tables[s : s + qblock]
+                idq = ids_q[s : s + qblock]
+                scores = qc[s : s + qblock][:, cells].copy()
+                for j in range(m):
+                    scores += tq[:, j, :][:, cmat[:, j]]
+                # unprobed cells and self-matches leave the shortlist race
+                scores[~mask[s : s + qblock][:, cells]] = -np.inf
+                scores[idq[:, None] == ids_c[None, :]] = -np.inf
+                idx = np.argsort(-scores, axis=1, kind="stable")[:, :top]
+                sel = np.take_along_axis(scores, idx, axis=1).reshape(-1)
+                keep = np.isfinite(sel)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(idq, top)[keep],
+                        "corpus_id": ids_c[idx.reshape(-1)][keep],
+                        "adc": sel[keep],
+                    }
+                )
+
+    adc = codes.mapInPandas(adc_scan, adc_schema)
+    ws = W.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("corpus_id"))
+    cands = (
+        adc.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "corpus_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    cos_raw = pair_cosine_raw()
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "corpus_id")
+        .withColumn("cos", F.round(cos_raw(F.col("qv"), F.col("cv")), 6))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )

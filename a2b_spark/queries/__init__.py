@@ -33,6 +33,7 @@ _PRIORITIZED = [
     "q61_bpe_token_budget",
     "q62_media_resize",
     "q63_media_features",
+    "q64_knn_ivf_pq",
     # fell out of the round-3 driver file
     "q32_tumbling_window",
     "q33_sliding_window",
@@ -53,6 +54,7 @@ _DEPRIORITIZED = [
     "q13_event_gaps",
     "q17_agg_stats",
     "q20_dedup_exact_keys",
+    "q21_dedup_fingerprint",
     "q14_sessionize",
     "q15_events_json",
     "q16_set_ops",

@@ -749,6 +749,25 @@ def q50_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq(q, e, "embedding", "vec_id", k=5, m=16, ks=32, shortlist=256)
 
 
+# --------------------------------------------------------------- Q64
+def q64_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC) — the coarse-cells + residual-PQ
+    composition production ANN indexes run at corpus scale: 16-byte
+    residual codes scanned once with cell pruning inside the Arrow
+    kernel. Full probe (n_probe = n_cells) + covering shortlist ⇒
+    recall exactly 1 (pytest vs bruteforce), so the exact-KNN SQL is
+    the oracle; the wired pruned-probe variant is the scale
+    configuration (similarity.knn_ivf_pq)."""
+    from a2b_spark.operators.similarity import knn_ivf_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return knn_ivf_pq(
+        q, e, "embedding", "vec_id", k=5,
+        n_cells=8, n_probe=8, m=16, ks=32, shortlist=600,
+    )
+
+
 # --------------------------------------------------------------- Q38
 def q38_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer KNN (the FAISS-style scale path alongside
@@ -1292,6 +1311,7 @@ QUERIES.update(
         "q61_bpe_token_budget": q61_bpe_token_budget,
         "q62_media_resize": q62_media_resize,
         "q63_media_features": q63_media_features,
+        "q64_knn_ivf_pq": q64_knn_ivf_pq,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1326,6 +1346,7 @@ ORACLES.update(
         "q61_bpe_token_budget": O_Q61,
         "q62_media_resize": O_Q62,
         "q63_media_features": O_Q63,
+        "q64_knn_ivf_pq": O_Q28,  # recall 1: full probe + covering shortlist
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }

@@ -142,3 +142,34 @@ def test_unigram_surprisal_rare_token_scores_higher(spark):
     )
     out = {r.doc_id: r.surprisal_e7 for r in unigram_surprisal(df, "text", "doc_id").collect()}
     assert out[2] > out[1]
+
+
+def test_knn_ivf_pq_matches_bruteforce(spark, sf_dir):
+    """IVFADC with full probe + covering shortlist must equal exact
+    KNN (the q64 oracle contract); with pruned probes it must still
+    recover most neighbors on this hard near-uniform corpus."""
+    from a2b_spark.operators.similarity import knn_bruteforce, knn_ivf_pq
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.corpus_id, r.cos, r.rk)
+        for r in knn_bruteforce(q, e, "embedding", "vec_id", k=5).collect()
+    }
+    full = {
+        (r.query_id, r.corpus_id, r.cos, r.rk)
+        for r in knn_ivf_pq(
+            q, e, "embedding", "vec_id", k=5,
+            n_cells=8, n_probe=8, m=16, ks=32, shortlist=600,
+        ).collect()
+    }
+    assert full == exact
+    pruned = {
+        (r.query_id, r.corpus_id)
+        for r in knn_ivf_pq(
+            q, e, "embedding", "vec_id", k=5,
+            n_cells=8, n_probe=4, m=16, ks=32, shortlist=600,
+        ).collect()
+    }
+    exact_pairs = {(a, b) for a, b, _, _ in exact}
+    assert len(exact_pairs & pruned) / len(exact_pairs) >= 0.5
