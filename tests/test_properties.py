@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the algorithmic operators —
+randomized inputs against brute-force reference implementations, the
+standard way to catch edge geometry no hand-picked fixture covers
+(duplicate edges, self-loops, boundary timestamps, equal keys).
+
+Example counts are small: each example runs real Spark jobs, so the
+value is breadth of SHAPE, not volume. deadline=None because Spark
+job latency is unrelated to the property being tested.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=30
+)
+
+
+@_SET
+@given(edges=edges_strategy)
+def test_connected_components_equals_union_find(spark, edges):
+    from a2b_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a long, b long")
+    for thresh in (1 << 18, 0):  # driver fast path AND distributed loop
+        got = {
+            r.node: r.component
+            for r in connected_components(df, collect_threshold=thresh).collect()
+        }
+        assert got == expect, f"edges={edges} thresh={thresh}"
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-50, 150), st.integers(0, 100)),
+    min_size=1,
+    max_size=15,
+)
+points_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(-60, 160)), min_size=1, max_size=15
+)
+
+
+@_SET
+@given(ivs=intervals_strategy, pts=points_strategy)
+def test_range_join_equals_naive_between(spark, ivs, pts):
+    from a2b_spark.operators.rangejoin import range_join
+
+    # (iid, start, end) with end = start + span (>= start, under the cap)
+    ivs_rows = [(i, s, s + w) for i, (_, s, w) in enumerate(ivs)]
+    pts_rows = [(i, t) for i, (_, t) in enumerate(pts)]
+    naive = {
+        (p, i)
+        for p, t in pts_rows
+        for i, s, e in ivs_rows
+        if s <= t <= e
+    }
+    pdf = spark.createDataFrame(pts_rows, "pid long, t long")
+    idf = spark.createDataFrame(ivs_rows, "iid long, s long, e long")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pdf, idf, "t", "s", "e", bin_width=7).collect()
+    }
+    assert got == naive
+
+
+asof_left = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=12)
+asof_right = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 40)), min_size=1, max_size=12)
+
+
+@_SET
+@given(left=asof_left, right=asof_right)
+def test_asof_join_equals_reference(spark, left, right):
+    """asof semantics: for each left row, the right row with the
+    LATEST ts <= left.ts on the same key (ties on ts broken by the
+    largest tiebreak id, matching the operator's contract)."""
+    from a2b_spark.operators.asof import asof_join
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    rrows = [(i, k, t) for i, (k, t) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts long")
+    rdf = spark.createDataFrame(rrows, "rid long, k long, ts long")
+    out = asof_join(
+        ldf, rdf, on=["k"], ts_col="ts", right_cols=["rid"], right_tiebreak="rid"
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    for lid, k, t in lrows:
+        cands = [(rt, rid) for rid, rk, rt in rrows if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got.get(lid) == expect, f"lid={lid} k={k} t={t}"
