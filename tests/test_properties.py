@@ -112,3 +112,31 @@ def test_asof_join_equals_reference(spark, left, right):
         cands = [(rt, rid) for rid, rk, rt in rrows if rk == k and rt <= t]
         expect = max(cands)[1] if cands else None
         assert got.get(lid) == expect, f"lid={lid} k={k} t={t}"
+
+
+words_strategy = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_SET
+@given(doc_a=words_strategy, doc_b=words_strategy, shared=words_strategy)
+def test_winnowing_shared_run_guarantee(spark, doc_a, doc_b, shared):
+    """The winnowing guarantee (SIGMOD'03): two documents sharing a
+    token run of length >= k + w - 1 MUST share at least one
+    fingerprint. Construct the pair by planting a shared run of
+    exactly that length inside random noise."""
+    from a2b_spark.functions.text import winnow_fingerprints
+
+    k, w = 5, 4
+    run = (shared * 10)[: k + w - 1]  # exactly k+w-1 shared tokens
+    if len(run) < k + w - 1:
+        run = run * (k + w - 1)
+        run = run[: k + w - 1]
+    ta = " ".join(doc_a + run + doc_a)
+    tb = " ".join(doc_b + run + doc_b)
+    df = spark.createDataFrame([(1, ta), (2, tb)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()}
+    assert fps[1] & fps[2], f"no shared fingerprint for shared run: {run}"
