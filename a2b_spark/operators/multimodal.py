@@ -104,8 +104,14 @@ def decode_media(
     ``decoder="real"`` is the seam for PIL/ffmpeg — NotImplementedError
     here because codec libs are not in this container. ``"fake"`` runs
     the full distributed plumbing with a deterministic synthetic
-    decode. ``batch_rows`` caps Arrow batch size so executor memory is
-    bounded by batch_rows × payload size even for large media."""
+    decode.
+
+    Memory bound: decoded output accumulates at most ``batch_rows``
+    rows before each yield (sliced INSIDE the kernel — a session-conf
+    toggle at plan-build time does not survive to lazy execution and
+    was a no-op). The incoming Arrow batch is governed by the
+    session's ``spark.sql.execution.arrow.maxRecordsPerBatch``; lower
+    that session-wide when individual payloads are huge."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     if decoder == "real":
@@ -114,27 +120,22 @@ def decode_media(
             "in this environment; use decoder='fake' for plumbing tests"
         )
 
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
-                w, hgt, c, feats = _fake_decode(bytes(payload), n_features)
-                rows.append((int(mid), w, hgt, c, feats))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "channels", "features"]
-            )
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[bin_col]):
+                    w, hgt, c, feats = _fake_decode(bytes(payload), n_features)
+                    rows.append((int(mid), w, hgt, c, feats))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "width", "height", "channels", "features"],
+                )
 
-    try:
-        return df.select(id_col, bin_col).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return df.select(id_col, bin_col).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
 def resize_media(
@@ -157,9 +158,12 @@ def resize_media(
     ``max_out_bytes``), with source dims from the same fake decode, so
     dims/scales/byte-counts are SQL-mirrorable for the oracle.
 
-    Scale: Arrow-batched mapInPandas; memory bounded by batch_rows ×
-    max(payload, out bytes). Scales are single divisions of exact ints
-    — bit-identical across engines, no rounding boundary."""
+    Scale: Arrow-batched mapInPandas; resized output accumulates at
+    most ``batch_rows`` rows per yield (sliced inside the kernel —
+    see decode_media's note on why a session-conf toggle would be a
+    no-op); incoming batch size is the session's Arrow setting.
+    Scales are single divisions of exact ints — bit-identical across
+    engines, no rounding boundary."""
     if resizer not in ("fake", "real"):
         raise ValueError(f"unknown resizer {resizer!r}")
     if resizer == "real":
@@ -180,50 +184,44 @@ def resize_media(
         ]
     )
 
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-
     def resize_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for mid, payload in zip(pdf[id_col], pdf[bin_col]):
-                b = bytes(payload)
-                in_w, in_h, ch, _ = _fake_decode(b)
-                n_out = min(target_w * target_h * ch, max_out_bytes)
-                seed = hashlib.sha256(b + b"resize").digest()
-                out = (seed * (n_out // len(seed) + 1))[:n_out]
-                rows.append(
-                    (
-                        int(mid),
-                        target_w,
-                        target_h,
-                        ch,
-                        target_w / in_w,
-                        target_h / in_h,
-                        out,
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[bin_col]):
+                    b = bytes(payload)
+                    in_w, in_h, ch, _ = _fake_decode(b)
+                    n_out = min(target_w * target_h * ch, max_out_bytes)
+                    seed = hashlib.sha256(b + b"resize").digest()
+                    out = (seed * (n_out // len(seed) + 1))[:n_out]
+                    rows.append(
+                        (
+                            int(mid),
+                            target_w,
+                            target_h,
+                            ch,
+                            target_w / in_w,
+                            target_h / in_h,
+                            out,
+                        )
                     )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id",
+                        "width",
+                        "height",
+                        "channels",
+                        "scale_x",
+                        "scale_y",
+                        "payload",
+                    ],
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id",
-                    "width",
-                    "height",
-                    "channels",
-                    "scale_x",
-                    "scale_y",
-                    "payload",
-                ],
-            )
 
-    try:
-        return df.select(id_col, bin_col).mapInPandas(resize_batches, schema=out_schema)
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return df.select(id_col, bin_col).mapInPandas(resize_batches, schema=out_schema)
 
 
 def sample_frames(

@@ -64,13 +64,16 @@ def range_join(
         # bin consistently); double intermediate is exact below 2^53
         return F.floor(F.col(c) / F.lit(bin_width)).cast("long")
 
-    # n_bins < 1 (reversed interval, end < start) must ALSO raise:
-    # sequence(start, stop) with start > stop generates a DESCENDING
-    # sequence of |span|+1 elements — the same unbounded explode the
-    # cap exists to prevent, just with the sign flipped.
+    # reversed intervals (end < start) must ALSO raise — and on the
+    # raw endpoints, not n_bins < 1: a cross-bin reversal makes
+    # sequence(start, stop) generate a DESCENDING |span|+1-element
+    # explode, while a same-bin reversal (n_bins == 1) would silently
+    # match nothing; both are the same data defect and get the same
+    # error.
     n_bins = b(end_col) - b(start_col) + 1
     seq = F.when(
-        (n_bins > F.lit(max_bins_per_interval)) | (n_bins < F.lit(1)),
+        (n_bins > F.lit(max_bins_per_interval))
+        | (F.col(end_col) < F.col(start_col)),
         F.raise_error(
             F.format_string(
                 "range_join: interval [%s, %s] spans %s bins at bin_width="

@@ -32,6 +32,57 @@ from a2b_spark.functions.vectors import as_double
 from a2b_spark.operators.dedup import spread
 
 
+
+def _topk_window(scored: DataFrame, k: int) -> DataFrame:
+    """Shared deterministic top-k epilogue: (cos desc, corpus_id asc)
+    row_number — the determinism contract of every KNN operator."""
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _exact_rerank(
+    cands: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared exact-cosine re-rank: candidate (query_id, corpus_id)
+    pairs join their vectors back by id (the vector payload never rode
+    the candidate shuffle), score with the oracle-parity cosine fold,
+    and keep the deterministic top-k."""
+    from a2b_spark.functions.vectors import pair_cosine_raw
+
+    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "corpus_id")
+        .withColumn("cos", F.round(pair_cosine_raw()(F.col("qv"), F.col("cv")), 6))
+    )
+    return _topk_window(scored, k)
+
+
+def _empty_knn_result(corpus: DataFrame, id_col: str) -> DataFrame:
+    id_type = corpus.schema[id_col].dataType
+    return corpus.sparkSession.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("query_id", id_type),
+                T.StructField("corpus_id", id_type),
+                T.StructField("cos", T.DoubleType()),
+                T.StructField("rk", T.IntegerType()),
+            ]
+        ),
+    )
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -75,18 +126,7 @@ def knn_bruteforce(
             "use knn_lsh (distributed candidates) or raise the bound explicitly"
         )
     if len(qpd) == 0:
-        id_type = corpus.schema[id_col].dataType
-        return corpus.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("query_id", id_type),
-                    T.StructField("corpus_id", id_type),
-                    T.StructField("cos", T.DoubleType()),
-                    T.StructField("rk", T.IntegerType()),
-                ]
-            ),
-        )
+        return _empty_knn_result(corpus, id_col)
     qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
     qids = qpd["qid"].to_numpy()
     d = qmat.shape[1]
@@ -129,12 +169,7 @@ def knn_bruteforce(
     scored = c.mapInPandas(score, out_schema).withColumn(
         "cos", F.round(F.col("cos_raw"), 6)
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
-    )
+    return _topk_window(scored, k)
 
 
 def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
@@ -192,7 +227,6 @@ def knn_ivf(
     hardest regime for any coarse quantizer, hence the conservative
     default n_probe = n_cells/2; real embedding corpora support
     n_probe/n_cells ≈ 1/16-1/32."""
-    from a2b_spark.functions.vectors import pair_cosine_raw
 
     queries = queries.filter(F.col(vec_col).isNotNull())
     corpus = corpus.filter(F.col(vec_col).isNotNull())
@@ -264,20 +298,7 @@ def knn_ivf(
         .filter(F.col("query_id") != F.col("corpus_id"))
         .select("query_id", "corpus_id")
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
-    cos_raw = pair_cosine_raw()
-    scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "corpus_id")
-        .withColumn("cos", F.round(cos_raw(F.col("qv"), F.col("cv")), 6))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
-    )
+    return _exact_rerank(cands, queries, corpus, vec_col, id_col, k)
 
 
 def knn_lsh(
@@ -304,14 +325,12 @@ def knn_lsh(
     bits and raise tables instead — 2 bits × 32 tables gives recall ≈ 1
     even for orthogonal neighbors ((1-0.25)³² ≈ 1e-4 miss) at the cost
     of n/4-sized buckets."""
-    from a2b_spark.functions.vectors import pair_cosine_raw, srp_buckets
+    from a2b_spark.functions.vectors import srp_buckets
     from a2b_spark.operators.dedup import _ids_packable, _pack_pair, _unpack_pair
 
     # null vectors bucket nowhere and NaN-poison the re-rank — drop them
     queries = queries.filter(F.col(vec_col).isNotNull())
     corpus = corpus.filter(F.col(vec_col).isNotNull())
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
     qb = srp_buckets(queries, vec_col, id_col, n_bits, n_tables).withColumnRenamed(
         id_col, "query_id"
     )
@@ -336,18 +355,7 @@ def knn_lsh(
         )
     else:
         cands = raw.distinct()
-    cos_raw = pair_cosine_raw()
-    scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "corpus_id")
-        .withColumn("cos", F.round(cos_raw(F.col("qv"), F.col("cv")), 6))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
-    )
+    return _exact_rerank(cands, queries, corpus, vec_col, id_col, k)
 
 
 def _kmeans_l2(sample: np.ndarray, n_cent: int, iters: int, seed: int) -> np.ndarray:
@@ -416,7 +424,6 @@ def knn_pq(
     (cos ≈ 0.4 background) is the hard regime — the wired query uses
     shortlist large enough that recall is exactly 1 (checked in
     pytest against bruteforce)."""
-    from a2b_spark.functions.vectors import pair_cosine_raw
 
     if on_overflow not in {"raise", "lsh"}:
         raise ValueError(f"on_overflow must be 'raise' or 'lsh', got {on_overflow!r}")
@@ -440,18 +447,7 @@ def knn_pq(
             "use knn_lsh (distributed candidates) or raise the bound explicitly"
         )
     if len(qp) == 0:
-        id_type = corpus.schema[id_col].dataType
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("query_id", id_type),
-                    T.StructField("corpus_id", id_type),
-                    T.StructField("cos", T.DoubleType()),
-                    T.StructField("rk", T.IntegerType()),
-                ]
-            ),
-        )
+        return _empty_knn_result(corpus, id_col)
 
     tr = (
         corpus.select(as_double(vec_col).alias("v"))
@@ -576,20 +572,7 @@ def knn_pq(
         .select("query_id", "corpus_id")
     )
 
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
-    cos_raw = pair_cosine_raw()
-    scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "corpus_id")
-        .withColumn("cos", F.round(cos_raw(F.col("qv"), F.col("cv")), 6))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
-    )
+    return _exact_rerank(cands, queries, corpus, vec_col, id_col, k)
 
 
 def knn_ivf_pq(
@@ -635,7 +618,6 @@ def knn_ivf_pq(
        a covering shortlist, recall is exactly 1 and the exact-KNN SQL
        serves as the oracle.
     """
-    from a2b_spark.functions.vectors import pair_cosine_raw
 
     if on_overflow not in {"raise", "lsh"}:
         raise ValueError(f"on_overflow must be 'raise' or 'lsh', got {on_overflow!r}")
@@ -656,18 +638,7 @@ def knn_ivf_pq(
             "use knn_lsh (distributed candidates) or raise the bound explicitly"
         )
     if len(qp) == 0:
-        id_type = corpus.schema[id_col].dataType
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("query_id", id_type),
-                    T.StructField("corpus_id", id_type),
-                    T.StructField("cos", T.DoubleType()),
-                    T.StructField("rk", T.IntegerType()),
-                ]
-            ),
-        )
+        return _empty_knn_result(corpus, id_col)
 
     # ---- TRAIN (driver-side bounded sample, like knn_ivf/knn_pq)
     tr = (
@@ -797,17 +768,4 @@ def knn_ivf_pq(
         .filter(F.col("__sr") <= shortlist)
         .select("query_id", "corpus_id")
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
-    cos_raw = pair_cosine_raw()
-    scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "corpus_id")
-        .withColumn("cos", F.round(cos_raw(F.col("qv"), F.col("cv")), 6))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
-    )
+    return _exact_rerank(cands, queries, corpus, vec_col, id_col, k)

@@ -764,7 +764,7 @@ def q64_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 10)
     return knn_ivf_pq(
         q, e, "embedding", "vec_id", k=5,
-        n_cells=8, n_probe=8, m=16, ks=32, shortlist=600,
+        n_cells=8, n_probe=8, m=16, ks=32, shortlist=4096,
     )
 
 
@@ -1217,10 +1217,10 @@ g AS (
            THEN [list_aggregate(ws[i+1:i+5], 'string_agg', ' ') for i in range(0, len(ws)-4)]
            ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS ng
   FROM d),
-b AS (SELECT DISTINCT ng FROM g WHERE is_bench)
+b AS (SELECT DISTINCT ng FROM g WHERE is_bench AND ng <> '')
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
 FROM g JOIN b USING (ng)
-WHERE NOT is_bench
+WHERE NOT is_bench AND ng <> ''
 GROUP BY doc_id
 """
 

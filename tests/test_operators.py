@@ -321,6 +321,11 @@ def test_range_join_span_guard(spark):
     rev = spark.createDataFrame([(12, 10_000_000, 0)], "iid int, s long, e long")
     with pytest.raises(Exception, match="range_join: interval"):
         range_join(pts, rev, "t", "s", "e", bin_width=1, max_bins_per_interval=1000).collect()
+    # same-bin reversal (end < start but both in bin 0) is the same
+    # data defect and must raise too, not silently match nothing
+    rev2 = spark.createDataFrame([(13, 5, 3)], "iid int, s long, e long")
+    with pytest.raises(Exception, match="range_join: interval"):
+        range_join(pts, rev2, "t", "s", "e", bin_width=10, max_bins_per_interval=1000).collect()
     ok = range_join(
         pts,
         ivs.filter("iid = 10"),

@@ -131,10 +131,8 @@ def test_winnowing_shared_run_guarantee(spark, doc_a, doc_b, shared):
     from a2b_spark.functions.text import winnow_fingerprints
 
     k, w = 5, 4
-    run = (shared * 10)[: k + w - 1]  # exactly k+w-1 shared tokens
-    if len(run) < k + w - 1:
-        run = run * (k + w - 1)
-        run = run[: k + w - 1]
+    # shared has min_size=1, so shared * 10 always covers k+w-1 = 8
+    run = (shared * 10)[: k + w - 1]
     ta = " ".join(doc_a + run + doc_a)
     tb = " ".join(doc_b + run + doc_b)
     df = spark.createDataFrame([(1, ta), (2, tb)], "doc_id long, text string")
