@@ -34,6 +34,7 @@ _PRIORITIZED = [
     "q62_media_resize",
     "q63_media_features",
     "q64_knn_ivf_pq",
+    "q65_embedding_quantize",
     # fell out of the round-3 driver file
     "q32_tumbling_window",
     "q33_sliding_window",
@@ -55,6 +56,7 @@ _DEPRIORITIZED = [
     "q17_agg_stats",
     "q20_dedup_exact_keys",
     "q21_dedup_fingerprint",
+    "q22_text_quality",
     "q14_sessionize",
     "q15_events_json",
     "q16_set_ops",

@@ -467,6 +467,47 @@ FROM f
 """
 
 
+# --------------------------------------------------------------- Q65
+def q65_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions.vectors
+    .quantize_int8) — the 4x storage/memory cut an ANN corpus takes at
+    100 TB — exploded to (vec_id, idx, qval, scale) rows so the full
+    quantized content and per-vector scale are value-hashed against
+    the oracle. Round-trip error bound is pytest-verified."""
+    e = _t(spark, sf_dir, "embeddings")
+    from a2b_spark.functions.vectors import quantize_int8
+
+    qz = e.select("vec_id", quantize_int8(F.col("embedding")).alias("qs"))
+    return qz.select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.posexplode("qs.q").alias("idx", "qval"),
+    ).select(
+        "vec_id",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("qval").cast("int").alias("qval"),
+        "scale",
+    )
+
+
+O_Q65 = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings),
+s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN mx IS NOT NULL AND mx > 0 THEN mx / 127.0 ELSE 1.0 END AS scale
+  FROM e)
+SELECT vec_id, CAST(u.i AS INTEGER) AS idx,
+       CAST(round(CAST(u.x AS DOUBLE) / scale) AS INTEGER) AS qval,
+       scale
+FROM (SELECT vec_id, scale,
+             unnest([{'i': i, 'x': embedding[i+1]} for i in range(len(embedding))]) AS u
+      FROM s)
+"""
+
+
 # --------------------------------------------------------------- Q63
 def q63_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction output path of decode_media, oracle-checked:
@@ -1312,6 +1353,7 @@ QUERIES.update(
         "q62_media_resize": q62_media_resize,
         "q63_media_features": q63_media_features,
         "q64_knn_ivf_pq": q64_knn_ivf_pq,
+        "q65_embedding_quantize": q65_embedding_quantize,
         "q34_media_decode": q34_media_decode,
         "q35_frame_sample": q35_frame_sample,
     }
@@ -1347,6 +1389,7 @@ ORACLES.update(
         "q62_media_resize": O_Q62,
         "q63_media_features": O_Q63,
         "q64_knn_ivf_pq": O_Q28,  # recall 1: full probe + covering shortlist
+        "q65_embedding_quantize": O_Q65,
         "q34_media_decode": O_Q34,
         "q35_frame_sample": O_Q35,
     }

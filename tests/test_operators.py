@@ -534,3 +534,30 @@ def test_redact_pii_planted_and_engine_parity(spark):
         [texts],
     ).fetchall()
     assert [o[0] for o in oracle] == [got[i] for i in range(len(texts))]
+
+
+def test_quantize_int8_roundtrip_and_edges(spark, embs):
+    """Round-trip error <= scale/2 per coordinate; zero vectors
+    quantize to zeros with scale 1; codes stay in [-127, 127]."""
+    from a2b_spark.functions.vectors import dequantize_int8, quantize_int8
+
+    base = embs.select("vec_id", "embedding").limit(50)
+    qz = base.select("vec_id", "embedding", quantize_int8(F.col("embedding")).alias("qs"))
+    chk = qz.select(
+        "vec_id",
+        F.col("qs.scale").alias("scale"),
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                dequantize_int8(F.col("qs")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        F.array_max(F.transform("qs.q", lambda q: F.abs(q.cast("int")))).alias("max_q"),
+    ).collect()
+    for r in chk:
+        assert r.max_err <= r.scale / 2 + 1e-12, (r.vec_id, r.max_err, r.scale)
+        assert r.max_q <= 127
+    zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    zr = zero.select(quantize_int8(F.col("embedding")).alias("qs")).first().qs
+    assert zr.scale == 1.0 and list(zr.q) == [0, 0, 0]
