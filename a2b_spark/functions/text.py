@@ -64,15 +64,21 @@ def stopword_count(col, stopwords: list[str] | None = None) -> Column:
 
 def quality_features(col) -> dict[str, Column]:
     """Document quality signals: length, token stats, punctuation and
-    stopword ratios, mean word length. All exact-integer-derived."""
+    stopword ratios, mean word length. All exact-integer-derived.
+    Empty text defines punct_ratio as 0.0 (guarded — under ANSI mode
+    the bare 0/0 division RAISES, it doesn't NULL); n_words is always
+    ≥ 1 (split('') = ['']), so the other ratios cannot hit zero."""
     toks = word_tokens(col)
     n_words = F.size(toks).cast("long")
     n_chars = F.length(col).cast("long")
+    punct_ratio = F.when(
+        n_chars > 0, punct_count(col).cast("double") / n_chars.cast("double")
+    ).otherwise(F.when(n_chars == 0, F.lit(0.0)))
     return {
         "n_chars": n_chars,
         "n_words": n_words,
         "n_distinct_words": F.size(F.array_distinct(toks)).cast("long"),
-        "punct_ratio": punct_count(col).cast("double") / n_chars.cast("double"),
+        "punct_ratio": punct_ratio,
         "stopword_ratio": stopword_count(col).cast("double") / n_words.cast("double"),
         "avg_word_len": (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"),
     }

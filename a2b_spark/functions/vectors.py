@@ -34,7 +34,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI divide-by-zero error) when either vector has
+    zero norm — callers treat no-direction vectors like null vectors."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def pair_cosine_raw() -> "callable":

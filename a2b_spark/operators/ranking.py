@@ -197,6 +197,21 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     total = counts.agg(F.sum("cnt")).first()[0]
+    if not total:
+        # empty corpus / all-null texts: no LM exists — empty frame
+        # rather than float(None) below (same guard as bm25_scores)
+        from pyspark.sql import types as T
+
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(id_col, df.schema[id_col].dataType),
+                    T.StructField("n_tokens", T.LongType()),
+                    T.StructField("surprisal_e7", T.LongType()),
+                ]
+            ),
+        )
     i7 = (
         F.round(-F.log(F.col("cnt").cast("double") / F.lit(float(total))), 7)
         .cast("decimal(20,7)")

@@ -35,10 +35,16 @@ from a2b_spark.operators.dedup import spread
 
 def _topk_window(scored: DataFrame, k: int) -> DataFrame:
     """Shared deterministic top-k epilogue: (cos desc, corpus_id asc)
-    row_number — the determinism contract of every KNN operator."""
+    row_number — the determinism contract of every KNN operator.
+
+    NaN cosines (zero-norm vectors: 0/0 in the numpy kernel) are
+    dropped FIRST — Spark orders NaN above every double, so without
+    the filter a direction-less vector would win rank 1 of every
+    query it became a candidate for."""
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("corpus_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(~F.isnan("cos"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "corpus_id", "cos", F.col("rk").cast("int").alias("rk"))
     )

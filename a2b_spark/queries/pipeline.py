@@ -74,7 +74,9 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(ws) AS BIGINT) AS n_words,
   CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
-  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio,
+  CASE WHEN length(text) > 0
+       THEN CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text)
+       WHEN length(text) = 0 THEN 0.0 END AS punct_ratio,
   CAST(len([w for w in ws if list_contains(['{_SW}'], w)]) AS DOUBLE) / len(ws) AS stopword_ratio,
   CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len
 FROM t

@@ -561,3 +561,52 @@ def test_quantize_int8_roundtrip_and_edges(spark, embs):
     zero = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
     zr = zero.select(quantize_int8(F.col("embedding")).alias("qs")).first().qs
     assert zr.scale == 1.0 and list(zr.q) == [0, 0, 0]
+
+
+def test_zero_norm_vector_never_wins_knn(spark, embs):
+    """A zero-norm vector has no direction: its cosine is NaN in the
+    numpy kernel, and Spark sorts NaN ABOVE every double — without the
+    rerank guard it would take rank 1 of every query. It must simply
+    never appear."""
+    from pyspark.sql import types as T
+
+    extra = spark.createDataFrame(
+        [(90002, [0.0] * 64)],
+        T.StructType(
+            [
+                T.StructField("vec_id", embs.schema["vec_id"].dataType),
+                T.StructField("embedding", embs.schema["embedding"].dataType),
+            ]
+        ),
+    )
+    mixed = embs.select("vec_id", "embedding").unionByName(extra)
+    q = mixed.filter(F.col("vec_id") < 3)
+    for fn, kw in [
+        (S.knn_bruteforce, {}),
+        (S.knn_lsh, {"n_bits": 2, "n_tables": 8}),
+    ]:
+        out = fn(q, mixed, "embedding", "vec_id", k=3, **kw).collect()
+        assert all(r.corpus_id != 90002 for r in out), fn.__name__
+        assert all(r.cos == r.cos for r in out), "NaN leaked"  # NaN != NaN
+
+
+def test_unigram_surprisal_empty_corpus(spark):
+    from a2b_spark.operators.ranking import unigram_surprisal
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = unigram_surprisal(empty, "text", "doc_id")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "surprisal_e7"]
+
+
+def test_quality_features_empty_text_ansi_safe(spark):
+    """Empty text must yield punct_ratio 0.0, not an ANSI
+    DIVIDE_BY_ZERO error; null text stays null."""
+    from a2b_spark.functions.text import quality_features
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "a b.")], "doc_id bigint, text string")
+    feats = quality_features(F.col("text"))
+    rows = {r.doc_id: r for r in df.select("doc_id", *[c.alias(n) for n, c in feats.items()]).collect()}
+    assert rows[1].punct_ratio == 0.0
+    assert rows[2].punct_ratio is None
+    assert rows[3].punct_ratio == pytest.approx(1 / 4)
