@@ -110,10 +110,12 @@ def kgram_hash_docs(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays; integer-count
-    division → engine-portable doubles."""
+    division → engine-portable doubles. Two empty sets → NULL (ANSI
+    mode would raise on the bare 0/0; NULL fails any >= threshold
+    filter, which is the semantics every caller wants)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_union(a, b)).cast("double")
-    return inter / union
+    return F.try_divide(inter, union)
 
 
 _MERSENNE31 = 2147483647  # 2^31 - 1, prime

@@ -49,6 +49,8 @@ def range_join(
     ``raise_error``, no extra pass) naming the offending span — the
     caller either fixes the data or explicitly raises the cap."""
     equi = list(equi_keys)
+    if bin_width != "auto" and (not isinstance(bin_width, int) or bin_width < 1):
+        raise ValueError(f"bin_width must be a positive int or 'auto', got {bin_width!r}")
     if bin_width == "auto":
         # p95 interval length: wide enough that ≥95% of intervals
         # replicate ≤2×, robust to sentinel outliers (unlike max)
