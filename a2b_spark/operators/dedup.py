@@ -199,15 +199,13 @@ def _minhash_sigs(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, bands: int = 16, rows: int = 4, packable: bool = False
+def banded_signatures(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows: int = 4
 ) -> DataFrame:
-    """Band the signature; docs sharing any band-hash become candidate
-    pairs. One shuffle keyed on (band, band_hash); bucket sizes stay
-    tiny because a band hash is 64-bit. The pair dedup (a pair can
-    collide in several bands) runs on the packed 64-bit key when
-    ``packable`` (see _ids_packable). Returns (id_a, id_b)."""
-    banded = sigs.select(
+    """Explode a minhash signature into its LSH band hashes:
+    (id, band, bh) — the join key of every banding consumer, including
+    the streaming near-dup filter's persistent signature store."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -219,6 +217,17 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.bh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int = 16, rows: int = 4, packable: bool = False
+) -> DataFrame:
+    """Band the signature; docs sharing any band-hash become candidate
+    pairs. One shuffle keyed on (band, band_hash); bucket sizes stay
+    tiny because a band hash is 64-bit. The pair dedup (a pair can
+    collide in several bands) runs on the packed 64-bit key when
+    ``packable`` (see _ids_packable). Returns (id_a, id_b)."""
+    banded = banded_signatures(sigs, id_col, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = a.join(

@@ -1,0 +1,159 @@
+"""Streaming NEAR-duplicate filtering: minhash-LSH dedup of an
+unbounded document stream against everything already accepted.
+
+Nothing in the reference approaches this (row-at-a-time batch ETL);
+it is the streaming face of the batch dedup chain: a training-data
+pipeline ingesting documents continuously must suppress near-copies
+of PREVIOUSLY accepted documents, not just within-batch twins —
+exact-key state (`streaming_dedup_first_seen`) cannot do that, since
+near-dups share no key.
+
+Design (per micro-batch via ``foreachBatch``):
+
+1. One k-gram hash pass over the batch (the same JVM codegen pass the
+   batch operators share) → signatures → LSH band hashes.
+2. Batch-vs-HISTORY candidates: band-join the batch's band hashes
+   against the persistent signature store (a versioned parquet table
+   of (id, band, bh) rows — 16 longs per accepted doc); verify
+   candidates with exact jaccard against the stored k-gram sets.
+   Batch docs within ``threshold`` of any accepted doc are dropped.
+3. Batch-vs-BATCH: the remaining docs run the ordinary batch
+   ``dedup_apply`` (pairs → connected components → keep cluster min).
+4. Survivors merge into the output table; their band hashes and
+   k-gram sets merge into the two history stores. All three writes
+   are keyed MVCC merges, so at-least-once redelivery is idempotent
+   (a redelivered doc is either its own exact dup — dropped by
+   verify — or re-merges onto its own key).
+
+Scale: history grows by O(survivors) — 16 band longs + one k-gram
+hash array per ACCEPTED doc (duplicates never enter the store). The
+band join touches only colliding buckets; the jaccard verify touches
+only candidates. At 100 TB of accepted history the store is the same
+banded layout the batch LSH path shuffles, and the per-batch cost is
+driven by the batch size, not the history size.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from a2b_spark.storage.table import VersionedParquetTable
+
+
+class StreamingNearDupFilter:
+    """State + dataflow for continuous near-dup filtering; usable
+    directly on batch DataFrames (``process_batch``) or wired to a
+    stream (``start``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        text_col: str,
+        id_col: str,
+        threshold: float = 0.8,
+        shingle_k: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+    ):
+        self.spark = spark
+        self.text_col = text_col
+        self.id_col = id_col
+        self.threshold = threshold
+        self.shingle_k = shingle_k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.out = VersionedParquetTable(f"{base_dir}/accepted", key_cols=(id_col,))
+        self.band_store = VersionedParquetTable(f"{base_dir}/bands", key_cols=(id_col, "band"))
+        self.khs_store = VersionedParquetTable(f"{base_dir}/khs", key_cols=(id_col,))
+
+    # ---------------------------------------------------------- batch
+    def process_batch(self, batch_df: DataFrame) -> None:
+        from a2b_spark.operators.dedup import (
+            _minhash_sigs,
+            banded_signatures,
+            dedup_apply,
+            jaccard,
+            kgram_hash_docs,
+        )
+
+        idc, txt = self.id_col, self.text_col
+        if not batch_df.head(1):
+            return
+        batch = batch_df.select(idc, txt)
+
+        # within-batch near-dup collapse first (keep cluster-min), so
+        # a batch containing N copies admits exactly one
+        batch = dedup_apply(batch, txt, idc, threshold=self.threshold)
+
+        sh = kgram_hash_docs(batch, txt, idc, self.shingle_k).localCheckpoint()
+        sigs = _minhash_sigs(sh, idc, self.num_hashes)
+        rows = self.num_hashes // self.bands
+        bands_b = banded_signatures(sigs, idc, self.bands, rows)
+
+        hist_bands = self.band_store.read(self.spark)
+        hist_khs = self.khs_store.read(self.spark)
+        if hist_bands is not None and hist_khs is not None:
+            cand = (
+                bands_b.join(
+                    hist_bands.select(
+                        F.col(idc).alias("__hid"), "band", "bh"
+                    ),
+                    ["band", "bh"],
+                )
+                .select(idc, "__hid")
+                .distinct()
+            )
+            dup_ids = (
+                cand.join(sh.select(F.col(idc), F.col("khs").alias("__k_b")), idc)
+                .join(
+                    hist_khs.select(
+                        F.col(idc).alias("__hid"), F.col("khs").alias("__k_h")
+                    ),
+                    "__hid",
+                )
+                .filter(jaccard(F.col("__k_b"), F.col("__k_h")) >= self.threshold)
+                .select(idc)
+                .distinct()
+            )
+            batch = batch.join(dup_ids, idc, "left_anti")
+            sh = sh.join(dup_ids, idc, "left_anti")
+            bands_b = bands_b.join(dup_ids, idc, "left_anti")
+
+        # survivors: one localCheckpoint so the three merges below
+        # don't re-run the signature pipeline (and stay consistent)
+        survivors = batch.localCheckpoint()
+        if not survivors.head(1):
+            return
+        self.out.merge(survivors)
+        self.band_store.merge(
+            bands_b.join(survivors.select(idc), idc, "left_semi")
+        )
+        self.khs_store.merge(sh.join(survivors.select(idc), idc, "left_semi"))
+
+    # --------------------------------------------------------- stream
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+    ) -> StreamingQuery:
+        if not stream_df.isStreaming:
+            raise ValueError("stream_df must be a streaming DataFrame")
+
+        def fe(batch_df: DataFrame, batch_id: int) -> None:
+            self.process_batch(batch_df)
+
+        writer = stream_df.writeStream.foreachBatch(fe).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def accepted(self) -> Optional[DataFrame]:
+        return self.out.read(self.spark)

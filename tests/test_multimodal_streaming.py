@@ -332,3 +332,53 @@ def test_resize_media_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_media(df, "payload", "media_id", 64, 64, resizer="real")
+
+
+def test_streaming_near_dup_filter_across_batches(spark, tmp_path):
+    """Near-dup filtering against accepted HISTORY: a later micro-batch's
+    near-copy of an earlier batch's doc must be dropped (exact-key
+    streaming dedup cannot do this — near-dups share no key);
+    within-batch twins collapse to the min id; redelivery is
+    idempotent."""
+    import time
+
+    from a2b_spark.streaming.neardup import StreamingNearDupFilter
+
+    base = "the quick brown fox jumps over the lazy dog again and again today friends"
+    other = "completely different words describing unrelated things entirely here now yes ok"
+    third = "a third topic about spark plans shuffles joins and aggregation pipelines"
+
+    src_dir = str(tmp_path / "nd_in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{src_dir}/b1")
+    time.sleep(1.1)
+    # batch 2: 10 = near-copy of doc 1 (history dup), 11/12 = in-batch
+    # twins (keep 11), 13 = genuinely new, 2 = exact redelivery of doc 2
+    spark.createDataFrame(
+        [
+            (10, base + " extra"),
+            (11, third),
+            (12, third + " more"),
+            (13, "fresh unique content with nothing shared against anything else at all"),
+            (2, other),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(f"{src_dir}/b2")
+
+    f = StreamingNearDupFilter(
+        spark, str(tmp_path / "nd_state"), "text", "doc_id", threshold=0.5
+    )
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/b*")
+    )
+    q = f.start(sdf, str(tmp_path / "nd_ckpt"))
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = sorted(r.doc_id for r in f.accepted().select("doc_id").collect())
+    assert got == [1, 2, 11, 13], got
