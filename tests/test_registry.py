@@ -1,0 +1,52 @@
+"""Registry contract tests: the external harness checks only the
+FIRST 50 registered queries, so ordering is load-bearing — these pin
+the coverage-debt invariant (see a2b_spark/queries/__init__.py)."""
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prior_coverage() -> dict:
+    cov: dict = {}
+    for fn in sorted(os.listdir(REPO)):
+        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
+            with open(os.path.join(REPO, fn)) as f:
+                for q, res in json.load(f).items():
+                    if res.get("hash_match") or res.get("rows_match"):
+                        cov[q] = cov.get(q, 0) + 1
+    return cov
+
+
+def test_every_query_has_an_oracle():
+    from a2b_spark.queries import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES)
+    assert list(ORACLES) == list(QUERIES), "oracle order must mirror query order"
+
+
+def test_cap_only_drops_multiply_covered_queries():
+    """Whatever falls outside the harness's 50-entry window must have
+    at least two prior driver-green rounds (it stays covered every
+    round by tools/check_oracle.py + pytest regardless)."""
+    from a2b_spark.queries import QUERIES
+
+    cov = _prior_coverage()
+    outside = list(QUERIES)[50:]
+    for q in outside:
+        assert cov.get(q, 0) >= 2, (
+            f"{q} would lose driver coverage without being multiply "
+            f"covered before (rounds green: {cov.get(q, 0)}); reorder "
+            "_PRIORITIZED/_DEPRIORITIZED in a2b_spark/queries/__init__.py"
+        )
+
+
+def test_never_checked_queries_are_inside_the_cap():
+    from a2b_spark.queries import QUERIES
+
+    cov = _prior_coverage()
+    inside = set(list(QUERIES)[:50])
+    never = [q for q in QUERIES if cov.get(q, 0) == 0]
+    missing = [q for q in never if q not in inside]
+    assert not missing, f"never-driver-checked queries outside the cap: {missing}"
