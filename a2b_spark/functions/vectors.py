@@ -185,9 +185,16 @@ def quantize_int8(vec) -> "Column":
 
     Returns a struct(scale double, q array<tinyint>); dequantize with
     :func:`dequantize_int8`. Max reconstruction error is scale/2 per
-    coordinate.
+    finite coordinate. Non-finite coordinates (NaN/Inf) quantize to 0
+    and are excluded from the scale — under ANSI mode the bare
+    round(NaN).cast('tinyint') would RAISE and one corrupt vector
+    would abort the whole job.
     """
-    v = as_double(vec)
+    inf = F.lit(float("inf"))
+    v = F.transform(
+        as_double(vec),
+        lambda x: F.when(F.isnan(x) | (F.abs(x) == inf), F.lit(0.0)).otherwise(x),
+    )
     mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when((mx.isNotNull()) & (mx > 0), mx / F.lit(127.0)).otherwise(
         F.lit(1.0)

@@ -17,8 +17,10 @@ Design (per micro-batch via ``foreachBatch``):
    of (id, band, bh) rows — 16 longs per accepted doc); verify
    candidates with exact jaccard against the stored k-gram sets.
    Batch docs within ``threshold`` of any accepted doc are dropped.
-3. Batch-vs-BATCH: the remaining docs run the ordinary batch
-   ``dedup_apply`` (pairs → connected components → keep cluster min).
+3. Batch-vs-BATCH: the remaining docs run the batch dedup chain
+   (band self-join → exact-jaccard verify → connected components →
+   keep cluster min) over the SAME signatures as step 2, so in-batch
+   and cross-batch decisions use one consistent config.
 4. Survivors merge into the output table; their band hashes and
    k-gram sets merge into the two history stores. All three writes
    are keyed MVCC merges, so at-least-once redelivery is idempotent
@@ -76,33 +78,38 @@ class StreamingNearDupFilter:
         from a2b_spark.operators.dedup import (
             _minhash_sigs,
             banded_signatures,
-            dedup_apply,
             jaccard,
             kgram_hash_docs,
         )
+        from a2b_spark.operators.graph import connected_components
 
         idc, txt = self.id_col, self.text_col
         if not batch_df.head(1):
             return
         batch = batch_df.select(idc, txt)
 
-        # within-batch near-dup collapse first (keep cluster-min), so
-        # a batch containing N copies admits exactly one
-        batch = dedup_apply(batch, txt, idc, threshold=self.threshold)
-
+        # ONE k-gram/signature pass for the whole batch; every later
+        # consumer (history join, in-batch pairs, store merges) reads
+        # the checkpointed frames — nothing replays the pipeline
         sh = kgram_hash_docs(batch, txt, idc, self.shingle_k).localCheckpoint()
         sigs = _minhash_sigs(sh, idc, self.num_hashes)
         rows = self.num_hashes // self.bands
-        bands_b = banded_signatures(sigs, idc, self.bands, rows)
+        bands_b = banded_signatures(sigs, idc, self.bands, rows).localCheckpoint()
 
+        def drop(ids: DataFrame, *frames: DataFrame):
+            return tuple(f.join(ids, idc, "left_anti") for f in frames)
+
+        # 1) batch-vs-HISTORY first: a doc near an accepted doc is
+        # dropped unconditionally. Order matters — running in-batch
+        # dedup first could elect a history-dup as a cluster's
+        # survivor and then lose the whole cluster, including members
+        # that are NOT near any accepted doc.
         hist_bands = self.band_store.read(self.spark)
         hist_khs = self.khs_store.read(self.spark)
         if hist_bands is not None and hist_khs is not None:
             cand = (
                 bands_b.join(
-                    hist_bands.select(
-                        F.col(idc).alias("__hid"), "band", "bh"
-                    ),
+                    hist_bands.select(F.col(idc).alias("__hid"), "band", "bh"),
                     ["band", "bh"],
                 )
                 .select(idc, "__hid")
@@ -120,20 +127,45 @@ class StreamingNearDupFilter:
                 .select(idc)
                 .distinct()
             )
-            batch = batch.join(dup_ids, idc, "left_anti")
-            sh = sh.join(dup_ids, idc, "left_anti")
-            bands_b = bands_b.join(dup_ids, idc, "left_anti")
+            batch, sh, bands_b = drop(dup_ids, batch, sh, bands_b)
 
-        # survivors: one localCheckpoint so the three merges below
-        # don't re-run the signature pipeline (and stay consistent)
+        # 2) in-batch near-dup collapse on the remainder, using the
+        # SAME shingle/signature config as the history comparison (a
+        # generic dedup_apply call would silently use its own
+        # defaults): band self-join → exact-jaccard verify → connected
+        # components → keep each cluster's min id.
+        a, b = bands_b.alias("a"), bands_b.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col(f"a.{idc}") < F.col(f"b.{idc}")),
+            )
+            .select(F.col(f"a.{idc}").alias("id_a"), F.col(f"b.{idc}").alias("id_b"))
+            .distinct()
+            .join(
+                sh.select(F.col(idc).alias("id_a"), F.col("khs").alias("__ka")), "id_a"
+            )
+            .join(
+                sh.select(F.col(idc).alias("id_b"), F.col("khs").alias("__kb")), "id_b"
+            )
+            .filter(jaccard(F.col("__ka"), F.col("__kb")) >= self.threshold)
+            .select("id_a", "id_b")
+        )
+        cc = connected_components(pairs, "id_a", "id_b")
+        dtype = batch.schema[idc].dataType
+        in_batch_drops = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").cast(dtype).alias(idc)
+        )
+        batch, sh, bands_b = drop(in_batch_drops, batch, sh, bands_b)
+
         survivors = batch.localCheckpoint()
         if not survivors.head(1):
             return
         self.out.merge(survivors)
-        self.band_store.merge(
-            bands_b.join(survivors.select(idc), idc, "left_semi")
-        )
-        self.khs_store.merge(sh.join(survivors.select(idc), idc, "left_semi"))
+        self.band_store.merge(bands_b)
+        self.khs_store.merge(sh)
 
     # --------------------------------------------------------- stream
     def start(

@@ -382,3 +382,27 @@ def test_streaming_near_dup_filter_across_batches(spark, tmp_path):
         q.stop()
     got = sorted(r.doc_id for r in f.accepted().select("doc_id").collect())
     assert got == [1, 2, 11, 13], got
+
+
+def test_near_dup_filter_history_first_order(spark, tmp_path):
+    """Order regression: batch doc A is near accepted history doc H,
+    doc B is near A but NOT near H. In-batch-dedup-first would elect
+    A (min id) as the cluster survivor, then lose the whole cluster to
+    the history filter — B's content would vanish. History-first keeps
+    B."""
+    from a2b_spark.streaming.neardup import StreamingNearDupFilter
+
+    h = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    a = h + " one two three four five six"
+    b = a + " s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+
+    f = StreamingNearDupFilter(
+        spark, str(tmp_path / "ord_state"), "text", "doc_id", threshold=0.5
+    )
+    f.process_batch(spark.createDataFrame([(1, h)], "doc_id long, text string"))
+    f.process_batch(
+        spark.createDataFrame([(20, a), (21, b)], "doc_id long, text string")
+    )
+    got = sorted(r.doc_id for r in f.accepted().select("doc_id").collect())
+    # A(20) dropped vs history; B(21) survives — near A but not near H
+    assert got == [1, 21], got

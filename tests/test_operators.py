@@ -610,3 +610,17 @@ def test_quality_features_empty_text_ansi_safe(spark):
     assert rows[1].punct_ratio == 0.0
     assert rows[2].punct_ratio is None
     assert rows[3].punct_ratio == pytest.approx(1 / 4)
+
+
+def test_quantize_int8_nonfinite_ansi_safe(spark):
+    """NaN/Inf coordinates must quantize to 0 (scale from the finite
+    ones), not abort the job with an ANSI CAST_INVALID_INPUT."""
+    from a2b_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [float("nan"), 12.7, -12.7]), (2, [float("inf"), 1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.qs for r in df.select("vec_id", quantize_int8(F.col("embedding")).alias("qs")).collect()}
+    assert list(out[1].q) == [0, 127, -127] and out[1].scale == 12.7 / 127
+    assert list(out[2].q) == [0, 127, -127] and out[2].scale == 1.0 / 127

@@ -14,7 +14,11 @@ def _prior_coverage() -> dict:
         if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
             with open(os.path.join(REPO, fn)) as f:
                 for q, res in json.load(f).items():
-                    if res.get("hash_match") or res.get("rows_match"):
+                    # green = values confirmed; rows_match alone counts
+                    # only for the weaker rows-only checks (no hash key)
+                    if res.get("hash_match") is True or (
+                        "hash_match" not in res and res.get("rows_match")
+                    ):
                         cov[q] = cov.get(q, 0) + 1
     return cov
 
