@@ -207,3 +207,33 @@ def dequantize_int8(qstruct: Column) -> Column:
     """Inverse of :func:`quantize_int8`: x̂_i = q_i · scale (double)."""
     s = qstruct["scale"]
     return F.transform(qstruct["q"], lambda x: x.cast("double") * s)
+
+
+def quantize_embeddings(df, vec_col: str, id_col: str):
+    """Staged DataFrame-level int8 quantization: returns
+    (id_col, scale double, q array<tinyint>) with identical semantics
+    to :func:`quantize_int8`.
+
+    Use THIS for table-scale quantization: the single-expression form
+    embeds the scale subexpression inside the per-element lambda, and
+    HOF lambdas are interpreted with no common-subexpression
+    elimination — O(d²) per row (the same Catalyst pathology as
+    winnow_fingerprints' k-gram staging), measured 11× slower at
+    sf0.1. Here sanitize → scale → codes are three projections, so
+    each is evaluated once per row."""
+    inf = F.lit(float("inf"))
+    v = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: F.when(F.isnan(x) | (F.abs(x) == inf), F.lit(0.0)).otherwise(x),
+    )
+    s1 = df.select(F.col(id_col), v.alias("__v"))
+    mx = F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    s2 = s1.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.when((mx.isNotNull()) & (mx > 0), mx / F.lit(127.0))
+        .otherwise(F.lit(1.0))
+        .alias("scale"),
+    )
+    q = F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("tinyint"))
+    return s2.select(F.col(id_col), F.col("scale"), q.alias("q"))

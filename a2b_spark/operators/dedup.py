@@ -730,11 +730,15 @@ def ngram_decontaminate(
                 lambda i: F.concat_ws(" ", F.slice(t, i, n)),
             ),
         ).otherwise(F.array(F.concat_ws(" ", t)))
-        # empty grams (null or empty text — concat_ws never yields
-        # null) must not cross-match: a null-text corpus doc is not
-        # "contaminated" by a null-text benchmark doc
+        # Stage the gram array, then explode_OUTER: plain explode's
+        # size-filter rewrite inlines the n-gram transform per
+        # generated row (the explode pathology). Empty grams (null or
+        # empty text — concat_ws never yields null) must not
+        # cross-match: a null-text corpus doc is not "contaminated" by
+        # a null-text benchmark doc.
+        staged = toked.select(out, F.array_distinct(g).alias("__gs"))
         return (
-            toked.select(out, F.explode(F.array_distinct(g)).alias("__g"))
+            staged.select(out, F.explode_outer("__gs").alias("__g"))
             .filter(F.length("__g") > 0)
             .select(out, F.md5("__g").alias("gh"))
         )

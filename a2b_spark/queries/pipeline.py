@@ -475,15 +475,22 @@ def q65_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     .quantize_int8) — the 4x storage/memory cut an ANN corpus takes at
     100 TB — exploded to (vec_id, idx, qval, scale) rows so the full
     quantized content and per-vector scale are value-hashed against
-    the oracle. Round-trip error bound is pytest-verified."""
-    e = _t(spark, sf_dir, "embeddings")
-    from a2b_spark.functions.vectors import quantize_int8
+    the oracle. Round-trip error bound is pytest-verified. Uses the
+    STAGED DataFrame form — the single-expression quantize_int8
+    re-evaluates the scale per element (no CSE in HOF lambdas),
+    measured 11x slower at sf0.1."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    from a2b_spark.functions.vectors import quantize_embeddings
 
-    qz = e.select("vec_id", quantize_int8(F.col("embedding")).alias("qs"))
+    qz = quantize_embeddings(e, "embedding", "vec_id")
+    # posexplode_OUTER: plain explode's size-filter rewrite inlines the
+    # quantization expression per generated row (the README's explode
+    # pathology) — measured 1.9s -> 0.2s at sf0.1; null embeddings are
+    # filtered above so outer adds no rows
     return qz.select(
         "vec_id",
-        F.col("qs.scale").alias("scale"),
-        F.posexplode("qs.q").alias("idx", "qval"),
+        "scale",
+        F.posexplode_outer("q").alias("idx", "qval"),
     ).select(
         "vec_id",
         F.col("idx").cast("int").alias("idx"),
