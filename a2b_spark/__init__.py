@@ -46,6 +46,8 @@ def __getattr__(name):
         "ranking": ("a2b_spark.operators.ranking", None),
         "graph": ("a2b_spark.operators.graph", None),
         "multimodal": ("a2b_spark.operators.multimodal", None),
+        "chunk": ("a2b_spark.operators.chunk", None),
+        "spans": ("a2b_spark.operators.spans", None),
         "text": ("a2b_spark.functions.text", None),
         "vectors": ("a2b_spark.functions.vectors", None),
     }

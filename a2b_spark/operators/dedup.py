@@ -695,6 +695,52 @@ def dedup_apply(
     return df.join(dedup_drop_ids(df, text_col, id_col, threshold), id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Quality-aware survivor selection: near-dup clusters keep the
+    member with the HIGHEST ``score_col`` (ties: minimum id) instead of
+    dedup_apply's blind minimum-id rule — the curation policy that
+    keeps the longest/cleanest copy of a duplicated document rather
+    than whichever crawl happened to get the smaller id.
+
+    Returns the surviving rows of ``df`` (all columns) plus a
+    ``cluster`` column (the component's minimum id; singleton documents
+    are their own cluster).
+
+    Scale shape: pair generation and clustering are the bucketed/banded
+    paths (minhash-LSH → large-star/small-star CC); survivor choice is
+    one per-cluster row_number window over only the CLUSTERED rows
+    (near-dup clusters are a small fraction of any real corpus — the
+    window never sees the singleton majority, which bypasses it via the
+    left join's null branch)."""
+    from a2b_spark.operators.graph import connected_components
+
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold=threshold)
+    cc = connected_components(pairs, "id_a", "id_b")
+    dtype = df.schema[id_col].dataType
+    comp = cc.select(
+        F.col("node").cast(dtype).alias(id_col),
+        F.col("component").cast(dtype).alias("cluster"),
+    )
+    cols = df.columns
+    clustered = df.join(comp, id_col)
+    w = W.partitionBy("cluster").orderBy(F.desc(score_col), F.asc(id_col))
+    survivors = (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*cols, "cluster")
+    )
+    singletons = df.join(comp.select(id_col), id_col, "left_anti").select(
+        *cols, F.col(id_col).alias("cluster")
+    )
+    return singletons.unionByName(survivors)
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -151,3 +151,44 @@ def stratified_hash_sample(
         rate = F.when(cond, F.lit(pct)) if rate is None else rate.when(cond, F.lit(pct))
     rate = rate.otherwise(F.lit(0)) if rate is not None else F.lit(0)
     return df.filter(_bucket60(key_col, salt) < rate)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    salt: str = "",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministic in the key:
+    keep a row iff ``u(key) < weight``, where ``u`` is the engine's
+    oracle-parity md5 uniform quantized to ``resolution`` buckets and
+    ``weight`` is a per-row probability in [0, 1] (values outside are
+    clamped; null weights drop the row).
+
+    This is importance resampling for training data — keep high-quality
+    documents with probability ~1 and low-quality ones at their score —
+    with the same reproducibility contract as hash_sample: stable
+    across runs, engines, partitionings and cluster sizes, and
+    monotone in the weight (a row kept at weight w is kept at any
+    w' >= w, so re-weighting never churns the kept set randomly).
+
+    One scan, no shuffle; the filter is pure codegen and pushes down
+    like any predicate."""
+    if resolution < 1:
+        raise ValueError("resolution must be >= 1")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % resolution
+    )
+    return df.filter(u < clamped * resolution)

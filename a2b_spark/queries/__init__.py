@@ -26,6 +26,10 @@ for mod in (relational, pipeline):
 # by pytest + tools/check_oracle.py every round).
 _PRIORITIZED = [
     # never driver-checked yet (new this round) — first in line
+    "q66_chunk_documents",
+    "q67_dup_ngram_spans",
+    "q68_dedup_keep_best",
+    "q69_weighted_sample",
     "q57_session_window",
     "q58_repetition_stats",
     "q59_decontaminate",
@@ -42,9 +46,18 @@ _PRIORITIZED = [
     "q35_frame_sample",
     "q42_range_join",
     "q43_hash_sample",
+    # single driver-green round so far — keep inside the cap until
+    # they accumulate two (the cap-eviction bar test_registry pins)
+    "q54_normalize_text",
+    "q55_corpus_datasheet",
+    "q56_embedding_dup_clusters",
 ]
-# all driver-green in rounds 1 AND 2 AND 3 (see CORRECTNESS_r0*.json)
+# all driver-green in at least two rounds (see CORRECTNESS_r0*.json)
 _DEPRIORITIZED = [
+    "q06_rollup_orders",
+    "q09_merge_upsert",
+    "q18_cube_orders",
+    "q19_pivot_status_by_priority",
     "q02_filter_project",
     "q05_top_customers_per_nation",
     "q07_customers_without_orders",

@@ -1403,3 +1403,142 @@ ORACLES.update(
         "q35_frame_sample": O_Q35,
     }
 )
+
+
+# --------------------------------------------------------------- Q66
+def q66_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunk.py): 200-char windows
+    every 160 chars (40-char overlap) — the split step between curation
+    and tokenization. Shuffle-free scan-speed explode; the boundary
+    contract (no pure-suffix trailing chunk) is part of the oracle."""
+    from a2b_spark.operators.chunk import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", size=200, overlap=40)
+
+
+O_Q66 = """
+WITH t AS (SELECT doc_id, text, length(text) AS ln FROM documents WHERE length(text) > 0),
+s AS (SELECT doc_id, text, ln, unnest(range(0, ln, 160)) AS st FROM t)
+SELECT doc_id, CAST(st // 160 AS INT) AS chunk_id, CAST(st AS BIGINT) AS chunk_start,
+       substr(text, CAST(st + 1 AS INT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(st + 1 AS INT), 200)) AS BIGINT) AS chunk_chars
+FROM s WHERE st = 0 OR st + 40 < ln
+"""
+
+
+# --------------------------------------------------------------- Q67
+def q67_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal (operators/spans.py): maximal word
+    spans whose every 8-gram appears in >= 2 documents — the
+    position-indexed n-gram reduction of suffix-array ExactSubstr
+    dedup (Lee et al. 2022). Shuffles carry (doc, pos, 64-bit gram
+    hash), never the text."""
+    from a2b_spark.operators.spans import duplicate_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(d, "text", "doc_id", n=8, min_docs=2)
+
+
+O_Q67 = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS p, ws
+        FROM t WHERE len(ws) >= 8),
+h AS (SELECT doc_id, p,
+             CAST(('0x' || substring(md5(array_to_string(ws[p:p+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      FROM pos),
+dup AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, p FROM h JOIN dup USING (gh)),
+isl AS (SELECT doc_id, p,
+               p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        FROM hits)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + 7 AS BIGINT) AS span_end,
+       CAST(MAX(p) - MIN(p) + 8 AS BIGINT) AS span_words
+FROM isl GROUP BY doc_id, grp
+"""
+
+
+# --------------------------------------------------------------- Q68
+def q68_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (dedup_keep_best):
+    clusters keep their LONGEST member (ties: min doc_id) instead of
+    q49's blind minimum-id rule. Oracle: exact-jaccard closure + a
+    per-cluster window."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_keep_best(d, "text", "doc_id", "n_chars", threshold=0.8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        "n_chars",
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
+O_Q68 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+cl AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+j AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             COALESCE(cl.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN cl USING (doc_id)),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rk FROM j)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source, n_chars,
+       CAST(cluster AS BIGINT) AS cluster
+FROM r WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------- Q69
+def q69_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling (weighted_hash_sample): keep each document
+    with probability proportional to a quality proxy (n_chars / 800,
+    clamped to 1) — deterministic in doc_id, monotone in the weight,
+    and engine-portable via the md5 idiom. One scan, no shuffle."""
+    from a2b_spark.operators.rangejoin import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars") / F.lit(800.0), F.lit(1.0))
+    return weighted_hash_sample(d, "doc_id", w, salt="s3").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+O_Q69 = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE CAST(('0x' || substring(md5('s3' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      < least(greatest(CAST(n_chars AS DOUBLE) / 800.0, 0.0), 1.0) * 10000
+"""
+
+
+QUERIES.update(
+    {
+        "q66_chunk_documents": q66_chunk_documents,
+        "q67_dup_ngram_spans": q67_dup_ngram_spans,
+        "q68_dedup_keep_best": q68_dedup_keep_best,
+        "q69_weighted_sample": q69_weighted_sample,
+    }
+)
+
+ORACLES.update(
+    {
+        "q66_chunk_documents": O_Q66,
+        "q67_dup_ngram_spans": O_Q67,
+        "q68_dedup_keep_best": O_Q68,
+        "q69_weighted_sample": O_Q69,
+    }
+)
