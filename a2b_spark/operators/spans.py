@@ -100,3 +100,93 @@ def duplicate_ngram_spans(
         .drop("__isl")
         .select(id_col, "span_start", "span_end", "span_words")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (the apply step over
+    :func:`duplicate_ngram_spans`'s detection): every word covered by a
+    duplicated n-gram is cut from all documents except the gram's
+    KEEPER (the minimum ``id_col`` containing it), so exactly one copy
+    of each duplicated span survives the corpus — Lee et al. 2022's
+    dedup semantic, not whole-document dropping.
+
+    Returns every document re-assembled:
+    (``id_col``, clean_text, n_words, n_removed_words). Documents
+    without removals pass through with n_removed_words = 0; ALL docs
+    take the same tokenize→filter→reassemble path, so output text is
+    single-space normalized (the corpus tokenization convention) and
+    engine-portable.
+
+    Scale shape: everything is linear in total tokens — position rows
+    carry (doc, pos, hash64); removal positions explode ×n (gram →
+    its n covered words, deduped per doc); the reassembly is one
+    groupBy per doc with a sorted struct collect (array_sort +
+    concat_ws, codegen). No window over the full corpus, no driver
+    collects.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.col("__toks")
+    sz = F.size(toks)
+    gram64 = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 15), 16, 10
+    ).cast("long")
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    staged = words.filter(sz >= n).select(
+        id_col,
+        F.transform(F.sequence(F.lit(1), sz - (n - 1)), gram64).alias("__gs"),
+    )
+    pos = staged.select(
+        id_col, F.posexplode_outer("__gs").alias("__p", "__g")
+    ).filter(F.col("__g").isNotNull())
+    # duplicated grams and their keeper doc (min id holding the gram)
+    dup = (
+        pos.groupBy("__g")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.min(F.col(id_col)).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g", "__keeper")
+    )
+    # positions to cut: non-keeper occurrences, expanded to the n words
+    # each gram covers (0-based word positions p .. p+n-1)
+    cut = (
+        pos.join(dup, "__g")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(id_col, F.explode(F.sequence(F.col("__p"), F.col("__p") + (n - 1))).alias("__w"))
+        .distinct()
+    )
+    # every word of every doc, 0-based position
+    allw = words.select(
+        id_col, F.posexplode_outer("__toks").alias("__w", "__tok")
+    ).filter(F.col("__tok").isNotNull())
+    kept = allw.join(cut, [id_col, "__w"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__w"), F.col("__tok")))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    totals = words.select(id_col, sz.cast("long").alias("__total"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            (F.col("__total") - F.coalesce("n_words", F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_removed_words"),
+        )
+    )

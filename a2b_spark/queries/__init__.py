@@ -30,6 +30,7 @@ _PRIORITIZED = [
     "q67_dup_ngram_spans",
     "q68_dedup_keep_best",
     "q69_weighted_sample",
+    "q70_remove_dup_spans",
     "q57_session_window",
     "q58_repetition_stats",
     "q59_decontaminate",

@@ -1542,3 +1542,46 @@ ORACLES.update(
         "q69_weighted_sample": O_Q69,
     }
 )
+
+
+# --------------------------------------------------------------- Q70
+def q70_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style dedup APPLY (operators/spans.py): every word
+    covered by a cross-doc duplicated 8-gram is cut from all docs but
+    the gram's min-doc_id keeper, so one copy of each duplicated span
+    survives the corpus. Linear in total tokens; no full-corpus
+    window."""
+    from a2b_spark.operators.spans import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, "text", "doc_id", n=8, min_docs=2)
+
+
+O_Q70 = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 7)) AS p, ws
+        FROM t WHERE len(ws) >= 8),
+h AS (SELECT doc_id, p,
+             CAST(('0x' || substring(md5(array_to_string(ws[p:p+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      FROM pos),
+dup AS (SELECT gh, MIN(doc_id) AS keeper FROM h
+        GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+cut AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 7)) AS w
+        FROM h JOIN dup USING (gh) WHERE doc_id <> keeper),
+aw AS (SELECT doc_id, wp, ws[wp] AS tok
+       FROM (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wp, ws FROM t)),
+kept AS (SELECT a.doc_id, a.wp, a.tok
+         FROM aw a LEFT JOIN cut c ON a.doc_id = c.doc_id AND a.wp = c.w
+         WHERE c.w IS NULL),
+re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wp) AS clean_text,
+              COUNT(*) AS n_words
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(re.clean_text, '') AS clean_text,
+       CAST(COALESCE(re.n_words, 0) AS BIGINT) AS n_words,
+       CAST(len(t.ws) - COALESCE(re.n_words, 0) AS BIGINT) AS n_removed_words
+FROM t LEFT JOIN re USING (doc_id)
+"""
+
+
+QUERIES.update({"q70_remove_dup_spans": q70_remove_dup_spans})
+ORACLES.update({"q70_remove_dup_spans": O_Q70})

@@ -163,3 +163,34 @@ def test_weighted_sample_clamps_out_of_range(spark):
     kept = weighted_hash_sample(df, "id", "w").collect()
     assert {r.id % 2 for r in kept} == {1}  # w=2 clamps to 1 (all), w=-1 to 0 (none)
     assert len(kept) == 50
+
+
+def test_remove_duplicate_spans_keeps_one_copy(spark):
+    from a2b_spark.operators.spans import remove_duplicate_spans
+
+    shared = "one two three four"  # n=4 -> exactly one shared gram
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} aa bb"),   # keeper (min doc_id)
+            (2, f"xx {shared} yy"),   # loses the span
+            (3, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, "text", "doc_id", n=4).collect()}
+    assert out[1].clean_text == f"{shared} aa bb" and out[1].n_removed_words == 0
+    assert out[2].clean_text == "xx yy" and out[2].n_removed_words == 4
+    assert out[3].clean_text == "totally different words here"
+    assert out[2].n_words == 2
+
+
+def test_remove_duplicate_spans_whole_doc_removed(spark):
+    from a2b_spark.operators.spans import remove_duplicate_spans
+
+    txt = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, txt), (2, txt)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, "text", "doc_id", n=5).collect()}
+    assert out[1].clean_text == txt
+    assert out[2].clean_text == "" and out[2].n_words == 0 and out[2].n_removed_words == 5
