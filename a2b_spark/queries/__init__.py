@@ -7,12 +7,12 @@ accumulation and only convert to DOUBLE at the end, so Spark and
 DuckDB produce bit-identical values regardless of summation order.
 """
 
-from a2b_spark.queries import pipeline, relational
+from a2b_spark.queries import analytic, pipeline, relational
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, pipeline):
+for mod in (relational, pipeline, analytic):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
@@ -26,6 +26,13 @@ for mod in (relational, pipeline):
 # by pytest + tools/check_oracle.py every round).
 _PRIORITIZED = [
     # never driver-checked yet (new this round) — first in line
+    "q71_correlated_scalar_subquery",
+    "q72_exists_correlated",
+    "q73_not_exists_threshold",
+    "q74_grouping_sets",
+    "q75_time_rollup_cascade",
+    "q76_pack_sequences",
+    "q77_mixture_rebalance",
     "q66_chunk_documents",
     "q67_dup_ngram_spans",
     "q68_dedup_keep_best",
@@ -52,9 +59,23 @@ _PRIORITIZED = [
     "q54_normalize_text",
     "q55_corpus_datasheet",
     "q56_embedding_dup_clusters",
+    "q50_knn_pq",
+    "q51_stratified_sample",
+    "q52_corpus_curation",
+    "q53_unigram_surprisal",
 ]
 # all driver-green in at least two rounds (see CORRECTNESS_r0*.json)
 _DEPRIORITIZED = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q04_region_revenue",
+    "q23_token_stats",
+    "q24_lang_id",
+    "q25_near_dup_exact_jaccard",
+    "q26_near_dup_minhash_lsh",
+    "q28_knn_bruteforce",
+    "q29_embedding_dups",
+    "q31_multimodal_meta",
     "q06_rollup_orders",
     "q09_merge_upsert",
     "q18_cube_orders",
