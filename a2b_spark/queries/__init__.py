@@ -26,6 +26,9 @@ for mod in (relational, pipeline, analytic):
 # by pytest + tools/check_oracle.py every round).
 _PRIORITIZED = [
     # never driver-checked yet (new this round) — first in line
+    "q78_kmv_distinct",
+    "q79_retention_cohorts",
+    "q80_event_funnel",
     "q71_correlated_scalar_subquery",
     "q72_exists_correlated",
     "q73_not_exists_threshold",

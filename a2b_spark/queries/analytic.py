@@ -329,6 +329,139 @@ WHERE (CAST(('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))
 """
 
 
+# --------------------------------------------------------------- Q78
+def q78_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) via the k-minimum-values sketch
+    (operators.sketch.kmv_distinct) next to the exact count — the
+    estimate is deterministic integer arithmetic over md5 hashes, so
+    unlike HLL it is oracle-checkable bit-for-bit. k=64 → ~13% rel.
+    error; the same call with k=1024 is ~3%. The exact twin column
+    shows the error in the result itself."""
+    from a2b_spark.operators.sketch import kmv_distinct
+
+    e = _t(spark, sf_dir, "events")
+    est = kmv_distinct(e, ["event_type"], "user_id", k=64)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "exact_distinct", "n_seen", "est_distinct"
+    )
+
+
+def _o_q78() -> str:
+    from a2b_spark.operators.sketch import kmv_oracle_sql
+
+    kmv = kmv_oracle_sql("events", ["event_type"], "user_id", k=64)
+    return f"""
+WITH kmv AS ({kmv}),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT event_type, exact_distinct, n_seen, est_distinct
+FROM kmv JOIN exact USING (event_type)
+"""
+
+
+O_Q78 = _o_q78()
+
+
+# --------------------------------------------------------------- Q79
+def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted on each later day-offset they were active. Two grouped
+    aggregations sharing the user_id shuffle key (the min-day pass and
+    the distinct activity pass co-partition) + one broadcast-size join
+    of per-user cohorts back onto per-user-day activity. The classic
+    product-analytics rollup, all codegen."""
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    activity = e.select("user_id", day.alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+O_Q79 = """
+WITH activity AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS day
+  FROM events),
+cohort AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity JOIN cohort USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+# --------------------------------------------------------------- Q80
+def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts a stage only with an event strictly AFTER their previous
+    stage's first event. Formulated as two window passes over ONE
+    user_id shuffle (the second window reuses the first's partitioning
+    and sort — no extra exchange), then a single global aggregate.
+    No per-stage self-joins: at 100 TB the join formulation would
+    shuffle the events table once per stage."""
+    e = _events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id")
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    staged = e.select("user_id", "event_type", "ts_us", first_view.alias("t_view"))
+    first_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t_view")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.select("user_id", "event_type", "ts_us", "t_view", first_click.alias("t_click"))
+    first_buy = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_click")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.select("user_id", "t_view", "t_click", first_buy.alias("t_buy"))
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_buy").alias("t_buy"),
+        )
+    )
+    return per_user.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.count("t_click").cast("long").alias("n_view_click"),
+        F.count("t_buy").cast("long").alias("n_view_click_buy"),
+    )
+
+
+O_Q80 = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts) // 1000) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(epoch_ns(ts) // 1000) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND epoch_ns(ts) // 1000 > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(ts) // 1000) AS t_buy
+  FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND epoch_ns(ts) // 1000 > c.t_click
+  GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_buy
+"""
+
+
 QUERIES = {
     "q71_correlated_scalar_subquery": q71_correlated_scalar_subquery,
     "q72_exists_correlated": q72_exists_correlated,
@@ -337,6 +470,9 @@ QUERIES = {
     "q75_time_rollup_cascade": q75_time_rollup_cascade,
     "q76_pack_sequences": q76_pack_sequences,
     "q77_mixture_rebalance": q77_mixture_rebalance,
+    "q78_kmv_distinct": q78_kmv_distinct,
+    "q79_retention_cohorts": q79_retention_cohorts,
+    "q80_event_funnel": q80_event_funnel,
 }
 
 ORACLES = {
@@ -347,4 +483,7 @@ ORACLES = {
     "q75_time_rollup_cascade": O_Q75,
     "q76_pack_sequences": O_Q76,
     "q77_mixture_rebalance": O_Q77,
+    "q78_kmv_distinct": O_Q78,
+    "q79_retention_cohorts": O_Q79,
+    "q80_event_funnel": O_Q80,
 }
