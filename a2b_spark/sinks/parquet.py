@@ -39,6 +39,11 @@ class ParquetDestination:
     def delete_keys(self, keys_df: DataFrame) -> None:
         self.table.delete_keys(keys_df)
 
+    def compact(self, spark: SparkSession, **kwargs) -> dict:
+        """Maintenance: bin-pack small files accumulated by incremental
+        merges (see VersionedParquetTable.compact)."""
+        return self.table.compact(spark, **kwargs)
+
     def read_multiple(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
         snap = self.read_snapshot(spark)
         if snap is None:

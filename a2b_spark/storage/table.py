@@ -263,6 +263,102 @@ class VersionedParquetTable:
         )
         self._commit_touched(merged_touched, touched)
 
+    # ----------------------------------------------------------- compact
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Bin-pack small files (the OPTIMIZE of Delta/Iceberg): rewrite
+        any partition holding ``min_files``-or-more data files into
+        ``ceil(bytes / target_file_bytes)`` files; partitions already
+        compact are hard-linked, not rewritten. Incremental keyed merges
+        add a file per commit, so long-lived tables trend toward many
+        tiny files — death by task-scheduling and footer overhead at
+        100 TB (a 1-row parquet file still costs a task + a footer
+        read). Data is byte-identical; the commit is a normal new
+        version, so time travel retains the pre-compaction layout until
+        vacuum.
+
+        Per-partition output file counts are computed driver-side from
+        the leaf directory listing (O(file count), no data read) and
+        applied via a ``__bucket`` column — hash of the key columns mod
+        that partition's target count — so one shuffle produces exactly
+        the target layout. Returns
+        ``{"partitions_rewritten", "files_before", "files_after"}``.
+        """
+        import math
+
+        cur = self.current_version()
+        empty = {"partitions_rewritten": 0, "files_before": 0, "files_after": 0}
+        if cur is None:
+            return empty
+        vdir = os.path.join(self.path, cur)
+
+        def _data_files(d: str) -> list[str]:
+            return [
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(d, f))
+            ]
+
+        if not self.partition_by:
+            files = _data_files(vdir)
+            if len(files) < min_files:
+                return {**empty, "files_before": len(files), "files_after": len(files)}
+            n = max(1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes))
+            if n >= len(files):
+                return {**empty, "files_before": len(files), "files_after": len(files)}
+            self.overwrite(self.read(spark).repartition(n))
+            return {
+                "partitions_rewritten": 1,
+                "files_before": len(files),
+                "files_after": n,
+            }
+
+        # partitioned: plan per-leaf target counts from the listing
+        plan: dict[tuple, int] = {}
+        before = after = 0
+        for leaf, values in _leaf_partitions(vdir, len(self.partition_by)):
+            files = _data_files(leaf)
+            before += len(files)
+            n = max(
+                1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes)
+            )
+            if len(files) >= min_files and n < len(files):
+                plan[values] = n
+                after += n
+            else:
+                after += len(files)
+        if not plan:
+            return {**empty, "files_before": before, "files_after": before}
+
+        current = self.read(spark)
+        touched_df = current.filter(self._partition_filter(set(plan)))
+        # per-partition bucket count via a literal map (partition lists
+        # are low-cardinality by design — same contract as
+        # _touched_partitions)
+        sep = "\x00"
+        pkey = F.concat_ws(sep, *[F.col(c).cast("string") for c in self.partition_by])
+        nmap = F.create_map(
+            *[
+                F.lit(x)
+                for vals, n in plan.items()
+                for x in (sep.join(vals), n)
+            ]
+        )
+        bucketed = touched_df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), nmap[pkey]),
+        ).repartition(*self.partition_by, "__bucket")
+        self._commit_touched(bucketed.drop("__bucket"), set(plan))
+        return {
+            "partitions_rewritten": len(plan),
+            "files_before": before,
+            "files_after": after,
+        }
+
     # ------------------------------------------------------------ vacuum
     def vacuum(self, keep: int | None = None) -> None:
         """Trim committed history to the newest ``keep`` versions.

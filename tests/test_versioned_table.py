@@ -163,3 +163,64 @@ def test_vacuum_noop_without_current_marker(spark, table):
     with open(marker, "w") as f:
         f.write(dirs_before[-1])
     assert table.read(spark).count() == 40
+
+
+def _data_file_count(version_dir):
+    return len(_inodes(version_dir))
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "u"), key_cols=("id",))
+    # 8-way repartition models the small-file state a stream of tiny
+    # commits leaves behind
+    t.overwrite(
+        spark.createDataFrame(
+            [(j, "b") for j in range(40)], "id int, v string"
+        ).repartition(8)
+    )
+    before = t.read(spark).orderBy("id").collect()
+    vdir = os.path.join(t.path, t.current_version())
+    n_before = _data_file_count(vdir)
+    assert n_before >= 2
+    stats = t.compact(spark)  # default target >> data: everything packs to 1
+    vdir2 = os.path.join(t.path, t.current_version())
+    assert _data_file_count(vdir2) == 1
+    assert stats["partitions_rewritten"] == 1
+    assert stats["files_before"] == n_before
+    assert t.read(spark).orderBy("id").collect() == before
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "n"), key_cols=("id",))
+    t.overwrite(spark.range(10).coalesce(1))
+    v = t.current_version()
+    stats = t.compact(spark)
+    assert stats["partitions_rewritten"] == 0
+    assert t.current_version() == v, "no-op compaction must not commit"
+
+
+def test_compact_partitioned_links_untouched(spark, table):
+    # fragment ONLY p0: its rows spread over 4 shuffle partitions (4
+    # files), every other partition collapses into one task (1 file)
+    cur = table.read(spark)
+    table.overwrite(
+        cur.repartition(
+            6,
+            F.when(F.col("p") == "p0", (F.col("id") / 4).cast("int") % 4).otherwise(F.lit(99)),
+        )
+    )
+    before = table.read(spark).orderBy("id").collect()
+    vdir = os.path.join(table.path, table.current_version())
+    ino_before = _inodes(vdir)
+    p0_files = [f for f in ino_before if f.startswith("p=p0")]
+    assert len(p0_files) >= 2
+    stats = table.compact(spark)
+    vdir2 = os.path.join(table.path, table.current_version())
+    ino_after = _inodes(vdir2)
+    assert stats["partitions_rewritten"] >= 1
+    assert len([f for f in ino_after if f.startswith("p=p0")]) == 1
+    # untouched partitions are hard-links of the previous version's files
+    for f, ino in ino_after.items():
+        if not f.startswith("p=p0"):
+            assert ino_before.get(f) == ino, f"untouched file {f} was rewritten"
+    assert table.read(spark).orderBy("id").collect() == before
