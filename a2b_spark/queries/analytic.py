@@ -294,10 +294,19 @@ def q77_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the per-language count is a broadcast-size aggregate
     (≤ #languages rows) joined back by broadcast hash join; the filter
     itself is codegen, one scan, no data shuffle."""
+    from pyspark.sql import Window as W
+
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    min_cnt = counts.agg(F.min("cnt").alias("m"))
-    rates = F.broadcast(counts.crossJoin(F.broadcast(min_cnt)))
+    # global-window min over the COUNTS AGGREGATE — an unpartitioned
+    # window is the single-task anti-pattern on row data, but here it
+    # runs over ≤ #languages rows (the aggregate), where it is the
+    # cheapest way to attach the global min without a cross join
+    # (which Catalyst would plan as a nested-loop after folding any
+    # constant join key)
+    rates = F.broadcast(
+        counts.withColumn("m", F.min("cnt").over(W.partitionBy()))
+    )
     u = (
         F.conv(
             F.substring(
