@@ -140,3 +140,46 @@ def test_run_pipeline_collects_spark_metrics(spark, tmp_path, sf_dir):
     m = r.spark_metrics
     assert m is not None and m["jobs"] >= 1 and m["tasks"] >= 1
     assert m["failed_tasks"] == 0
+
+
+def test_cli_main_end_to_end(spark, tmp_path, sf_dir, monkeypatch):
+    """The `python -m a2b_spark.exec.runner` entrypoint (reference
+    MigrateCommand analogue): module discovery via --module, group
+    selection, --prune policy, exit code 0, and rows actually landing
+    in the destination."""
+    import sys
+    import textwrap
+
+    from a2b_spark.exec.runner import main
+
+    mod_dir = tmp_path / "climod"
+    mod_dir.mkdir()
+    (mod_dir / "cli_pipeline_mod.py").write_text(
+        textwrap.dedent(
+            f"""
+            from a2b_spark.core.migration import IdField, Migration, MigrationRegistry
+            from a2b_spark.sinks.parquet import ParquetDestination
+            from a2b_spark.sources.base import DataFrameSource
+
+            MAPPING_DIR = {str(tmp_path / "cli_maps")!r}
+            DEST = {str(tmp_path / "cli_dest")!r}
+            REGISTRY = MigrationRegistry()
+            REGISTRY.register(Migration(
+                name="region",
+                source=DataFrameSource(
+                    lambda spark: spark.read.parquet({f"{sf_dir}/region.parquet"!r})
+                ),
+                destination=ParquetDestination(DEST, key_cols=("id",)),
+                source_ids=(IdField("r_regionkey", "int"),),
+                destination_ids=(IdField("id", "int"),),
+                transform=lambda d: d.drop("__existing"),
+            ))
+            """
+        )
+    )
+    monkeypatch.syspath_prepend(str(mod_dir))
+    rc = main(["--module", "cli_pipeline_mod", "--prune"])
+    assert rc == 0
+    dest = ParquetDestination(str(tmp_path / "cli_dest"), key_cols=("id",))
+    n = dest.read_snapshot(spark).count()
+    assert n == spark.read.parquet(f"{sf_dir}/region.parquet").count()
