@@ -27,6 +27,7 @@ for mod in (relational, pipeline, analytic):
 _PRIORITIZED = [
     # never driver-checked yet (new this round) — first in line
     "q78_kmv_distinct",
+    "q81_window_frames",
     "q79_retention_cohorts",
     "q80_event_funnel",
     "q71_correlated_scalar_subquery",

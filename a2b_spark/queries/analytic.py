@@ -471,6 +471,43 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+# --------------------------------------------------------------- Q81
+def q81_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame coverage beyond plain rank/lag: a bounded ROWS
+    frame (3-order moving sum, decimal-exact), ntile quartiles, and
+    percent_rank — all over ONE window partitioning (o_custkey), so
+    the plan carries a single shuffle+sort for the three functions.
+    Ordering is keyed by o_orderkey (unique), making every frame
+    deterministic and the int/int percent_rank division bit-identical
+    across engines."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    frame = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("moving_sum3"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+O_Q81 = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile,
+  PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pr
+FROM orders
+"""
+
+
 QUERIES = {
     "q71_correlated_scalar_subquery": q71_correlated_scalar_subquery,
     "q72_exists_correlated": q72_exists_correlated,
@@ -482,6 +519,7 @@ QUERIES = {
     "q78_kmv_distinct": q78_kmv_distinct,
     "q79_retention_cohorts": q79_retention_cohorts,
     "q80_event_funnel": q80_event_funnel,
+    "q81_window_frames": q81_window_frames,
 }
 
 ORACLES = {
@@ -495,4 +533,5 @@ ORACLES = {
     "q78_kmv_distinct": O_Q78,
     "q79_retention_cohorts": O_Q79,
     "q80_event_funnel": O_Q80,
+    "q81_window_frames": O_Q81,
 }
