@@ -55,7 +55,7 @@ def running_total(
     value expression is evaluated once into a column before the scan.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
-    staged = df.withColumn(out_col, value.cast("long"))
+    staged = df.withColumn("__v", value.cast("long"))
     if num_partitions:
         staged = staged.repartitionByRange(num_partitions, order_col)
     else:
@@ -69,14 +69,17 @@ def running_total(
     # caller (or bench's clearCache) releases it.
     from pyspark import StorageLevel
 
-    staged = staged.withColumn(out_col, F.sum(out_col).over(local)).persist(
+    staged = staged.withColumn(out_col, F.sum("__v").over(local)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
-    # one row per partition: (pid, partition total) — bounded driver pull
+    # one row per partition: (pid, partition total) — bounded driver
+    # pull. The total is SUM of the raw values, NOT max of the running
+    # column: with negative values (a running balance) the cumulative
+    # maximum is not the partition's final sum.
     totals = (
         staged.groupBy("__pid")
-        .agg(F.max(out_col).alias("t"))
+        .agg(F.sum("__v").alias("t"))
         .orderBy("__pid")
         .collect()
     )
@@ -84,7 +87,8 @@ def running_total(
     # exclusive scan: offset of pid i = sum of totals of pids < i.
     # repartitionByRange orders pids by key range, but empty ranges can
     # drop ids — accumulate over the pids actually present, in order.
-    offsets = [0] + list(accumulate(r["t"] for r in totals))[:-1]
+    # An all-null partition sums to NULL; it contributes 0 to offsets.
+    offsets = [0] + list(accumulate((r["t"] or 0) for r in totals))[:-1]
     if not pids:
         return df.withColumn(out_col, F.lit(None).cast("long"))
     mapping = F.create_map(
@@ -92,7 +96,7 @@ def running_total(
     )
     return (
         staged.withColumn(out_col, F.col(out_col) + mapping[F.col("__pid")])
-        .drop("__pid")
+        .drop("__pid", "__v")
     )
 
 

@@ -60,7 +60,14 @@ def kmv_distinct(
     if k < 3:
         raise ValueError(f"k must be >= 3 (error ~ 1/sqrt(k-2)), got {k}")
     g = list(group_cols)
-    d = df.select(*g, _h48(F.col(value_col)).alias("h")).distinct()
+    # NULL values don't count toward COUNT(DISTINCT) — and Spark sorts
+    # nulls first while DuckDB sorts them last, so letting a null hash
+    # into the rank-k window would also break oracle parity
+    d = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*g, _h48(F.col(value_col)).alias("h"))
+        .distinct()
+    )
     w = W.partitionBy(*g).orderBy("h")
     ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     agg = ranked.groupBy(*g).agg(
@@ -83,7 +90,7 @@ def kmv_oracle_sql(table: str, group_cols: Sequence[str], value_col: str, k: int
 WITH d AS (
   SELECT DISTINCT {g},
          CAST(('0x' || substring(md5(CAST({value_col} AS VARCHAR)), 1, 12)) AS BIGINT) AS h
-  FROM {table}),
+  FROM {table} WHERE {value_col} IS NOT NULL),
 ranked AS (
   SELECT {g}, h, ROW_NUMBER() OVER (PARTITION BY {g} ORDER BY h) AS rn
   FROM d),

@@ -411,9 +411,9 @@ GROUP BY cohort_day, day_offset
 def q80_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user
     converts a stage only with an event strictly AFTER their previous
-    stage's first event. Formulated as two window passes over ONE
-    user_id shuffle (the second window reuses the first's partitioning
-    and sort — no extra exchange), then a single global aggregate.
+    stage's first event. Formulated as three stacked window passes
+    reusing ONE user_id exchange (each later window keeps the previous
+    partitioning — no extra shuffle), then a single global aggregate.
     No per-stage self-joins: at 100 TB the join formulation would
     shuffle the events table once per stage."""
     e = _events(spark, sf_dir)

@@ -139,9 +139,35 @@ class VersionedParquetTable:
         os.replace(tmp, os.path.join(self.path, CURRENT))  # atomic flip
         self.vacuum()
 
+    def _reject_null_partitions(self, df: DataFrame) -> DataFrame:
+        """NULL partition values would land in Hive's
+        ``__HIVE_DEFAULT_PARTITION__`` directory, which the touched-set
+        string comparison can never match — a later partition-aware
+        merge/delete/compact would then hard-link the stale copy of
+        that partition NEXT TO its rewrite (duplicate rows) or drop it
+        (lost rows). Reject at write time, inside the write itself
+        (JVM raise_error in the partition column — no extra pass)."""
+        for c in self.partition_by:
+            dtype = df.schema[c].dataType.simpleString()
+            df = df.withColumn(
+                c,
+                F.when(
+                    F.col(c).isNull(),
+                    F.raise_error(
+                        F.lit(
+                            f"null partition value in {c!r}: the hardlink-"
+                            "reuse layout requires non-null partition columns"
+                        )
+                    ).cast(dtype),
+                ).otherwise(F.col(c)),
+            )
+        return df
+
     def overwrite(self, df: DataFrame) -> None:
         version = self._next_version()
         target = os.path.join(self.path, version)
+        if self.partition_by:
+            df = self._reject_null_partitions(df)
         writer = df.write.mode("overwrite").format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -214,10 +240,15 @@ class VersionedParquetTable:
         """Partition tuples present in ``df`` — a small driver-side list
         (partition columns are low-cardinality by design; this is not a
         data collect)."""
-        return {
-            tuple(str(x) for x in r)
-            for r in df.select(*self.partition_by).distinct().collect()
-        }
+        rows = df.select(*self.partition_by).distinct().collect()
+        for r in rows:
+            if any(x is None for x in r):
+                raise ValueError(
+                    "null partition value in batch: the hardlink-reuse "
+                    "layout requires non-null partition columns "
+                    f"(partition_by={self.partition_by})"
+                )
+        return {tuple(str(x) for x in r) for r in rows}
 
     def _partition_filter(self, touched: set[tuple]):
         cond = None
@@ -237,7 +268,7 @@ class VersionedParquetTable:
         version = self._next_version()
         target = os.path.join(self.path, version)
         (
-            touched_df.write.mode("overwrite")
+            self._reject_null_partitions(touched_df).write.mode("overwrite")
             .format(self.fmt)
             .options(**_FORMAT_OPTIONS[self.fmt])
             .partitionBy(*self.partition_by)

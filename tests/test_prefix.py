@@ -72,3 +72,21 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n", budget=0)
+
+
+def test_running_total_negative_values(spark):
+    """Partition totals must be the SUM of raw values, not the cumsum
+    max — negative values (a running balance) expose the difference."""
+    rows = [(0, 10), (1, -4), (2, 7), (3, -20), (4, 5), (5, 3)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+    got = {
+        r["k"]: r["running"]
+        for r in running_total(df, "k", "v", num_partitions=3).collect()
+    }
+    assert got == _expected_running(rows)
+
+
+def test_running_total_drops_helper_columns(spark):
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    out = running_total(df, "k", "v")
+    assert set(out.columns) == {"k", "v", "running"}

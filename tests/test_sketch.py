@@ -46,3 +46,10 @@ def test_hll_accuracy_and_mergeability(spark, sf_dir):
     per_type = hll_distinct(e, ["event_type"], "user_id").withColumn("g", F.lit(1))
     rolled = hll_rollup(per_type, ["g"]).first()["est_distinct"]
     assert rolled == est, (rolled, est)
+
+
+def test_kmv_ignores_nulls(spark):
+    rows = [("a", i) for i in range(10)] + [("a", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v int")
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row["est_distinct"] == 10  # COUNT(DISTINCT) semantics

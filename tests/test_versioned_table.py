@@ -224,3 +224,19 @@ def test_compact_partitioned_links_untouched(spark, table):
         if not f.startswith("p=p0"):
             assert ino_before.get(f) == ino, f"untouched file {f} was rewritten"
     assert table.read(spark).orderBy("id").collect() == before
+
+
+def test_null_partition_values_rejected(spark, tmp_path):
+    """NULL partition values would silently corrupt the hardlink-reuse
+    layout (Hive default-partition dir never matches the touched-set
+    strings) — writes must refuse them up front."""
+    t = VersionedParquetTable(
+        str(tmp_path / "np"), key_cols=("id",), partition_by=("p",)
+    )
+    bad = spark.createDataFrame([(1, None, "x")], "id int, p string, v string")
+    with pytest.raises(Exception, match="null partition value"):
+        t.overwrite(bad)
+    # merge path: table exists, batch carries a null partition
+    t.overwrite(spark.createDataFrame([(1, "a", "x")], "id int, p string, v string"))
+    with pytest.raises(Exception, match="null partition value"):
+        t.merge(bad)
