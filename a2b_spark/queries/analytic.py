@@ -191,7 +191,10 @@ def q75_time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sums stay decimal until the final cast so re-aggregation is exact
     (decimal addition is associative; double addition is not)."""
     e = _events(spark, sf_dir)
-    hour = F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("long")
+    # integer div, not double division: a correctly-rounded double
+    # ratio can land across an integer boundary and truncate to a
+    # different bucket than the oracle's integer //
+    hour = F.expr("ts_us div 3600000000").cast("long")
     hourly = (
         e.groupBy(hour.alias("bucket_hour"), "event_type")
         .agg(
@@ -201,7 +204,7 @@ def q75_time_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = (
         hourly.groupBy(
-            F.floor(F.col("bucket_hour") / 24).cast("long").alias("bucket"),
+            F.expr("bucket_hour div 24").cast("long").alias("bucket"),
             "event_type",
         )
         .agg(F.sum("n").cast("long").alias("n"), F.sum("dv").alias("dv"))
@@ -384,7 +387,7 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-user cohorts back onto per-user-day activity. The classic
     product-analytics rollup, all codegen."""
     e = _events(spark, sf_dir)
-    day = (F.col("ts_us") / F.lit(86_400_000_000)).cast("long")
+    day = F.expr("ts_us div 86400000000").cast("long")  # exact integer div
     activity = e.select("user_id", day.alias("day")).distinct()
     cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
