@@ -247,6 +247,52 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def _fetch_pair_payloads(
+    cands: DataFrame,
+    payloads: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_a: str,
+    out_b: str,
+) -> DataFrame:
+    """Attach ``payloads``' column to BOTH sides of each candidate pair
+    with a SINGLE pass over the payload table: melt pairs to
+    (pair, side, id), join once, and re-widen with a max(when) pivot.
+    The naive ``cands.join(pay_a).join(pay_b)`` streams the payload
+    table twice — at 100 TB that is two full scans of the shingle-set
+    table to fetch arrays for a candidate set that is orders of
+    magnitude smaller. AQE broadcasts the melted candidate side at
+    runtime when it is small (the normal LSH regime); the re-widen
+    shuffles only 2 payload rows per pair."""
+    m = cands.select(
+        F.struct("id_a", "id_b").alias("__pair"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("pid")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("pid")),
+            )
+        ).alias("__m"),
+    ).select(
+        "__pair",
+        F.col("__m.side").alias("__side"),
+        F.col("__m.pid").alias(id_col),
+    )
+    j = m.join(payloads.select(F.col(id_col), F.col(payload_col)), id_col)
+    return (
+        j.groupBy("__pair")
+        .agg(
+            F.max(F.when(F.col("__side") == "a", F.col(payload_col))).alias(out_a),
+            F.max(F.when(F.col("__side") == "b", F.col(payload_col))).alias(out_b),
+        )
+        .select(
+            F.col("__pair.id_a").alias("id_a"),
+            F.col("__pair.id_b").alias("id_b"),
+            out_a,
+            out_b,
+        )
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -274,11 +320,8 @@ def minhash_near_dup_pairs(
     # drop out inside _minhash_sigs and never enter the candidate join
     sigs = _minhash_sigs(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=_ids_packable(df, id_col))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("khs").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("khs").alias("sh_b"))
     return (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        _fetch_pair_payloads(cands, sh, id_col, "khs", "sh_a", "sh_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -351,11 +394,8 @@ def exact_jaccard_pairs(
         )
     else:
         cands = joined.select("id_a", "id_b").distinct()
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("khs").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("khs").alias("sh_b"))
     return (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        _fetch_pair_payloads(cands, sh, id_col, "khs", "sh_a", "sh_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -463,6 +503,11 @@ def simhash_near_dup_pairs(
         )
     else:
         cands = pairs.distinct()
+    # Direct two-sided join, NOT _fetch_pair_payloads: the simhash
+    # payload is 4 longs per doc (vs minhash's full k-gram arrays), so
+    # a second pass over the persisted sigs frame is cheaper than the
+    # melt+regroup's two extra stage boundaries (measured +0.7s at
+    # sf0.1 with no scan savings worth having).
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     hamming = F.aggregate(
