@@ -48,9 +48,13 @@ SCHEMA = "_SCHEMA"
 # header-row convention, CsvSourceDriver.php:39-72)
 _FORMAT_OPTIONS: dict[str, dict[str, str]] = {
     "parquet": {},
+    "orc": {},  # columnar alternative; schema-carrying like parquet
     "csv": {"header": "true"},
     "json": {},
 }
+
+# formats whose files carry their own schema — no _SCHEMA sidecar needed
+_SELF_DESCRIBING = {"parquet", "orc"}
 
 
 class VersionedParquetTable:
@@ -118,7 +122,7 @@ class VersionedParquetTable:
             )
         reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         schema_file = os.path.join(self.path, SCHEMA)
-        if self.fmt != "parquet" and os.path.exists(schema_file):
+        if self.fmt not in _SELF_DESCRIBING and os.path.exists(schema_file):
             from pyspark.sql import types as T
 
             with open(schema_file) as f:
@@ -172,7 +176,7 @@ class VersionedParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.save(target)
-        if self.fmt != "parquet":
+        if self.fmt not in _SELF_DESCRIBING:
             import json as _json
 
             os.makedirs(self.path, exist_ok=True)

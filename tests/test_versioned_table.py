@@ -240,3 +240,17 @@ def test_null_partition_values_rejected(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(1, "a", "x")], "id int, p string, v string"))
     with pytest.raises(Exception, match="null partition value"):
         t.merge(bad)
+
+
+def test_orc_format_round_trip(spark, tmp_path):
+    """ORC as the columnar alternative: merge + time travel behave the
+    same as parquet (self-describing files, no _SCHEMA sidecar)."""
+    t = VersionedParquetTable(str(tmp_path / "orc_t"), key_cols=("id",), fmt="orc")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    t.merge(spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string"))
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    old = t.versions()[0]
+    first = {r["id"]: r["v"] for r in t.read(spark, version=old).collect()}
+    assert first == {1: "a", 2: "b"}
+    assert not os.path.exists(os.path.join(t.path, "_SCHEMA"))
