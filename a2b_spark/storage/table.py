@@ -167,7 +167,11 @@ class VersionedParquetTable:
             )
         return df
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, extra_files: Optional[dict] = None) -> None:
+        """``extra_files``: {filename: text} written into the NEW
+        version directory BEFORE the commit flip — metadata that must
+        be atomic with the data (e.g. a streaming fold's last-batch
+        marker); a crash can never commit one without the other."""
         version = self._next_version()
         target = os.path.join(self.path, version)
         if self.partition_by:
@@ -176,6 +180,9 @@ class VersionedParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.save(target)
+        for fn, content in (extra_files or {}).items():
+            with open(os.path.join(target, fn), "w") as f:
+                f.write(content)
         if self.fmt not in _SELF_DESCRIBING:
             import json as _json
 
