@@ -624,3 +624,28 @@ def test_quantize_int8_nonfinite_ansi_safe(spark):
     out = {r.vec_id: r.qs for r in df.select("vec_id", quantize_int8(F.col("embedding")).alias("qs")).collect()}
     assert list(out[1].q) == [0, 127, -127] and out[1].scale == 12.7 / 127
     assert list(out[2].q) == [0, 127, -127] and out[2].scale == 1.0 / 127
+
+
+def test_fetch_pair_payloads_single_scan_pivot(spark):
+    """The melt/join/re-widen helper must attach the right payload to
+    the right SIDE, including when one id appears in many pairs and on
+    both sides."""
+    from a2b_spark.operators.dedup import _fetch_pair_payloads
+
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    payloads = spark.createDataFrame(
+        [(1, [10, 11]), (2, [20]), (3, [30, 31, 32])], "doc_id long, khs array<bigint>"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["sh_a"], r["sh_b"])
+        for r in _fetch_pair_payloads(
+            cands, payloads, "doc_id", "khs", "sh_a", "sh_b"
+        ).collect()
+    }
+    assert got == {
+        (1, 2): ([10, 11], [20]),
+        (1, 3): ([10, 11], [30, 31, 32]),
+        (2, 3): ([20], [30, 31, 32]),
+    }
