@@ -70,3 +70,48 @@ def make_migration(
     with open(path, "w") as f:
         f.write(code)
     return path
+
+
+def main(argv: Sequence[str] | None = None) -> int:
+    """CLI analogue of the reference's ``make:a2b:migration`` console
+    command: ``python -m a2b_spark.maker NAME --source S --destination
+    D [--out DIR] [--source-id name:type ...] [--dest-id name:type ...]
+    [--group G] [--depends M ...]``."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="a2b-make-migration")
+    p.add_argument("name")
+    p.add_argument("--source", required=True)
+    p.add_argument("--destination", required=True)
+    p.add_argument("--out", default=".")
+    p.add_argument("--source-id", action="append", default=[])
+    p.add_argument("--dest-id", action="append", default=[])
+    p.add_argument("--group", default="default")
+    p.add_argument("--depends", action="append", default=[])
+    args = p.parse_args(argv)
+
+    def ids(pairs, fallback):
+        if not pairs:
+            return fallback
+        out = []
+        for s in pairs:
+            n, _, t = s.partition(":")
+            out.append((n, t or "int"))
+        return tuple(out)
+
+    path = make_migration(
+        args.out,
+        args.name,
+        args.source,
+        args.destination,
+        source_ids=ids(args.source_id, (("id", "int"),)),
+        destination_ids=ids(args.dest_id, (("id", "int"),)),
+        group=args.group,
+        depends=tuple(args.depends),
+    )
+    print(path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

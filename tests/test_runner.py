@@ -183,3 +183,25 @@ def test_cli_main_end_to_end(spark, tmp_path, sf_dir, monkeypatch):
     dest = ParquetDestination(str(tmp_path / "cli_dest"), key_cols=("id",))
     n = dest.read_snapshot(spark).count()
     assert n == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+
+def test_maker_cli_generates_parseable_module(tmp_path):
+    import ast
+
+    from a2b_spark.maker import main as maker_main
+
+    rc = maker_main(
+        [
+            "demo",
+            "--source", str(tmp_path / "in.parquet"),
+            "--destination", str(tmp_path / "out"),
+            "--out", str(tmp_path),
+            "--source-id", "c_custkey:int",
+            "--dest-id", "id:string",
+            "--depends", "regions",
+        ]
+    )
+    assert rc == 0
+    src = (tmp_path / "demo_migration.py").read_text()
+    ast.parse(src)
+    assert "IdField('id', 'string')" in src and "depends=('regions',)" in src
