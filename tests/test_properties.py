@@ -138,3 +138,41 @@ def test_winnowing_shared_run_guarantee(spark, doc_a, doc_b, shared):
     df = spark.createDataFrame([(1, ta), (2, tb)], "doc_id long, text string")
     fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()}
     assert fps[1] & fps[2], f"no shared fingerprint for shared run: {run}"
+
+
+@_SET
+@given(
+    n_files=st.integers(1, 6),
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.sampled_from(["p0", "p1", "p2"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_compact_preserves_data_any_layout(spark, tmp_path_factory, n_files, rows):
+    """compact() must be byte-identical on content and never increase
+    the file count, for ANY fragmentation layout and partitioning."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    base = tmp_path_factory.mktemp("cmp")
+    t = VersionedParquetTable(str(base / "t"), key_cols=("id",), partition_by=("p",))
+    df = spark.createDataFrame(rows, "id int, p string").repartition(n_files)
+    t.overwrite(df)
+
+    def files(tbl):
+        import os
+
+        vdir = os.path.join(tbl.path, tbl.current_version())
+        return sum(
+            1
+            for root, _, fs in os.walk(vdir)
+            for f in fs
+            if not f.startswith(("_", "."))
+        )
+
+    before_rows = sorted((r["id"], r["p"]) for r in t.read(spark).collect())
+    n_before = files(t)
+    t.compact(spark)
+    assert sorted((r["id"], r["p"]) for r in t.read(spark).collect()) == before_rows
+    assert files(t) <= n_before
