@@ -27,6 +27,9 @@ for mod in (relational, pipeline, analytic):
 _PRIORITIZED = [
     # never driver-checked yet (new this round) — first in line
     "q78_kmv_distinct",
+    "q82_reservoir_per_group",
+    "q83_train_val_test_split",
+    "q84_length_buckets",
     "q81_window_frames",
     "q79_retention_cohorts",
     "q80_event_funnel",

@@ -511,6 +511,123 @@ FROM orders
 """
 
 
+# --------------------------------------------------------------- Q82
+def q82_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: EXACTLY
+    min(k, |group|) documents per language, chosen by md5-hash order —
+    the reservoir-sampling contract (uniform, exact size) without the
+    sequential reservoir state, so it distributes as one window over
+    the group key and stays reproducible across engines, runs, and
+    partitionings. Complements rate-based q43/q51/q69: those bound
+    EXPECTED size; training-data recipes that say "exactly 50 docs per
+    language" need this one."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("rsv"), F.col("doc_id").cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = W.partitionBy("lang").orderBy(u.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 50)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+O_Q82 = """
+WITH r AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substring(md5('rsv' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+                    doc_id ASC) AS rn
+  FROM documents)
+SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 50
+"""
+
+
+# --------------------------------------------------------------- Q83
+def q83_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash range —
+    the split is a pure function of doc_id (stable as the corpus
+    grows: adding documents never moves an existing one across
+    splits, unlike ntile/percent-based splits). Output: per
+    (lang, split) counts — the stratification report a dataset card
+    publishes. One scan + one tiny agg, no shuffle of the data."""
+    d = _t(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split"), F.col("doc_id").cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(u < 80, F.lit("train")).when(u < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+O_Q83 = """
+WITH d AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS u
+  FROM documents)
+SELECT lang,
+       CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- Q84
+def q84_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: documents grouped into power-of-
+    two token-length buckets (the dynamic-batching layout that
+    minimizes padding waste when forming training batches). Reports
+    per-bucket doc count, token total, and the padding overhead of
+    batching that bucket to its max length — the number a pipeline
+    uses to pick bucket boundaries. floor(log2) via bigint bit length
+    keeps the bucketing integer-exact in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    staged = d.select(toks.alias("tokens")).filter(F.col("tokens") > 0)
+    # bucket = floor(log2(tokens)): binary-representation length - 1 —
+    # integer-exact (no float log whose rounding could flip a power of
+    # two across engines)
+    bucket = (F.length(F.conv(F.col("tokens"), 10, 2)) - 1).cast("long")
+    return (
+        staged.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("n_tokens"),
+            F.max("tokens").cast("long").alias("max_tokens"),
+            (F.count(F.lit(1)) * F.max("tokens") - F.sum("tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )
+
+
+O_Q84 = """
+WITH t AS (
+  SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+  FROM documents),
+s AS (SELECT CAST(tokens AS BIGINT) AS tokens FROM t WHERE tokens > 0)
+SELECT CAST(length(bin(tokens)) - 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) * MAX(tokens) - SUM(tokens) AS BIGINT) AS padding_waste
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "q71_correlated_scalar_subquery": q71_correlated_scalar_subquery,
     "q72_exists_correlated": q72_exists_correlated,
@@ -523,6 +640,9 @@ QUERIES = {
     "q79_retention_cohorts": q79_retention_cohorts,
     "q80_event_funnel": q80_event_funnel,
     "q81_window_frames": q81_window_frames,
+    "q82_reservoir_per_group": q82_reservoir_per_group,
+    "q83_train_val_test_split": q83_train_val_test_split,
+    "q84_length_buckets": q84_length_buckets,
 }
 
 ORACLES = {
@@ -537,4 +657,7 @@ ORACLES = {
     "q79_retention_cohorts": O_Q79,
     "q80_event_funnel": O_Q80,
     "q81_window_frames": O_Q81,
+    "q82_reservoir_per_group": O_Q82,
+    "q83_train_val_test_split": O_Q83,
+    "q84_length_buckets": O_Q84,
 }
