@@ -147,6 +147,51 @@ def prepare(
     return joined, snap, existing_ids
 
 
+def retract(
+    spark: SparkSession,
+    m: Migration,
+    mapper: MappingStore,
+    source_keys: DataFrame,
+) -> int:
+    """Hard-delete the given SOURCE keys from both the destination and
+    the mapping table — the right-to-erasure lifecycle operation.
+
+    This is deliberately different from orphan ``prune`` (which removes
+    destination rows but KEEPS their mappings so a returning source row
+    re-acquires its old destination id): retraction erases the mapping
+    too. Because destination ids are deterministic hashes of the source
+    key, a later re-migration of the same source row still produces the
+    same id — erasure does not destabilize references.
+
+    ``source_keys`` carries the source id columns under their declared
+    names; returns the number of destination rows removed. Distributed
+    end-to-end: one mapping join, two keyed deletes (each a versioned
+    merge touching only affected partitions)."""
+    from a2b_spark.mapping.store import _retract_source_keys
+
+    keys = cast_ids(source_keys.select(*[f.name for f in m.source_ids]), m.source_ids)
+    mapped = mapper.dest_ids_for(m.mapping_key(), keys, m.source_ids, m.destination_ids)
+    from functools import reduce
+
+    dest_keys = (
+        mapped.select(
+            *[F.col(f"dest_{f.name}").alias(f.name) for f in m.destination_ids]
+        )
+        .filter(
+            reduce(
+                lambda a, b: a | b,
+                [F.col(f.name).isNotNull() for f in m.destination_ids],
+            )
+        )
+        .distinct()
+    )
+    n = dest_keys.count()  # O(affected keys) — the retraction receipt
+    if n:
+        m.destination.delete_keys(dest_keys)
+    _retract_source_keys(mapper, m.mapping_key(), keys, m.source_ids, m.destination_ids)
+    return n
+
+
 def finalize_entity(entity: DataFrame, m: Migration) -> DataFrame:
     """Normalize the transform's output: materialize destination id
     columns under their declared names, drop helper columns."""

@@ -173,6 +173,22 @@ class MappingStore:
         return joined.select(*[keys_df[c] for c in keys_df.columns], *[m[src_col(f)] for f in source_ids])
 
 
+def _retract_source_keys(
+    store: "MappingStore",
+    mapping_key: str,
+    keys_df: DataFrame,
+    source_ids: Sequence[IdField],
+    dest_ids: Sequence[IdField],
+) -> None:
+    """Delete mapping rows for the given source keys (``keys_df``
+    carries the source id columns under their field names). Part of
+    the retraction lifecycle — see exec.executor.retract."""
+    renamed = keys_df.select(
+        *[F.col(f.name).alias(src_col(f)) for f in source_ids]
+    )
+    store.table(mapping_key, source_ids, dest_ids).delete_keys(renamed)
+
+
 def mapping_batch(
     entity: DataFrame, source_ids: Sequence[IdField], dest_ids: Sequence[IdField]
 ) -> DataFrame:

@@ -237,3 +237,42 @@ def test_partitioned_destination_incremental_merge(spark, tmp_path, customers):
         assert after[f] == before[f], f"untouched partition file {f} was rewritten"
     assert any(f.startswith(prefix) for f in after)
     assert m2.destination.read_snapshot(spark).count() == 100
+
+
+def test_retract_erases_dest_and_mapping(spark, tmp_path, customers):
+    """Right-to-erasure: retract removes the source keys from BOTH the
+    destination and the mapping table; a later re-migration restores
+    the rows under the SAME deterministic dest ids."""
+    from a2b_spark.exec.executor import retract
+
+    src = customers.limit(30)
+    m = make_migration(tmp_path, src, basic_transform)
+    mapper = MappingStore(spark, str(tmp_path / "maps"))
+    run_migration(spark, m, mapper)
+    ids_before = {
+        r["c_custkey"]: r["id"]
+        for r in m.destination.read_snapshot(spark).select("c_custkey", "id").collect()
+    }
+
+    doomed = src.limit(5).select("c_custkey")
+    doomed_keys = {r["c_custkey"] for r in doomed.collect()}
+    n = retract(spark, m, mapper, doomed)
+    assert n == 5
+    snap = m.destination.read_snapshot(spark)
+    assert snap.count() == 25
+    assert not {r["c_custkey"] for r in snap.select("c_custkey").collect()} & doomed_keys
+    map_df = mapper.load(m.mapping_key(), m.source_ids, m.destination_ids)
+    assert map_df.count() == 25
+
+    # unknown keys retract 0 and change nothing
+    ghost = spark.createDataFrame([(999999,)], "c_custkey long")
+    assert retract(spark, m, mapper, ghost) == 0
+    assert m.destination.read_snapshot(spark).count() == 25
+
+    # re-migration restores the erased rows with their ORIGINAL ids
+    run_migration(spark, m, mapper)
+    ids_after = {
+        r["c_custkey"]: r["id"]
+        for r in m.destination.read_snapshot(spark).select("c_custkey", "id").collect()
+    }
+    assert ids_after == ids_before
