@@ -43,6 +43,7 @@ from a2b_spark.storage.merge import merge_dataframes
 
 CURRENT = "_CURRENT"
 SCHEMA = "_SCHEMA"
+COMMIT_INFO = "_COMMIT_INFO"
 
 # per-format reader/writer options (CSV mirrors the reference's
 # header-row convention, CsvSourceDriver.php:39-72)
@@ -167,11 +168,41 @@ class VersionedParquetTable:
             )
         return df
 
-    def overwrite(self, df: DataFrame, extra_files: Optional[dict] = None) -> None:
+    def _commit_info(self, op: str) -> str:
+        import datetime
+        import json as _json
+
+        return _json.dumps(
+            {"op": op, "ts": datetime.datetime.now(datetime.timezone.utc).isoformat()}
+        )
+
+    def history(self) -> list[dict]:
+        """Commit log of the retained versions, oldest → newest — the
+        DESCRIBE HISTORY analogue: [{version, op, ts}]. Versions
+        written before commit-info existed report op/ts = None."""
+        import json as _json
+
+        out = []
+        for v in self.versions():
+            info_path = os.path.join(self.path, v, COMMIT_INFO)
+            info = {"op": None, "ts": None}
+            if os.path.exists(info_path):
+                with open(info_path) as f:
+                    info = _json.loads(f.read())
+            out.append({"version": v, **info})
+        return out
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        extra_files: Optional[dict] = None,
+        op: str = "overwrite",
+    ) -> None:
         """``extra_files``: {filename: text} written into the NEW
         version directory BEFORE the commit flip — metadata that must
         be atomic with the data (e.g. a streaming fold's last-batch
-        marker); a crash can never commit one without the other."""
+        marker); a crash can never commit one without the other.
+        ``op`` labels the commit in :meth:`history`."""
         version = self._next_version()
         target = os.path.join(self.path, version)
         if self.partition_by:
@@ -180,7 +211,7 @@ class VersionedParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.save(target)
-        for fn, content in (extra_files or {}).items():
+        for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
             with open(os.path.join(target, fn), "w") as f:
                 f.write(content)
         if self.fmt not in _SELF_DESCRIBING:
@@ -199,12 +230,12 @@ class VersionedParquetTable:
         spark = batch.sparkSession
         current = self.read(spark)
         if current is None:
-            self.overwrite(batch)
+            self.overwrite(batch, op="merge")
             return
         if self.partition_by:
             self._merge_partitioned(spark, current, batch)
         else:
-            self.overwrite(merge_dataframes(current, batch, self.key_cols))
+            self.overwrite(merge_dataframes(current, batch, self.key_cols), op="merge")
 
     def append(self, batch: DataFrame, dedupe_keys: Sequence[str] | None = None) -> None:
         """Insert-only commit: add batch rows, optionally skipping rows
@@ -212,7 +243,7 @@ class VersionedParquetTable:
         re-runs are idempotent."""
         current = self.read(batch.sparkSession)
         if current is None:
-            self.overwrite(batch)
+            self.overwrite(batch, op="append")
             return
         if dedupe_keys:
             c = current.alias("e")
@@ -222,7 +253,7 @@ class VersionedParquetTable:
                 e = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
                 cond = e if cond is None else (cond & e)
             batch = b.join(c, on=cond, how="left_anti")
-        self.overwrite(current.unionByName(batch, allowMissingColumns=True))
+        self.overwrite(current.unionByName(batch, allowMissingColumns=True), op="append")
 
     def delete_keys(self, keys_df: DataFrame) -> None:
         current = self.read(keys_df.sparkSession)
@@ -239,12 +270,12 @@ class VersionedParquetTable:
                 on=list(self.key_cols),
                 how="left_anti",
             )
-            self._commit_touched(remaining_touched, touched)
+            self._commit_touched(remaining_touched, touched, op="delete")
             return
         remaining = current.join(
             keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
         )
-        self.overwrite(remaining)
+        self.overwrite(remaining, op="delete")
 
     # ------------------------------------------------- partitioned merge
     def _touched_partitions(self, df: DataFrame) -> set[tuple]:
@@ -268,7 +299,9 @@ class VersionedParquetTable:
             cond = e if cond is None else (cond & e)
         return cond
 
-    def _commit_touched(self, touched_df: DataFrame, touched: set[tuple]) -> None:
+    def _commit_touched(
+        self, touched_df: DataFrame, touched: set[tuple], op: str = "merge"
+    ) -> None:
         """Write a new version containing ``touched_df`` (the new
         contents of the touched partitions) and hard-link every
         untouched partition's files from the live version — a
@@ -294,6 +327,8 @@ class VersionedParquetTable:
                 if fn.startswith(("_", ".")):
                     continue
                 os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
+        with open(os.path.join(target, COMMIT_INFO), "w") as f:
+            f.write(self._commit_info(op))
         self._commit(version)
 
     def _merge_partitioned(self, spark: SparkSession, current: DataFrame, batch: DataFrame) -> None:
@@ -352,7 +387,7 @@ class VersionedParquetTable:
             n = max(1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes))
             if n >= len(files):
                 return {**empty, "files_before": len(files), "files_after": len(files)}
-            self.overwrite(self.read(spark).repartition(n))
+            self.overwrite(self.read(spark).repartition(n), op="compact")
             return {
                 "partitions_rewritten": 1,
                 "files_before": len(files),
@@ -394,7 +429,7 @@ class VersionedParquetTable:
             "__bucket",
             F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), nmap[pkey]),
         ).repartition(*self.partition_by, "__bucket")
-        self._commit_touched(bucketed.drop("__bucket"), set(plan))
+        self._commit_touched(bucketed.drop("__bucket"), set(plan), op="compact")
         return {
             "partitions_rewritten": len(plan),
             "files_before": before,

@@ -254,3 +254,13 @@ def test_orc_format_round_trip(spark, tmp_path):
     first = {r["id"]: r["v"] for r in t.read(spark, version=old).collect()}
     assert first == {1: "a", 2: "b"}
     assert not os.path.exists(os.path.join(t.path, "_SCHEMA"))
+
+
+def test_commit_history_labels_operations(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "h"), key_cols=("id",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    t.merge(spark.createDataFrame([(2, "b")], "id int, v string"))
+    t.delete_keys(spark.createDataFrame([(1,)], "id int"))
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["overwrite", "merge", "delete"]
+    assert all(h["ts"] for h in t.history())
