@@ -30,6 +30,7 @@ _PRIORITIZED = [
     "q82_reservoir_per_group",
     "q83_train_val_test_split",
     "q84_length_buckets",
+    "q85_table_fingerprint",
     "q81_window_frames",
     "q79_retention_cohorts",
     "q80_event_funnel",

@@ -628,6 +628,39 @@ FROM s GROUP BY 1
 """
 
 
+# --------------------------------------------------------------- Q85
+def q85_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation fingerprint of the customer table
+    (operators.validate.table_fingerprint): order/partitioning-
+    independent (count, xor-hash, decimal hash-sum) triple — the
+    source-vs-destination equality check a cut-over runs, computable
+    by ANY engine over the same rows (which is exactly what this
+    oracle demonstrates: DuckDB derives the identical fingerprint
+    independently). Floats ride at a fixed decimal scale so the
+    fingerprint never depends on float printing."""
+    from a2b_spark.operators.validate import table_fingerprint
+
+    d = _t(spark, sf_dir, "customer")
+    return table_fingerprint(
+        d,
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        decimals={"c_acctbal": 2},
+    )
+
+
+def _o_q85() -> str:
+    from a2b_spark.operators.validate import fingerprint_oracle_sql
+
+    return fingerprint_oracle_sql(
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        decimals={"c_acctbal": 2},
+    )
+
+
+O_Q85 = _o_q85()
+
+
 QUERIES = {
     "q71_correlated_scalar_subquery": q71_correlated_scalar_subquery,
     "q72_exists_correlated": q72_exists_correlated,
@@ -643,6 +676,7 @@ QUERIES = {
     "q82_reservoir_per_group": q82_reservoir_per_group,
     "q83_train_val_test_split": q83_train_val_test_split,
     "q84_length_buckets": q84_length_buckets,
+    "q85_table_fingerprint": q85_table_fingerprint,
 }
 
 ORACLES = {
@@ -660,4 +694,5 @@ ORACLES = {
     "q82_reservoir_per_group": O_Q82,
     "q83_train_val_test_split": O_Q83,
     "q84_length_buckets": O_Q84,
+    "q85_table_fingerprint": O_Q85,
 }

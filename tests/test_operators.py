@@ -649,3 +649,24 @@ def test_fetch_pair_payloads_single_scan_pivot(spark):
         (1, 3): ([10, 11], [30, 31, 32]),
         (2, 3): ([20], [30, 31, 32]),
     }
+
+
+def test_tables_equal_detects_drift(spark, sf_dir):
+    from a2b_spark.operators.validate import tables_equal
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    shuffled = cust.repartition(7)  # order/partitioning must not matter
+    assert tables_equal(cust, shuffled, decimals={"c_acctbal": 2})
+    # one lost row
+    assert not tables_equal(
+        cust, cust.filter(F.col("c_custkey") != 3), decimals={"c_acctbal": 2}
+    )
+    # one mangled value
+    mangled = cust.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") == 5, F.lit("oops")).otherwise(F.col("c_name")),
+    )
+    assert not tables_equal(cust, mangled, decimals={"c_acctbal": 2})
+    # duplicated pair (xor-invisible, caught by count+sum)
+    dup = cust.unionAll(cust.limit(2))
+    assert not tables_equal(cust, dup, decimals={"c_acctbal": 2})
