@@ -71,6 +71,7 @@ _PRIORITIZED = [
     "q51_stratified_sample",
     "q52_corpus_curation",
     "q53_unigram_surprisal",
+    "q49_dedup_apply",
 ]
 # all driver-green in at least two rounds (see CORRECTNESS_r0*.json)
 _DEPRIORITIZED = [
