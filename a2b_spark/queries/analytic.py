@@ -2,8 +2,12 @@
 shapes an engine must decorrelate/plan well beyond plain joins+aggs —
 correlated scalar subqueries (TPC-H Q17 shape), correlated EXISTS
 (Q4 shape), NOT EXISTS + uncorrelated scalar threshold (Q22 shape),
-explicit GROUPING SETS, a cascading time-hierarchy rollup, distributed
-sequence packing, and corpus mixture rebalancing.
+explicit GROUPING SETS, a cascading time-hierarchy rollup, window
+frames (q81) — plus the dataset-assembly surface: distributed
+sequence packing (q76), corpus mixture rebalancing (q77), KMV
+distinct sketches (q78), retention cohorts / funnels (q79, q80),
+exact-k reservoirs (q82), hash-range splits (q83), length-bucketed
+batching (q84), and migration-validation fingerprints (q85).
 
 The subquery queries are written in Spark SQL on purpose: the point is
 Catalyst's subquery decorrelation (RewriteCorrelatedScalarSubquery /
