@@ -89,15 +89,30 @@ def run_pipeline(
         progress("done", m.name, r)
         return r
 
+    def run_chain(ms: list[Migration]) -> list[MigrationResult]:
+        return [run_one(m) for m in ms]
+
     for level in batches:
-        if len(level) == 1 or max_parallel <= 1:
-            for m in level:
-                results[m.name] = run_one(m)
+        # Migrations sharing a mapping table (`extends`) must never run
+        # concurrently: both would read-merge-write the same versioned
+        # table and one commit would be rejected by its optimistic-
+        # concurrency check (or, without it, silently lost). Chain
+        # same-key migrations sequentially inside one worker; distinct
+        # keys still fan out.
+        chains: dict[str, list[Migration]] = {}
+        for m in level:
+            chains.setdefault(m.mapping_key(), []).append(m)
+        groups = list(chains.values())
+        if len(groups) == 1 or max_parallel <= 1:
+            for ms in groups:
+                for r in run_chain(ms):
+                    results[r.migration] = r
         else:
             with ThreadPoolExecutor(max_workers=max_parallel) as pool:
-                futs = {m.name: pool.submit(run_one, m) for m in level}
-                for name, fut in futs.items():
-                    results[name] = fut.result()
+                futs = [pool.submit(run_chain, ms) for ms in groups]
+                for fut in futs:
+                    for r in fut.result():
+                        results[r.migration] = r
     return results
 
 

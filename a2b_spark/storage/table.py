@@ -45,6 +45,12 @@ CURRENT = "_CURRENT"
 SCHEMA = "_SCHEMA"
 COMMIT_INFO = "_COMMIT_INFO"
 
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this write's snapshot and its
+    commit flip. The write is abandoned (its version dir is left as an
+    uncommitted orphan for vacuum); retry re-reads the new current."""
+
 # per-format reader/writer options (CSV mirrors the reference's
 # header-row convention, CsvSourceDriver.php:39-72)
 _FORMAT_OPTIONS: dict[str, dict[str, str]] = {
@@ -136,8 +142,28 @@ class VersionedParquetTable:
         n = int(v.split("_")[1]) + 1 if v else 1
         return f"v_{n:010d}"
 
-    def _commit(self, version: str) -> None:
+    _UNSET = object()
+
+    def _commit(self, version: str, base=_UNSET) -> None:
+        """Flip ``_CURRENT`` to ``version``. ``base`` is the version
+        this write DERIVED from (None for a fresh table): optimistic
+        concurrency a la Delta — if another writer committed since,
+        flipping would silently discard their rows, so raise instead
+        and leave this write's dir as an uncommitted orphan (vacuum
+        removes it). Detection, not prevention: a tiny TOCTOU window
+        between the check and the rename remains — same-table writers
+        should still be serialized (the pipeline runner serializes
+        migrations sharing a mapping table); this check turns a silent
+        lost update into a loud error."""
         os.makedirs(self.path, exist_ok=True)
+        if base is not self._UNSET:
+            now = self.current_version()
+            if now != base:
+                raise ConcurrentWriteError(
+                    f"{self.path}: base version {base!r} superseded by "
+                    f"{now!r} during the write; retry against the new "
+                    "current version"
+                )
         tmp = os.path.join(self.path, f".{CURRENT}.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(version)
@@ -203,6 +229,7 @@ class VersionedParquetTable:
         be atomic with the data (e.g. a streaming fold's last-batch
         marker); a crash can never commit one without the other.
         ``op`` labels the commit in :meth:`history`."""
+        base = self.current_version()
         version = self._next_version()
         target = os.path.join(self.path, version)
         if self.partition_by:
@@ -222,7 +249,7 @@ class VersionedParquetTable:
             with open(tmp, "w") as f:
                 f.write(_json.dumps(df.schema.jsonValue()))
             os.replace(tmp, os.path.join(self.path, SCHEMA))
-        self._commit(version)
+        self._commit(version, base=base)
 
     def merge(self, batch: DataFrame) -> None:
         """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE WHEN NOT
@@ -329,7 +356,7 @@ class VersionedParquetTable:
                 os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
         with open(os.path.join(target, COMMIT_INFO), "w") as f:
             f.write(self._commit_info(op))
-        self._commit(version)
+        self._commit(version, base=old_version)
 
     def _merge_partitioned(self, spark: SparkSession, current: DataFrame, batch: DataFrame) -> None:
         touched = self._touched_partitions(batch)

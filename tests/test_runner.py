@@ -205,3 +205,46 @@ def test_maker_cli_generates_parseable_module(tmp_path):
     src = (tmp_path / "demo_migration.py").read_text()
     ast.parse(src)
     assert "IdField('id', 'string')" in src and "depends=('regions',)" in src
+
+
+def test_same_mapping_key_migrations_serialize(spark, tmp_path, sf_dir):
+    """`extends` siblings share one mapping table; the runner must not
+    run them concurrently (their merges would collide on the versioned
+    table's optimistic-concurrency check)."""
+    import threading
+
+    active = {"n": 0, "max": 0, "lock": threading.Lock()}
+
+    def make(name, extends=None):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+        def tf(d):
+            with active["lock"]:
+                active["n"] += 1
+                active["max"] = max(active["max"], active["n"])
+            import time
+
+            time.sleep(0.3)
+            with active["lock"]:
+                active["n"] -= 1
+            return d.drop("__existing")
+
+        return Migration(
+            name=name,
+            source=DataFrameSource(df),
+            destination=ParquetDestination(str(tmp_path / f"{name}_d"), key_cols=("id",)),
+            source_ids=(IdField("r_regionkey", "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=tf,
+            extends=extends,
+        )
+
+    reg = MigrationRegistry()
+    parent = reg.register(make("parent"))
+    reg.register(make("childa", extends="parent"))
+    reg.register(make("childb", extends="parent"))
+    mapper = MappingStore(spark, str(tmp_path / "maps2"))
+    results = run_pipeline(spark, reg, mapper, max_parallel=4)
+    assert len(results) == 3
+    # all three share mapping_key 'parent' -> one chain -> never overlap
+    assert active["max"] == 1, f"extends siblings overlapped: {active['max']}"

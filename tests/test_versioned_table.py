@@ -264,3 +264,20 @@ def test_commit_history_labels_operations(spark, tmp_path):
     ops = [h["op"] for h in t.history()]
     assert ops == ["overwrite", "merge", "delete"]
     assert all(h["ts"] for h in t.history())
+
+
+def test_optimistic_concurrency_rejects_stale_commit(spark, tmp_path):
+    """A commit whose base version was superseded must raise instead of
+    silently discarding the other writer's rows (Delta-style CAS)."""
+    from a2b_spark.storage.table import ConcurrentWriteError
+
+    t1 = VersionedParquetTable(str(tmp_path / "cc"), key_cols=("id",))
+    t1.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    base = t1.current_version()
+    # a second writer lands a merge between t1's snapshot and commit
+    t2 = VersionedParquetTable(str(tmp_path / "cc"), key_cols=("id",))
+    t2.merge(spark.createDataFrame([(2, "b")], "id int, v string"))
+    with pytest.raises(ConcurrentWriteError):
+        t1._commit("v_0000000099", base=base)
+    # the winner's data is intact
+    assert t1.read(spark).count() == 2
