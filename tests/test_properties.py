@@ -176,3 +176,34 @@ def test_compact_preserves_data_any_layout(spark, tmp_path_factory, n_files, row
     t.compact(spark)
     assert sorted((r["id"], r["p"]) for r in t.read(spark).collect()) == before_rows
     assert files(t) <= n_before
+
+
+@_SET
+@given(
+    existing=st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 9)),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),
+        max_size=8,
+    ),
+    batch=st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 9)),
+        st.one_of(st.none(), st.text(alphabet="ab", max_size=2)),
+        max_size=8,
+    ),
+)
+def test_merge_matches_dict_model(spark, existing, batch):
+    """merge_dataframes == dict-update semantics, including NULL keys
+    (null-safe match) and explicit NULL values (batch NULL overwrites —
+    no silent coalesce resurrection)."""
+    from a2b_spark.storage.merge import merge_dataframes
+
+    e_df = spark.createDataFrame(
+        [(k, v) for k, v in existing.items()] or [], "k int, v string"
+    )
+    b_df = spark.createDataFrame(
+        [(k, v) for k, v in batch.items()] or [], "k int, v string"
+    )
+    got = {
+        r["k"]: r["v"] for r in merge_dataframes(e_df, b_df, ["k"]).collect()
+    }
+    assert got == {**existing, **batch}
