@@ -46,6 +46,9 @@ SCHEMA = "_SCHEMA"
 COMMIT_INFO = "_COMMIT_INFO"
 
 
+_UNSET_BASE = object()
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed between this write's snapshot and its
     commit flip. The write is abandoned (its version dir is left as an
@@ -142,9 +145,7 @@ class VersionedParquetTable:
         n = int(v.split("_")[1]) + 1 if v else 1
         return f"v_{n:010d}"
 
-    _UNSET = object()
-
-    def _commit(self, version: str, base=_UNSET) -> None:
+    def _commit(self, version: str, base=_UNSET_BASE) -> None:
         """Flip ``_CURRENT`` to ``version``. ``base`` is the version
         this write DERIVED from (None for a fresh table): optimistic
         concurrency a la Delta — if another writer committed since,
@@ -156,7 +157,7 @@ class VersionedParquetTable:
         migrations sharing a mapping table); this check turns a silent
         lost update into a loud error."""
         os.makedirs(self.path, exist_ok=True)
-        if base is not self._UNSET:
+        if base is not _UNSET_BASE:
             now = self.current_version()
             if now != base:
                 raise ConcurrentWriteError(
@@ -223,13 +224,18 @@ class VersionedParquetTable:
         df: DataFrame,
         extra_files: Optional[dict] = None,
         op: str = "overwrite",
+        base=_UNSET_BASE,
     ) -> None:
         """``extra_files``: {filename: text} written into the NEW
         version directory BEFORE the commit flip — metadata that must
         be atomic with the data (e.g. a streaming fold's last-batch
         marker); a crash can never commit one without the other.
-        ``op`` labels the commit in :meth:`history`."""
-        base = self.current_version()
+        ``op`` labels the commit in :meth:`history`. ``base``: the
+        version this write's CONTENT derived from (read-modify-write
+        callers pass their snapshot version so the optimistic check
+        covers the whole read-to-commit span, not just the write)."""
+        if base is _UNSET_BASE:
+            base = self.current_version()
         version = self._next_version()
         target = os.path.join(self.path, version)
         if self.partition_by:
@@ -255,23 +261,27 @@ class VersionedParquetTable:
         """Keyed upsert (MERGE INTO … WHEN MATCHED UPDATE WHEN NOT
         MATCHED INSERT), NULL-safe on the key columns."""
         spark = batch.sparkSession
-        current = self.read(spark)
-        if current is None:
-            self.overwrite(batch, op="merge")
+        base = self.current_version()
+        if base is None:
+            self.overwrite(batch, op="merge", base=None)
             return
+        current = self.read(spark, version=base)  # pinned snapshot
         if self.partition_by:
-            self._merge_partitioned(spark, current, batch)
+            self._merge_partitioned(spark, current, batch, base)
         else:
-            self.overwrite(merge_dataframes(current, batch, self.key_cols), op="merge")
+            self.overwrite(
+                merge_dataframes(current, batch, self.key_cols), op="merge", base=base
+            )
 
     def append(self, batch: DataFrame, dedupe_keys: Sequence[str] | None = None) -> None:
         """Insert-only commit: add batch rows, optionally skipping rows
         whose ``dedupe_keys`` tuple already exists (NULL-safe), so
         re-runs are idempotent."""
-        current = self.read(batch.sparkSession)
-        if current is None:
-            self.overwrite(batch, op="append")
+        base = self.current_version()
+        if base is None:
+            self.overwrite(batch, op="append", base=None)
             return
+        current = self.read(batch.sparkSession, version=base)
         if dedupe_keys:
             c = current.alias("e")
             b = batch.alias("b")
@@ -280,12 +290,15 @@ class VersionedParquetTable:
                 e = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
                 cond = e if cond is None else (cond & e)
             batch = b.join(c, on=cond, how="left_anti")
-        self.overwrite(current.unionByName(batch, allowMissingColumns=True), op="append")
+        self.overwrite(
+            current.unionByName(batch, allowMissingColumns=True), op="append", base=base
+        )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
-        current = self.read(keys_df.sparkSession)
-        if current is None:
+        base = self.current_version()
+        if base is None:
             return
+        current = self.read(keys_df.sparkSession, version=base)
         if self.partition_by and all(c in keys_df.columns for c in self.partition_by):
             # Partition-aware delete: anti-join only inside touched
             # partitions, hard-link the rest — O(touched), not O(table).
@@ -297,12 +310,12 @@ class VersionedParquetTable:
                 on=list(self.key_cols),
                 how="left_anti",
             )
-            self._commit_touched(remaining_touched, touched, op="delete")
+            self._commit_touched(remaining_touched, touched, op="delete", base=base)
             return
         remaining = current.join(
             keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
         )
-        self.overwrite(remaining, op="delete")
+        self.overwrite(remaining, op="delete", base=base)
 
     # ------------------------------------------------- partitioned merge
     def _touched_partitions(self, df: DataFrame) -> set[tuple]:
@@ -327,7 +340,11 @@ class VersionedParquetTable:
         return cond
 
     def _commit_touched(
-        self, touched_df: DataFrame, touched: set[tuple], op: str = "merge"
+        self,
+        touched_df: DataFrame,
+        touched: set[tuple],
+        op: str = "merge",
+        base=_UNSET_BASE,
     ) -> None:
         """Write a new version containing ``touched_df`` (the new
         contents of the touched partitions) and hard-link every
@@ -335,6 +352,8 @@ class VersionedParquetTable:
         metadata-only copy, the local-FS analogue of Iceberg manifest
         reuse. Cost: O(touched data + total file count)."""
         old_version = self.current_version()
+        if base is _UNSET_BASE:
+            base = old_version
         old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
         target = os.path.join(self.path, version)
@@ -356,16 +375,18 @@ class VersionedParquetTable:
                 os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
         with open(os.path.join(target, COMMIT_INFO), "w") as f:
             f.write(self._commit_info(op))
-        self._commit(version, base=old_version)
+        self._commit(version, base=base)
 
-    def _merge_partitioned(self, spark: SparkSession, current: DataFrame, batch: DataFrame) -> None:
+    def _merge_partitioned(
+        self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None
+    ) -> None:
         touched = self._touched_partitions(batch)
         if not touched:
             return
         merged_touched = merge_dataframes(
             current.filter(self._partition_filter(touched)), batch, self.key_cols
         )
-        self._commit_touched(merged_touched, touched)
+        self._commit_touched(merged_touched, touched, op="merge", base=base)
 
     # ----------------------------------------------------------- compact
     def compact(
@@ -414,7 +435,7 @@ class VersionedParquetTable:
             n = max(1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes))
             if n >= len(files):
                 return {**empty, "files_before": len(files), "files_after": len(files)}
-            self.overwrite(self.read(spark).repartition(n), op="compact")
+            self.overwrite(self.read(spark, version=cur).repartition(n), op="compact", base=cur)
             return {
                 "partitions_rewritten": 1,
                 "files_before": len(files),
@@ -438,7 +459,7 @@ class VersionedParquetTable:
         if not plan:
             return {**empty, "files_before": before, "files_after": before}
 
-        current = self.read(spark)
+        current = self.read(spark, version=cur)  # pinned snapshot
         touched_df = current.filter(self._partition_filter(set(plan)))
         # per-partition bucket count via a literal map (partition lists
         # are low-cardinality by design — same contract as
@@ -456,7 +477,7 @@ class VersionedParquetTable:
             "__bucket",
             F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), nmap[pkey]),
         ).repartition(*self.partition_by, "__bucket")
-        self._commit_touched(bucketed.drop("__bucket"), set(plan), op="compact")
+        self._commit_touched(bucketed.drop("__bucket"), set(plan), op="compact", base=cur)
         return {
             "partitions_rewritten": len(plan),
             "files_before": before,
