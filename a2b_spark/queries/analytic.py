@@ -665,6 +665,95 @@ def _o_q85() -> str:
 O_Q85 = _o_q85()
 
 
+# --------------------------------------------------------------- Q86
+def q86_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (covariance/correlation of quantity vs
+    price per return flag) with CROSS-ENGINE EXACT values: the naive
+    corr()/covar_samp() aggregates accumulate in floats whose summation
+    order differs per engine, so instead the sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in exact DECIMAL and the
+    final covariance/correlation is ONE fixed double expression over
+    their correctly-rounded double casts — identical IEEE results on
+    any engine. One scan, map-side-combined aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * (F.col("n") - 1)
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        cov.alias("covar_samp"),
+        corr.alias("corr"),
+    )
+
+
+O_Q86 = """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp,
+  (n * sxy - sx * sy)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+FROM s
+"""
+
+
+# --------------------------------------------------------------- Q87
+def q87_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregates: several differently-conditioned
+    aggregates in ONE pass over orders (the idiom that replaces N
+    self-joins or N scans with per-aggregate predicates), plus
+    count_if and bool_or. All codegen, one shuffle."""
+    _v(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_total,
+          CAST(COUNT_IF(o_orderstatus = 'O') AS BIGINT) AS n_open,
+          BOOL_OR(o_totalprice > 400000) AS has_jumbo
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+O_Q87 = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_total,
+  CAST(COUNT_IF(o_orderstatus = 'O') AS BIGINT) AS n_open,
+  BOOL_OR(o_totalprice > 400000) AS has_jumbo
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q71_correlated_scalar_subquery": q71_correlated_scalar_subquery,
     "q72_exists_correlated": q72_exists_correlated,
@@ -681,6 +770,8 @@ QUERIES = {
     "q83_train_val_test_split": q83_train_val_test_split,
     "q84_length_buckets": q84_length_buckets,
     "q85_table_fingerprint": q85_table_fingerprint,
+    "q86_corr_stats": q86_corr_stats,
+    "q87_filtered_aggregates": q87_filtered_aggregates,
 }
 
 ORACLES = {
@@ -699,4 +790,6 @@ ORACLES = {
     "q83_train_val_test_split": O_Q83,
     "q84_length_buckets": O_Q84,
     "q85_table_fingerprint": O_Q85,
+    "q86_corr_stats": O_Q86,
+    "q87_filtered_aggregates": O_Q87,
 }
