@@ -9,17 +9,26 @@ two-phase parallel scan:
     1. range-partition rows by the order key (Spark's
        ``repartitionByRange`` samples the key distribution, so chunks
        are balanced even under skewed keys);
-    2. local pass: per-partition running totals via a window
+    2. eagerly materialize the chunked frame with
+       ``localCheckpoint`` — this PINS the sampled range boundaries
+       and the ``spark_partition_id`` of every row. Range
+       partitioning's sample seed derives from the RDD id, so two
+       separate evaluations of the same plan can draw DIFFERENT
+       boundaries; truncating the lineage makes a second evaluation
+       impossible (a lost block fails loudly instead of silently
+       recomputing under a new partitioning). This is the eager
+       ``_materialize`` discipline from ``operators/dedup.py``,
+       hardened: checkpoint removes even the recompute path;
+    3. local pass: per-partition running totals via a window
        partitioned by ``spark_partition_id()`` (parallel, in-memory
        sort per chunk — no shuffle beyond the range partition itself);
-    3. per-partition totals (one tiny row per partition) come back to
-       the driver, an exclusive scan over ≤ a few thousand scalars
-       computes each chunk's global offset;
-    4. map-side: running = local running + offset[pid] via a literal
-       ``MAP`` lookup (no join, no broadcast variable needed).
-
-The driver-side collect in step 3 is O(#partitions) scalars — bounded
-and independent of row count, the legitimate kind of driver action.
+    4. per-partition offsets are computed IN-PLAN: the per-pid totals
+       (one tiny row per partition) get an exclusive running sum via
+       a global window over that ≤few-thousand-row frame — the
+       single-partition window over a tiny aggregate is the repo's
+       standard scalar-fanout idiom — and join back broadcast on
+       ``__pid``. No driver collect, no literal map, and therefore no
+       cross-action consistency requirement at all.
 
 Sequence packing (``pack_sequences``) assigns documents to fixed
 token-budget training sequences in deterministic key order:
@@ -30,11 +39,16 @@ tokenizer truncates or wraps), which is the standard streaming-pack
 discipline for LLM pre-training batches and — unlike first-fit bin
 packing — is expressible as a pure scan, both here and in the SQL
 oracle.
+
+Storage lifecycle: the checkpointed blocks live in the executors'
+block manager and are released when the returned DataFrame's RDD is
+garbage-collected on the driver — unlike ``persist``, nothing is
+registered in the session's cache manager, so repeated registry
+invocations do not accumulate entries in ``spark.catalog``
+(round-4 advice item).
 """
 
 from __future__ import annotations
-
-from itertools import accumulate
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
@@ -53,6 +67,11 @@ def running_total(
 
     ``order_col`` must be unique (it defines the global order); the
     value expression is evaluated once into a column before the scan.
+    The result is deterministic across runs and Spark configs: the
+    range chunking is pinned by an eager localCheckpoint before any
+    consumer, and the chunk offsets are computed inside the same plan
+    (window over per-chunk totals + broadcast join), so there is no
+    second action that could observe a different partitioning.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
     staged = df.withColumn("__v", value.cast("long"))
@@ -60,43 +79,32 @@ def running_total(
         staged = staged.repartitionByRange(num_partitions, order_col)
     else:
         staged = staged.repartitionByRange(order_col)
-    staged = staged.withColumn("__pid", F.spark_partition_id())
+    # Pin boundaries + pids: eager materialization, lineage truncated.
+    staged = staged.withColumn("__pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+
+    # One row per chunk: (pid, chunk total). The total is SUM of the
+    # raw values, NOT max of the running column: with negative values
+    # (a running balance) the cumulative maximum is not the chunk sum.
+    # Exclusive scan in-plan: offset of pid i = sum of totals with
+    # pid < i. The frame is ≤ #partitions rows, so the global
+    # (single-partition) window is trivially cheap. An all-null chunk
+    # sums to NULL and must contribute 0 (sum_zero) to later offsets.
+    totals = staged.groupBy("__pid").agg(
+        F.coalesce(F.sum("__v"), F.lit(0)).alias("__t")
+    )
+    excl = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(excl), F.lit(0)).alias("__off")
+    )
 
     local = W.partitionBy("__pid").orderBy(order_col)
-    # persisted: the totals pass below and the final output both read
-    # this sorted intermediate — without it the upstream scan + range
-    # shuffle + window sort would run twice. Spillable storage level;
-    # caller (or bench's clearCache) releases it.
-    from pyspark import StorageLevel
-
-    staged = staged.withColumn(out_col, F.sum("__v").over(local)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-
-    # one row per partition: (pid, partition total) — bounded driver
-    # pull. The total is SUM of the raw values, NOT max of the running
-    # column: with negative values (a running balance) the cumulative
-    # maximum is not the partition's final sum.
-    totals = (
-        staged.groupBy("__pid")
-        .agg(F.sum("__v").alias("t"))
-        .orderBy("__pid")
-        .collect()
-    )
-    pids = [r["__pid"] for r in totals]
-    # exclusive scan: offset of pid i = sum of totals of pids < i.
-    # repartitionByRange orders pids by key range, but empty ranges can
-    # drop ids — accumulate over the pids actually present, in order.
-    # An all-null partition sums to NULL; it contributes 0 to offsets.
-    offsets = [0] + list(accumulate((r["t"] or 0) for r in totals))[:-1]
-    if not pids:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    mapping = F.create_map(
-        *[F.lit(x) for pair in zip(pids, offsets) for x in pair]
-    )
     return (
-        staged.withColumn(out_col, F.col(out_col) + mapping[F.col("__pid")])
-        .drop("__pid", "__v")
+        staged.withColumn(out_col, F.sum("__v").over(local))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col(out_col) + F.col("__off"))
+        .drop("__pid", "__v", "__off")
     )
 
 

@@ -86,6 +86,48 @@ def test_running_total_negative_values(spark):
     assert got == _expected_running(rows)
 
 
+def test_pack_sequences_deterministic_across_configs(spark):
+    """Round-4 driver failure mode: the same pack_sequences call must
+    produce bit-identical output under DIFFERENT shuffle-partition
+    configs (the driver runs its own Spark config). The fix pins the
+    sampled range chunking with an eager localCheckpoint and computes
+    chunk offsets in-plan, so no second action can observe a different
+    partitioning; the global cumsum is config-independent math."""
+    rows = [(i, "w " * ((i * 37) % 200 + 1)) for i in range(1500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+
+    def run():
+        out = pack_sequences(df, "doc_id", toks, budget=512).collect()
+        return sorted((r["doc_id"], r["running"], r["pack_id"]) for r in out)
+
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        first = run()
+        second = run()  # same config, repeated — r4 failure repro shape
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        third = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert first == second == third
+    # the values themselves must be the sequential cumsum
+    expected = _expected_running(
+        [(i, (i * 37) % 200 + 1) for i in range(1500)]
+    )
+    assert {k: r for k, r, _ in first} == expected
+
+
+def test_running_total_leaves_no_catalog_cache(spark):
+    """Round-4 advice: registry invocations must not accumulate
+    cached plans. localCheckpoint pins data in the block manager
+    (freed on GC) without registering in the session cache manager."""
+    df = spark.createDataFrame([(i, i) for i in range(100)], "k long, v long")
+    running_total(df, "k", "v").count()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty()
+
+
 def test_running_total_drops_helper_columns(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     out = running_total(df, "k", "v")
