@@ -4,23 +4,30 @@ the coverage-debt invariant (see a2b_spark/queries/__init__.py)."""
 
 import json
 import os
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def _prior_coverage() -> dict:
-    cov: dict = {}
-    for fn in sorted(os.listdir(REPO)):
-        if fn.startswith("CORRECTNESS_r") and fn.endswith(".json"):
-            with open(os.path.join(REPO, fn)) as f:
-                for q, res in json.load(f).items():
-                    # green = values confirmed; rows_match alone counts
-                    # only for the weaker rows-only checks (no hash key)
-                    if res.get("hash_match") is True or (
-                        "hash_match" not in res and res.get("rows_match")
-                    ):
-                        cov[q] = cov.get(q, 0) + 1
-    return cov
+    with open(os.path.join(REPO, "a2b_spark", "queries", "coverage.json")) as f:
+        return json.load(f)["green_rounds"]
+
+
+def test_coverage_manifest_is_fresh():
+    """The committed manifest must match a regeneration from the
+    git-TRACKED correctness files — if a new CORRECTNESS_r{N}.json was
+    committed without rerunning tools/update_coverage.py, fail loudly
+    so the registry order never drifts from committed state."""
+    import update_coverage
+
+    with open(os.path.join(REPO, "a2b_spark", "queries", "coverage.json")) as f:
+        committed = json.load(f)
+    assert committed == update_coverage.build_manifest(), (
+        "coverage manifest stale: run `python tools/update_coverage.py` "
+        "and commit a2b_spark/queries/coverage.json"
+    )
 
 
 def test_every_query_has_an_oracle():
