@@ -515,8 +515,36 @@ class VersionedParquetTable:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 
+def _unescape_hive(s: str) -> str:
+    """Inverse of Hive/Spark ``escapePathName``: directory names encode
+    special characters (``:``, ``%``, ``=``, ``#`` …) as ``%XX`` hex.
+    Every comparison against actual column values (``_partition_filter``,
+    ``_commit_touched``'s touched set, ``compact``'s plan keys) must use
+    the UNESCAPED value — comparing the raw dir name silently selects
+    zero rows for e.g. timestamp-string partitions (round-4 advice:
+    data loss in compact, duplicate rows in partitioned merge/delete)."""
+    if "%" not in s:
+        return s
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 2 < len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass  # not a hex escape: keep the literal '%'
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _leaf_partitions(root: str, depth: int):
-    """Yield (leaf_dir, partition_value_tuple) for a Hive-layout tree."""
+    """Yield (leaf_dir, partition_value_tuple) for a Hive-layout tree.
+    Values are UNESCAPED (see :func:`_unescape_hive`) so they compare
+    equal to ``cast('string')`` of the partition columns."""
     stack = [(root, ())]
     while stack:
         d, vals = stack.pop()
@@ -526,4 +554,6 @@ def _leaf_partitions(root: str, depth: int):
         for name in os.listdir(d):
             sub = os.path.join(d, name)
             if os.path.isdir(sub) and "=" in name:
-                stack.append((sub, vals + (name.split("=", 1)[1],)))
+                stack.append(
+                    (sub, vals + (_unescape_hive(name.split("=", 1)[1]),))
+                )

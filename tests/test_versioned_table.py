@@ -226,6 +226,73 @@ def test_compact_partitioned_links_untouched(spark, table):
     assert table.read(spark).orderBy("id").collect() == before
 
 
+def test_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values containing Hive-escaped characters (':', '%',
+    '=', '#') are stored in dirs like ``p=10%3A30`` while the column
+    holds ``10:30``. Every path that compares directory names against
+    column values — partitioned merge, delete, compact — must unescape
+    first; the round-4 advice found compact silently dropping such
+    partitions and merge would duplicate their rows."""
+    t = VersionedParquetTable(
+        str(tmp_path / "esc"), key_cols=("id",), partition_by=("p",)
+    )
+    vals = ["2020-01-01 10:30:00", "50%off", "a=b", "plain"]
+    base = spark.createDataFrame(
+        [(i, vals[i % 4], f"v{i}") for i in range(16)],
+        "id int, p string, v string",
+    )
+    t.overwrite(base)
+    # escaped dirs actually exist on disk (the premise of the test)
+    vdir = os.path.join(t.path, t.current_version())
+    assert any("%3A" in d for d in os.listdir(vdir)), os.listdir(vdir)
+
+    # partitioned merge touching ONLY the escaped-value partitions must
+    # update in place, not duplicate (old files hard-linked + new data)
+    t.merge(
+        spark.createDataFrame(
+            [(0, "2020-01-01 10:30:00", "UPD"), (1, "50%off", "UPD")],
+            "id int, p string, v string",
+        )
+    )
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 16, "merge duplicated rows in escaped partitions"
+    assert rows[0] == "UPD" and rows[1] == "UPD"
+
+    # partition-aware delete inside an escaped partition
+    t.delete_keys(
+        spark.createDataFrame(
+            [(4, "2020-01-01 10:30:00")], "id int, p string"
+        )
+    )
+    assert t.read(spark).count() == 15
+
+    # compact: fragment the ':' partition, then verify no data loss and
+    # the partition really was rewritten (not silently skipped)
+    cur = t.read(spark)
+    t.overwrite(
+        cur.repartition(
+            5,
+            F.when(
+                F.col("p") == "2020-01-01 10:30:00",
+                F.col("id") % 3,
+            ).otherwise(F.lit(9)),
+        )
+    )
+    before = sorted(map(tuple, t.read(spark).collect()))
+    vdir = os.path.join(t.path, t.current_version())
+    frag = [f for f in _inodes(vdir) if f.startswith("p=2020-01-01 10%3A30%3A00")]
+    assert len(frag) >= 2
+    stats = t.compact(spark)
+    assert stats["partitions_rewritten"] >= 1
+    after_files = [
+        f
+        for f in _inodes(os.path.join(t.path, t.current_version()))
+        if f.startswith("p=2020-01-01 10%3A30%3A00")
+    ]
+    assert len(after_files) == 1, "escaped partition was not compacted"
+    assert sorted(map(tuple, t.read(spark).collect())) == before
+
+
 def test_null_partition_values_rejected(spark, tmp_path):
     """NULL partition values would silently corrupt the hardlink-reuse
     layout (Hive default-partition dir never matches the touched-set
