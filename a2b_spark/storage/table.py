@@ -195,6 +195,29 @@ class VersionedParquetTable:
             )
         return df
 
+    def _carry_forward_metadata(self, target: str, base: Optional[str]) -> None:
+        """Copy top-level ``_``-prefixed metadata files from the base
+        version dir into the new one, unless the new version already
+        wrote its own. Application metadata committed via
+        ``extra_files`` (e.g. the streaming rollup's last-batch marker)
+        must SURVIVE unrelated commits — merge, delete, compact,
+        retract — or a restarted stream sees no marker and re-folds
+        already-applied batches (round-4 advice: double counting)."""
+        if not base:
+            return
+        base_dir = os.path.join(self.path, base)
+        if not os.path.isdir(base_dir):
+            return
+        for fn in os.listdir(base_dir):
+            src = os.path.join(base_dir, fn)
+            dst = os.path.join(target, fn)
+            if (
+                fn.startswith("_")
+                and os.path.isfile(src)
+                and not os.path.exists(dst)
+            ):
+                shutil.copyfile(src, dst)
+
     def _commit_info(self, op: str) -> str:
         import datetime
         import json as _json
@@ -247,6 +270,7 @@ class VersionedParquetTable:
         for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
             with open(os.path.join(target, fn), "w") as f:
                 f.write(content)
+        self._carry_forward_metadata(target, base)  # base resolved above
         if self.fmt not in _SELF_DESCRIBING:
             import json as _json
 
@@ -345,6 +369,7 @@ class VersionedParquetTable:
         touched: set[tuple],
         op: str = "merge",
         base=_UNSET_BASE,
+        extra_files: Optional[dict] = None,
     ) -> None:
         """Write a new version containing ``touched_df`` (the new
         contents of the touched partitions) and hard-link every
@@ -373,8 +398,13 @@ class VersionedParquetTable:
                 if fn.startswith(("_", ".")):
                     continue
                 os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
-        with open(os.path.join(target, COMMIT_INFO), "w") as f:
-            f.write(self._commit_info(op))
+        for fn, content in {
+            **(extra_files or {}),
+            COMMIT_INFO: self._commit_info(op),
+        }.items():
+            with open(os.path.join(target, fn), "w") as f:
+                f.write(content)
+        self._carry_forward_metadata(target, old_version)
         self._commit(version, base=base)
 
     def _merge_partitioned(

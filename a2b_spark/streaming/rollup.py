@@ -18,10 +18,22 @@ table write and any separate marker write cannot desynchronize them —
 marker and data are one atomic commit.
 
 Scale shape: per batch, one partial aggregation of the micro-batch
-(map-side combined) + one keyed merge against only the touched
-buckets' partition (the table is partitioned by the coarse time
-bucket when ``partition_by`` is set, so the merge is O(touched), not
-O(history))."""
+(map-side combined) + one additive fold. When the table is
+PARTITIONED by a coarse time bucket (``partition_by`` ⊆ the bucket
+names), the fold reads and rewrites ONLY the partitions the batch
+touches and hard-links the rest (``_commit_touched``) — O(touched),
+not O(history), which is what makes an ever-growing rollup table
+sustainable. An unpartitioned table falls back to a full-outer fold
+over the whole table — O(history) per batch, fine for small rollups
+only. Both paths pin their read to the base version they commit
+against, so the optimistic-concurrency check covers the whole
+read-fold-commit span.
+
+Marker durability: ``_LAST_BATCH`` rides in ``extra_files`` and the
+table carries ``_``-prefixed metadata files forward on EVERY commit
+(``_carry_forward_metadata``), so maintenance operations — compact,
+merge, retract — on a rollup table no longer erase the marker and
+re-expose the double-count hazard."""
 
 from __future__ import annotations
 
@@ -109,6 +121,13 @@ def run_continuous_rollup(
         )
     names = list(bucket_cols)
 
+    part_cols = tuple(table.partition_by or ())
+    if part_cols and not set(part_cols) <= set(names):
+        raise ValueError(
+            f"table partition_by {part_cols} must be a subset of the "
+            f"bucket names {tuple(names)} for the partition-scoped fold"
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= _read_last_batch(table):
             return  # redelivered batch: already folded in
@@ -125,12 +144,29 @@ def run_continuous_rollup(
         )
         if not partial.head(1):
             return
-        merged = _additive_merge(
-            table.read(spark), partial, names, ["n", "sum_value"]
-        )
+        # pin the snapshot this fold derives from: the commit's
+        # optimistic check then covers the whole read-fold-commit span
+        base = table.current_version()
+        current = table.read(spark, version=base) if base else None
+        marker = {_LAST_BATCH: str(batch_id)}
         # marker is written into the version dir BEFORE the _CURRENT
         # flip (extra_files) — data and batch-id commit atomically
-        table.overwrite(merged, extra_files={_LAST_BATCH: str(batch_id)})
+        if part_cols and base is not None:
+            # partition-scoped fold: read + rewrite ONLY the coarse
+            # buckets this batch touches, hard-link the rest
+            touched = table._touched_partitions(partial)
+            merged = _additive_merge(
+                current.filter(table._partition_filter(touched)),
+                partial,
+                names,
+                ["n", "sum_value"],
+            )
+            table._commit_touched(
+                merged, touched, op="rollup", base=base, extra_files=marker
+            )
+        else:
+            merged = _additive_merge(current, partial, names, ["n", "sum_value"])
+            table.overwrite(merged, extra_files=marker, op="rollup", base=base)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
