@@ -122,15 +122,20 @@ _MERSENNE31 = 2147483647  # 2^31 - 1, prime
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly fill a persisted DataFrame's cache (one lightweight
-    count job) before fan-out consumers reference it. Without this,
-    the first action's concurrently-launched stages (AQE runs
+    """Eagerly pin a fan-out DataFrame via ``localCheckpoint``: the
+    blocks land in the executors' block manager (spillable
+    MEMORY_AND_DISK) BEFORE any consumer references them. Without
+    this, the first action's concurrently-launched stages (AQE runs
     independent shuffle-map stages in parallel) RACE to compute the
     not-yet-cached partitions, each doing the full upstream work —
     measured 2-3× the whole operator's cost on the simhash/minhash
-    signature passes."""
-    df.count()
-    return df
+    signature passes. Versus ``persist``+count (the pre-round-5 form):
+    lineage truncation also removes the silent-recompute path (a lost
+    block fails loudly instead of re-sampling nondeterministic
+    upstream shuffles), and nothing registers in the session cache
+    manager — blocks free on driver-side GC of the returned frame, so
+    repeated registry invocations leak nothing (round-4 advice)."""
+    return df.localCheckpoint(eager=True)
 
 
 def _ids_packable(df: DataFrame, id_col: str) -> bool:
@@ -307,15 +312,11 @@ def minhash_near_dup_pairs(
     is missed with p=(1-0.8⁴)¹⁶ ≈ 2e-4 and pairs at ≥0.95 with p≈1e-11
     — so output matches the exact all-pairs join with near certainty
     at a fraction of its cost. Returns (id_a, id_b, jaccard)."""
-    from pyspark import StorageLevel
-
     rows = num_hashes // bands
     # k-gram hash sets feed three consumers (signatures + both verify
-    # sides): persist the one text→k-gram pass instead of running it
-    # three times. MEMORY_AND_DISK: spills instead of OOM at scale.
-    sh = _materialize(
-        kgram_hash_docs(df, text_col, id_col, shingle_k).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # sides): pin the one text→k-gram pass instead of running it
+    # three times (spillable blocks, freed on GC — see _materialize).
+    sh = _materialize(kgram_hash_docs(df, text_col, id_col, shingle_k))
     # empty-set docs can never reach jaccard ≥ threshold (> 0); they
     # drop out inside _minhash_sigs and never enter the candidate join
     sigs = _minhash_sigs(sh, id_col, num_hashes)
@@ -358,13 +359,10 @@ def exact_jaccard_pairs(
     RAREST hashes under the global order when that order is built by
     document frequency; with the plain hash order used here the
     entries are random, which already bounds bucket skew."""
-    from pyspark import StorageLevel
-
     # one text→k-gram-hash pass feeds the index AND both verify sides
     sh = _materialize(
         kgram_hash_docs(df, text_col, id_col, shingle_k)
         .select(F.col(id_col), F.array_sort("khs").alias("khs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sz = F.size("khs")
     # epsilon inside ceil: when t·sz is a true integer the float product
@@ -454,8 +452,6 @@ def simhash_near_dup_pairs(
     codegen'd hash per token) or "md5" (4×15-bit = 60-bit signature
     from the top 60 bits of md5 — slower, but expressible in ANSI SQL
     so the whole operator can be oracle-checked bit-for-bit)."""
-    from pyspark import StorageLevel
-
     if token_hash == "md5":
         bands, band_bits = 4, 15  # 15 hex chars = 60 bits, exact in int64
         def th(t):
@@ -468,7 +464,6 @@ def simhash_near_dup_pairs(
     # sigs feed the banding pass plus both sides of the verify join-back
     sigs = _materialize(
         _simhash_sigs(df, text_col, id_col, th, bands, band_bits)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band rows carry only (id, band, bh): the ×bands bucket shuffle
     # must never ship the signature payload

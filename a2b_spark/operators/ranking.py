@@ -176,25 +176,27 @@ def unigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     measured 1e-6 flips on terminating means). Output:
     (id, n_tokens, surprisal_e7 = mean surprisal in 1e-7 nats).
 
-    Caching contract (same as the dedup operators): the token-count
-    intermediates stay persisted (MEMORY_AND_DISK, spillable) so the
-    returned DataFrame's actions don't replay the explode+count
-    pipeline. Library callers that run many corpora in one session
-    should ``spark.catalog.clearCache()`` between calls — there is no
-    safe point inside the operator to unpersist, because the caller
-    decides when (and how often) the result is materialized."""
-    from pyspark import StorageLevel
-
+    Caching contract (same as the dedup operators' _materialize): the
+    token-count intermediates are pinned with an eager
+    ``localCheckpoint`` — spillable blocks, freed when the returned
+    DataFrame is garbage-collected, with nothing registered in the
+    session cache manager, so repeated library calls in one session
+    leak nothing (round-4 advice replaced the old persist +
+    caller-must-clearCache contract)."""
     toks = _doc_tokens(df, text_col, id_col)
     # tf fans out (vocabulary counts + the per-doc aggregate) and the
-    # scalar `total` is a separate eager action — without persisting,
+    # scalar `total` is a separate eager action — without pinning,
     # the whole explode+count pipeline would run twice (exchange reuse
     # does not span actions). Same _materialize discipline as dedup.
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    counts = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     total = counts.agg(F.sum("cnt")).first()[0]
     if not total:
