@@ -12,15 +12,17 @@ The actual pixel/sample decode requires codec libraries (PIL, ffmpeg,
 torchaudio) that are NOT in this container — ``decode_media`` is
 therefore STUBBED: with ``decoder="fake"`` it produces a deterministic
 synthetic decode (hash-derived), with ``decoder="real"`` it raises
-NotImplementedError at the import site. The Spark-side contract —
-schemas, batch iteration, partition sizing, output shape — is real and
-tested; swapping in a real decoder changes only the inner function.
+NotImplementedError at the import site, and passing a CALLABLE injects
+an actual codec without editing this module (the callable rides to the
+executors via cloudpickle; import codec libs inside its body). The
+Spark-side contract — schemas, batch iteration, partition sizing,
+output shape — is real and tested, including the injection path.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -95,16 +97,24 @@ def decode_media(
     df: DataFrame,
     bin_col: str,
     id_col: str,
-    decoder: str = "fake",
+    decoder: "str | Callable[[bytes], tuple]" = "fake",
     n_features: int = 8,
     batch_rows: int = 64,
 ) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
-    ``decoder="real"`` is the seam for PIL/ffmpeg — NotImplementedError
-    here because codec libs are not in this container. ``"fake"`` runs
-    the full distributed plumbing with a deterministic synthetic
-    decode.
+    ``decoder`` selects the codec kernel:
+
+    - ``"fake"`` (default): deterministic synthetic decode — the full
+      distributed plumbing with no codec libs.
+    - ``"real"``: the seam for PIL/ffmpeg — NotImplementedError here
+      because codec libs are not in this container.
+    - a CALLABLE ``bytes -> (width, height, channels, features)``:
+      dependency injection of an actual codec. The callable is
+      cloudpickled to the executors with the kernel, so it must be
+      self-contained (import its libs inside the function body). This
+      is the supported way to plug a real decoder in without editing
+      this module, and what the injection test exercises.
 
     Memory bound: decoded output accumulates at most ``batch_rows``
     rows before each yield (sliced INSIDE the kernel — a session-conf
@@ -112,13 +122,19 @@ def decode_media(
     was a no-op). The incoming Arrow batch is governed by the
     session's ``spark.sql.execution.arrow.maxRecordsPerBatch``; lower
     that session-wide when individual payloads are huge."""
-    if decoder not in ("fake", "real"):
-        raise ValueError(f"unknown decoder {decoder!r}")
-    if decoder == "real":
+    if callable(decoder):
+        kernel = decoder
+    elif decoder == "fake":
+        kernel = lambda payload: _fake_decode(payload, n_features)  # noqa: E731
+    elif decoder == "real":
         raise NotImplementedError(
             "real media decode needs codec libraries (PIL/ffmpeg) not present "
-            "in this environment; use decoder='fake' for plumbing tests"
+            "in this environment; pass a decoder callable "
+            "(bytes -> (w, h, c, features)) to inject one, or use "
+            "decoder='fake' for plumbing tests"
         )
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -128,8 +144,10 @@ def decode_media(
                 chunk = pdf.iloc[s : s + batch_rows]
                 rows = []
                 for mid, payload in zip(chunk[id_col], chunk[bin_col]):
-                    w, hgt, c, feats = _fake_decode(bytes(payload), n_features)
-                    rows.append((int(mid), w, hgt, c, feats))
+                    w, hgt, c, feats = kernel(bytes(payload))
+                    rows.append(
+                        (int(mid), int(w), int(hgt), int(c), [float(x) for x in feats])
+                    )
                 yield pd.DataFrame(
                     rows,
                     columns=["media_id", "width", "height", "channels", "features"],
@@ -144,7 +162,7 @@ def resize_media(
     id_col: str,
     target_w: int,
     target_h: int,
-    resizer: str = "fake",
+    resizer: "str | Callable[[bytes, int, int], tuple]" = "fake",
     max_out_bytes: int = 1 << 20,
     batch_rows: int = 64,
 ) -> DataFrame:
@@ -156,7 +174,10 @@ def resize_media(
     this container); ``"fake"`` produces a deterministic hash-derived
     payload of exactly target_w × target_h × channels bytes (capped at
     ``max_out_bytes``), with source dims from the same fake decode, so
-    dims/scales/byte-counts are SQL-mirrorable for the oracle.
+    dims/scales/byte-counts are SQL-mirrorable for the oracle. A
+    CALLABLE ``(payload, target_w, target_h) -> (in_w, in_h, channels,
+    out_payload)`` injects an actual codec (self-contained, shipped by
+    cloudpickle — same contract as decode_media's decoder callable).
 
     Scale: Arrow-batched mapInPandas; resized output accumulates at
     most ``batch_rows`` rows per yield (sliced inside the kernel —
@@ -164,13 +185,25 @@ def resize_media(
     no-op); incoming batch size is the session's Arrow setting.
     Scales are single divisions of exact ints — bit-identical across
     engines, no rounding boundary."""
-    if resizer not in ("fake", "real"):
-        raise ValueError(f"unknown resizer {resizer!r}")
-    if resizer == "real":
+    if callable(resizer):
+        kernel = resizer
+    elif resizer == "fake":
+
+        def kernel(b: bytes, tw: int, th: int):
+            in_w, in_h, ch, _ = _fake_decode(b)
+            n_out = min(tw * th * ch, max_out_bytes)
+            seed = hashlib.sha256(b + b"resize").digest()
+            return in_w, in_h, ch, (seed * (n_out // len(seed) + 1))[:n_out]
+
+    elif resizer == "real":
         raise NotImplementedError(
             "real resize needs codec libraries (PIL) not present in this "
-            "environment; use resizer='fake' for plumbing tests"
+            "environment; pass a resizer callable ((payload, w, h) -> "
+            "(in_w, in_h, channels, out_payload)) to inject one, or use "
+            "resizer='fake' for plumbing tests"
         )
+    else:
+        raise ValueError(f"unknown resizer {resizer!r}")
 
     out_schema = T.StructType(
         [
@@ -192,20 +225,18 @@ def resize_media(
                 chunk = pdf.iloc[s : s + batch_rows]
                 rows = []
                 for mid, payload in zip(chunk[id_col], chunk[bin_col]):
-                    b = bytes(payload)
-                    in_w, in_h, ch, _ = _fake_decode(b)
-                    n_out = min(target_w * target_h * ch, max_out_bytes)
-                    seed = hashlib.sha256(b + b"resize").digest()
-                    out = (seed * (n_out // len(seed) + 1))[:n_out]
+                    in_w, in_h, ch, out = kernel(
+                        bytes(payload), target_w, target_h
+                    )
                     rows.append(
                         (
                             int(mid),
                             target_w,
                             target_h,
-                            ch,
+                            int(ch),
                             target_w / in_w,
                             target_h / in_h,
-                            out,
+                            bytes(out),
                         )
                     )
                 yield pd.DataFrame(

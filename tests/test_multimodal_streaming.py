@@ -49,6 +49,54 @@ def test_decode_fake_deterministic(spark, media):
         MM.decode_media(media, "payload", "media_id", decoder="real")
 
 
+def test_decoder_injection(spark, media):
+    """The seam's supported path for a REAL codec: pass a callable
+    bytes -> (w, h, c, features). It must ship to the executors
+    (cloudpickle), run inside the Arrow-batched kernel, and its
+    output must land typed in the standard DECODED_SCHEMA — proving
+    the bytes→dims→features contract without container codecs."""
+
+    def header_codec(payload: bytes):
+        # a self-contained "codec": dims from the payload header bytes,
+        # features = first 4 bytes scaled — any PIL/ffmpeg wrapper has
+        # exactly this shape
+        w = 1 + payload[0]
+        h = 1 + (payload[1] if len(payload) > 1 else 0)
+        return w, h, 3, [b / 255.0 for b in payload[:4]]
+
+    out = {
+        r["media_id"]: r
+        for r in MM.decode_media(
+            media, "payload", "media_id", decoder=header_codec
+        ).collect()
+    }
+    assert len(out) == 4
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, r in out.items():
+        assert r["width"] == 1 + src[mid][0]
+        assert r["height"] == 1 + src[mid][1]
+        assert r["channels"] == 3
+        assert r["features"] == pytest.approx([b / 255.0 for b in src[mid][:4]])
+
+
+def test_resizer_injection(spark, media):
+    """Same injection contract for resize_media: callable
+    (payload, target_w, target_h) -> (in_w, in_h, channels, bytes)."""
+    from a2b_spark.operators.multimodal import resize_media
+
+    def header_resizer(payload: bytes, tw: int, th: int):
+        return 2 * tw, 4 * th, 1, payload[:8]
+
+    out = resize_media(
+        media, "payload", "media_id", 32, 16, resizer=header_resizer
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert (r["width"], r["height"], r["channels"]) == (32, 16, 1)
+        assert r["scale_x"] == 0.5 and r["scale_y"] == 0.25
+        assert len(bytes(r["payload"])) <= 8
+
+
 def test_sample_frames_shape(spark, media):
     frames = MM.sample_frames(media, "payload", "media_id", every_n=8, max_frames=3)
     pdf = frames.toPandas()
