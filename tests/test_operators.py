@@ -303,6 +303,31 @@ def test_range_join_matches_naive_predicate(spark):
     assert auto == naive
 
 
+def test_range_join_auto_width_bounds_outlier_expansion(spark):
+    """Auto width with a sentinel outlier interval: p95 sizing keeps
+    normal intervals at ~2 bins while the one open-ended sentinel
+    replicates by its span/width ratio — bounded and well under the
+    guard, with no manual knob. A pathological width choice (min
+    interval length) would instead explode the sentinel into millions
+    of rows or trip the guard."""
+    from a2b_spark.operators.rangejoin import range_join
+
+    # 99 normal ~100-wide intervals + one 100_000-wide sentinel
+    rows = [(i, i * 100, i * 100 + 99) for i in range(99)] + [(99, 0, 100_000)]
+    ivs = spark.createDataFrame(rows, "iid int, s long, e long")
+    pts = spark.createDataFrame([(i, i * 37 % 9900) for i in range(200)], "pid int, t long")
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs).filter("t BETWEEN s AND e").collect()
+    }
+    out = range_join(pts, ivs, "t", "s", "e", bin_width="auto")
+    got = {(r.pid, r.iid) for r in out.collect()}
+    assert got == naive and naive
+    # the auto width must be ≥ the normal interval length, so the
+    # sentinel's replication is ~span/width ≈ 1000, not span bins
+    # (guard default 65_536 stays untripped — proven by the collect)
+
+
 def test_range_join_span_guard(spark):
     """A pathological interval (sentinel end date vs tiny bin width)
     must raise with a clear message instead of exploding into millions
