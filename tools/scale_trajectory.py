@@ -1,0 +1,144 @@
+"""Scale-trajectory measurement for the dedup spine (round-5 brief
+item: turn the 100 TB design argument into measured growth).
+
+Times the banded-LSH + connected-components queries (q26 minhash
+pairs, q44 dup clusters, q49 dedup apply) across sf0.01, sf0.1 and
+synthesized 10×/100× sf0.1 documents tables (~50k / ~500k docs), then
+fits the scaling exponent  t ∝ n^alpha  by least squares over the
+log-log points. Expected ~linear (alpha ≈ 1) for banded LSH +
+O(log n) CC; alpha ≈ 2 would betray a hidden all-pairs stage.
+
+The synthesis replicates sf0.1 `mult` times with disjoint doc_ids and
+a copy-specific suffix appended to EVERY token, so shingle sets
+across copies share nothing: within-copy near-dup structure is
+preserved exactly, cross-copy similarity is zero, and the true pair
+count grows linearly with the data — the honest scale-up for a
+similarity workload (naive replication would instead make every doc a
+(mult-1)-way near-duplicate of its clones and inflate the candidate
+stage quadratically). Synthetic data lives under /tmp (driver
+testdata is read-only); other tables are symlinked from sf0.1 so any
+registry query can run against the directory.
+
+Usage: python tools/scale_trajectory.py [--runs 2] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = ["q26_near_dup_minhash_lsh", "q44_dup_clusters", "q49_dedup_apply"]
+
+
+def build_scaled(spark, mult: int) -> str:
+    """mult× sf0.1 documents with disjoint ids and token-disjoint
+    copies; sibling tables symlinked from sf0.1."""
+    from pyspark.sql import functions as F
+
+    out_dir = f"/tmp/a2b_scale_{mult}x"
+    if not os.path.exists(os.path.join(out_dir, "documents.parquet", "_SUCCESS")):
+        os.makedirs(out_dir, exist_ok=True)
+        base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        n = base.agg(F.max("doc_id")).first()[0] + 1
+        # one generator pass instead of a mult-way union: explode a
+        # per-row copy index, then rewrite ids/tokens per copy. The
+        # replacement string is built per row ("$1cK"), so every token
+        # gets the copy suffix and shingles never collide across copies.
+        out = base.withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        ).select(
+            (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1c"), F.col("k").cast("string")),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        out.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "documents.parquet")
+        )
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
+    return out_dir
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
+    args = ap.parse_args()
+
+    from a2b_spark.session import get_spark
+    from a2b_spark.queries import QUERIES as REGISTRY
+
+    spark = get_spark("scale_trajectory")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # docs-count scale axis, sf0.1 = 1.0
+    scales = [
+        (0.1, "/root/testdata/sf0.01"),
+        (1.0, "/root/testdata/sf0.1"),
+        (10.0, build_scaled(spark, 10)),
+        (100.0, build_scaled(spark, 100)),
+    ]
+    # warm: JVM, parquet reader, python workers
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).select(F.sum("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict = {}
+    for name in QUERIES:
+        fn = REGISTRY[name]
+        per_scale = {}
+        for mult, d in scales:
+            best = math.inf
+            for _ in range(args.runs):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            per_scale[mult] = round(best, 3)
+            print(f"# {name} x{mult}: {per_scale[mult]}s", file=sys.stderr)
+        # least-squares slope of log(t) on log(n)
+        xs = [math.log(m) for m, _ in scales]
+        ys = [math.log(per_scale[m]) for m, _ in scales]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        # the small end sits on the fixed-overhead floor (~2s job/
+        # planning/Python-pool cost), which biases the 4-point fit
+        # low; the top-decade exponent (10× -> 100×) is the
+        # scale-relevant number
+        alpha_top = math.log(per_scale[100.0] / per_scale[10.0]) / math.log(10)
+        results[name] = {
+            "sec_by_mult_of_sf01": per_scale,
+            "alpha_fit": round(alpha, 3),
+            "alpha_top_decade": round(alpha_top, 3),
+        }
+
+    doc = {"queries": results, "runs": args.runs}
+    with open(args.out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
