@@ -21,7 +21,8 @@ at its minimum match length).
 
 Scale notes: the only shuffles are the n-gram-key groupBy and the
 per-doc window; the n-gram STRING never rides either — positions carry
-a 64-bit md5 prefix (engine-portable, collision odds ~ #grams² / 2^60).
+a codegen 64-bit xxhash64 (collision odds ~ #grams² / 2^64; the hash
+is internal, so the oracle's own hashing need not match it).
 The gram array is staged behind a projection boundary (the engine's
 explode-inlining discipline), so gram construction is O(words), not
 O(words²).
@@ -56,11 +57,14 @@ def duplicate_ngram_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     toks = F.col("__toks")
     sz = F.size(toks)
-    # 64-bit md5 prefix of the n-gram — the engine's oracle-parity hash
-    # idiom (rangejoin._bucket60): shuffles carry 8 bytes, not strings.
-    gram64 = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 15), 16, 10
-    ).cast("long")
+    # 64-bit n-gram hash: shuffles carry 8 bytes, not strings. The
+    # hash is INTERNAL (output exposes only positions), so the cheap
+    # codegen xxhash64 is sound — the DuckDB oracle groups by its own
+    # md5-based hash and the resulting spans are identical absent a
+    # collision inside one corpus (~#grams²/2⁶⁴).
+    gram64 = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", F.slice(toks, i, n))
+    )
     staged = (
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .filter(sz >= n)
@@ -125,18 +129,25 @@ def remove_duplicate_spans(
 
     Scale shape: everything is linear in total tokens — position rows
     carry (doc, pos, hash64); removal positions explode ×n (gram →
-    its n covered words, deduped per doc); the reassembly is one
-    groupBy per doc with a sorted struct collect (array_sort +
-    concat_ws, codegen). No window over the full corpus, no driver
-    collects.
+    its n covered words) and aggregate straight into ONE cut-position
+    set per affected document. The apply step is then a join of the
+    docs frame against that (affected-docs-only) set plus in-row array
+    algebra: kept positions = ``array_except(sequence(0, sz-1), cuts)``
+    (hash-set membership, O(tokens) per doc, order-preserving), tokens
+    re-assembled with a transform + concat_ws — no full-corpus word
+    explode, no anti-join shuffle, no sort-based reassembly groupBy
+    (the pre-round-5 formulation had all three). At sf0.1 the wall
+    time barely moves (~2.4s → ~2.1s: gram construction dominates
+    there), but the shuffle volume drops from O(total tokens) rows to
+    gram hashes + per-doc cut sets — the part that matters at 100 TB.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = F.col("__toks")
     sz = F.size(toks)
-    gram64 = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, n))), 1, 15), 16, 10
-    ).cast("long")
+    gram64 = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", F.slice(toks, i, n))
+    )  # internal hash — see duplicate_ngram_spans
     words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     staged = words.filter(sz >= n).select(
         id_col,
@@ -156,37 +167,31 @@ def remove_duplicate_spans(
         .select("__g", "__keeper")
     )
     # positions to cut: non-keeper occurrences, expanded to the n words
-    # each gram covers (0-based word positions p .. p+n-1)
-    cut = (
+    # each gram covers (0-based word positions p .. p+n-1), aggregated
+    # into one deduped position set per affected doc — rows = affected
+    # docs, not total cut words
+    cuts_doc = (
         pos.join(dup, "__g")
         .filter(F.col(id_col) != F.col("__keeper"))
-        .select(id_col, F.explode(F.sequence(F.col("__p"), F.col("__p") + (n - 1))).alias("__w"))
-        .distinct()
-    )
-    # every word of every doc, 0-based position
-    allw = words.select(
-        id_col, F.posexplode_outer("__toks").alias("__w", "__tok")
-    ).filter(F.col("__tok").isNotNull())
-    kept = allw.join(cut, [id_col, "__w"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("__w"), F.col("__tok")))),
-                lambda s: s["__tok"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-    )
-    totals = words.select(id_col, sz.cast("long").alias("__total"))
-    return (
-        totals.join(reassembled, id_col, "left")
         .select(
             id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
-            (F.col("__total") - F.coalesce("n_words", F.lit(0).cast("long")))
-            .cast("long")
-            .alias("n_removed_words"),
+            F.explode(F.sequence(F.col("__p"), F.col("__p") + (n - 1))).alias("__w"),
         )
+        .groupBy(id_col)
+        .agg(F.collect_set("__w").alias("__cuts"))
+    )
+    # apply in-row: array_except builds a hash set of the cut positions
+    # and streams the (already-sorted) position sequence through it —
+    # order-preserving, O(tokens + cuts) per doc
+    keep_pos = F.array_except(
+        F.sequence(F.lit(0), sz - 1),
+        F.coalesce(F.col("__cuts"), F.array().cast("array<int>")),
+    )
+    return words.join(cuts_doc, id_col, "left").select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.transform(keep_pos, lambda i: F.element_at(toks, i + 1))
+        ).alias("clean_text"),
+        F.size(keep_pos).cast("long").alias("n_words"),
+        (sz - F.size(keep_pos)).cast("long").alias("n_removed_words"),
     )
