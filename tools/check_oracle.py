@@ -77,13 +77,34 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
 
     import __spark_entry__ as entry
-    from a2b_spark import get_spark
 
-    spark = get_spark("oracle_check")
+    if vanilla:
+        # driver-config robustness mode: the external harness builds its
+        # OWN session (Spark 4 defaults: ANSI on, 200 shuffle
+        # partitions, none of get_spark's tuning). Round 4's only red
+        # mark was a config-sensitivity bug local runs never saw; this
+        # flag replicates the gate under unfamiliar defaults. Must run
+        # in a fresh process (getOrCreate reuses an existing JVM conf).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+            .appName("oracle_check_vanilla")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "48g")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from a2b_spark import get_spark
+
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
