@@ -802,37 +802,85 @@ def ngram_decontaminate(
     boundary (the O(L²) re-split hazard). Docs shorter than ``n``
     words contribute their whole text as one gram — a short eval doc
     still decontaminates its exact copies."""
-
-    def grams(df: DataFrame, out: str) -> DataFrame:
-        toked = df.select(
-            F.col(id_col).alias(out), F.split(F.col(text_col), " ").alias("__toks")
-        )
-        t = F.col("__toks")
-        sz = F.size(t)
-        g = F.when(
-            sz >= n,
-            F.transform(
-                F.sequence(F.lit(1), sz - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", t)))
-        # Stage the gram array, then explode_OUTER: plain explode's
-        # size-filter rewrite inlines the n-gram transform per
-        # generated row (the explode pathology). Empty grams (null or
-        # empty text — concat_ws never yields null) must not
-        # cross-match: a null-text corpus doc is not "contaminated" by
-        # a null-text benchmark doc.
-        staged = toked.select(out, F.array_distinct(g).alias("__gs"))
-        return (
-            staged.select(out, F.explode_outer("__gs").alias("__g"))
-            .filter(F.length("__g") > 0)
-            .select(out, F.md5("__g").alias("gh"))
-        )
-
-    c = grams(corpus, id_col)
-    b = grams(benchmark, "__bench_id").select("gh").distinct()
+    c = _doc_ngram_md5(corpus, text_col, id_col, id_col, n)
+    b = _doc_ngram_md5(benchmark, text_col, id_col, "__bench_id", n).select("gh").distinct()
     return (
         c.join(b, "gh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+
+
+def _doc_ngram_md5(
+    df: DataFrame, text_col: str, id_col: str, out: str, n: int
+) -> DataFrame:
+    """(out, gh): DISTINCT word n-gram md5 digests per document — the
+    shared kernel of the membership-style contamination operators.
+    Docs shorter than ``n`` words contribute their whole text as one
+    gram. The gram array is staged behind a projection boundary (the
+    O(L²) re-split hazard), then explode_OUTER + empty filter: plain
+    explode's size-filter rewrite inlines the n-gram transform per
+    generated row (the explode pathology), and empty grams (null or
+    empty text — concat_ws never yields null) must not cross-match."""
+    toked = df.select(
+        F.col(id_col).alias(out), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    t = F.col("__toks")
+    sz = F.size(t)
+    g = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    staged = toked.select(out, F.array_distinct(g).alias("__gs"))
+    return (
+        staged.select(out, F.explode_outer("__gs").alias("__g"))
+        .filter(F.length("__g") > 0)
+        .select(out, F.md5("__g").alias("gh"))
+    )
+
+
+def containment_contaminated_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Containment-based decontamination: flag (corpus doc, benchmark
+    doc) pairs where the corpus doc contains at least ``threshold`` of
+    the benchmark doc's distinct word n-grams —
+    |grams(B) ∩ grams(C)| / |grams(B)| ≥ t. This is the asymmetric
+    companion to :func:`ngram_decontaminate`'s any-overlap rule and to
+    jaccard near-dup: a 10k-word training doc that embeds a 50-word
+    eval question wholesale has tiny jaccard but containment ≈ 1 — the
+    actual leakage shape of benchmark contamination audits.
+
+    Returns (id_col, bench_id, n_shared_ngrams, bench_ngrams,
+    containment). Scale shape: both sides reduce to distinct
+    (doc, md5(gram)) rows; the join is equi on the digest with the
+    benchmark side tiny by definition (AQE broadcasts it); the
+    containment division is int/int → double, bit-identical across
+    engines for equal operands."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    c = _doc_ngram_md5(corpus, text_col, id_col, id_col, n)
+    b = _doc_ngram_md5(benchmark, text_col, id_col, "bench_id", n)
+    bsz = b.groupBy("bench_id").agg(F.count(F.lit(1)).cast("long").alias("bench_ngrams"))
+    shared = (
+        c.join(b, "gh")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+    return (
+        shared.join(F.broadcast(bsz), "bench_id")
+        .withColumn(
+            "containment",
+            F.col("n_shared_ngrams").cast("double") / F.col("bench_ngrams"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(id_col, "bench_id", "n_shared_ngrams", "bench_ngrams", "containment")
     )

@@ -178,6 +178,75 @@ def knn_bruteforce(
     return _topk_window(scored, k)
 
 
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One k-means ASSIGNMENT step with deterministic seeding: the k
+    centroids are the vectors of the k smallest ids (engine-portable —
+    no RNG), and every vector is assigned to the centroid minimizing
+    squared L2, ties broken by centroid index. The semantic-clustering
+    primitive of corpus curation (mixture balancing, topic capping,
+    diversity sampling) reduced to its oracle-checkable core; the
+    iterate-to-convergence loop is deliberately out of scope here
+    (it is seed/tie chaotic and belongs to MLlib).
+
+    Returns (id_col, cluster_id, dist2) with dist2 rounded to
+    ``round_digits``; the argmin also compares ROUNDED distances so
+    both engines make the identical choice even when two centroids
+    differ past the 6th decimal (the q28 discipline).
+
+    Scale shape: the k seed rows are a bounded driver pull (k·dim
+    literals, same contract as knn_bruteforce's broadcast query side);
+    assignment is one in-row transform + array_min over a k-element
+    struct array — NO join, NO shuffle, O(n·k·dim) flops stage-local,
+    and the plan stays a single projection over the scan."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seeds = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(vec_col).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("kmeans_assign: no non-null vectors to seed from")
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in row["v"]]).alias("cv"),
+            )
+            for j, row in enumerate(seeds)
+        ]
+    )
+    v = as_double(vec_col)
+    scored = F.transform(
+        cents,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(v, c["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                round_digits,
+            ).alias("d"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    best = F.array_min(scored)
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        best["cid"].cast("int").alias("cluster_id"),
+        best["d"].alias("dist2"),
+    )
+
+
 def _kmeans_fit(sample: np.ndarray, n_cells: int, iters: int, seed: int) -> np.ndarray:
     """Deterministic spherical k-means (Lloyd) on a driver-side sample:
     vectors and centroids are L2-normalized, assignment is argmax

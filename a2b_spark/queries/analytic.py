@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from a2b_spark.operators import dedup as D
 from a2b_spark.queries.relational import _events, _t, dsum
 
 
@@ -754,6 +755,191 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------- Q88
+def q88_containment_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based decontamination (the audit shape q59's
+    any-overlap rule misses): flag (train doc, benchmark doc) pairs
+    where the train doc contains ≥50% of the benchmark doc's distinct
+    5-grams — a long doc embedding an eval question wholesale has tiny
+    jaccard but containment ≈ 1. Same deterministic 20% hash cut as
+    q59, so both views of the same leakage are oracle-checked."""
+    from a2b_spark.operators.dedup import containment_contaminated_pairs
+    from a2b_spark.operators.rangejoin import hash_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = hash_sample(d, "doc_id", percent=20, salt="decon")
+    rest = d.join(bench.select("doc_id"), "doc_id", "left_anti")
+    return containment_contaminated_pairs(
+        rest, bench, "text", "doc_id", n=5, threshold=0.5
+    )
+
+
+O_Q88 = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(('0x' || substring(md5('decon' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20 AS is_bench
+  FROM documents),
+g AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(CASE WHEN len(ws) >= 5
+           THEN [list_aggregate(ws[i+1:i+5], 'string_agg', ' ') for i in range(0, len(ws)-4)]
+           ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS ng
+  FROM d),
+gg AS (SELECT doc_id, is_bench, ng FROM g WHERE ng <> ''),
+b AS (SELECT doc_id AS bench_id, ng FROM gg WHERE is_bench),
+bsz AS (SELECT bench_id, COUNT(*) AS bn FROM b GROUP BY 1),
+c AS (SELECT doc_id, ng FROM gg WHERE NOT is_bench),
+sh AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS ns
+       FROM c JOIN b ON c.ng = b.ng GROUP BY 1, 2)
+SELECT sh.doc_id, sh.bench_id,
+       CAST(ns AS BIGINT) AS n_shared_ngrams,
+       CAST(bn AS BIGINT) AS bench_ngrams,
+       CAST(ns AS DOUBLE) / bn AS containment
+FROM sh JOIN bsz USING (bench_id)
+WHERE CAST(ns AS DOUBLE) / bn >= 0.5
+"""
+
+
+# --------------------------------------------------------------- Q89
+def q89_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster assignment over the embedding column: one
+    deterministic k-means assignment step (centroids = the 8 smallest
+    vec_ids, argmin of rounded squared L2, ties to the lower centroid
+    index) — the clustering primitive behind topic capping / mixture
+    balancing, reduced to its oracle-checkable core. In-row transform
+    + array_min over a literal centroid array: no join, no shuffle."""
+    from a2b_spark.operators.similarity import kmeans_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, "embedding", "vec_id", k=8)
+
+
+O_Q89 = """
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
+      FROM v ORDER BY vec_id LIMIT 8),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_sum([ (v.vec[i+1] - c.cvec[i+1]) * (v.vec[i+1] - c.cvec[i+1])
+                          for i in range(0, len(v.vec))]), 6) AS d
+  FROM v CROSS JOIN c),
+ranked AS (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM scored)
+SELECT vec_id, cid AS cluster_id, d AS dist2 FROM ranked WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------- Q90
+def q90_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (q26's
+    minhash-LSH operator) attributed back to their documents' sources
+    — the report that tells a curation run WHERE its duplication comes
+    from (intra-crawl boilerplate vs cross-source syndication).
+    Unordered source pair via least/greatest, one count per cell."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    src = d.select("doc_id", "source")
+    labelled = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"), "id_b")
+    )
+    return (
+        labelled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+O_Q90 = """
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (
+  WITH t AS (
+    SELECT doc_id,
+           list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                          for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+) p
+JOIN documents a ON p.id_a = a.doc_id
+JOIN documents b ON p.id_b = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------- Q91
+def q91_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty attribution: for each document (in doc_id
+    order), how many distinct 3-gram shingles it introduces that no
+    earlier document contains — the vocabulary-growth / redundancy
+    signal data-mixture audits plot as a saturation curve. One
+    explode + min-per-gram + count-per-first-doc; shuffles carry the
+    64-bit shingle hash (kgram contract), never the string."""
+    d = _t(spark, sf_dir, "documents")
+    sh = D.kgram_hash_docs(d, "text", "doc_id", 3)
+    # explode_OUTER + null filter: plain explode's size-filter rewrite
+    # inlines the whole k-gram HOF per generated row (the engine's
+    # explode pathology — measured 3.7s → ~1s here)
+    first = (
+        sh.select("doc_id", F.explode_outer("khs").alias("__g"))
+        .filter(F.col("__g").isNotNull())
+        .groupBy("__g")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return first.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_ngrams")
+    )
+
+
+O_Q91 = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+g AS (SELECT doc_id, unnest(sh) AS ng FROM t),
+fs AS (SELECT ng, MIN(doc_id) AS doc_id FROM g GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_ngrams
+FROM fs GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- Q92
+def q92_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies (the Zipf audit): how many
+    distinct tokens occur exactly k times in the corpus. Two map-side
+    combined aggregations; the token string never rides a shuffle —
+    the first groupBy keys on its 64-bit hash (distinct-token counts
+    are identical absent a collision, the kgram contract)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .select(F.xxhash64("t").alias("th"))
+    )
+    cnt = tok.groupBy("th").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    ).select(F.col("c").cast("long").alias("occurrences"), "n_tokens")
+
+
+O_Q92 = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1)
+SELECT CAST(c AS BIGINT) AS occurrences, CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM cnt GROUP BY 1
+"""
+
+
 QUERIES = {
     "q71_correlated_scalar_subquery": q71_correlated_scalar_subquery,
     "q72_exists_correlated": q72_exists_correlated,
@@ -772,6 +958,11 @@ QUERIES = {
     "q85_table_fingerprint": q85_table_fingerprint,
     "q86_corr_stats": q86_corr_stats,
     "q87_filtered_aggregates": q87_filtered_aggregates,
+    "q88_containment_decontaminate": q88_containment_decontaminate,
+    "q89_kmeans_assign": q89_kmeans_assign,
+    "q90_source_leakage": q90_source_leakage,
+    "q91_ngram_novelty": q91_ngram_novelty,
+    "q92_token_spectrum": q92_token_spectrum,
 }
 
 ORACLES = {
@@ -792,4 +983,9 @@ ORACLES = {
     "q85_table_fingerprint": O_Q85,
     "q86_corr_stats": O_Q86,
     "q87_filtered_aggregates": O_Q87,
+    "q88_containment_decontaminate": O_Q88,
+    "q89_kmeans_assign": O_Q89,
+    "q90_source_leakage": O_Q90,
+    "q91_ngram_novelty": O_Q91,
+    "q92_token_spectrum": O_Q92,
 }
