@@ -521,6 +521,75 @@ def test_ngram_decontaminate_exact_overlap(spark):
     assert D.ngram_decontaminate(corpus2, bench2, "text", "doc_id", n=5).count() == 0
 
 
+def test_containment_catches_embedded_benchmark(spark):
+    """The asymmetric leakage shape: a long train doc embedding a
+    short benchmark doc wholesale has containment ≈ 1 but tiny
+    jaccard — containment must flag it, and the any-overlap /
+    jaccard views are deliberately different contracts."""
+    filler = " ".join(f"f{i}" for i in range(200))
+    bench_text = "b1 b2 b3 b4 b5 b6 b7"
+    corpus = spark.createDataFrame(
+        [
+            (1, filler + " " + bench_text + " " + filler),  # embeds bench 100%
+            (2, "b1 b2 b3 b4 b5 zz"),  # shares 1 of bench's 3 5-grams
+            (3, filler),  # nothing shared
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.n_shared_ngrams, r.bench_ngrams, r.containment)
+        for r in D.containment_contaminated_pairs(
+            corpus, bench, "text", "doc_id", n=5, threshold=0.5
+        ).collect()
+    }
+    # bench has 3 distinct 5-grams; doc 1 contains all 3; doc 2 only 1
+    assert out == {1: (3, 3, 1.0)}
+    # jaccard of doc 1 vs bench is tiny — the near-dup view would miss
+    # the embedded benchmark (doc1/doc3 sharing filler is fine)
+    j = (
+        D.minhash_near_dup_pairs(corpus.union(bench), "text", "doc_id", threshold=0.8)
+        .filter("id_a = 100 or id_b = 100")
+        .count()
+    )
+    assert j == 0
+    # threshold is honored: at 0.3, doc 2's 1/3 containment qualifies
+    lo = {
+        r.doc_id
+        for r in D.containment_contaminated_pairs(
+            corpus, bench, "text", "doc_id", n=5, threshold=0.3
+        ).collect()
+    }
+    assert lo == {1, 2}
+    with pytest.raises(ValueError):
+        D.containment_contaminated_pairs(corpus, bench, "text", "doc_id", threshold=0)
+
+
+def test_kmeans_assign_hand_checked(spark):
+    """Deterministic seeding + argmin with index tiebreak, no shuffle
+    in the plan (in-row transform over literal centroids)."""
+    rows = [
+        (0, [0.0, 0.0]),   # centroid 0
+        (1, [10.0, 10.0]), # centroid 1
+        (2, [1.0, 0.0]),   # near centroid 0
+        (3, [9.0, 10.0]),  # near centroid 1
+        (4, [5.0, 5.0]),   # equidistant -> tie broken to centroid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_id, r.dist2)
+        for r in S.kmeans_assign(df, "embedding", "vec_id", k=2).collect()
+    }
+    assert out[0] == (0, 0.0) and out[1] == (1, 0.0)
+    assert out[2] == (0, 1.0) and out[3] == (1, 1.0)
+    assert out[4] == (0, 50.0)  # tie: lower centroid index wins
+    # no exchange in the physical plan — the operator is join-free
+    plan = S.kmeans_assign(df, "embedding", "vec_id", k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        S.kmeans_assign(df, "embedding", "vec_id", k=0)
+
+
 def test_redact_pii_planted_and_engine_parity(spark):
     """Planted PII must be redacted, and the Spark pass must agree
     byte-for-byte with the DuckDB oracle expression on PII-bearing
