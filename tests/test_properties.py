@@ -207,3 +207,87 @@ def test_merge_matches_dict_model(spark, existing, batch):
         r["k"]: r["v"] for r in merge_dataframes(e_df, b_df, ["k"]).collect()
     }
     assert got == {**existing, **batch}
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@_SET
+@given(corpus_texts=docs_strategy, bench_texts=docs_strategy)
+def test_containment_matches_bruteforce(spark, corpus_texts, bench_texts):
+    """containment_contaminated_pairs == the brute-force set-algebra
+    definition over random tiny corpora (n=2 grams, t=0.5), including
+    short docs (whole-text gram), empty texts (never cross-match),
+    and docs appearing verbatim on both sides."""
+    from a2b_spark.operators.dedup import containment_contaminated_pairs
+
+    n = 2
+
+    def grams(text):
+        ws = text.split(" ")
+        gs = (
+            {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+            if len(ws) >= n
+            else {" ".join(ws)}
+        )
+        return {g for g in gs if g}
+
+    corpus = [(i, t) for i, t in enumerate(corpus_texts)]
+    bench = [(100 + i, t) for i, t in enumerate(bench_texts)]
+    expect = {}
+    for bid, bt in bench:
+        bg = grams(bt)
+        if not bg:
+            continue
+        for cid, ct in corpus:
+            shared = len(grams(ct) & bg)
+            if shared / len(bg) >= 0.5:
+                expect[(cid, bid)] = (shared, len(bg), shared / len(bg))
+
+    c_df = spark.createDataFrame(corpus, "doc_id long, text string")
+    b_df = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id): (r.n_shared_ngrams, r.bench_ngrams, r.containment)
+        for r in containment_contaminated_pairs(
+            c_df, b_df, "text", "doc_id", n=n, threshold=0.5
+        ).collect()
+    }
+    assert got == expect
+
+
+@_SET
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(-8, 8).map(float), min_size=3, max_size=3
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(1, 4),
+)
+def test_kmeans_assign_matches_argmin(spark, vecs, k):
+    """kmeans_assign == numpy argmin over the same deterministic seeds
+    (smallest ids), including exact-tie geometry (integer coordinates
+    make ties common) resolved to the lower centroid index."""
+    from a2b_spark.operators.similarity import kmeans_assign
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [v for _, v in rows[: min(k, len(rows))]]
+    expect = {}
+    for i, v in rows:
+        dists = [
+            round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6) for c in cents
+        ]
+        best = min(range(len(dists)), key=lambda j: (dists[j], j))
+        expect[i] = (best, dists[best])
+    got = {
+        r.vec_id: (r.cluster_id, r.dist2)
+        for r in kmeans_assign(df, "embedding", "vec_id", k=k).collect()
+    }
+    assert got == expect
