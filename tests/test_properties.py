@@ -291,3 +291,85 @@ def test_kmeans_assign_matches_argmin(spark, vecs, k):
         for r in kmeans_assign(df, "embedding", "vec_id", k=k).collect()
     }
     assert got == expect
+
+
+@_SET
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.dictionaries(
+                    st.integers(0, 9), st.text(alphabet="xy", max_size=2), max_size=5
+                ),
+            ),
+            st.tuples(st.just("delete"), st.sets(st.integers(0, 9), max_size=4)),
+            st.tuples(st.just("compact"), st.none()),
+            st.tuples(st.just("vacuum"), st.none()),
+        ),
+        min_size=1,
+        max_size=7,
+    ),
+    partitioned=st.booleans(),
+)
+def test_table_op_sequences_match_dict_model(spark, tmp_path_factory, ops, partitioned):
+    """Random merge/delete/compact/vacuum sequences against a dict
+    model — the storage layer's end-to-end contract including the
+    round-5 changes: Hive-escaped partition values (':' in the
+    partition column) through every path, and extra metadata files
+    carried forward across every commit kind."""
+    import os
+
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    tmp = tmp_path_factory.mktemp("fuzz")
+    t = VersionedParquetTable(
+        str(tmp / "t"),
+        key_cols=("k",),
+        partition_by=("p",) if partitioned else None,
+    )
+    # escaped-char partition values exercise _unescape_hive everywhere
+    part = lambda k: f"b{k % 2}:{k % 3}"  # noqa: E731
+
+    model: dict = {}
+    marker_written = False
+    for op, arg in ops:
+        if op == "merge":
+            if not arg:
+                continue
+            batch = spark.createDataFrame(
+                [(k, part(k), v) for k, v in arg.items()],
+                "k int, p string, v string",
+            )
+            if t.exists():
+                t.merge(batch)
+            else:
+                # first write carries an extra metadata file; it must
+                # then survive every later commit of any kind
+                t.overwrite(batch, extra_files={"_FUZZ_MARK": "42"})
+                marker_written = True
+            model.update({k: (part(k), v) for k, v in arg.items()})
+        elif op == "delete":
+            if not t.exists() or not arg:
+                continue
+            keys = spark.createDataFrame(
+                [(k, part(k)) for k in arg], "k int, p string"
+            )
+            t.delete_keys(keys)
+            for k in arg:
+                model.pop(k, None)
+        elif op == "compact":
+            if t.exists():
+                t.compact(spark, min_files=2)
+        elif op == "vacuum":
+            t.vacuum()
+
+    if not t.exists():
+        return
+    got = {r["k"]: (r["p"], r["v"]) for r in t.read(spark).collect()}
+    assert got == model, f"ops={ops} partitioned={partitioned}"
+    if marker_written:
+        cur = os.path.join(t.path, t.current_version(), "_FUZZ_MARK")
+        assert os.path.exists(cur), "extra metadata lost by a later commit"
+        with open(cur) as f:
+            assert f.read() == "42"
