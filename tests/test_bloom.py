@@ -1,0 +1,109 @@
+"""Bloom n-gram membership (operators/bloom.py): one-sided error
+contract — the flagged set is a SUPERSET of the exact join's, false
+positives stay near the configured rate, and the build's driver pull
+is bounded by filter size, not gram count."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.operators.bloom import (
+    NgramBloom,
+    bloom_flag_contaminated,
+    build_ngram_bloom,
+)
+from a2b_spark.operators.dedup import ngram_decontaminate
+
+
+def test_bloom_superset_of_exact_join(spark, sf_dir):
+    """On the real documents table with the q59 split: every doc the
+    exact membership join flags must be Bloom-flagged with at least as
+    many gram hits; extra flags are bounded by the FP budget."""
+    from a2b_spark.operators.rangejoin import hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = hash_sample(d, "doc_id", percent=20, salt="decon")
+    rest = d.join(bench.select("doc_id"), "doc_id", "left_anti")
+
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in ngram_decontaminate(rest, bench, "text", "doc_id", n=5).collect()
+    }
+    bloom = build_ngram_bloom(bench, "text", "doc_id", n=5, fp_rate=0.01)
+    assert bloom.n_grams > 0
+    flagged = {
+        r.doc_id: r.n_hit_ngrams
+        for r in bloom_flag_contaminated(rest, bloom, "text", "doc_id").collect()
+    }
+    for doc, n_shared in exact.items():
+        assert doc in flagged, f"exact-contaminated doc {doc} missed by bloom"
+        assert flagged[doc] >= n_shared
+    # one-sided error budget: docs carry ~hundreds of grams each, so a
+    # 1% per-gram FP rate can flag extra docs — but the corpus-wide
+    # extra-hit mass must stay near fp_rate * total corpus grams
+    total_grams = (
+        rest.select(F.explode(F.split("text", " "))).count()
+    )  # upper bound on gram count
+    extra_hits = sum(v for k, v in flagged.items() if k not in exact) + sum(
+        flagged[k] - exact[k] for k in exact
+    )
+    assert extra_hits <= max(50, 0.05 * total_grams)
+
+
+def test_bloom_deterministic_and_fp_rate(spark):
+    """Disjoint vocabularies: zero true overlaps, so every hit is a
+    false positive — measures the realized FP rate against the budget
+    and pins determinism across two builds."""
+    bench = spark.createDataFrame(
+        [(i, " ".join(f"b{i}w{j}" for j in range(12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    b1 = build_ngram_bloom(bench, "text", "doc_id", n=3, fp_rate=0.01)
+    b2 = build_ngram_bloom(bench, "text", "doc_id", n=3, fp_rate=0.01)
+    assert np.array_equal(b1.bits, b2.bits) and (b1.m, b1.k) == (b2.m, b2.k)
+    hits = bloom_flag_contaminated(corpus, b1, "text", "doc_id").collect()
+    n_corpus_grams = 300 * 10  # 12 words -> 10 distinct 3-grams per doc
+    fp_hits = sum(r.n_hit_ngrams for r in hits)
+    # expected ~1% of 3000 = 30; allow generous slack for hash luck
+    assert fp_hits <= 0.05 * n_corpus_grams, f"fp rate blown: {fp_hits}/{n_corpus_grams}"
+
+
+def test_bloom_empty_benchmark(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    b = build_ngram_bloom(empty, "text", "doc_id", n=3)
+    assert b.n_grams == 0
+    assert bloom_flag_contaminated(corpus, b, "text", "doc_id").count() == 0
+
+
+def test_bloom_build_bounds_and_validation(spark):
+    bench = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    b = build_ngram_bloom(bench, "text", "doc_id", n=3, fp_rate=0.01)
+    # optimal sizing: ~9.6 bits/gram at 1%, k ≈ 7
+    assert b.m >= 9 * b.n_grams and b.k >= 5
+    assert len(b.bits) == b.m >> 6
+    with pytest.raises(ValueError):
+        build_ngram_bloom(bench, "text", "doc_id", fp_rate=0)
+
+
+def test_bloom_contains_batch_direct():
+    """Unit math check without Spark: inserted positions always hit."""
+    bits = np.zeros(16, dtype=np.uint64)  # m = 1024
+    b = NgramBloom(bits, 1024, 3, 3, 0)
+    h1 = np.array([5, 700], dtype=np.int64)
+    h2 = np.array([11, 13], dtype=np.int64)
+    for a, c in zip(h1, h2):
+        for i in range(3):
+            pos = (int(a) + i * int(c)) % 1024
+            bits[pos >> 6] |= np.uint64(1) << np.uint64(pos & 63)
+    assert b.contains_batch(h1, h2).all()
+    assert not b.contains_batch(
+        np.array([6], dtype=np.int64), np.array([11], dtype=np.int64)
+    ).any()
