@@ -178,12 +178,63 @@ def knn_bruteforce(
     return _topk_window(scored, k)
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 5,
+) -> list:
+    """Full Lloyd's k-means over the embedding column — the iterative
+    companion to :func:`kmeans_assign` (which is one assignment step).
+    Deterministic: seeds are the k smallest ids, assignment breaks
+    ties to the lower centroid index, updates are exact per-dimension
+    means, and an empty cluster keeps its previous centroid — so two
+    runs (and two engines) produce identical centroids.
+
+    Iteration shape (the engine's iterative-algorithm idiom, same as
+    the connected-components loop): per round, ONE in-row assignment
+    pass (no join — literal centroids, see kmeans_assign) + ONE
+    posexplode/groupBy shuffle for the per-(cluster, dim) means + a
+    BOUNDED k·dim-scalar driver pull to rebuild the centroid literals.
+    Driver traffic is O(k·dim·iters), independent of row count; no
+    lineage growth because each round's plan restarts from the stable
+    input frame. Returns the final centroids as a list of k lists.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    )
+    seeds = base.orderBy("__id").limit(k).collect()
+    if not seeds:
+        raise ValueError("kmeans_fit: no non-null vectors")
+    cents = [list(r["__v"]) for r in seeds]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = kmeans_assign(base, "__v", "__id", k=len(cents), _centroids=cents)
+        stats = (
+            assigned.join(base, "__id")
+            .select("cluster_id", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("cluster_id", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]  # empty cluster keeps its centroid
+        for r in stats:
+            nxt[r["cluster_id"]][r["__d"]] = r["__m"]
+        cents = nxt
+    assert all(len(c) == dim for c in cents)
+    return cents
+
+
 def kmeans_assign(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     k: int = 8,
     round_digits: int = 6,
+    _centroids: list | None = None,
 ) -> DataFrame:
     """One k-means ASSIGNMENT step with deterministic seeding: the k
     centroids are the vectors of the k smallest ids (engine-portable —
@@ -191,8 +242,9 @@ def kmeans_assign(
     squared L2, ties broken by centroid index. The semantic-clustering
     primitive of corpus curation (mixture balancing, topic capping,
     diversity sampling) reduced to its oracle-checkable core; the
-    iterate-to-convergence loop is deliberately out of scope here
-    (it is seed/tie chaotic and belongs to MLlib).
+    full deterministic iterate loop is :func:`kmeans_fit` (which
+    passes its current centroids via ``_centroids`` to skip the seed
+    collect).
 
     Returns (id_col, cluster_id, dist2) with dist2 rounded to
     ``round_digits``; the argmin also compares ROUNDED distances so
@@ -206,13 +258,16 @@ def kmeans_assign(
     and the plan stays a single projection over the scan."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    seeds = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), as_double(vec_col).alias("v"))
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
+    if _centroids is not None:
+        seeds = [{"v": c} for c in _centroids]
+    else:
+        seeds = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), as_double(vec_col).alias("v"))
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
     if not seeds:
         raise ValueError("kmeans_assign: no non-null vectors to seed from")
     cents = F.array(

@@ -764,3 +764,39 @@ def test_tables_equal_detects_drift(spark, sf_dir):
     # duplicated pair (xor-invisible, caught by count+sum)
     dup = cust.unionAll(cust.limit(2))
     assert not tables_equal(cust, dup, decimals={"c_acctbal": 2})
+
+
+def test_kmeans_fit_matches_numpy_lloyds(spark):
+    """Full Lloyd's loop vs a numpy reference with identical seeding,
+    tie-break, and empty-cluster rules — plus convergence on clearly
+    separated clusters and run-to-run determinism."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    blobs = np.vstack(
+        [rng.randn(30, 4) * 0.1 + c for c in ([0, 0, 0, 0], [5, 5, 5, 5], [-5, 5, -5, 5])]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = S.kmeans_fit(df, "embedding", "vec_id", k=3, iters=6)
+    got2 = S.kmeans_fit(df, "embedding", "vec_id", k=3, iters=6)
+    assert got == got2  # deterministic
+
+    # numpy reference with the same deterministic rules
+    cents = blobs[:3].copy()
+    for _ in range(6):
+        d2 = np.round(((blobs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6)
+        assign = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        for j in range(3):
+            if (assign == j).any():
+                cents[j] = blobs[assign == j].mean(axis=0)
+    assert np.allclose(np.array(got), cents, atol=1e-9)
+
+    # converged centroids sit on the true blob means
+    true_means = np.array(
+        [blobs[i * 30 : (i + 1) * 30].mean(axis=0) for i in range(3)]
+    )
+    best = np.array(sorted(got, key=lambda c: c[0]))
+    ref = np.array(sorted(true_means.tolist(), key=lambda c: c[0]))
+    assert np.allclose(best, ref, atol=1e-6)
