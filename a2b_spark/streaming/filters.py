@@ -1,0 +1,61 @@
+"""Streaming ingest filters: stateless per-batch curation stages.
+
+The batch curation operators (quality scoring, decontamination) apply
+unchanged inside ``foreachBatch`` — this module wires the Bloom
+blocklist (operators/bloom.py) into a streaming ingest pipeline:
+arriving documents are probed against a STATIC broadcast bitset and
+survivors append to a versioned table with idempotent keys.
+
+Why this shape scales: the Bloom probe is stateless per batch (the
+blocklist broadcasts once per stream, not per batch — the Broadcast
+object lives in the closure), so micro-batch cost is O(batch grams)
+with no state store, no watermark, and no shuffle against the
+blocklist; the only shuffle is the per-doc hit aggregate inside the
+probe. Contrast streaming/neardup.py, which must consult mutable
+accepted-history state — membership against a FIXED contamination
+set is the cheap half of streaming curation, and splitting the two
+keeps each at its natural cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from a2b_spark.operators.bloom import NgramBloom, bloom_flag_contaminated
+from a2b_spark.storage.table import VersionedParquetTable
+
+
+def run_bloom_decontaminate_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    bloom: NgramBloom,
+    text_col: str,
+    id_col: str,
+    table: VersionedParquetTable,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Append arriving docs to ``table``, dropping any doc the Bloom
+    blocklist flags (≥1 shared n-gram, superset of exact membership —
+    the safe error side for decontamination). Idempotent under
+    redelivery: the append dedupes on the table's key columns, so a
+    replayed batch inserts nothing new."""
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame (spark.readStream)")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        flagged = bloom_flag_contaminated(batch_df, bloom, text_col, id_col).select(
+            id_col
+        )
+        clean = batch_df.join(flagged, id_col, "left_anti")
+        table.append(clean, dedupe_keys=list(table.key_cols))
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -107,3 +107,51 @@ def test_bloom_contains_batch_direct():
     assert not b.contains_batch(
         np.array([6], dtype=np.int64), np.array([11], dtype=np.int64)
     ).any()
+
+
+def test_streaming_bloom_decontaminate(spark, tmp_path):
+    """Streaming ingest with the Bloom blocklist: contaminated docs
+    (sharing an n-gram with the static benchmark) never reach the
+    table; clean docs land; full replay under a fresh checkpoint
+    inserts nothing (idempotent keyed append)."""
+    import os
+
+    from a2b_spark.streaming.filters import run_bloom_decontaminate_stream
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    bench = spark.createDataFrame(
+        [(900, "s1 s2 s3 s4 s5 s6")], "doc_id long, text string"
+    )
+    bloom = build_ngram_bloom(bench, "text", "doc_id", n=5, fp_rate=0.001)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    table = VersionedParquetTable(str(tmp_path / "clean"), key_cols=("doc_id",))
+
+    def run(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        run_bloom_decontaminate_stream(
+            spark, stream, bloom, "text", "doc_id", table, str(tmp_path / ckpt)
+        ).awaitTermination(120)
+
+    clean_rows = [(i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f") for i in range(10)]
+    dirty_rows = [(100, "x s1 s2 s3 s4 s5 y"), (101, "s1 s2 s3 s4 s5 s6")]
+    spark.createDataFrame(clean_rows + dirty_rows, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(src)
+    run("ck1")
+    got = {r.doc_id for r in table.read(spark).collect()}
+    assert got == {i for i, _ in clean_rows}
+
+    # second delivery: more clean docs + replayed contamination
+    spark.createDataFrame(
+        [(20, "v1 v2 v3 v4 v5 v6"), (102, "z s2 s3 s4 s5 s6 w")],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+    run("ck1")
+    assert {r.doc_id for r in table.read(spark).collect()} == set(range(10)) | {20}
+
+    # full replay, fresh checkpoint: keyed append inserts nothing new
+    before = sorted(map(tuple, table.read(spark).collect()))
+    run("ck_replay")
+    assert sorted(map(tuple, table.read(spark).collect())) == before
