@@ -4,8 +4,9 @@ Scale design (the whole point — none of these is O(n²) except the
 explicitly-named exact verifier used on *candidates*):
 
 - exact/key dedup: one hash-shuffle on the dedup key; deterministic
-  survivor via window row_number (dropDuplicates keeps an arbitrary
-  row — unacceptable for reproducible pipelines).
+  survivor via a min_by(row, order) aggregate with map-side partial
+  combine — skew-proof, and unlike dropDuplicates the survivor is
+  well-defined.
 - MinHash+LSH: shingle → k independent minhashes → band hashes →
   shuffle on (band, hash) buckets → candidate pairs only within
   buckets → exact jaccard verification on candidates.
@@ -769,10 +770,14 @@ def dedup_keep_best(
 
     Scale shape: pair generation and clustering are the bucketed/banded
     paths (minhash-LSH → large-star/small-star CC); survivor choice is
-    one per-cluster row_number window over only the CLUSTERED rows
-    (near-dup clusters are a small fraction of any real corpus — the
-    window never sees the singleton majority, which bypasses it via the
-    left join's null branch)."""
+    one per-cluster ``min_by`` aggregate over only the CLUSTERED rows
+    (near-dup clusters are a small fraction of any real corpus; the
+    singleton majority bypasses via the anti-join branch). The
+    aggregate form gets map-side partial combine, so even a
+    pathological mega-cluster (mirrored boilerplate) reduces per input
+    partition instead of sorting inside one window task — the same
+    skew argument as exact_dedup. ``score_col`` must be numeric and
+    non-null (it is negated for the keep-max ordering)."""
     from a2b_spark.operators.graph import connected_components
 
     pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold=threshold)
@@ -784,11 +789,15 @@ def dedup_keep_best(
     )
     cols = df.columns
     clustered = df.join(comp, id_col)
-    w = W.partitionBy("cluster").orderBy(F.desc(score_col), F.asc(id_col))
     survivors = (
-        clustered.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(*cols, "cluster")
+        clustered.groupBy("cluster")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in cols]),
+                F.struct(-F.col(score_col), F.col(id_col)),
+            ).alias("__r")
+        )
+        .select("__r.*", "cluster")
     )
     singletons = df.join(comp.select(id_col), id_col, "left_anti").select(
         *cols, F.col(id_col).alias("cluster")
