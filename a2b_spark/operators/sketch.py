@@ -48,6 +48,7 @@ def kmv_distinct(
     group_cols: Sequence[str],
     value_col: str,
     k: int = 64,
+    salt_partitions: int = 32,
 ) -> DataFrame:
     """Per-group distinct-count estimate via the k-minimum-values
     sketch. Returns ``group_cols + (n_seen, est_distinct)`` where
@@ -56,7 +57,16 @@ def kmv_distinct(
     of hashes) whenever the group has fewer than k distinct values.
 
     Deterministic and engine-portable: estimate = (k-1) << 48 div u_k,
-    all bigint ops over md5 hashes — no floats anywhere."""
+    all bigint ops over md5 hashes — no floats anywhere.
+
+    Skew: a naive per-group rank-k window sorts a hot group's ENTIRE
+    distinct-hash set inside one task (a billion-distinct group = a
+    one-task sort). The k smallest of a group are always among the
+    union of the k smallest of each hash-salt class, so a local
+    rank-k per (group, salt) first shrinks every group to
+    ≤ ``salt_partitions``·k rows before the global rank-k window —
+    bounded work per task at any group cardinality, identical output
+    (pass ``salt_partitions=1`` to disable)."""
     if k < 3:
         raise ValueError(f"k must be >= 3 (error ~ 1/sqrt(k-2)), got {k}")
     g = list(group_cols)
@@ -68,6 +78,13 @@ def kmv_distinct(
         .select(*g, _h48(F.col(value_col)).alias("h"))
         .distinct()
     )
+    if salt_partitions > 1:
+        w1 = W.partitionBy(*g, F.pmod(F.col("h"), F.lit(salt_partitions))).orderBy("h")
+        d = (
+            d.withColumn("__rn1", F.row_number().over(w1))
+            .filter(F.col("__rn1") <= k)
+            .drop("__rn1")
+        )
     w = W.partitionBy(*g).orderBy("h")
     ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     agg = ranked.groupBy(*g).agg(

@@ -53,3 +53,22 @@ def test_kmv_ignores_nulls(spark):
     df = spark.createDataFrame(rows, "g string, v int")
     row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
     assert row["est_distinct"] == 10  # COUNT(DISTINCT) semantics
+
+
+def test_kmv_salted_two_phase_identical(spark):
+    """The salted pre-pass must not change output: k smallest overall
+    ⊆ union of per-salt k smallest. Compared against the unsalted
+    formulation on a group large enough that salt classes matter."""
+    from a2b_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(5000)] + [("h", i) for i in range(40)],
+        "grp string, v long",
+    )
+    a = sorted(
+        map(tuple, kmv_distinct(df, ["grp"], "v", k=64, salt_partitions=32).collect())
+    )
+    b = sorted(
+        map(tuple, kmv_distinct(df, ["grp"], "v", k=64, salt_partitions=1).collect())
+    )
+    assert a == b
