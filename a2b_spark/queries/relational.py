@@ -190,16 +190,19 @@ GROUP BY n_name
 
 # --------------------------------------------------------------- Q05
 def q05_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window function: row_number per nation (top-3 by balance,
-    custkey tiebreak). One shuffle on the partition key."""
+    """Top-3 customers per nation by balance (custkey tiebreak) via
+    the skew-bounded salted top-k (operators/topk.py): a nation
+    holding half the table no longer sorts inside one window task."""
+    from a2b_spark.operators.topk import top_k_per_group
+
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    top = top_k_per_group(
+        c, ["c_nationkey"], [F.desc("c_acctbal"), F.asc("c_custkey")], k=3
+    )
     return (
-        c.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
-        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
-        .select("n_name", "c_custkey", "c_name", "c_acctbal", F.col("rk").cast("int").alias("rk"))
+        top.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
     )
 
 

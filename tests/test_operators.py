@@ -800,3 +800,26 @@ def test_kmeans_fit_matches_numpy_lloyds(spark):
     best = np.array(sorted(got, key=lambda c: c[0]))
     ref = np.array(sorted(true_means.tolist(), key=lambda c: c[0]))
     assert np.allclose(best, ref, atol=1e-6)
+
+
+def test_top_k_per_group_salted_equals_plain_window(spark):
+    """Salted two-phase top-k == naive window, ranks included, on a
+    skewed distribution (one group holds 90% of rows) and for k larger
+    than some groups (short groups keep all rows)."""
+    from a2b_spark.operators.topk import top_k_per_group
+
+    rows = [("hot", i, i % 977) for i in range(9000)] + [
+        ("cold", i, i) for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    order = [F.desc("v"), F.asc("id")]
+    a = sorted(
+        map(tuple, top_k_per_group(df, ["g"], order, k=5, salts=32).collect())
+    )
+    b = sorted(
+        map(tuple, top_k_per_group(df, ["g"], order, k=5, salts=1).collect())
+    )
+    assert a == b
+    assert sum(1 for r in a if r[0] == "cold") == 2  # short group keeps all
+    with pytest.raises(ValueError):
+        top_k_per_group(df, ["g"], order, k=0)
