@@ -111,12 +111,23 @@ def build_ngram_bloom(
     rows — O(m/64) regardless of gram count."""
     if not 0 < fp_rate < 1:
         raise ValueError(f"fp_rate must be in (0,1), got {fp_rate}")
+    min_bits = (max(min_bits, 64) + 63) & ~63  # whole words, >= 1 word
     grams = _gram_hashes(benchmark, text_col, id_col, "__bid", n).select("h1", "h2").distinct()
     n_grams = grams.count()
     if n_grams == 0:
         return NgramBloom(np.zeros(min_bits >> 6, dtype=np.uint64), min_bits, 1, n, 0)
     m = max(min_bits, int(-n_grams * math.log(fp_rate) / (math.log(2) ** 2)))
     m = (m + 63) & ~63  # whole words
+    if m > (1 << 31):
+        # the 31-bit h1/h2 masks (ANSI-safe arithmetic) can only
+        # address 2^31 bits; beyond that the fp_rate contract would
+        # silently break — fail loudly instead. ~2e8 grams fit at 1%.
+        raise ValueError(
+            f"bloom needs m={m} bits for {n_grams} grams at fp_rate="
+            f"{fp_rate}, above the 2^31 addressing limit of the 31-bit "
+            "hash masks; raise fp_rate, shard the blocklist, or widen "
+            "the masks to DECIMAL arithmetic"
+        )
     k = max(1, round((m / n_grams) * math.log(2)))
     # k positions per gram -> per-word OR, computed where the data is
     i = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
@@ -137,9 +148,17 @@ def build_ngram_bloom(
     return NgramBloom(bits, m, k, n, n_grams)
 
 
+def broadcast_bloom(spark, bloom: NgramBloom):
+    """Ship the bitset to the executors ONCE; pass the returned handle
+    to repeated :func:`bloom_flag_contaminated` calls (e.g. every
+    micro-batch of a stream) instead of the raw NgramBloom — otherwise
+    each call re-serializes the whole filter."""
+    return spark.sparkContext.broadcast(bloom)
+
+
 def bloom_flag_contaminated(
     corpus: DataFrame,
-    bloom: NgramBloom,
+    bloom,
     text_col: str,
     id_col: str,
 ) -> DataFrame:
@@ -147,16 +166,24 @@ def bloom_flag_contaminated(
     blocklist: (id_col, n_hit_ngrams). Superset of the exact join's
     flags; per-gram false positives at ~fp_rate. The corpus side is
     one scan + one per-doc aggregate — no shuffle of gram rows against
-    anything, which is the whole point at blocklist scale."""
-    spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast(bloom)
+    anything, which is the whole point at blocklist scale.
+
+    ``bloom`` is an :class:`NgramBloom` (broadcast on the spot — fine
+    for one-shot batch use) or a handle from :func:`broadcast_bloom`
+    (required discipline for repeated calls: one ship, many probes)."""
+    bc = (
+        bloom
+        if hasattr(bloom, "value")  # already a Broadcast handle
+        else corpus.sparkSession.sparkContext.broadcast(bloom)
+    )
+    n = bc.value.n
 
     @F.pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
         b = bc.value
         return pd.Series(b.contains_batch(h1.to_numpy(), h2.to_numpy()))
 
-    g = _gram_hashes(corpus, text_col, id_col, id_col, bloom.n)
+    g = _gram_hashes(corpus, text_col, id_col, id_col, n)
     return (
         g.filter(probe("h1", "h2"))
         .groupBy(id_col)

@@ -41,7 +41,7 @@ from typing import Iterator, Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -776,8 +776,9 @@ def dedup_keep_best(
     aggregate form gets map-side partial combine, so even a
     pathological mega-cluster (mirrored boilerplate) reduces per input
     partition instead of sorting inside one window task — the same
-    skew argument as exact_dedup. ``score_col`` must be numeric and
-    non-null (it is negated for the keep-max ordering)."""
+    skew argument as exact_dedup. ``score_col`` must be numeric (it is
+    negated for the keep-max ordering); null scores lose their
+    cluster, matching the old DESC NULLS LAST window."""
     from a2b_spark.operators.graph import connected_components
 
     pairs = minhash_near_dup_pairs(df, text_col, id_col, threshold=threshold)
@@ -794,7 +795,14 @@ def dedup_keep_best(
         .agg(
             F.min_by(
                 F.struct(*[F.col(c) for c in cols]),
-                F.struct(-F.col(score_col), F.col(id_col)),
+                # null scores must LOSE (the old window's DESC NULLS
+                # LAST): a leading is-null field keeps them from
+                # winning via null-sorts-first struct comparison
+                F.struct(
+                    F.col(score_col).isNull().cast("int"),
+                    -F.col(score_col),
+                    F.col(id_col),
+                ),
             ).alias("__r")
         )
         .select("__r.*", "cluster")

@@ -187,10 +187,15 @@ def kmeans_fit(
 ) -> list:
     """Full Lloyd's k-means over the embedding column — the iterative
     companion to :func:`kmeans_assign` (which is one assignment step).
-    Deterministic: seeds are the k smallest ids, assignment breaks
-    ties to the lower centroid index, updates are exact per-dimension
-    means, and an empty cluster keeps its previous centroid — so two
-    runs (and two engines) produce identical centroids.
+    Deterministic within a session/config: seeds are the k smallest
+    ids, assignment breaks ties to the lower centroid index, and an
+    empty cluster keeps its previous centroid. The per-dimension mean
+    is a double-precision F.avg, whose partial-sum merge order can
+    differ across partition layouts — so cross-config runs agree to
+    float accumulation order (typically every bit, but a 1-ulp wobble
+    near a rounded-distance tie boundary is possible); bit-exact
+    cross-engine replay is only claimed for the single assignment
+    step (q89), not the iterated loop.
 
     Iteration shape (the engine's iterative-algorithm idiom, same as
     the connected-components loop): per round, ONE in-row assignment
@@ -203,8 +208,15 @@ def kmeans_fit(
     """
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1 (got k={k}, iters={iters})")
-    base = df.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), as_double(vec_col).alias("__v")
+    # pin the working frame: the loop reads it 2·iters+1 times, and an
+    # unpinned nondeterministic upstream (sample(), repartitionByRange)
+    # could present different vectors to different iterations — the
+    # same hazard class _materialize exists for (and skips the
+    # repeated upstream recompute)
+    base = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
+        .localCheckpoint(eager=True)
     )
     seeds = base.orderBy("__id").limit(k).collect()
     if not seeds:

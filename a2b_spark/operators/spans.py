@@ -187,11 +187,19 @@ def remove_duplicate_spans(
         F.sequence(F.lit(0), sz - 1),
         F.coalesce(F.col("__cuts"), F.array().cast("array<int>")),
     )
+    # NULL-text docs: __toks is NULL, so keep_pos is NULL and size()
+    # would be config-dependent (-1 legacy, NULL ANSI). Match the
+    # oracle explicitly: clean_text '', n_words 0, n_removed NULL
+    # (token count of a NULL text is undefined on both engines).
+    n_kept = F.when(keep_pos.isNull(), F.lit(0)).otherwise(F.size(keep_pos))
     return words.join(cuts_doc, id_col, "left").select(
         F.col(id_col),
         F.concat_ws(
             " ", F.transform(keep_pos, lambda i: F.element_at(toks, i + 1))
         ).alias("clean_text"),
-        F.size(keep_pos).cast("long").alias("n_words"),
-        (sz - F.size(keep_pos)).cast("long").alias("n_removed_words"),
+        n_kept.cast("long").alias("n_words"),
+        F.when(toks.isNull(), F.lit(None))
+        .otherwise(sz - n_kept)
+        .cast("long")
+        .alias("n_removed_words"),
     )

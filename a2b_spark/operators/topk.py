@@ -40,10 +40,21 @@ def top_k_per_group(
     g = list(group_cols)
     staged = df
     if salts > 1:
-        # deterministic salt from the whole row's hash — independent of
-        # the ordering columns, so every salt class is an unbiased
-        # sample and the local rank-k keeps any global top-k member
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+        # ANY row partition preserves correctness (a group's top-k is
+        # always inside the union of per-class top-k), so the salt mixes
+        # the row hash with the physical partition id: byte-identical
+        # hot rows (boilerplate duplicates) then still spread across
+        # classes instead of collapsing into one. The partition id is
+        # layout-dependent, but the FINAL window re-ranks the surviving
+        # ≤ salts·k rows, so output rows and ranks are identical for
+        # any salting.
+        # 31-bit mask before the add: raw xxhash64 + partition id can
+        # overflow int64, which ANSI mode raises on instead of wrapping
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]).bitwiseAND(F.lit(0x7FFFFFFF))
+            + F.spark_partition_id(),
+            F.lit(salts),
+        )
         w1 = W.partitionBy(*g, salt).orderBy(*order_by)
         staged = (
             df.withColumn("__rn1", F.row_number().over(w1))

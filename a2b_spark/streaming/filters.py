@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from a2b_spark.operators.bloom import NgramBloom, bloom_flag_contaminated
+from a2b_spark.operators.bloom import (
+    NgramBloom,
+    bloom_flag_contaminated,
+    broadcast_bloom,
+)
 from a2b_spark.storage.table import VersionedParquetTable
 
 
@@ -43,11 +47,14 @@ def run_bloom_decontaminate_stream(
     replayed batch inserts nothing new."""
     if not stream_df.isStreaming:
         raise ValueError("stream_df must be a streaming DataFrame (spark.readStream)")
+    # ship the bitset ONCE for the stream's lifetime; per-batch calls
+    # reuse the handle instead of re-serializing the whole filter
+    bc = broadcast_bloom(spark, bloom)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        flagged = bloom_flag_contaminated(batch_df, bloom, text_col, id_col).select(
+        flagged = bloom_flag_contaminated(batch_df, bc, text_col, id_col).select(
             id_col
         )
         clean = batch_df.join(flagged, id_col, "left_anti")

@@ -155,3 +155,52 @@ def test_streaming_bloom_decontaminate(spark, tmp_path):
     before = sorted(map(tuple, table.read(spark).collect()))
     run("ck_replay")
     assert sorted(map(tuple, table.read(spark).collect())) == before
+
+
+def test_bloom_min_bits_rounded_and_m_capped(spark):
+    """min_bits not a multiple of 64 must not produce an unaddressable
+    tail (probe IndexError), and an over-2^31 m must raise loudly
+    instead of silently blowing the fp contract (round-5 review)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    b = build_ngram_bloom(empty, "text", "doc_id", n=3, min_bits=1000)
+    assert b.m % 64 == 0 and len(b.bits) == b.m >> 6
+    # probes across the whole range must not crash
+    h = np.arange(0, 2000, 7, dtype=np.int64)
+    assert not b.contains_batch(h, (h | 1)).any()
+
+    import a2b_spark.operators.bloom as BL
+
+    class _Fake:
+        def count(self):
+            return 10**9
+        def select(self, *a):
+            return self
+        def distinct(self):
+            return self
+    orig = BL._gram_hashes
+    BL._gram_hashes = lambda *a, **k: _Fake()
+    try:
+        with pytest.raises(ValueError, match="2\\^31 addressing limit"):
+            build_ngram_bloom(empty, "text", "doc_id", n=3, fp_rate=0.01)
+    finally:
+        BL._gram_hashes = orig
+
+
+def test_bloom_broadcast_handle_reuse(spark):
+    """bloom_flag_contaminated must accept a pre-broadcast handle (the
+    once-per-stream discipline) and produce the same result."""
+    from a2b_spark.operators.bloom import broadcast_bloom
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "z a b c d y"), (11, "q r s t")], "doc_id long, text string"
+    )
+    b = build_ngram_bloom(bench, "text", "doc_id", n=3)
+    bc = broadcast_bloom(spark, b)
+    via_handle = sorted(
+        map(tuple, bloom_flag_contaminated(corpus, bc, "text", "doc_id").collect())
+    )
+    direct = sorted(
+        map(tuple, bloom_flag_contaminated(corpus, b, "text", "doc_id").collect())
+    )
+    assert via_handle == direct and via_handle

@@ -194,3 +194,21 @@ def test_remove_duplicate_spans_whole_doc_removed(spark):
     out = {r.doc_id: r for r in remove_duplicate_spans(df, "text", "doc_id", n=5).collect()}
     assert out[1].clean_text == txt
     assert out[2].clean_text == "" and out[2].n_words == 0 and out[2].n_removed_words == 5
+
+
+def test_remove_spans_null_text_matches_oracle_shape(spark):
+    """NULL-text docs must come back as ('', 0, NULL) — matching
+    O_Q70's COALESCE shape — not config-dependent size(-1/NULL)
+    arithmetic (round-5 review finding)."""
+    from a2b_spark.operators.spans import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d e f g h a b c d e f g h"),
+         (4, "x a b c d e f g h y")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.clean_text, r.n_words, r.n_removed_words)
+           for r in remove_duplicate_spans(df, "text", "doc_id", n=8).collect()}
+    assert out[1] == ("", 0, None)
+    assert out[2] == ("", 1, 0)  # split('') -> [''], one empty token
+    assert len(out) == 4

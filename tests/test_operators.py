@@ -823,3 +823,20 @@ def test_top_k_per_group_salted_equals_plain_window(spark):
     assert sum(1 for r in a if r[0] == "cold") == 2  # short group keeps all
     with pytest.raises(ValueError):
         top_k_per_group(df, ["g"], order, k=0)
+
+
+def test_dedup_keep_best_null_scores_lose(spark):
+    """A null-score cluster member must never be the survivor — the
+    min_by rewrite has to preserve the old DESC NULLS LAST behavior
+    (round-5 review finding)."""
+    text = "p q r s t u v w x y z " * 6
+    df = spark.createDataFrame(
+        [(1, text, None), (2, text + "extra", 10), (3, text + "more stuff", 5)],
+        "doc_id long, text string, score int",
+    )
+    rows = D.dedup_keep_best(
+        df, "text", "doc_id", score_col="score", threshold=0.7
+    ).collect()
+    # the three docs are mutual near-dups: one cluster, and the
+    # null-score doc 1 must lose to the best-scored doc 2
+    assert {r.doc_id for r in rows} == {2}, rows
