@@ -142,8 +142,16 @@ def prepare(
                 "~", F.lit(m.mapping_key()), *[F.col(sf.name).cast("string") for sf in m.source_ids]
             )
         joined = joined.withColumn(f"__dest_{f.name}", F.coalesce(mapped, fresh))
-    joined = joined.drop(*[src_col(f) for f in m.source_ids])
-    joined = joined.drop(*[dest_col(f) for f in m.destination_ids], "updated", "status")
+    # drop the mapping table's columns by QUALIFIED reference: bare
+    # names ("status", "updated" — extremely common source column
+    # names) would drop same-named SOURCE columns too and silently
+    # lose data (round-5 review)
+    joined = joined.drop(
+        *[map_df[src_col(f)] for f in m.source_ids],
+        *[map_df[dest_col(f)] for f in m.destination_ids],
+        map_df["updated"],
+        map_df["status"],
+    )
     return joined, snap, existing_ids
 
 
@@ -243,6 +251,7 @@ def run_migration(
     mapper: MappingStore,
     orphan_policy: str = "keep",
     collect_stats: bool = True,
+    record_mappings: bool = True,
 ) -> MigrationResult:
     """Execute one migration end-to-end (entry point 2 of the reference,
     DataMigrationExecutor::execute).
@@ -282,8 +291,11 @@ def run_migration(
         dest_names = [f.name for f in m.destination_ids]
         m.destination.merge(entity.drop(SRC_STRUCT))
 
-        mb = mapping_batch(entity, m.source_ids, m.destination_ids)
-        mapper.merge(m.mapping_key(), mb, m.source_ids, m.destination_ids, STATUS_MIGRATED)
+        if record_mappings:
+            mb = mapping_batch(entity, m.source_ids, m.destination_ids)
+            mapper.merge(
+                m.mapping_key(), mb, m.source_ids, m.destination_ids, STATUS_MIGRATED
+            )
 
         orphans_df = None
         orphan_count = 0

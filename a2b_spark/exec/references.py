@@ -136,8 +136,11 @@ def ensure_stubs(
         if f.type == "int":
             fresh = deterministic_dest_id(src_names, ref_m.mapping_key())
         else:
+            # "~" separator — SAME minting rule as prepare()'s, and for
+            # the same reasons: "/" nests paths in file-layout sinks and
+            # breaks id stability across the stub/re-migrate lifecycle
             fresh = F.concat_ws(
-                "/", F.lit(ref_m.mapping_key()), *[F.col(n).cast("string") for n in src_names]
+                "~", F.lit(ref_m.mapping_key()), *[F.col(n).cast("string") for n in src_names]
             )
         missing = missing.withColumn(f.name, fresh)
 

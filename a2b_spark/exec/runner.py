@@ -77,7 +77,16 @@ def run_pipeline(
         sc.setJobGroup(f"a2b:{m.name}", f"migration {m.name}", interruptOnCancel=False)
         progress("start", m.name, None)
         try:
-            r = run_migration(spark, target, mapper, orphan_policy=orphan_policy)
+            # simulate: nothing persists — neither destination rows (the
+            # console swap) nor mapping rows; a simulate run must not
+            # poison stub creation / reference lookups for real runs
+            r = run_migration(
+                spark,
+                target,
+                mapper,
+                orphan_policy=orphan_policy,
+                record_mappings=not simulate,
+            )
         finally:
             sc.setJobGroup(None, None)
         # C16: job/stage/task counts for this migration's job group from
@@ -93,15 +102,36 @@ def run_pipeline(
         return [run_one(m) for m in ms]
 
     for level in batches:
-        # Migrations sharing a mapping table (`extends`) must never run
-        # concurrently: both would read-merge-write the same versioned
-        # table and one commit would be rejected by its optimistic-
-        # concurrency check (or, without it, silently lost). Chain
-        # same-key migrations sequentially inside one worker; distinct
-        # keys still fan out.
+        # Migrations sharing a mapping table (`extends`) OR a
+        # destination must never run concurrently: both would
+        # read-merge-write the same versioned table and one commit
+        # would be rejected by its optimistic-concurrency check (or,
+        # without it, silently lost). Union-find over the two sharing
+        # relations chains them sequentially inside one worker;
+        # fully-independent migrations still fan out.
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a: str, b: str) -> None:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        def dest_key(m: Migration) -> str:
+            d = m.destination
+            return f"dest:{getattr(d, 'path', None) or id(d)}"
+
+        for m in level:
+            union(f"map:{m.mapping_key()}", dest_key(m))
         chains: dict[str, list[Migration]] = {}
         for m in level:
-            chains.setdefault(m.mapping_key(), []).append(m)
+            chains.setdefault(find(f"map:{m.mapping_key()}"), []).append(m)
         groups = list(chains.values())
         if len(groups) == 1 or max_parallel <= 1:
             for ms in groups:

@@ -131,12 +131,21 @@ class VersionedParquetTable:
                 f"available: {self.versions()}"
             )
         reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
-        schema_file = os.path.join(self.path, SCHEMA)
-        if self.fmt not in _SELF_DESCRIBING and os.path.exists(schema_file):
-            from pyspark.sql import types as T
+        if self.fmt not in _SELF_DESCRIBING:
+            # per-version sidecar (current layout); table-root sidecar
+            # as back-compat for tables written before round 5
+            for schema_file in (
+                os.path.join(self.path, v, SCHEMA),
+                os.path.join(self.path, SCHEMA),
+            ):
+                if os.path.exists(schema_file):
+                    from pyspark.sql import types as T
 
-            with open(schema_file) as f:
-                reader = reader.schema(T.StructType.fromJson(__import__("json").loads(f.read())))
+                    with open(schema_file) as f:
+                        reader = reader.schema(
+                            T.StructType.fromJson(__import__("json").loads(f.read()))
+                        )
+                    break
         return reader.load(os.path.join(self.path, v))
 
     # ------------------------------------------------------------ writes
@@ -218,6 +227,25 @@ class VersionedParquetTable:
             ):
                 shutil.copyfile(src, dst)
 
+    def _claim_version_dir(self, tmp_target: str, version: str) -> str:
+        """Atomically claim ``version``'s directory by renaming the
+        uniquely-named staging dir into place. Two same-base writers
+        compute the SAME next-version name; writing it directly would
+        let the loser overwrite the winner's already-committed files
+        mid-read. rename() onto an existing non-empty dir fails, so
+        exactly one writer claims the name; the loser cleans up and
+        raises before touching anything committed."""
+        target = os.path.join(self.path, version)
+        try:
+            os.rename(tmp_target, target)
+        except OSError as exc:
+            shutil.rmtree(tmp_target, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{self.path}: version dir {version!r} already claimed by "
+                "a concurrent writer; retry against the new current version"
+            ) from exc
+        return target
+
     def _commit_info(self, op: str) -> str:
         import datetime
         import json as _json
@@ -260,25 +288,30 @@ class VersionedParquetTable:
         if base is _UNSET_BASE:
             base = self.current_version()
         version = self._next_version()
-        target = os.path.join(self.path, version)
+        os.makedirs(self.path, exist_ok=True)
+        tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         if self.partition_by:
             df = self._reject_null_partitions(df)
         writer = df.write.mode("overwrite").format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.save(target)
-        for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
-            with open(os.path.join(target, fn), "w") as f:
-                f.write(content)
-        self._carry_forward_metadata(target, base)  # base resolved above
+        writer.save(tmp_target)
         if self.fmt not in _SELF_DESCRIBING:
+            # per-VERSION schema sidecar: committed atomically with the
+            # data and carried forward like other metadata, so a failed
+            # concurrent commit or schema evolution can never corrupt
+            # reads of OTHER versions (a table-root sidecar did both)
             import json as _json
 
-            os.makedirs(self.path, exist_ok=True)
-            tmp = os.path.join(self.path, f".{SCHEMA}.{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                f.write(_json.dumps(df.schema.jsonValue()))
-            os.replace(tmp, os.path.join(self.path, SCHEMA))
+            extra_files = {
+                **(extra_files or {}),
+                SCHEMA: _json.dumps(df.schema.jsonValue()),
+            }
+        for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
+            with open(os.path.join(tmp_target, fn), "w") as f:
+                f.write(content)
+        self._carry_forward_metadata(tmp_target, base)  # base resolved above
+        self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
 
     def merge(self, batch: DataFrame) -> None:
@@ -319,34 +352,54 @@ class VersionedParquetTable:
         )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
+        """Remove every current row whose key tuple appears in
+        ``keys_df`` (NULL-safe, matching merge/append's key
+        semantics). On a partitioned table only the partitions that
+        actually HOLD matching rows are rewritten (derived from the
+        current data, so callers need not — and cannot wrongly —
+        supply partition values); the rest hard-link."""
         base = self.current_version()
         if base is None:
             return
         current = self.read(keys_df.sparkSession, version=base)
-        if self.partition_by and all(c in keys_df.columns for c in self.partition_by):
-            # Partition-aware delete: anti-join only inside touched
-            # partitions, hard-link the rest — O(touched), not O(table).
-            touched = self._touched_partitions(keys_df)
+
+        def _remaining(cur: DataFrame) -> DataFrame:
+            c = cur.alias("c")
+            k = keys_df.select(*self.key_cols).distinct().alias("k")
+            cond = None
+            for col in self.key_cols:
+                e = F.col(f"c.{col}").eqNullSafe(F.col(f"k.{col}"))
+                cond = e if cond is None else (cond & e)
+            return c.join(k, cond, "left_anti")
+
+        if self.partition_by:
+            touched = self._key_match_partitions(current, keys_df)
             if not touched:
                 return
-            remaining_touched = current.filter(self._partition_filter(touched)).join(
-                keys_df.select(*self.key_cols).distinct(),
-                on=list(self.key_cols),
-                how="left_anti",
+            remaining_touched = _remaining(
+                current.filter(self._partition_filter(touched))
             )
             self._commit_touched(remaining_touched, touched, op="delete", base=base)
             return
-        remaining = current.join(
-            keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
-        )
-        self.overwrite(remaining, op="delete", base=base)
+        self.overwrite(_remaining(current), op="delete", base=base)
 
     # ------------------------------------------------- partitioned merge
     def _touched_partitions(self, df: DataFrame) -> set[tuple]:
         """Partition tuples present in ``df`` — a small driver-side list
         (partition columns are low-cardinality by design; this is not a
-        data collect)."""
-        rows = df.select(*self.partition_by).distinct().collect()
+        data collect). Values are stringified by SPARK's cast('string'),
+        never Python str(): the two disagree on booleans ('true' vs
+        'True') and float formatting, and every consumer
+        (_partition_filter, the Hive dir names) speaks Spark's dialect
+        — a Python-str mismatch silently turned merges into
+        insert-plus-hardlink duplication."""
+        rows = (
+            df.select(
+                *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+            )
+            .distinct()
+            .collect()
+        )
         for r in rows:
             if any(x is None for x in r):
                 raise ValueError(
@@ -354,7 +407,7 @@ class VersionedParquetTable:
                     "layout requires non-null partition columns "
                     f"(partition_by={self.partition_by})"
                 )
-        return {tuple(str(x) for x in r) for r in rows}
+        return {tuple(r) for r in rows}
 
     def _partition_filter(self, touched: set[tuple]):
         cond = None
@@ -381,18 +434,18 @@ class VersionedParquetTable:
             base = old_version
         old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
-        target = os.path.join(self.path, version)
+        tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         (
             self._reject_null_partitions(touched_df).write.mode("overwrite")
             .format(self.fmt)
             .options(**_FORMAT_OPTIONS[self.fmt])
             .partitionBy(*self.partition_by)
-            .save(target)
+            .save(tmp_target)
         )
         for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
             if values in touched:
                 continue
-            dst = os.path.join(target, os.path.relpath(leaf, old_dir))
+            dst = os.path.join(tmp_target, os.path.relpath(leaf, old_dir))
             os.makedirs(dst, exist_ok=True)
             for fn in os.listdir(leaf):
                 if fn.startswith(("_", ".")):
@@ -402,15 +455,37 @@ class VersionedParquetTable:
             **(extra_files or {}),
             COMMIT_INFO: self._commit_info(op),
         }.items():
-            with open(os.path.join(target, fn), "w") as f:
+            with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
-        self._carry_forward_metadata(target, old_version)
+        self._carry_forward_metadata(tmp_target, old_version)
+        self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
+
+    def _key_match_partitions(self, current: DataFrame, keys: DataFrame) -> set[tuple]:
+        """Partitions of CURRENT rows whose key matches ``keys``
+        (NULL-safe). A batch row may carry a DIFFERENT partition value
+        than the stored row with the same key (partition columns are
+        data, not identity); rewriting only the batch's partitions
+        would hard-link the stale old row alongside the new one —
+        duplicate keys. Cost: one key+partition-column scan of the
+        current version (columnar, no rewrite) — the price of allowing
+        keys to move between partitions."""
+        c = current.alias("c")
+        k = keys.select(*self.key_cols).distinct().alias("k")
+        cond = None
+        for col in self.key_cols:
+            e = F.col(f"c.{col}").eqNullSafe(F.col(f"k.{col}"))
+            cond = e if cond is None else (cond & e)
+        return self._touched_partitions(
+            c.join(k, cond, "left_semi").select(*self.partition_by)
+        )
 
     def _merge_partitioned(
         self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None
     ) -> None:
-        touched = self._touched_partitions(batch)
+        touched = self._touched_partitions(batch) | self._key_match_partitions(
+            current, batch
+        )
         if not touched:
             return
         merged_touched = merge_dataframes(
@@ -543,6 +618,22 @@ class VersionedParquetTable:
             if d == cur:
                 continue
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        # crashed writers leave .tmp-* staging dirs (never referenced
+        # by the marker); reclaim them — but only STALE ones, because
+        # vacuum runs at every commit and a concurrent writer's staging
+        # dir may be mid-write (same grace-period rule as Delta's
+        # uncommitted-file cleanup)
+        import time as _time
+
+        cutoff = _time.time() - 3600
+        for d in os.listdir(self.path):
+            if d.startswith(".tmp-"):
+                p = os.path.join(self.path, d)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
 
 
 def _unescape_hive(s: str) -> str:

@@ -276,3 +276,32 @@ def test_retract_erases_dest_and_mapping(spark, tmp_path, customers):
         for r in m.destination.read_snapshot(spark).select("c_custkey", "id").collect()
     }
     assert ids_after == ids_before
+
+
+def test_source_columns_named_status_and_updated_survive(spark, tmp_path):
+    """The mapping table's housekeeping columns are dropped by
+    QUALIFIED reference: a source with its own 'status'/'updated'
+    columns (extremely common names) must keep them through
+    prepare/transform (round-5 review: bare-name drop lost them)."""
+    src = spark.createDataFrame(
+        [(1, "active", "2020-01-01"), (2, "closed", "2021-02-02")],
+        "k int, status string, updated string",
+    )
+    m = Migration(
+        name="statuses",
+        source=DataFrameSource(src),
+        destination=ParquetDestination(str(tmp_path / "sd"), key_cols=("id",)),
+        source_ids=(IdField("k", "int"),),
+        destination_ids=(IdField("id", "int"),),
+        transform=lambda d: d.select(
+            "__src__", "__dest_id", "k", "status", "updated"
+        ),
+    )
+    mapper = MappingStore(spark, str(tmp_path / "maps"))
+    run_migration(spark, m, mapper)
+    rows = {r["k"]: (r["status"], r["updated"])
+            for r in m.destination.read_snapshot(spark).collect()}
+    assert rows == {1: ("active", "2020-01-01"), 2: ("closed", "2021-02-02")}
+    # second run exercises the matched-mapping path too
+    run_migration(spark, m, mapper)
+    assert m.destination.read_snapshot(spark).count() == 2

@@ -124,3 +124,35 @@ def test_extends_shares_parent_mapping(spark, tmp_path, nations):
     assert snap.count() == nations.count()
     assert {r.id for r in snap.select("id").collect()} == {r.id for r in base}
     assert snap.filter(F.col("nation_name") == F.upper("nation_name")).count() == 0
+
+
+def test_stub_ids_use_the_prepare_separator(spark, tmp_path, nations):
+    """String stub ids must be minted with the same '~' rule as
+    prepare() — '/' would nest paths in file-layout sinks and make ids
+    unstable across the stub/re-migrate lifecycle (round-5 review)."""
+    reg = MigrationRegistry()
+    mapper = MappingStore(spark, str(tmp_path / "maps"))
+    m = Migration(
+        name="nation_str",
+        source=DataFrameSource(nations),
+        destination=ParquetDestination(str(tmp_path / "nd"), key_cols=("id",)),
+        source_ids=(IdField("n_nationkey", "int"),),
+        destination_ids=(IdField("id", "string"),),
+        transform=lambda d: d.select(
+            "__src__", "__dest_id", "n_nationkey", F.col("n_name")
+        ),
+    )
+    reg.register(m)
+    needed = spark.range(2).select(F.col("id").cast("bigint").alias("n_nationkey"))
+    assert ensure_stubs(spark, m, mapper, needed) == 2
+    stub_ids = [
+        r["id"]
+        for r in m.destination.read_snapshot(spark).select("id").collect()
+    ]
+    assert stub_ids and all("/" not in i and "~" in i for i in stub_ids)
+    # a later real run re-mints the SAME ids (stability across lifecycle)
+    run_migration(spark, m, mapper)
+    real_ids = {
+        r["id"] for r in m.destination.read_snapshot(spark).select("id").collect()
+    }
+    assert set(stub_ids) <= real_ids

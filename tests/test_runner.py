@@ -248,3 +248,22 @@ def test_same_mapping_key_migrations_serialize(spark, tmp_path, sf_dir):
     assert len(results) == 3
     # all three share mapping_key 'parent' -> one chain -> never overlap
     assert active["max"] == 1, f"extends siblings overlapped: {active['max']}"
+
+
+def test_simulate_leaves_mapping_store_untouched(spark, pipeline):
+    """Simulate ('nothing written') must not persist mapping rows
+    either — a simulate run used to mark every row STATUS_MIGRATED,
+    poisoning later stub creation and reference resolution
+    (round-5 review)."""
+    reg, mapper = pipeline
+    m = reg.get("region")
+    run_pipeline(spark, reg, mapper, names=("region",), simulate=True)
+    snap = mapper.load(m.mapping_key(), m.source_ids, m.destination_ids)
+    assert snap.count() == 0, "simulate persisted mapping rows"
+    # the real run afterwards migrates normally
+    results = run_pipeline(spark, reg, mapper, names=("region",))
+    assert results["region"].rows_written > 0
+    assert (
+        mapper.load(m.mapping_key(), m.source_ids, m.destination_ids).count()
+        == results["region"].rows_written
+    )

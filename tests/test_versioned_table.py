@@ -348,3 +348,110 @@ def test_optimistic_concurrency_rejects_stale_commit(spark, tmp_path):
         t1._commit("v_0000000099", base=base)
     # the winner's data is intact
     assert t1.read(spark).count() == 2
+
+
+def test_merge_key_moving_between_partitions(spark, tmp_path):
+    """A batch row may change its partition value; the stale row in the
+    OLD partition must be rewritten away, not hard-linked back in
+    (round-5 review: silent duplicate keys)."""
+    t = VersionedParquetTable(
+        str(tmp_path / "mv"), key_cols=("id",), partition_by=("region",)
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "eu", "a"), (2, "eu", "b"), (3, "us", "c")],
+            "id int, region string, v string",
+        )
+    )
+    t.merge(spark.createDataFrame([(1, "us", "moved")], "id int, region string, v string"))
+    rows = {r["id"]: (r["region"], r["v"]) for r in t.read(spark).collect()}
+    assert t.read(spark).count() == 3, "key 1 duplicated across partitions"
+    assert rows[1] == ("us", "moved")
+    assert rows[2] == ("eu", "b") and rows[3] == ("us", "c")
+
+
+def test_boolean_partition_values_roundtrip(spark, tmp_path):
+    """Python str(True)='True' vs Spark cast 'true' used to desync the
+    touched set from the filter and dir names (round-5 review)."""
+    t = VersionedParquetTable(
+        str(tmp_path / "bp"), key_cols=("id",), partition_by=("flag",)
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, True, "a"), (2, False, "b")], "id int, flag boolean, v string"
+        )
+    )
+    t.merge(spark.createDataFrame([(1, True, "A2")], "id int, flag boolean, v string"))
+    rows = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 2 and rows[1] == "A2"
+    t.delete_keys(spark.createDataFrame([(2,)], "id int"))
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+
+
+def test_delete_keys_null_safe_and_partition_derived(spark, tmp_path):
+    """delete_keys must match NULL keys null-safely (merge/append's
+    contract) and, on a partitioned table, derive the touched
+    partitions from the data without partition values in keys_df."""
+    t = VersionedParquetTable(
+        str(tmp_path / "dk"), key_cols=("id",), partition_by=("p",)
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", "x"), (None, "a", "nullrow"), (2, "b", "y")],
+            "id int, p string, v string",
+        )
+    )
+    t.delete_keys(spark.createDataFrame([(None,)], "id int"))
+    assert {r["v"] for r in t.read(spark).collect()} == {"x", "y"}
+    # partition-scoped: deleting id=2 must hard-link partition a
+    import os as _os
+
+    v1 = _os.path.join(t.path, t.current_version())
+    ino = _inodes(v1)
+    t.delete_keys(spark.createDataFrame([(2,)], "id int"))
+    v2 = _os.path.join(t.path, t.current_version())
+    after = _inodes(v2)
+    a_files = [f for f in after if f.startswith("p=a")]
+    assert a_files and all(ino.get(f) == after[f] for f in a_files), "partition a rewritten"
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+
+
+def test_concurrent_same_base_writers_never_share_a_dir(spark, tmp_path):
+    """Two writers from the same base compute the same next-version
+    name; the loser must fail loudly WITHOUT touching the winner's
+    committed files (round-5 review: shared-dir overwrite)."""
+    import pytest as _pytest
+
+    from a2b_spark.storage.table import ConcurrentWriteError
+
+    t = VersionedParquetTable(str(tmp_path / "cc"), key_cols=("id",))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    base = t.current_version()
+    # writer A commits
+    t.overwrite(
+        spark.createDataFrame([(1, "A")], "id int, v string"), op="merge", base=base
+    )
+    winner = t.read(spark).collect()
+    # writer B from the SAME base: must raise and leave A's data intact
+    with _pytest.raises(ConcurrentWriteError):
+        t.overwrite(
+            spark.createDataFrame([(1, "B")], "id int, v string"), op="merge", base=base
+        )
+    assert t.read(spark).collect() == winner
+
+
+def test_csv_schema_is_per_version(spark, tmp_path):
+    """Schema evolution on a csv table must not retro-type older
+    versions: time travel reads each version with ITS schema."""
+    t = VersionedParquetTable(
+        str(tmp_path / "cs"), key_cols=("id",), fmt="csv", retention=5
+    )
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, v string"))
+    v1 = t.current_version()
+    t.overwrite(
+        spark.createDataFrame([(1, "a", 9)], "id int, v string, extra int")
+    )
+    assert t.read(spark).columns == ["id", "v", "extra"]
+    old = t.read(spark, version=v1)
+    assert old.columns == ["id", "v"]
+    assert old.schema["id"].dataType.simpleString() == "int"
