@@ -130,6 +130,23 @@ class VersionedParquetTable:
                 f"version {version!r} not retained at {self.path}; "
                 f"available: {self.versions()}"
             )
+        vdir = os.path.join(self.path, v)
+        if not any(
+            not fn.startswith(("_", "."))
+            for _, _, files in os.walk(vdir)
+            for fn in files
+        ):
+            # a fully-deleted table: Spark writes NO data files for an
+            # empty (especially partitioned) frame, so the version is
+            # readable only through its schema sidecar
+            schema_file = os.path.join(vdir, SCHEMA)
+            if os.path.exists(schema_file):
+                from pyspark.sql import types as T
+
+                with open(schema_file) as f:
+                    return spark.createDataFrame(
+                        [], T.StructType.fromJson(__import__("json").loads(f.read()))
+                    )
         reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         if self.fmt not in _SELF_DESCRIBING:
             # per-version sidecar (current layout); table-root sidecar
@@ -296,17 +313,20 @@ class VersionedParquetTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.save(tmp_target)
-        if self.fmt not in _SELF_DESCRIBING:
-            # per-VERSION schema sidecar: committed atomically with the
-            # data and carried forward like other metadata, so a failed
-            # concurrent commit or schema evolution can never corrupt
-            # reads of OTHER versions (a table-root sidecar did both)
-            import json as _json
+        # per-VERSION schema sidecar: committed atomically with the
+        # data and carried forward like other metadata, so a failed
+        # concurrent commit or schema evolution can never corrupt
+        # reads of OTHER versions (a table-root sidecar did both).
+        # Written for EVERY format: a version holding zero rows writes
+        # no data files at all (Spark emits nothing for an empty
+        # partitioned frame), and the sidecar is then the only record
+        # of the schema — read() falls back to a typed empty frame.
+        import json as _json
 
-            extra_files = {
-                **(extra_files or {}),
-                SCHEMA: _json.dumps(df.schema.jsonValue()),
-            }
+        extra_files = {
+            **(extra_files or {}),
+            SCHEMA: _json.dumps(df.schema.jsonValue()),
+        }
         for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
             with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
@@ -451,8 +471,11 @@ class VersionedParquetTable:
                 if fn.startswith(("_", ".")):
                     continue
                 os.link(os.path.join(leaf, fn), os.path.join(dst, fn))
+        import json as _json
+
         for fn, content in {
             **(extra_files or {}),
+            SCHEMA: _json.dumps(touched_df.schema.jsonValue()),
             COMMIT_INFO: self._commit_info(op),
         }.items():
             with open(os.path.join(tmp_target, fn), "w") as f:

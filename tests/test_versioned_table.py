@@ -455,3 +455,27 @@ def test_csv_schema_is_per_version(spark, tmp_path):
     old = t.read(spark, version=v1)
     assert old.columns == ["id", "v"]
     assert old.schema["id"].dataType.simpleString() == "int"
+
+
+def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
+    """Deleting every row writes a version with ZERO data files (Spark
+    emits nothing for an empty partitioned frame); the schema sidecar
+    must keep the table readable — and mergeable again — instead of
+    UNABLE_TO_INFER_SCHEMA (found by the op-sequence fuzz)."""
+    for part in (None, ("p",)):
+        t = VersionedParquetTable(
+            str(tmp_path / f"empty_{bool(part)}"), key_cols=("id",), partition_by=part
+        )
+        t.overwrite(
+            spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], "id int, p string, v string")
+        )
+        t.delete_keys(spark.createDataFrame([(1,), (2,)], "id int"))
+        empty = t.read(spark)
+        assert empty.count() == 0
+        assert set(empty.columns) == {"id", "p", "v"}
+        # the table comes back to life on the next merge (column order
+        # varies: partitioned reads list partition columns last)
+        t.merge(spark.createDataFrame([(3, "c", "z")], "id int, p string, v string"))
+        assert [
+            (r["id"], r["p"], r["v"]) for r in t.read(spark).collect()
+        ] == [(3, "c", "z")]
