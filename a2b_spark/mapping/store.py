@@ -145,6 +145,16 @@ class MappingStore:
         Returns keys_df's columns plus the dest_* columns (null = no
         mapping — the NoMappingForIdsException analogue is a null)."""
         m = self.load(mapping_key, source_ids, dest_ids)
+        # Orphan-preserve rows carry ALL-NULL source ids; the null-safe
+        # key join would match them against any NULL-keyed lookup row
+        # and fan it out once per preserved entity (arbitrary dest ids
+        # for data that is explicitly NOT source-mapped). They are not
+        # addressable by source key, so exclude them from this lookup.
+        not_all_null = None
+        for f in source_ids:
+            c = m[src_col(f)].isNotNull()
+            not_all_null = c if not_all_null is None else (not_all_null | c)
+        m = m.filter(not_all_null)
         cond = None
         for f in source_ids:
             c = keys_df[f.name].eqNullSafe(m[src_col(f)])

@@ -58,6 +58,14 @@ POSTGRES_UPSERT_SQL = (
 )
 
 
+def _quote_ident(c: str) -> str:
+    """Double-quote a column identifier, preserving case: Spark's JDBC
+    writer creates columns quoted, so in case-folding engines (Derby,
+    Postgres, Oracle) an unquoted reference would fold to the wrong
+    case and miss; embedded quotes are doubled."""
+    return '"' + c.replace('"', '""') + '"'
+
+
 class JdbcDestination:
     def __init__(
         self,
@@ -122,13 +130,20 @@ class JdbcDestination:
         if missing:
             raise ValueError(f"batch is missing key columns: {missing}")
         value_cols = [c for c in cols if c not in self.key_cols]
-
-        # Double-quote column identifiers, preserving case: Spark's JDBC
-        # writer creates columns quoted, so in case-folding engines
-        # (Derby, Postgres, Oracle) an unquoted reference would fold to
-        # the wrong case and miss.
-        def q(c: str) -> str:
-            return '"' + c.replace('"', '""') + '"'
+        q = _quote_ident
+        if not value_cols:
+            # pure-key table (relationship/link shape): both shipped
+            # templates would render an EMPTY update-set clause —
+            # malformed SQL. Matched rows need no update when every
+            # column is a key, so emit an engine-agnostic insert-only
+            # statement instead of the template.
+            key_match = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in self.key_cols)
+            return (
+                f"INSERT INTO {self.table} ({', '.join(q(c) for c in cols)}) "
+                f"SELECT {', '.join('s.' + q(c) for c in cols)} "
+                f"FROM {self.staging_table} s WHERE NOT EXISTS "
+                f"(SELECT 1 FROM {self.table} t WHERE {key_match})"
+            )
 
         return self.merge_sql_template.format(
             target=self.table,
@@ -166,11 +181,18 @@ class JdbcDestination:
     # ------------------------------------------------ rewrite merge
     def _merge_rewrite(self, batch: DataFrame) -> None:
         """Fallback upsert: snapshot ⟕ batch in Spark, truncate+rewrite.
-        O(table) and non-atomic mid-write — parity-table scale only."""
+        O(table) and non-atomic mid-write — parity-table scale only.
+
+        The merged frame is MATERIALIZED (eager localCheckpoint, the
+        repo's _materialize discipline) before the write: Spark's
+        overwrite TRUNCATES the target before the write job runs, and a
+        still-lazy plan would re-read the now-empty target — merging
+        {1} with batch {2} used to yield only {2}."""
         spark = batch.sparkSession
         current = self.read_snapshot(spark)
         if current is not None:
             batch = merge_dataframes(current, batch, self.key_cols)
+        batch = batch.localCheckpoint(eager=True)
         self._writer(batch, self.table).save()
 
     def merge(self, batch: DataFrame) -> None:
@@ -186,7 +208,7 @@ class JdbcDestination:
             stage_keys = keys_df.select(*self.key_cols).distinct()
             self._writer(stage_keys, self.staging_table).save()
             key_match = " AND ".join(
-                f't."{k}" = s."{k}"' for k in self.key_cols
+                f"t.{_quote_ident(k)} = s.{_quote_ident(k)}" for k in self.key_cols
             )
             self._execute_sql(
                 spark,
@@ -200,7 +222,13 @@ class JdbcDestination:
         remaining = current.join(
             keys_df.select(*self.key_cols).distinct(), on=list(self.key_cols), how="left_anti"
         )
-        self._merge_rewrite(remaining)
+        # write the survivors DIRECTLY (materialized first — overwrite
+        # truncates before the job runs and a lazy plan would re-read
+        # the emptied table and wipe everything). Routing through
+        # _merge_rewrite would merge survivors INTO the full snapshot,
+        # i.e. delete nothing.
+        remaining = remaining.localCheckpoint(eager=True)
+        self._writer(remaining, self.table).save()
 
     def read_multiple(self, spark: SparkSession, keys_df: DataFrame) -> DataFrame:
         snap = self.read_snapshot(spark)

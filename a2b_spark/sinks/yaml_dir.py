@@ -28,6 +28,15 @@ from a2b_spark.core.migration import IdField
 from a2b_spark.sources.yaml_dir import YamlDirSource
 
 
+def _entity_path(base: str, id_values: Sequence[object]) -> str:
+    """THE path rule: ``{base}/{id1}/../{idN}.yaml`` (ids as segments,
+    YamlDriverTrait.php:75-85). Single definition shared by writer,
+    deleter, and the public helper — three inline copies previously
+    risked silently disagreeing on file locations."""
+    parts = [str(v) for v in id_values]
+    return os.path.join(base, *parts[:-1], f"{parts[-1]}.yaml")
+
+
 class YamlDirDestination:
     def __init__(self, path: str, id_fields: Sequence[IdField]):
         if not id_fields:
@@ -37,8 +46,7 @@ class YamlDirDestination:
         self.key_cols = tuple(f.name for f in id_fields)
 
     def _file_path(self, id_values: Sequence[object]) -> str:
-        parts = [str(v) for v in id_values]
-        return os.path.join(self.path, *parts[:-1], f"{parts[-1]}.yaml")
+        return _entity_path(self.path, id_values)
 
     def read_snapshot(self, spark: SparkSession) -> Optional[DataFrame]:
         if not os.path.isdir(self.path):
@@ -65,8 +73,7 @@ class YamlDirDestination:
             for row in rows:
                 d = row.asDict(recursive=True)
                 id_vals = [d.pop(k) for k in ids]
-                target = os.path.join(base, *[str(v) for v in id_vals[:-1]])
-                final = os.path.join(target, f"{id_vals[-1]}.yaml")
+                final = _entity_path(base, id_vals)
                 os.makedirs(os.path.dirname(final), exist_ok=True)
                 tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
                 with open(tmp, "w") as f:
@@ -83,8 +90,7 @@ class YamlDirDestination:
 
         def delete_partition(rows):
             for row in rows:
-                parts = [str(row[k]) for k in ids]
-                p = os.path.join(base, *parts[:-1], f"{parts[-1]}.yaml")
+                p = _entity_path(base, [row[k] for k in ids])
                 if os.path.exists(p):
                     os.remove(p)
 

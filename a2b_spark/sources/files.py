@@ -34,6 +34,12 @@ class CsvSource:
         df = reader.csv(self.path)
         if not df.columns:
             raise InvalidSourceError(f"CSV source has no header: {self.path}")
+        # header-only is invalid too (CsvSourceDriver.php:50-54): a
+        # truncated export must fail loudly, not migrate zero rows (and
+        # with orphan_policy='prune', mark every destination row an
+        # orphan). One head(1) probe — loads happen once per migration.
+        if not df.head(1):
+            raise InvalidSourceError(f"header-only CSV source: {self.path}")
         return df
 
 

@@ -81,7 +81,15 @@ class VersionedParquetTable:
         partition_by: Sequence[str] | None = None,
         retention: int = 3,
         fmt: str = "parquet",
+        partitions_derived_from_keys: bool = False,
     ):
+        """``partitions_derived_from_keys``: caller's promise that every
+        partition column is a PURE FUNCTION of the key columns (e.g. a
+        hash bucket of the key). Then a key can never move between
+        partitions, and merge may skip the current-table key-location
+        scan that otherwise guards against stale-row duplication —
+        restoring strictly O(touched) merges for bucket-partitioned
+        stores (streaming history tables)."""
         if fmt not in _FORMAT_OPTIONS:
             raise ValueError(f"unsupported table format {fmt!r}")
         self.path = path
@@ -89,6 +97,7 @@ class VersionedParquetTable:
         self.partition_by = tuple(partition_by) if partition_by else None
         self.retention = retention
         self.fmt = fmt
+        self.partitions_derived_from_keys = partitions_derived_from_keys
 
     # ------------------------------------------------------------- reads
     def current_version(self) -> Optional[str]:
@@ -353,7 +362,16 @@ class VersionedParquetTable:
     def append(self, batch: DataFrame, dedupe_keys: Sequence[str] | None = None) -> None:
         """Insert-only commit: add batch rows, optionally skipping rows
         whose ``dedupe_keys`` tuple already exists (NULL-safe), so
-        re-runs are idempotent."""
+        re-runs are idempotent.
+
+        On a PARTITIONED table only the batch's partitions are
+        rewritten (existing rows of those partitions union the new
+        ones; every other partition hard-links) — a streaming ingest
+        appending into a growing table costs O(batch + touched), not a
+        full-table rewrite per commit. The dedupe anti-join still
+        compares against the WHOLE current table (a thin key scan,
+        not a rewrite), so idempotence holds even when dedupe keys
+        span partitions."""
         base = self.current_version()
         if base is None:
             self.overwrite(batch, op="append", base=None)
@@ -367,6 +385,16 @@ class VersionedParquetTable:
                 e = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
                 cond = e if cond is None else (cond & e)
             batch = b.join(c, on=cond, how="left_anti")
+        if self.partition_by:
+            touched = self._touched_partitions(batch)
+            if not touched:
+                return
+            appended = (
+                current.filter(self._partition_filter(touched))
+                .unionByName(batch, allowMissingColumns=True)
+            )
+            self._commit_touched(appended, touched, op="append", base=base)
+            return
         self.overwrite(
             current.unionByName(batch, allowMissingColumns=True), op="append", base=base
         )
@@ -506,9 +534,11 @@ class VersionedParquetTable:
     def _merge_partitioned(
         self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None
     ) -> None:
-        touched = self._touched_partitions(batch) | self._key_match_partitions(
-            current, batch
-        )
+        touched = self._touched_partitions(batch)
+        if not self.partitions_derived_from_keys:
+            # keys may move between partitions: also rewrite wherever
+            # the batch's keys CURRENTLY live (one thin scan)
+            touched = touched | self._key_match_partitions(current, batch)
         if not touched:
             return
         merged_touched = merge_dataframes(

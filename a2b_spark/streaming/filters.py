@@ -11,7 +11,12 @@ blocklist broadcasts once per stream, not per batch — the Broadcast
 object lives in the closure), so micro-batch cost is O(batch grams)
 with no state store, no watermark, and no shuffle against the
 blocklist; the only shuffle is the per-doc hit aggregate inside the
-probe. Contrast streaming/neardup.py, which must consult mutable
+probe. Sink cost: give the output table a partition scheme (e.g. an
+epoch or time bucket) and the keyed append rewrites only the batch's
+partitions, hard-linking the rest — an UNPARTITIONED table pays a
+full rewrite per commit (VersionedParquetTable.append), fine for
+small outputs only; the dedupe anti-join is a thin key scan of
+history either way. Contrast streaming/neardup.py, which must consult mutable
 accepted-history state — membership against a FIXED contamination
 set is the cheap half of streaming curation, and splitting the two
 keeps each at its natural cost.

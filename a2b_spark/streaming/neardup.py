@@ -30,9 +30,20 @@ Design (per micro-batch via ``foreachBatch``):
 Scale: history grows by O(survivors) — 16 band longs + one k-gram
 hash array per ACCEPTED doc (duplicates never enter the store). The
 band join touches only colliding buckets; the jaccard verify touches
-only candidates. At 100 TB of accepted history the store is the same
-banded layout the batch LSH path shuffles, and the per-batch cost is
-driven by the batch size, not the history size.
+only candidates.
+
+History WRITES are O(batch), not O(history): survivors are provably
+NEW rows (step 1 drops anything near an accepted doc — including an
+exactly-redelivered doc, which is jaccard-1 to its stored self), so
+the three stores take insert-only appends into a fresh ``__epoch``
+partition per commit; every prior epoch's files hard-link into the
+new version untouched. A keyed MERGE into an unpartitioned store —
+the pre-round-5 design — re-read and fully rewrote the entire
+accepted history every micro-batch. History READS (the band join and
+the dedupe guard) remain scans of thin columns, which is the
+irreducible part of comparing a batch against all history without an
+index service. Epoch partitions accumulate small files; the store
+tables support ``compact()`` as offline maintenance.
 """
 
 from __future__ import annotations
@@ -69,9 +80,17 @@ class StreamingNearDupFilter:
         self.shingle_k = shingle_k
         self.num_hashes = num_hashes
         self.bands = bands
-        self.out = VersionedParquetTable(f"{base_dir}/accepted", key_cols=(id_col,))
-        self.band_store = VersionedParquetTable(f"{base_dir}/bands", key_cols=(id_col, "band"))
-        self.khs_store = VersionedParquetTable(f"{base_dir}/khs", key_cols=(id_col,))
+        # epoch-partitioned: each commit writes ONE new partition and
+        # hard-links the rest (see module docstring)
+        self.out = VersionedParquetTable(
+            f"{base_dir}/accepted", key_cols=(id_col,), partition_by=("__epoch",)
+        )
+        self.band_store = VersionedParquetTable(
+            f"{base_dir}/bands", key_cols=(id_col, "band"), partition_by=("__epoch",)
+        )
+        self.khs_store = VersionedParquetTable(
+            f"{base_dir}/khs", key_cols=(id_col,), partition_by=("__epoch",)
+        )
 
     # ---------------------------------------------------------- batch
     def process_batch(self, batch_df: DataFrame) -> None:
@@ -163,9 +182,15 @@ class StreamingNearDupFilter:
         survivors = batch.localCheckpoint()
         if not survivors.head(1):
             return
-        self.out.merge(survivors)
-        self.band_store.merge(bands_b)
-        self.khs_store.merge(sh)
+        # insert-only append into a fresh epoch partition: O(batch)
+        # writes. dedupe_keys is belt-and-braces idempotence (the
+        # history drop already filters redelivered docs).
+        epoch = F.lit(str(len(self.out.versions()))).alias("__epoch")
+        self.out.append(survivors.select("*", epoch), dedupe_keys=[idc])
+        self.band_store.append(
+            bands_b.select("*", epoch), dedupe_keys=[idc, "band"]
+        )
+        self.khs_store.append(sh.select("*", epoch), dedupe_keys=[idc])
 
     # --------------------------------------------------------- stream
     def start(
@@ -188,4 +213,5 @@ class StreamingNearDupFilter:
         return writer.start()
 
     def accepted(self) -> Optional[DataFrame]:
-        return self.out.read(self.spark)
+        df = self.out.read(self.spark)
+        return None if df is None else df.drop("__epoch")

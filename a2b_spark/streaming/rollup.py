@@ -142,6 +142,10 @@ def run_continuous_rollup(
                 F.sum("__v").alias("sum_value"),
             )
         )
+        # pin: three consumers follow (emptiness probe, touched-partition
+        # collect, the commit's write) — without this the batch
+        # aggregation runs three times per micro-batch
+        partial = partial.localCheckpoint(eager=True)
         if not partial.head(1):
             return
         # pin the snapshot this fold derives from: the commit's

@@ -94,3 +94,38 @@ def test_staged_merge_live_derby(spark, tmp_path):
         for r in dest.read_snapshot(spark).collect()
     }
     assert got == {2: 99, 3: 30}
+
+
+def test_pure_key_table_merge_sql():
+    """Every-column-is-a-key (link-table shape): the templates would
+    render an empty update-set clause; build_merge_sql must emit an
+    insert-only NOT EXISTS statement instead (round-5 review)."""
+    sql = _dest(ANSI_MERGE_SQL).build_merge_sql(["k1", "k2"])
+    assert "UPDATE SET" not in sql and "NOT EXISTS" in sql
+    assert sql.startswith('INSERT INTO tgt ("k1", "k2")')
+    # same for the postgres template — the shape is template-independent
+    assert "UPDATE" not in _dest(POSTGRES_UPSERT_SQL).build_merge_sql(["k1", "k2"])
+
+
+def test_rewrite_fallback_merge_and_delete_live_derby(spark, tmp_path):
+    """The NO-template fallback path (truncate+rewrite) used to read
+    the target lazily AFTER truncation — merge lost all pre-existing
+    rows and delete wiped the whole table (round-5 review). Verified
+    against live embedded Derby."""
+    url = f"jdbc:derby:{tmp_path}/db2;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    dest = JdbcDestination(url, "tgt2", ["k"], properties=props)  # no template
+
+    spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint").write.format(
+        "jdbc"
+    ).option("url", url).option("dbtable", "tgt2").options(**props).mode(
+        "overwrite"
+    ).save()
+
+    dest.merge(spark.createDataFrame([(2, 99), (3, 30)], "k bigint, v bigint"))
+    got = {r.k: r.v for r in dest.read_snapshot(spark).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}, "fallback merge lost pre-existing rows"
+
+    dest.delete_keys(spark.createDataFrame([(1,)], "k bigint"))
+    got = {r.k: r.v for r in dest.read_snapshot(spark).collect()}
+    assert got == {2: 99, 3: 30}, "fallback delete must remove only the keys"

@@ -430,6 +430,25 @@ def test_streaming_near_dup_filter_across_batches(spark, tmp_path):
         q.stop()
     got = sorted(r.doc_id for r in f.accepted().select("doc_id").collect())
     assert got == [1, 2, 11, 13], got
+    # O(batch) write contract: batch 2's commit must HARD-LINK batch
+    # 1's epoch files into the new version, not rewrite history
+    vdir = os.path.join(f.out.path, f.out.current_version())
+    prev = [v for v in f.out.versions() if v != f.out.current_version()][-1]
+    pdir = os.path.join(f.out.path, prev)
+
+    def inodes(d):
+        out = {}
+        for root, _, files in os.walk(d):
+            for fn in files:
+                if not fn.startswith(("_", ".")):
+                    p = os.path.join(root, fn)
+                    out[os.path.relpath(p, d)] = os.stat(p).st_ino
+        return out
+
+    cur, old = inodes(vdir), inodes(pdir)
+    shared = {f_ for f_ in cur if f_ in old}
+    assert shared, "expected prior-epoch files carried forward"
+    assert all(cur[f_] == old[f_] for f_ in shared), "history rewritten, not linked"
 
 
 def test_near_dup_filter_history_first_order(spark, tmp_path):

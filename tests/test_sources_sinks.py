@@ -159,3 +159,45 @@ def test_jdbc_source_live_derby(spark, tmp_path):
     rdf = ranged.load(spark)
     assert rdf.rdd.getNumPartitions() == 4
     assert rdf.count() == 100
+
+
+def test_csv_header_only_rejected(spark, tmp_path):
+    """Reference contract (CsvSourceDriver.php:50-54): header-only is
+    as invalid as empty — a truncated export must fail loudly, not
+    migrate zero rows (round-5 review)."""
+    from a2b_spark.sources.files import CsvSource, InvalidSourceError
+
+    p = tmp_path / "only_header.csv"
+    p.write_text("id,name\n")
+    with pytest.raises(InvalidSourceError, match="header-only"):
+        CsvSource(str(p)).load(spark)
+
+
+def test_mapping_lookup_ignores_preserved_rows(spark, tmp_path):
+    """Orphan-preserve mapping rows carry ALL-NULL source ids; a
+    NULL-keyed lookup row must come back unmapped (dest ids null),
+    not fan out once per preserved entity (round-5 review)."""
+    from a2b_spark.core.migration import IdField
+    from a2b_spark.mapping.store import MappingStore
+
+    mapper = MappingStore(spark, str(tmp_path / "maps"))
+    sids = (IdField("sk", "int"),)
+    dids = (IdField("dk", "int"),)
+    from pyspark.sql import functions as F
+
+    mb = spark.createDataFrame([(1, 101)], "sk int, dk int").select(
+        F.col("sk").alias("source_sk"), F.col("dk").alias("dest_dk")
+    )
+    mapper.merge("mk", mb, sids, dids)
+    # two preserved entities: all-NULL source ids (the executor's
+    # preserve path builds exactly this shape)
+    preserved = spark.createDataFrame([(900,), (901,)], "dk int").select(
+        F.lit(None).cast("int").alias("source_sk"), F.col("dk").alias("dest_dk")
+    )
+    mapper.append_preserved("mk", preserved, sids, dids)
+    keys = spark.createDataFrame([(1,), (None,)], "sk int")
+    out = mapper.dest_ids_for("mk", keys, sids, dids)
+    rows = out.collect()
+    assert len(rows) == 2, f"NULL key fanned out: {rows}"
+    got = {r["sk"]: r[out.columns[-1]] for r in rows}
+    assert got[1] == 101 and got[None] is None
