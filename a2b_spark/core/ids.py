@@ -30,10 +30,9 @@ def cast_ids(df: DataFrame, ids: Sequence[IdField], strict: bool = True) -> Data
     lacks an id value. Done as a filter+count would double-scan, so we
     use a raise_error expression — evaluated inline, no extra pass.
     """
-    for f_ in ids:
-        missing = [f_.name for f_ in ids if f_.name not in df.columns]
-        if missing:
-            raise KeyError(f"source rows missing declared id field(s) {missing}")
+    missing = [f_.name for f_ in ids if f_.name not in df.columns]
+    if missing:
+        raise KeyError(f"source rows missing declared id field(s) {missing}")
     out = df
     for f_ in ids:
         col = F.col(f_.name).cast(f_.spark_type)

@@ -133,17 +133,31 @@ class MigrationRegistry:
                 stack.append(self._migrations[dep])
             if m.extends:
                 stack.append(self._migrations[m.extends])
-        ts = TopologicalSorter({name: set(m.depends) for name, m in wanted.items()})
+        # extends is an ORDERING edge too: the child writes the
+        # PARENT's mapping table and resolves against its output, so
+        # it must never be scheduled before the parent
+        ts = TopologicalSorter(
+            {
+                name: set(m.depends) | ({m.extends} if m.extends else set())
+                for name, m in wanted.items()
+            }
+        )
         order = list(ts.static_order())
         return [wanted[n] for n in order]
 
     def parallel_batches(self, selected: list[Migration]) -> list[list[Migration]]:
-        """Group the DAG into dependency levels; migrations within a level
-        are independent and can run as concurrent Spark jobs (FAIR pool)."""
-        ordered = self.resolve_order(selected)
+        """Group an ALREADY-RESOLVED list into dependency levels;
+        migrations within a level are independent and can run as
+        concurrent Spark jobs (FAIR pool). The input is used as given —
+        re-resolving here would re-expand the depends closure and
+        silently override the caller's with_deps=False opt-out."""
+        ordered = selected
         level: dict[str, int] = {}
         for m in ordered:
-            level[m.name] = 1 + max((level[d] for d in m.depends if d in level), default=-1)
+            parents = list(m.depends) + ([m.extends] if m.extends else [])
+            level[m.name] = 1 + max(
+                (level[d] for d in parents if d in level), default=-1
+            )
         batches: dict[int, list[Migration]] = {}
         for m in ordered:
             batches.setdefault(level[m.name], []).append(m)

@@ -56,18 +56,27 @@ def _walk(obj: Any, params: Mapping[str, Any], seen: set[int], depth: int = 0) -
     d = getattr(obj, "__dict__", None)
     if not isinstance(d, dict):
         return
-    for k, v in list(d.items()):
+
+    def fix(v: Any, dep: int) -> Any:
+        # containers are resolved RECURSIVELY (lists of paths, nested
+        # option dicts — Source(paths=['%root%/x']) must resolve at
+        # registration, not fail mid-run with a literal-% path)
         if isinstance(v, str):
-            if "%" in v:
-                d[k] = resolve_str(v, params)
-        elif isinstance(v, dict):
-            for kk, vv in list(v.items()):
-                if isinstance(vv, str) and "%" in vv:
-                    v[kk] = resolve_str(vv, params)
-        elif type(v).__module__.startswith(("pyspark", "py4j")):
-            continue
-        elif hasattr(v, "__dict__"):
-            _walk(v, params, seen, depth + 1)
+            return resolve_str(v, params) if "%" in v else v
+        if isinstance(v, dict):
+            return {kk: fix(vv, dep + 1) for kk, vv in v.items()}
+        if isinstance(v, list):
+            return [fix(x, dep + 1) for x in v]
+        if isinstance(v, tuple):
+            return tuple(fix(x, dep + 1) for x in v)
+        if type(v).__module__.startswith(("pyspark", "py4j")):
+            return v
+        if hasattr(v, "__dict__"):
+            _walk(v, params, seen, dep + 1)
+        return v
+
+    for k, v in list(d.items()):
+        d[k] = fix(v, depth)
 
 
 def resolve_params(migration: Any, params: Mapping[str, Any]) -> Any:

@@ -60,13 +60,18 @@ def asof_join(
         if right_tiebreak is not None
         else F.lit(0)
     )
+    # keep the tiebreak's OWN type: a cast to long raises under ANSI
+    # for non-numeric tiebreaks and truncates timestamps to whole
+    # seconds (same-second updates then pick an arbitrary winner);
+    # the window orders any orderable type natively
+    tb_type = right.select(tb.alias("__tb")).schema["__tb"].dataType.simpleString()
 
     left_cols = left.columns
     l_tagged = left.select(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__row"),
         F.lit(None).cast(
             right.select(payload).schema["__asof"].dataType.simpleString()
@@ -76,7 +81,7 @@ def asof_join(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__side"),
-        tb.cast("long").alias("__tb"),
+        tb.alias("__tb"),
         F.lit(None).cast(
             left.select(F.struct(*[F.col(c) for c in left_cols]).alias("__row"))
             .schema["__row"]

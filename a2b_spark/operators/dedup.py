@@ -185,6 +185,27 @@ def _unpack_pair(pk: Column, dtype: T.DataType) -> tuple[Column, Column]:
     return a, b
 
 
+def _dedup_pairs(
+    pairs: DataFrame,
+    dtype: T.DataType,
+    packable: bool,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Distinct over (a, b) candidate pairs — packed into one 64-bit
+    key when ids allow (the ~6x-faster primitive hash-aggregate path,
+    see _ids_packable). The single definition for what was the same
+    8-line block in five similarity operators."""
+    if not packable:
+        return pairs.select(a, b).distinct()
+    ua, ub = _unpack_pair(F.col("pk"), dtype)
+    return (
+        pairs.select(_pack_pair(a, b).alias("pk"))
+        .distinct()
+        .select(ua.alias(a), ub.alias(b))
+    )
+
+
 def _minhash_sigs(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     """MinHash signatures as a pure whole-stage-codegen aggregation:
     explode the k-gram hash set and compute slot i as
@@ -257,15 +278,7 @@ def lsh_candidate_pairs(
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    if packable:
-        dtype = sigs.schema[id_col].dataType
-        ua, ub = _unpack_pair(F.col("pk"), dtype)
-        return (
-            pairs.select(_pack_pair("id_a", "id_b").alias("pk"))
-            .distinct()
-            .select(ua.alias("id_a"), ub.alias("id_b"))
-        )
-    return pairs.distinct()
+    return _dedup_pairs(pairs, sigs.schema[id_col].dataType, packable)
 
 
 def _fetch_pair_payloads(
@@ -398,16 +411,11 @@ def exact_jaccard_pairs(
         >= F.lit(threshold) - F.lit(1e-12)
     )
     joined = a.join(b, "s").filter((F.col("id_a") < F.col("id_b")) & size_ok)
-    if _ids_packable(df, id_col):
-        dtype = df.schema[id_col].dataType
-        ua, ub = _unpack_pair(F.col("pk"), dtype)
-        cands = (
-            joined.select(_pack_pair("id_a", "id_b").alias("pk"))
-            .distinct()
-            .select(ua.alias("id_a"), ub.alias("id_b"))
-        )
-    else:
-        cands = joined.select("id_a", "id_b").distinct()
+    cands = _dedup_pairs(
+        joined.select("id_a", "id_b"),
+        df.schema[id_col].dataType,
+        _ids_packable(df, id_col),
+    )
     return (
         _fetch_pair_payloads(cands, sh, id_col, "khs", "sh_a", "sh_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -504,16 +512,9 @@ def simhash_near_dup_pairs(
         & (F.col("a.bh") == F.col("b.bh"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-    if _ids_packable(df, id_col):
-        dtype = sigs.schema[id_col].dataType
-        ua, ub = _unpack_pair(F.col("pk"), dtype)
-        cands = (
-            pairs.select(_pack_pair("id_a", "id_b").alias("pk"))
-            .distinct()
-            .select(ua.alias("id_a"), ub.alias("id_b"))
-        )
-    else:
-        cands = pairs.distinct()
+    cands = _dedup_pairs(
+        pairs, sigs.schema[id_col].dataType, _ids_packable(df, id_col)
+    )
     # Direct two-sided join, NOT _fetch_pair_payloads: the simhash
     # payload is 4 longs per doc (vs minhash's full k-gram arrays), so
     # a second pass over the persisted sigs frame is cheaper than the
@@ -703,16 +704,9 @@ def embedding_dup_pairs_lsh(
     )
     # a pair collides in up to n_tables buckets — dedup before the
     # vector join-back so each candidate is scored exactly once
-    if _ids_packable(df, id_col):
-        dtype = df.schema[id_col].dataType
-        ua, ub = _unpack_pair(F.col("pk"), dtype)
-        cands = (
-            raw.select(_pack_pair("id_a", "id_b").alias("pk"))
-            .distinct()
-            .select(ua.alias("id_a"), ub.alias("id_b"))
-        )
-    else:
-        cands = raw.distinct()
+    cands = _dedup_pairs(
+        raw, df.schema[id_col].dataType, _ids_packable(df, id_col)
+    )
     va = e.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
     vb = e.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
     cos_raw = pair_cosine_raw()

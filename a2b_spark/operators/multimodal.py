@@ -71,6 +71,16 @@ def with_media_metadata(df: DataFrame, bin_col: str, out: str = "meta") -> DataF
     return df.withColumn(out, media_metadata(F.col(bin_col)))
 
 
+def _nonnull(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Drop NULL-payload/NULL-id rows before the Python kernels (the
+    same null discipline as the knn/asof operators): a failed fetch
+    leaves a null binary column, and bytes(None)/int(None) inside the
+    kernel would abort the whole job instead of skipping the row."""
+    return df.select(id_col, bin_col).filter(
+        F.col(id_col).isNotNull() & F.col(bin_col).isNotNull()
+    )
+
+
 DECODED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -153,7 +163,7 @@ def decode_media(
                     columns=["media_id", "width", "height", "channels", "features"],
                 )
 
-    return df.select(id_col, bin_col).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+    return _nonnull(df, id_col, bin_col).mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
 def resize_media(
@@ -252,7 +262,7 @@ def resize_media(
                     ],
                 )
 
-    return df.select(id_col, bin_col).mapInPandas(resize_batches, schema=out_schema)
+    return _nonnull(df, id_col, bin_col).mapInPandas(resize_batches, schema=out_schema)
 
 
 def sample_frames(
@@ -283,4 +293,4 @@ def sample_frames(
                     rows.append((int(mid), i, b[lo : lo + every_n]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
-    return df.select(id_col, bin_col).mapInPandas(split_batches, schema=out_schema)
+    return _nonnull(df, id_col, bin_col).mapInPandas(split_batches, schema=out_schema)

@@ -468,7 +468,7 @@ def knn_lsh(
     even for orthogonal neighbors ((1-0.25)³² ≈ 1e-4 miss) at the cost
     of n/4-sized buckets."""
     from a2b_spark.functions.vectors import srp_buckets
-    from a2b_spark.operators.dedup import _ids_packable, _pack_pair, _unpack_pair
+    from a2b_spark.operators.dedup import _dedup_pairs, _ids_packable
 
     # null vectors bucket nowhere and NaN-poison the re-rank — drop them
     queries = queries.filter(F.col(vec_col).isNotNull())
@@ -487,16 +487,13 @@ def knn_lsh(
     # a pair can collide in many of the n_tables buckets: dedup on the
     # packed 64-bit key when ids allow (parquet min/max stats make the
     # packability probe ~free); ordered pair here, not unordered
-    if _ids_packable(corpus, id_col) and _ids_packable(queries, id_col):
-        dtype = corpus.schema[id_col].dataType
-        uq, uc = _unpack_pair(F.col("pk"), dtype)
-        cands = (
-            raw.select(_pack_pair("query_id", "corpus_id").alias("pk"))
-            .distinct()
-            .select(uq.alias("query_id"), uc.alias("corpus_id"))
-        )
-    else:
-        cands = raw.distinct()
+    cands = _dedup_pairs(
+        raw,
+        corpus.schema[id_col].dataType,
+        _ids_packable(corpus, id_col) and _ids_packable(queries, id_col),
+        a="query_id",
+        b="corpus_id",
+    )
     return _exact_rerank(cands, queries, corpus, vec_col, id_col, k)
 
 

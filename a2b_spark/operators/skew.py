@@ -32,7 +32,17 @@ def salted_join(
     on ``salt`` reducers instead of one.
 
     Use when one side is big AND skewed and the other is too large to
-    broadcast but small enough to replicate ``salt``×."""
+    broadcast but small enough to replicate ``salt``×.
+
+    Only join types that never EMIT unmatched right rows are allowed:
+    the right side is replicated ``salt`` times, so right/full outer
+    joins would surface each unmatched right row ``salt`` times."""
+    if how not in {"inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"}:
+        raise ValueError(
+            f"salted_join cannot preserve unmatched right rows (how={how!r}): "
+            "the replicated right side would duplicate them salt times"
+        )
     lk = list(keys)
     l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r_salted = right.withColumn(

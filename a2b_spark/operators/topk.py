@@ -41,20 +41,16 @@ def top_k_per_group(
     staged = df
     if salts > 1:
         # ANY row partition preserves correctness (a group's top-k is
-        # always inside the union of per-class top-k), so the salt mixes
-        # the row hash with the physical partition id: byte-identical
-        # hot rows (boilerplate duplicates) then still spread across
-        # classes instead of collapsing into one. The partition id is
-        # layout-dependent, but the FINAL window re-ranks the surviving
-        # ≤ salts·k rows, so output rows and ranks are identical for
-        # any salting.
-        # 31-bit mask before the add: raw xxhash64 + partition id can
-        # overflow int64, which ANSI mode raises on instead of wrapping
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in df.columns]).bitwiseAND(F.lit(0x7FFFFFFF))
-            + F.spark_partition_id(),
-            F.lit(salts),
-        )
+        # always inside the union of per-class top-k), so the salt is
+        # simply the physical partition id: byte-identical hot rows
+        # spread across classes (they live in many input partitions),
+        # no column is hashed (a row hash would fail analysis on
+        # MapType columns and collapse identical rows into one class),
+        # and each class is at most a task's worth of rows by
+        # construction. The partition id is layout-dependent, but the
+        # FINAL window re-ranks the surviving ≤ salts·k rows, so
+        # output rows and ranks are identical for any salting.
+        salt = F.pmod(F.spark_partition_id(), F.lit(salts))
         w1 = W.partitionBy(*g, salt).orderBy(*order_by)
         staged = (
             df.withColumn("__rn1", F.row_number().over(w1))

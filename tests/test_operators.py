@@ -840,3 +840,68 @@ def test_dedup_keep_best_null_scores_lose(spark):
     # the three docs are mutual near-dups: one cluster, and the
     # null-score doc 1 must lose to the best-scored doc 2
     assert {r.doc_id for r in rows} == {2}, rows
+
+
+def test_multimodal_null_rows_dropped(spark):
+    """NULL payload/id rows must be skipped (failed fetches), not
+    abort the job with bytes(None) inside the kernel (round-5 review)."""
+    from a2b_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok-payload")), (2, None), (None, bytearray(b"x"))],
+        "media_id long, payload binary",
+    )
+    assert {r.media_id for r in MM.decode_media(df, "payload", "media_id").collect()} == {1}
+    assert {r.media_id for r in MM.resize_media(df, "payload", "media_id", 8, 8).collect()} == {1}
+    assert {r.media_id for r in MM.sample_frames(df, "payload", "media_id").collect()} == {1}
+
+
+def test_asof_join_string_and_timestamp_tiebreaks(spark):
+    """Tiebreaks keep their own type: a string tiebreak must order
+    lexically (a cast to long raised under ANSI), and sub-second
+    timestamp tiebreaks must not truncate to whole seconds
+    (round-5 review)."""
+    from a2b_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, "v1", "a"), (1, 100, "v9", "b")], "k int, ts long, ver string, v string"
+    )
+    out = asof_join(
+        left, right, on=["k"], ts_col="ts", right_cols=["v"], right_tiebreak="ver"
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == "b"  # 'v9' > 'v1'
+
+    right2 = spark.createDataFrame(
+        [(1, 100, 0.25, "early"), (1, 100, 0.75, "late")],
+        "k int, ts long, sub double, v string",
+    )
+    out2 = asof_join(
+        left, right2, on=["k"], ts_col="ts", right_cols=["v"], right_tiebreak="sub"
+    ).collect()
+    assert out2[0]["v"] == "late"  # 0.75 > 0.25 (a long cast made both 0)
+
+
+def test_top_k_per_group_map_column_safe(spark):
+    """The salted pre-pass must not hash row columns: a MapType column
+    used to fail analysis under the default salts (round-5 review)."""
+    from a2b_spark.operators.topk import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("g", i, {"a": i}) for i in range(20)], "g string, v long, m map<string,int>"
+    )
+    out = top_k_per_group(df, ["g"], [F.desc("v"), F.asc("v")], k=3)
+    assert sorted(r.v for r in out.collect()) == [17, 18, 19]
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    from a2b_spark.operators.skew import salted_join
+
+    l = spark.createDataFrame([(1, "a")], "k int, lv string")
+    r = spark.createDataFrame([(1, "b"), (2, "c")], "k int, rv string")
+    # inner works and does not duplicate
+    assert salted_join(l, r, ["k"]).count() == 1
+    with pytest.raises(ValueError, match="unmatched right rows"):
+        salted_join(l, r, ["k"], how="full")
+    with pytest.raises(ValueError, match="unmatched right rows"):
+        salted_join(l, r, ["k"], how="right")

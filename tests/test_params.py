@@ -98,3 +98,34 @@ def test_resolved_pipeline_runs(spark, tmp_path, sf_dir):
     r = run_migration(spark, m, mapper)
     assert r.rows_written == 10
     assert m.destination.read_snapshot(spark).count() == 10
+
+
+def test_params_resolve_inside_lists_and_nested_dicts():
+    """%param% placeholders inside list values and nested dicts must
+    resolve at registration — they used to survive silently and fail
+    mid-run as literal paths (round-5 review)."""
+    from a2b_spark.core.params import resolve_params
+
+    class Src:
+        def __init__(self):
+            self.paths = ["%root%/a", "%root%/b"]
+            self.options = {"jdbc": {"url": "%db%", "n": 3}, "flat": "%root%"}
+            self.mixed = ("%root%/t",)
+
+    class M:
+        pass
+
+    m = M()
+    m.source = Src()
+    m.destination = Src()
+    resolve_params(m, {"root": "/data", "db": "jdbc:x"})
+    s = m.source
+    assert s.paths == ["/data/a", "/data/b"]
+    assert s.options == {"jdbc": {"url": "jdbc:x", "n": 3}, "flat": "/data"}
+    assert s.mixed == ("/data/t",)
+    # unknown params still raise, now also from inside containers
+    import pytest as _p
+
+    m2 = M(); m2.source = Src(); m2.destination = Src()
+    with _p.raises(KeyError, match="unresolved parameter"):
+        resolve_params(m2, {"root": "/data"})  # %db% missing

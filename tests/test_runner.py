@@ -267,3 +267,44 @@ def test_simulate_leaves_mapping_store_untouched(spark, pipeline):
         mapper.load(m.mapping_key(), m.source_ids, m.destination_ids).count()
         == results["region"].rows_written
     )
+
+
+def test_no_deps_is_honored_and_extends_orders(spark, tmp_path, sf_dir):
+    """with_deps=False must NOT resurrect skipped dependencies
+    (parallel_batches used to re-expand the closure), and an
+    extends-child must be leveled AFTER its parent (round-5 review)."""
+    from a2b_spark.core.migration import IdField, Migration, MigrationRegistry
+    from a2b_spark.sinks.parquet import ParquetDestination
+    from a2b_spark.sources.base import DataFrameSource
+
+    reg = MigrationRegistry()
+    df = spark.range(3).selectExpr("cast(id as int) as k", "cast(id as string) as v")
+
+    def mk(name, depends=(), extends=None):
+        return reg.register(
+            Migration(
+                name=name,
+                source=DataFrameSource(df),
+                destination=ParquetDestination(str(tmp_path / name), key_cols=("id",)),
+                source_ids=(IdField("k", "int"),),
+                destination_ids=(IdField("id", "int"),),
+                transform=lambda d: d.select("__src__", "__dest_id", "k", "v"),
+                depends=tuple(depends),
+                extends=extends,
+            )
+        )
+
+    dep = mk("dep")
+    parent = mk("parent", depends=("dep",))
+    child = mk("child", extends="parent")
+
+    # no-deps: only the requested migration appears in the batches
+    batches = reg.parallel_batches(reg.resolve_order([child], with_deps=False))
+    assert [[m.name for m in b] for b in batches] == [["child"]]
+
+    # with deps: child must land in a LATER level than parent, which
+    # lands after dep
+    order = reg.resolve_order([child])
+    batches = reg.parallel_batches(order)
+    lvl = {m.name: i for i, b in enumerate(batches) for m in b}
+    assert lvl["dep"] < lvl["parent"] < lvl["child"], lvl
