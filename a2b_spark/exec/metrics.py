@@ -28,12 +28,18 @@ def job_group_metrics(sc: SparkContext, group: str) -> dict:
     registration, works identically on a real cluster)."""
     st = sc.statusTracker()
     n_jobs = n_stages = n_tasks = n_failed = 0
+    seen_stages: set[int] = set()
     for job_id in st.getJobIdsForGroup(group):
         info = st.getJobInfo(job_id)
         if info is None:
             continue
         n_jobs += 1
         for stage_id in info.stageIds:
+            if stage_id in seen_stages:
+                # stages reused/skipped across jobs in the group would
+                # otherwise be counted once per referencing job
+                continue
+            seen_stages.add(stage_id)
             si = st.getStageInfo(stage_id)
             if si is None:
                 continue

@@ -52,6 +52,19 @@ def make_migration(
     depends: tuple[str, ...] = (),
 ) -> str:
     """Write ``<out_dir>/<name>_migration.py``; returns the path."""
+    # validate BEFORE writing: empty id tuples render `(,)` (a
+    # SyntaxError on import) and empty names mint IdField('', ...)
+    # that fails only at run time — a scaffolder must fail fast
+    if not name.isidentifier():
+        raise ValueError(f"migration name must be a Python identifier: {name!r}")
+    for label, ids in (("source_ids", source_ids), ("destination_ids", destination_ids)):
+        if not ids:
+            raise ValueError(f"{label} must not be empty")
+        for n, t in ids:
+            if not n:
+                raise ValueError(f"{label} contains an empty field name")
+            if t not in ("int", "string"):
+                raise ValueError(f"{label} field {n!r} has unknown type {t!r}")
     code = _TEMPLATE.format(
         name=name,
         group=group,

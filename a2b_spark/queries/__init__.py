@@ -61,5 +61,10 @@ _reorder()
 
 
 def register(mod) -> None:
+    """Add a module's queries and RE-DERIVE the order: appending after
+    the initial _reorder would park never-driver-checked queries past
+    the 50-entry harness window — the exact silent-drop the ordering
+    exists to prevent."""
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
+    _reorder()

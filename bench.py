@@ -73,22 +73,21 @@ def main() -> None:
     # hit BOTH timed runs of one query; a slow-looking min buys one
     # more sample so a single noisy window can't misprice a query
     retry_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_SEC", "5"))
+    def timed_run(fn) -> float:
+        # one definition for BOTH passes: time construction + execution
+        # (some operators run eager planning actions — packability
+        # probes, broadcast collects — during construction, and
+        # excluding them would under-report)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-
-        def timed_run() -> float:
-            spark.catalog.clearCache()
-            # time construction + execution: some operators run eager
-            # planning actions (packability probes, broadcast collects)
-            # during construction, and excluding them would under-report
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
-
-        best = min(timed_run() for _ in range(runs))
+        best = min(timed_run(fn) for _ in range(runs))
         if best > retry_threshold:
-            best = min(best, timed_run())
+            best = min(best, timed_run(fn))
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
@@ -101,15 +100,7 @@ def main() -> None:
     repass_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_REPASS_SEC", "1.2"))
     for name, fn in sorted(QUERIES.items()):
         if timings[name] > repass_threshold:
-
-            def timed_run2() -> float:
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                return time.perf_counter() - t0
-
-            best2 = min(timings[name], timed_run2())
+            best2 = min(timings[name], timed_run(fn))
             if best2 < timings[name]:
                 print(
                     f"# repass {name}: {timings[name]}s -> {round(best2, 3)}s",

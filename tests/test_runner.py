@@ -308,3 +308,20 @@ def test_no_deps_is_honored_and_extends_orders(spark, tmp_path, sf_dir):
     batches = reg.parallel_batches(order)
     lvl = {m.name: i for i, b in enumerate(batches) for m in b}
     assert lvl["dep"] < lvl["parent"] < lvl["child"], lvl
+
+
+def test_maker_rejects_invalid_inputs(tmp_path):
+    """The scaffolder must fail fast instead of writing a module that
+    raises SyntaxError on import (round-5 review)."""
+    import pytest as _p
+
+    from a2b_spark.maker import make_migration
+
+    with _p.raises(ValueError, match="must not be empty"):
+        make_migration(str(tmp_path), "m1", "s", "d", destination_ids=())
+    with _p.raises(ValueError, match="empty field name"):
+        make_migration(str(tmp_path), "m2", "s", "d", source_ids=(("", "int"),))
+    with _p.raises(ValueError, match="unknown type"):
+        make_migration(str(tmp_path), "m3", "s", "d", source_ids=(("id", "uuid"),))
+    with _p.raises(ValueError, match="identifier"):
+        make_migration(str(tmp_path), "bad-name", "s", "d")

@@ -113,6 +113,10 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not produce a green no-op gate
+        raise SystemExit(f"unknown query name(s): {sorted(unknown)}")
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -145,7 +149,8 @@ def main():
     missing = [k for k in oracles if k not in qs]
     if missing:
         print(f"WARN oracle_sql keys without queries(): {missing}")
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    n_run = len(only) if only else len(qs)
+    print(f"\n{n_run - len(failed)}/{n_run} passed")
     sys.exit(1 if failed else 0)
 
 

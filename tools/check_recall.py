@@ -41,7 +41,7 @@ def main() -> int:
     from a2b_spark.queries import QUERIES
 
     def rows(name):
-        out = set(map(tuple, QUERIES[name](spark, sf_dir).collect()))
+        out = sorted(map(tuple, QUERIES[name](spark, sf_dir).collect()))
         spark.catalog.clearCache()
         return out
 

@@ -71,7 +71,7 @@ def build_scaled(spark, mult: int) -> str:
         "region nation customer supplier part orders lineitem events embeddings"
     ).split():
         dst = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.exists(dst):
+        if not os.path.lexists(dst):  # exists() follows (dangling) links
             os.symlink(f"/root/testdata/sf0.1/{t}.parquet", dst)
     return out_dir
 
