@@ -68,7 +68,14 @@ def _walk(obj: Any, params: Mapping[str, Any], seen: set[int], depth: int = 0) -
         if isinstance(v, list):
             return [fix(x, dep + 1) for x in v]
         if isinstance(v, tuple):
-            return tuple(fix(x, dep + 1) for x in v)
+            items = [fix(x, dep + 1) for x in v]
+            if all(a is b for a, b in zip(items, v)):
+                return v  # nothing changed — keep the original object
+            # preserve tuple SUBCLASSES: a NamedTuple config field must
+            # keep its named-attribute access after resolution
+            if hasattr(v, "_make"):
+                return type(v)._make(items)
+            return type(v)(items) if type(v) is not tuple else tuple(items)
         if type(v).__module__.startswith(("pyspark", "py4j")):
             return v
         if hasattr(v, "__dict__"):

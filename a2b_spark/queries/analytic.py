@@ -252,16 +252,23 @@ FROM hourly GROUP BY 2, 3
 # --------------------------------------------------------------- Q76
 def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: stream documents in doc_id order
-    into fixed 2048-token packs (operators.prefix.pack_sequences —
+    into fixed 8192-char packs (operators.prefix.pack_sequences —
     two-phase distributed prefix sum, never a single global window
-    partition). Output is per-pack: how many docs and tokens each
+    partition). Output is per-pack: how many docs and chars each
     training sequence carries — the batch-shape accounting step before
-    tokenizer sharding."""
+    tokenizer sharding.
+
+    The pack weight is the EXISTING integer column ``n_chars``, not a
+    derived regex token count: the operator under test is the
+    distributed prefix sum / packing, and tokenization has its own
+    oracles (q23/q61). Deriving the weight via ``\\s+`` splits in two
+    different regex engines (Spark vs the oracle's DuckDB) made the
+    oracle pair version-sensitive — one divergent document shifts
+    every later pack boundary (rounds 4–5 postmortem, PORTING.md)."""
     from a2b_spark.operators.prefix import pack_sequences
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    packed = pack_sequences(d, "doc_id", toks, budget=2048)
+    packed = pack_sequences(d, "doc_id", F.col("n_chars"), budget=8192)
     return (
         packed.groupBy("pack_id")
         .agg(
@@ -275,14 +282,14 @@ def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_Q76 = """
 WITH toks AS (
-  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tokens
+  SELECT doc_id, n_chars AS tokens
   FROM documents),
 run AS (
   SELECT doc_id, tokens,
          SUM(tokens) OVER (ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING) AS running
   FROM toks)
-SELECT (running - tokens) // 2048 AS pack_id,
+SELECT (running - tokens) // 8192 AS pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
@@ -815,7 +822,8 @@ def q89_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_Q89 = """
-WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec
+           FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, vec AS cvec
       FROM v ORDER BY vec_id LIMIT 8),
 scored AS (

@@ -185,7 +185,15 @@ class StreamingNearDupFilter:
         # insert-only append into a fresh epoch partition: O(batch)
         # writes. dedupe_keys is belt-and-braces idempotence (the
         # history drop already filters redelivered docs).
-        epoch = F.lit(str(len(self.out.versions()))).alias("__epoch")
+        #
+        # The epoch label must be MONOTONE across batches — derived
+        # from the committed version NUMBER, not len(versions()):
+        # _commit vacuums to the retention window (default 3), so the
+        # retained-version count plateaus after ~4 batches and every
+        # later batch would land in (and fully rewrite) one
+        # ever-growing partition, reverting appends to O(accumulated).
+        cur = self.out.current_version()
+        epoch = F.lit(str(0 if cur is None else int(cur[2:]) + 1)).alias("__epoch")
         self.out.append(survivors.select("*", epoch), dedupe_keys=[idc])
         self.band_store.append(
             bands_b.select("*", epoch), dedupe_keys=[idc, "band"]

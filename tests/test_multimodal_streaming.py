@@ -473,3 +473,26 @@ def test_near_dup_filter_history_first_order(spark, tmp_path):
     got = sorted(r.doc_id for r in f.accepted().select("doc_id").collect())
     # A(20) dropped vs history; B(21) survives — near A but not near H
     assert got == [1, 21], got
+
+
+def test_near_dup_filter_epoch_monotone_past_retention(spark, tmp_path):
+    """Epoch labels must stay MONOTONE once vacuum trims retained
+    versions (default retention 3): deriving the epoch from the
+    retained-version COUNT plateaus after ~4 batches, funneling every
+    later batch into one ever-growing partition (O(accumulated)
+    rewrites). Six distinct batches must land in six distinct
+    epochs."""
+    from a2b_spark.streaming.neardup import StreamingNearDupFilter
+
+    f = StreamingNearDupFilter(
+        spark, str(tmp_path / "ep_state"), "text", "doc_id", threshold=0.9
+    )
+    for i in range(6):
+        text = " ".join(f"tok{i}w{j}" for j in range(12))
+        f.process_batch(
+            spark.createDataFrame([(i, text)], "doc_id long, text string")
+        )
+    rows = f.out.read(spark).select("doc_id", "__epoch").collect()
+    assert len(rows) == 6
+    epochs = {r["doc_id"]: r["__epoch"] for r in rows}
+    assert len(set(epochs.values())) == 6, f"epoch collision: {epochs}"

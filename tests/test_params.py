@@ -129,3 +129,31 @@ def test_params_resolve_inside_lists_and_nested_dicts():
     m2 = M(); m2.source = Src(); m2.destination = Src()
     with _p.raises(KeyError, match="unresolved parameter"):
         resolve_params(m2, {"root": "/data"})  # %db% missing
+
+
+def test_resolve_params_preserves_namedtuple():
+    """A NamedTuple config field must keep its named-attribute access
+    after %param% resolution (a plain-tuple downcast fails later with
+    AttributeError); unchanged tuples keep their identity."""
+    from collections import namedtuple
+
+    from a2b_spark.core.params import resolve_params
+
+    Endpoint = namedtuple("Endpoint", ["host", "port"])
+
+    class Cfg:
+        pass
+
+    class M:
+        pass
+
+    src, dst = Cfg(), Cfg()
+    src.endpoint = Endpoint("%host%", "5432")
+    src.untouched = (1, 2, 3)
+    m = M()
+    m.source, m.destination = src, dst
+    resolve_params(m, {"host": "db.example"})
+    assert isinstance(src.endpoint, Endpoint)
+    assert src.endpoint.host == "db.example"
+    assert src.endpoint.port == "5432"
+    assert src.untouched == (1, 2, 3) and isinstance(src.untouched, tuple)
