@@ -397,3 +397,369 @@ ORACLES = {
     "q98_cluster_profile": O_Q98,
     "q99_domain_cap": O_Q99,
 }
+
+
+# --------------------------------------------------------------- Q100
+def q100_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the shape report over q44's
+    clustering output: how many 2-doc twins vs big boilerplate blobs?
+    A heavy tail here means span-removal/boilerplate work (q70/q97)
+    will recover more tokens than pairwise dedup.
+
+    Scale shape: identical spine to q44 (minhash-LSH pairs →
+    alternating-star CC); the histogram is two tiny aggs over the
+    (node, component) frame. Oracle: exact-jaccard edges +
+    recursive-CTE transitive closure (the q44 idiom)."""
+    from a2b_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dup_pairs(d, "text", "doc_id", threshold=0.8)
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
+O_Q100 = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+                        for i in range(0, greatest(len(ws)-2, 0))]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+sym AS (SELECT ia AS a, ib AS b FROM edges UNION SELECT ib, ia FROM edges),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster FROM reach GROUP BY a),
+sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- Q101
+def q101_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic classifier (q24's
+    lang_id) against the labeled lang column, with per-true-language
+    rates — the quality report that decides whether the cheap n-gram
+    classifier is good enough to route documents at scale.
+
+    Scale shape: one scan + one (lang, pred) agg; the rate divides by
+    a window sum over the TINY aggregate (≤ |langs|² rows)."""
+    from a2b_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    cm = (
+        d.select("lang", TXT.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = W.partitionBy("lang")
+    return cm.withColumn("rate", F.col("n") / F.sum("n").over(tot))
+
+
+# oracle assembled below (needs pipeline._lang_case at import time)
+
+
+# --------------------------------------------------------------- Q102
+def q102_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination RATE per source: q59's GPT-3 5-gram rule
+    (20% hash holdout as the benchmark) aggregated to the report a
+    curation run acts on — which sources leak eval data and how badly.
+
+    Scale shape: q59's digest-join spine (grams ride as md5 digests,
+    benchmark side broadcast); the per-source rollup adds one tiny agg
+    + one single-division rate."""
+    from a2b_spark.operators.dedup import ngram_decontaminate
+    from a2b_spark.operators.rangejoin import hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    dt = d.select("doc_id", "text", "source")
+    bench = hash_sample(dt, "doc_id", percent=20, salt="decon")
+    rest = dt.join(bench.select("doc_id"), "doc_id", "left_anti")
+    cont = ngram_decontaminate(
+        rest.select("doc_id", "text"), bench.select("doc_id", "text"),
+        "text", "doc_id", n=5,
+    )
+    flagged = rest.join(cont, "doc_id", "left").select(
+        "source", F.col("n_shared_ngrams").isNotNull().cast("long").alias("__c")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__c").cast("long").alias("n_contaminated"),
+        )
+        .withColumn("contamination_rate", F.col("n_contaminated") / F.col("n_docs"))
+    )
+
+
+O_Q102 = """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws,
+         CAST(('0x' || substring(md5('decon' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20 AS is_bench
+  FROM documents),
+g AS (
+  SELECT doc_id, is_bench,
+         unnest(list_distinct(CASE WHEN len(ws) >= 5
+           THEN [list_aggregate(ws[i+1:i+5], 'string_agg', ' ') for i in range(0, len(ws)-4)]
+           ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS ng
+  FROM d),
+b AS (SELECT DISTINCT ng FROM g WHERE is_bench AND ng <> ''),
+cont AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN b USING (ng)
+  WHERE NOT is_bench AND ng <> ''),
+rest AS (SELECT doc_id, source FROM d WHERE NOT is_bench)
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*) AS contamination_rate
+FROM rest r LEFT JOIN cont c ON r.doc_id = c.doc_id
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- Q103
+def q103_survivor_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture drift under dedup: per-source corpus share BEFORE vs
+    AFTER exact fingerprint dedup (min-id survivor). Dedup is never
+    mixture-neutral — boilerplate-heavy sources shrink — and this is
+    the report that quantifies the drift before a training run bakes
+    it in.
+
+    Float discipline: shares are single divisions of exact longs; the
+    totals attach via window sums over the per-source aggregate
+    (≤ |sources| rows)."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "source", F.md5("text").alias("__fp"))
+    keep = staged.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    marked = staged.join(keep, "__fp").select(
+        "source", (F.col("doc_id") == F.col("__keep_id")).cast("long").alias("__s")
+    )
+    per_src = marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__s").cast("long").alias("n_survivors"),
+    )
+    g = W.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_survivors",
+        (F.col("n_docs") / F.sum("n_docs").over(g)).alias("before_share"),
+        (F.col("n_survivors") / F.sum("n_survivors").over(g)).alias("after_share"),
+    )
+
+
+O_Q103 = """
+WITH t AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+k AS (SELECT fp, MIN(doc_id) AS keep_id FROM t GROUP BY 1),
+m AS (
+  SELECT t.source,
+         CASE WHEN t.doc_id = k.keep_id THEN 1 ELSE 0 END AS s
+  FROM t JOIN k USING (fp)),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(s) AS BIGINT) AS n_survivors
+  FROM m GROUP BY 1)
+SELECT source, n_docs, n_survivors,
+       CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS before_share,
+       CAST(n_survivors AS DOUBLE) / SUM(n_survivors) OVER () AS after_share
+FROM a
+"""
+
+
+# --------------------------------------------------------------- Q104
+def q104_token_share_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted effect of mixture rebalancing: per-language token
+    SHARE before vs after q77's self-tuning keep-filter. q77 balances
+    document counts; this report shows what that does to the token
+    mix (long-doc languages keep more tokens per kept doc) — the
+    number the training-budget plan actually consumes.
+
+    Scale shape: the kept set comes from q77's broadcast-rates filter
+    (one scan); token counts join by doc id; shares divide by window
+    sums over the per-language aggregate (≤ |langs| rows)."""
+    from a2b_spark.queries.analytic import q77_mixture_rebalance
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__toks"),
+    )
+    kept = q77_mixture_rebalance(spark, sf_dir).select("doc_id", F.lit(1).alias("__k"))
+    marked = toks.join(kept, "doc_id", "left")
+    agg = marked.groupBy("lang").agg(
+        F.sum("__toks").cast("long").alias("before_tokens"),
+        F.sum(F.when(F.col("__k").isNotNull(), F.col("__toks")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("after_tokens"),
+    )
+    g = W.partitionBy()
+    return agg.select(
+        "lang",
+        "before_tokens",
+        "after_tokens",
+        (F.col("before_tokens") / F.sum("before_tokens").over(g)).alias("before_share"),
+        (F.col("after_tokens") / F.sum("after_tokens").over(g)).alias("after_share"),
+    )
+
+
+O_Q104 = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+  FROM documents),
+counts AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY lang),
+mm AS (SELECT MIN(cnt) AS m FROM counts),
+kept AS (
+  SELECT d.doc_id FROM documents d JOIN counts USING (lang) CROSS JOIN mm
+  WHERE (CAST(('0x' || substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10000) * cnt < m * 10000),
+agg AS (
+  SELECT t.lang,
+         CAST(SUM(t.toks) AS BIGINT) AS before_tokens,
+         CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN t.toks ELSE 0 END) AS BIGINT) AS after_tokens
+  FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+  GROUP BY 1)
+SELECT lang, before_tokens, after_tokens,
+       CAST(before_tokens AS DOUBLE) / SUM(before_tokens) OVER () AS before_share,
+       CAST(after_tokens AS DOUBLE) / SUM(after_tokens) OVER () AS after_share
+FROM agg
+"""
+
+
+# --------------------------------------------------------------- Q105
+def q105_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm histogram in quarter-unit bins — the sanity
+    report before cosine-based dedup/ANN (a spike near zero means
+    direction-less vectors; a wide spread means unnormalized inputs
+    that silently re-weight dot-product retrieval).
+
+    Float discipline: the norm is the sequential-fold dot + sqrt
+    (KNN-oracle parity), rounded to 6; the bin multiplies by 4 — a
+    power of two, EXACT in binary floating point — before floor, so
+    both engines bin identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    from a2b_spark.functions.vectors import norm
+
+    n = F.round(norm(as_double("embedding")), 6)
+    return (
+        e.filter(F.col("embedding").isNotNull())
+        .select(n.alias("__n"))
+        .withColumn("bin_q", F.floor(F.col("__n") * 4).cast("int"))
+        .groupBy("bin_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("__n").alias("min_norm"),
+            F.max("__n").alias("max_norm"),
+        )
+    )
+
+
+O_Q105 = """
+WITH v AS (
+  SELECT round(sqrt(list_inner_product(
+           [CAST(x AS DOUBLE) for x in embedding],
+           [CAST(x AS DOUBLE) for x in embedding])), 6) AS n
+  FROM embeddings WHERE embedding IS NOT NULL)
+SELECT CAST(FLOOR(n * 4) AS INTEGER) AS bin_q,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(n) AS min_norm, MAX(n) AS max_norm
+FROM v GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- Q106
+def q106_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-style candidate pairs from winnowing fingerprints
+    (SIGMOD'03): documents sharing ≥3 selected window minima. The
+    fingerprint index is the scale path — each doc posts O(len/w)
+    fingerprints, the pair join runs per fingerprint bucket (LSH-bucket
+    shape), never all-pairs.
+
+    Oracle: the q40 fingerprint CTE + a bucket self-join."""
+    from a2b_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    fps = TXT.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    flat = fps.select("doc_id", F.explode_outer("fps").alias("fp"))
+    a = flat.select(F.col("doc_id").alias("id_a"), "fp")
+    b = flat.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+
+
+O_Q106 = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+kg AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 5 THEN
+      [CAST(('0x' || substring(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)
+       for i in generate_series(1, len(toks) - 4)]
+    ELSE [CAST(('0x' || substring(md5(array_to_string(toks, ' ')), 1, 15)) AS BIGINT)]
+    END AS hs
+  FROM t),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= 4 THEN [list_min(hs[j:j+3]) for j in generate_series(1, len(hs) - 3)]
+    ELSE [list_min(hs)] END AS mins
+  FROM kg),
+fpp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM wins)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+"""
+
+
+def _o_q101() -> str:
+    from a2b_spark.queries.pipeline import _lang_case
+
+    return f"""
+WITH t AS (SELECT lang, text, string_split(text, ' ') AS ws FROM documents),
+cm AS (
+  SELECT lang, {_lang_case()} AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM t GROUP BY 1, 2)
+SELECT lang, pred_lang, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang) AS rate
+FROM cm
+"""
+
+
+QUERIES.update(
+    {
+        "q100_cluster_size_histogram": q100_cluster_size_histogram,
+        "q101_lang_confusion": q101_lang_confusion,
+        "q102_contamination_by_source": q102_contamination_by_source,
+        "q103_survivor_shift": q103_survivor_shift,
+        "q104_token_share_rebalance": q104_token_share_rebalance,
+        "q105_norm_histogram": q105_norm_histogram,
+        "q106_winnow_shared_pairs": q106_winnow_shared_pairs,
+    }
+)
+
+ORACLES.update(
+    {
+        "q100_cluster_size_histogram": O_Q100,
+        "q101_lang_confusion": _o_q101(),
+        "q102_contamination_by_source": O_Q102,
+        "q103_survivor_shift": O_Q103,
+        "q104_token_share_rebalance": O_Q104,
+        "q105_norm_histogram": O_Q105,
+        "q106_winnow_shared_pairs": O_Q106,
+    }
+)

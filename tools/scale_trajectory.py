@@ -34,7 +34,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-QUERIES = ["q26_near_dup_minhash_lsh", "q44_dup_clusters", "q49_dedup_apply"]
+QUERIES = [
+    # the dedup spine (round 5)
+    "q26_near_dup_minhash_lsh",
+    "q44_dup_clusters",
+    "q49_dedup_apply",
+    # round 6: the next heaviest families — PPJoin exact jaccard (the
+    # one super-linear 10x point before the PPJoin+ df-ordering),
+    # span detect/remove, keep-best survivor, TF-IDF
+    "q25_near_dup_exact_jaccard",
+    "q67_dup_ngram_spans",
+    "q70_remove_dup_spans",
+    "q68_dedup_keep_best",
+    "q47_tfidf_top_terms",
+]
 
 
 def build_scaled(spark, mult: int) -> str:
