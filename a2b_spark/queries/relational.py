@@ -655,6 +655,214 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------- Q107
+def q107_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns): suppliers
+    who were the ONLY supplier with a returned line in a multi-supplier
+    order — EXISTS (another supplier in the order) composed with NOT
+    EXISTS (another supplier who also had a return). The classic
+    double-correlated-subquery plan, expressed as semi + anti
+    self-joins of lineitem on the order key.
+
+    Scale shape: both subqueries reduce to DISTINCT (orderkey,
+    suppkey) projections of the same scan; the semi/anti joins are
+    equi on l_orderkey with a residual suppkey-inequality condition —
+    hash-joinable, never a nested loop. The supplier dim broadcasts.
+
+    Reference parity: the anti-join/semi-join machinery of orphan
+    detection (/root/reference/src/DataMigration/DataMigrationExecutor
+    .php:275-328) generalized to correlated-pair form."""
+    li = _t(spark, sf_dir, "lineitem")
+    rl = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    al = li.select("l_orderkey", "l_suppkey").distinct()
+    other = al.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    r_other = rl.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    )
+    cand = rl.join(
+        other,
+        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
+        "left_semi",
+    ).join(
+        r_other,
+        (F.col("l_orderkey") == F.col("__ok")) & (F.col("l_suppkey") != F.col("__sk")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        cand.join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+O_Q107 = """
+WITH rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM rl c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM al o
+              WHERE o.l_orderkey = c.l_orderkey AND o.l_suppkey != c.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM rl r
+                  WHERE r.l_orderkey = c.l_orderkey AND r.l_suppkey != c.l_suppkey)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- Q108
+def q108_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over one quarter, keep the
+    supplier(s) achieving the MAXIMUM — the view-plus-max-equality
+    pattern. The max attaches via a global window over the per-supplier
+    AGGREGATE (≤ |suppliers| rows — the repo's scalar-fanout idiom;
+    a constant-key join would fold into a nested loop), and revenue
+    accumulates as DECIMAL so the equality compare is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(disc_price, "total_revenue", 6))
+    )
+    mx = rev.withColumn("__mx", F.max("total_revenue").over(W.partitionBy()))
+    return (
+        mx.filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), mx["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+O_Q108 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# --------------------------------------------------------------- Q109
+def q109_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total
+    quantity exceeds 300, joined back to customer — the
+    aggregation-DRIVEN semi-join (the filter exists only after the
+    groupBy, so no scan-level pushdown can help; the planner must
+    aggregate first and join the survivors).
+
+    Scale shape: the lineitem agg map-side-combines on l_orderkey;
+    survivors (a tiny fraction) drive broadcast-able joins to orders
+    and customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_totalprice", "total_qty",
+        )
+    )
+
+
+O_Q109 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS VARCHAR) AS o_orderdate,
+       o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --------------------------------------------------------------- Q110
+def q110_domestic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share), parameter-free variant: per
+    (customer region, order year), the revenue share supplied
+    DOMESTICALLY (supplier nation == customer nation). Five-table join
+    with every dim broadcast; shares are one double division of two
+    DECIMAL-accumulated sums.
+
+    Scale shape: lineitem joins orders on the order key (the only
+    big-big join — co-partitioned by AQE); customer, supplier,
+    nation, region broadcast; one (region, year) agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    agg = (
+        j.select(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("year"),
+            disc_price.alias("__rev"),
+            F.when(F.col("s_nationkey") == F.col("c_nationkey"), disc_price)
+            .otherwise(F.lit(0.0))
+            .alias("__dom"),
+        )
+        .groupBy("region", "year")
+        .agg(
+            dsum(F.col("__rev"), "total_revenue", 6),
+            dsum(F.col("__dom"), "domestic_revenue", 6),
+        )
+    )
+    return agg.withColumn(
+        "domestic_share", F.col("domestic_revenue") / F.col("total_revenue")
+    )
+
+
+O_Q110 = """
+SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS BIGINT) AS year,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+  CAST(SUM(CAST(CASE WHEN s.s_nationkey = c.c_nationkey
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS domestic_revenue,
+  CAST(SUM(CAST(CASE WHEN s.s_nationkey = c.c_nationkey
+                     THEN l.l_extendedprice * (1 - l.l_discount)
+                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+    / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS domestic_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q41_min_cost_supplier": q41_min_cost_supplier,
@@ -678,6 +886,10 @@ QUERIES = {
     "q18_cube_orders": q18_cube_orders,
     "q19_pivot_status_by_priority": q19_pivot_status_by_priority,
     "q39_grouped_udaf_geomean": q39_grouped_udaf_geomean,
+    "q107_sole_return_suppliers": q107_sole_return_suppliers,
+    "q108_top_supplier_revenue": q108_top_supplier_revenue,
+    "q109_big_orders": q109_big_orders,
+    "q110_domestic_share": q110_domestic_share,
 }
 
 ORACLES = {
@@ -703,4 +915,8 @@ ORACLES = {
     "q18_cube_orders": O_Q18,
     "q19_pivot_status_by_priority": O_Q19,
     "q39_grouped_udaf_geomean": O_Q39,
+    "q107_sole_return_suppliers": O_Q107,
+    "q108_top_supplier_revenue": O_Q108,
+    "q109_big_orders": O_Q109,
+    "q110_domestic_share": O_Q110,
 }
