@@ -681,8 +681,14 @@ def q86_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order differs per engine, so instead the sufficient statistics
     (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in exact DECIMAL and the
     final covariance/correlation is ONE fixed double expression over
-    their correctly-rounded double casts — identical IEEE results on
-    any engine. One scan, map-side-combined aggregation."""
+    their double casts. The casts themselves can double-round
+    differently per engine once the scaled decimal exceeds 2⁵³
+    (Java BigDecimal.doubleValue is one correctly-rounded conversion;
+    an int128/10^scale path rounds twice), so the OUTPUTS take the
+    repo's standard final rounding (corr to 9 — it lives in [-1,1];
+    covar to 4) to absorb the ≤2-ulp divergence (first seen as a
+    3e-18 corr diff at sf0.001). One scan, map-side-combined
+    aggregation."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(18,2)")
     y = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -704,8 +710,8 @@ def q86_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         F.col("n").cast("long").alias("n"),
-        cov.alias("covar_samp"),
-        corr.alias("corr"),
+        F.round(cov, 4).alias("covar_samp"),
+        F.round(corr, 9).alias("corr"),
     )
 
 
@@ -720,9 +726,9 @@ WITH s AS (
     CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy
   FROM lineitem GROUP BY l_returnflag)
 SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-  (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp,
-  (n * sxy - sx * sy)
-    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+  round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_samp,
+  round((n * sxy - sx * sy)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr
 FROM s
 """
 
