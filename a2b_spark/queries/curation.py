@@ -763,3 +763,40 @@ ORACLES.update(
         "q106_winnow_shared_pairs": O_Q106,
     }
 )
+
+
+# --------------------------------------------------------------- Q111
+def q111_fuzzy_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching over catalog keys (name + brand): distinct
+    keys within levenshtein distance 1 — the typo-pair report behind
+    entity resolution on dirty keys. Uses the PassJoin-style halves
+    pigeonhole (operators/editjoin.py): every qualifying pair collides
+    on an untouched half, so the candidate join is equi on
+    (segment, text, length) — never an all-pairs cross join — and the
+    survivors verify with the codegen levenshtein."""
+    from a2b_spark.operators.editjoin import edit_distance_pairs
+
+    p = _t(spark, sf_dir, "part")
+    keys = (
+        p.groupBy(
+            F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")).alias("key")
+        )
+        .agg(F.min("p_partkey").alias("pk"))
+    )
+    return edit_distance_pairs(keys, "key", "pk", max_dist=1)
+
+
+O_Q111 = """
+WITH k AS (
+  SELECT MIN(p_partkey) AS pk, p_name || ' ' || p_brand AS key
+  FROM part GROUP BY 2)
+SELECT a.pk AS id_a, b.pk AS id_b,
+       CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+FROM k a JOIN k b
+  ON a.pk < b.pk AND length(a.key) = length(b.key)
+WHERE levenshtein(a.key, b.key) <= 1
+"""
+
+
+QUERIES["q111_fuzzy_key_pairs"] = q111_fuzzy_key_pairs
+ORACLES["q111_fuzzy_key_pairs"] = O_Q111

@@ -80,3 +80,46 @@ def session_agg(
         *keys,
         *aggs.keys(),
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    within: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with the event-time range
+    bound Spark needs for state eviction: rows join when their keys
+    match AND ``right_ts`` lies in [left_ts, left_ts + within].
+
+    Both inputs get a ``watermark`` delay; with the range condition
+    this bounds each side's join state to (watermark + within) of
+    event time — without it an inner stream-stream join buffers both
+    streams forever (the documented unbounded-state hazard). Works
+    identically on batch frames (watermarks no-op, the condition is a
+    plain filter), which is how the oracle-style tests cross-check the
+    streamed result.
+
+    ``how`` supports inner and leftOuter (outer emission waits for the
+    watermark to pass, per Spark semantics)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    keys = [lw[k] == rw[k] for k in on]
+    rng = (rw[right_ts] >= lw[left_ts]) & (
+        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}")
+    )
+    cond = keys[0]
+    for k in keys[1:]:
+        cond = cond & k
+    joined = lw.join(rw, cond & rng, how)
+    # project unambiguous columns: left's keys survive, both timestamps
+    dup = set(on)
+    cols = [lw[c].alias(c) for c in left.columns] + [
+        rw[c].alias(f"r_{c}" if c in dup or c in left.columns else c)
+        for c in right.columns
+    ]
+    return joined.select(*cols)

@@ -577,3 +577,66 @@ def test_ppm_codec_end_to_end(spark):
         assert redec[mid]["features"] == pytest.approx(
             dec[mid]["features"], abs=1e-5
         )
+
+
+def test_stream_stream_join_windowed(spark, tmp_path):
+    """Watermarked stream-stream inner join with a time-range bound:
+    impression/click attribution. Clicks join their impression when
+    keys match and the click lands within 10 minutes. The same helper
+    run in BATCH mode is the oracle (watermarks no-op there); the
+    streamed result must equal it exactly."""
+    import datetime as dt
+
+    from a2b_spark.streaming.windows import stream_stream_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    imps = [(1, ts(0)), (2, ts(5)), (3, ts(10))]
+    clicks = [
+        (1, ts(4), "a"),    # within 10m of imp 1 -> joins
+        (2, ts(20), "b"),   # 15m after imp 2 -> outside bound
+        (3, ts(9), "c"),    # BEFORE imp 3's ts? no: 9 < 10 -> outside
+        (3, ts(18), "d"),   # within [10, 20] -> joins
+        (4, ts(1), "e"),    # no impression -> drops
+    ]
+    imp_dir, clk_dir = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    os.makedirs(imp_dir); os.makedirs(clk_dir)
+    imp_schema = "ad_id long, imp_ts timestamp"
+    clk_schema = "ad_id long, click_ts timestamp, tag string"
+    spark.createDataFrame(imps, imp_schema).coalesce(1).write.parquet(f"{imp_dir}/b")
+    spark.createDataFrame(clicks, clk_schema).coalesce(1).write.parquet(f"{clk_dir}/b")
+
+    # batch twin = oracle
+    batch = stream_stream_join(
+        spark.read.schema(imp_schema).parquet(f"{imp_dir}/*"),
+        spark.read.schema(clk_schema).parquet(f"{clk_dir}/*"),
+        ["ad_id"], "imp_ts", "click_ts", "15 minutes", "10 minutes",
+    )
+    expect = {(r["ad_id"], r["tag"]) for r in batch.collect()}
+    assert expect == {(1, "a"), (3, "d")}
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_stream_join(
+            spark.readStream.schema(imp_schema).parquet(f"{imp_dir}/*"),
+            spark.readStream.schema(clk_schema).parquet(f"{clk_dir}/*"),
+            ["ad_id"], "imp_ts", "click_ts", "15 minutes", "10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {
+        (r["ad_id"], r["tag"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expect, (got, expect)

@@ -905,3 +905,48 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         salted_join(l, r, ["k"], how="full")
     with pytest.raises(ValueError, match="unmatched right rows"):
         salted_join(l, r, ["k"], how="right")
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """Pigeonhole recall: every equal-length pair at levenshtein <= 1
+    must survive the halves blocking — substitutions in the FIRST and
+    SECOND half, exact dups, odd/even lengths, and non-matches."""
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.editjoin import edit_distance_pairs
+
+    vals = [
+        (1, "abcdef"), (2, "xbcdef"),   # sub in first half
+        (3, "abcdxf"),                  # sub in second half
+        (4, "abcdef"),                  # exact dup of 1
+        (5, "abcde"),                   # shorter (never matches 1-4)
+        (6, "abcdx"),                   # d=1 vs 5, odd length
+        (7, "zzzzzz"),                  # no match
+        (8, "qrs"),  (9, "qts"),        # tiny strings, sub at middle
+        (10, ""),    (11, ""),          # empty strings (exact pair)
+    ]
+    df = spark.createDataFrame(vals, "id long, v string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "v", "id", 1).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(vals, 2)
+        if len(a) == len(b) and lev(a, b) <= 1
+    }
+    assert got == want, (got ^ want)
