@@ -75,7 +75,15 @@ def _walk(obj: Any, params: Mapping[str, Any], seen: set[int], depth: int = 0) -
             # keep its named-attribute access after resolution
             if hasattr(v, "_make"):
                 return type(v)._make(items)
-            return type(v)(items) if type(v) is not tuple else tuple(items)
+            if type(v) is tuple:
+                return tuple(items)
+            # unknown tuple subclass: its constructor signature is not
+            # knowable (may not take one iterable) — try it, else fall
+            # back to a plain tuple (the pre-resolution behavior)
+            try:
+                return type(v)(items)
+            except TypeError:
+                return tuple(items)
         if type(v).__module__.startswith(("pyspark", "py4j")):
             return v
         if hasattr(v, "__dict__"):

@@ -400,11 +400,10 @@ def exact_jaccard_pairs(
       collision satisfies both, so keeping pairs where ANY collision
       passes is exact — while late-only collisions are pruned before
       the candidate dedup shuffle."""
-    # one text→k-gram-hash pass feeds the index AND both verify sides
-    sh = _materialize(
-        kgram_hash_docs(df, text_col, id_col, shingle_k)
-        .select(F.col(id_col), F.array_sort("khs").alias("khs"))
-    )
+    # one text→k-gram-hash pass feeds the index AND both verify sides.
+    # No array_sort: prefix positions come from the (df, gram) window
+    # below and the verify step is order-independent set algebra.
+    sh = _materialize(kgram_hash_docs(df, text_col, id_col, shingle_k))
     sz = F.size("khs")
     # epsilon inside ceil: when t·sz is a true integer the float product
     # can land a hair ABOVE it and ceil would shorten the prefix by one

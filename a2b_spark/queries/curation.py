@@ -66,7 +66,8 @@ def q93_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_Q93 = """
-WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings),
+WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS vec FROM embeddings
+           WHERE embedding IS NOT NULL),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
          round(list_inner_product(q.vec, c.vec)
@@ -146,6 +147,18 @@ FROM b
 
 
 # --------------------------------------------------------------- Q95
+def _fp_dedup_marked(d: DataFrame, *extra_cols) -> DataFrame:
+    """The exact content-fingerprint dedup spine shared by q95/q103:
+    md5(text) fingerprint + min-doc_id survivor election as a
+    map-side-combined agg joined back on the fingerprint (never a
+    window over hot fingerprints). Returns (doc_id, source, __fp,
+    *extra_cols, __keep_id); survivor-rule changes land in every
+    dedup-accounting report at once."""
+    staged = d.select("doc_id", "source", F.md5("text").alias("__fp"), *extra_cols)
+    keep = staged.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    return staged.join(keep, "__fp")
+
+
 def q95_dedup_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level dedup cost accounting per source: under exact
     content-fingerprint dedup (md5(text), min-id survivor), how many
@@ -159,16 +172,9 @@ def q95_dedup_token_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source. Tokens = single-space split count (the engine's only
     cross-engine-safe tokenizer)."""
     d = _t(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("__fp"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("__toks"),
-    )
-    keep = staged.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
-    marked = staged.join(keep, "__fp").withColumn(
-        "__dup", (F.col("doc_id") != F.col("__keep_id")).cast("long")
-    )
+    marked = _fp_dedup_marked(
+        d, F.size(F.split(F.col("text"), " ")).cast("long").alias("__toks")
+    ).withColumn("__dup", (F.col("doc_id") != F.col("__keep_id")).cast("long"))
     return (
         marked.groupBy("source")
         .agg(
@@ -541,9 +547,7 @@ def q103_survivor_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals attach via window sums over the per-source aggregate
     (≤ |sources| rows)."""
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", "source", F.md5("text").alias("__fp"))
-    keep = staged.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
-    marked = staged.join(keep, "__fp").select(
+    marked = _fp_dedup_marked(d).select(
         "source", (F.col("doc_id") == F.col("__keep_id")).cast("long").alias("__s")
     )
     per_src = marked.groupBy("source").agg(

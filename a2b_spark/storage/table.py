@@ -111,6 +111,15 @@ class VersionedParquetTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
+    def current_version_number(self) -> Optional[int]:
+        """The committed version as a MONOTONE integer (None before the
+        first commit). Unlike ``len(versions())`` this never plateaus
+        under retention vacuuming, so it is safe to derive epoch-style
+        counters from; it also keeps the version-name format private
+        to this module."""
+        v = self.current_version()
+        return None if v is None else int(v.split("_")[1])
+
     def versions(self) -> list[str]:
         """Retained COMMITTED version names, oldest → newest. Every
         committed write is one entry until ``vacuum`` trims history —

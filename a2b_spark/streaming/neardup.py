@@ -192,8 +192,8 @@ class StreamingNearDupFilter:
         # retained-version count plateaus after ~4 batches and every
         # later batch would land in (and fully rewrite) one
         # ever-growing partition, reverting appends to O(accumulated).
-        cur = self.out.current_version()
-        epoch = F.lit(str(0 if cur is None else int(cur[2:]) + 1)).alias("__epoch")
+        cur = self.out.current_version_number()
+        epoch = F.lit(str(0 if cur is None else cur + 1)).alias("__epoch")
         self.out.append(survivors.select("*", epoch), dedupe_keys=[idc])
         self.band_store.append(
             bands_b.select("*", epoch), dedupe_keys=[idc, "band"]

@@ -157,3 +157,28 @@ def test_resolve_params_preserves_namedtuple():
     assert src.endpoint.host == "db.example"
     assert src.endpoint.port == "5432"
     assert src.untouched == (1, 2, 3) and isinstance(src.untouched, tuple)
+
+
+def test_resolve_params_tuple_subclass_odd_constructor():
+    """A tuple subclass whose constructor does NOT accept one iterable
+    (so ``type(v)(items)`` would raise) must fall back to a plain
+    tuple — the pre-resolution behavior — instead of aborting the
+    whole migration resolution (round-6 review)."""
+    from a2b_spark.core.params import resolve_params
+
+    class Pair(tuple):
+        def __new__(cls, a, b):
+            return super().__new__(cls, (a, b))
+
+    class Cfg:
+        pass
+
+    class M:
+        pass
+
+    src, dst = Cfg(), Cfg()
+    src.pair = Pair("%root%/x", "y")
+    m = M()
+    m.source, m.destination = src, dst
+    resolve_params(m, {"root": "/data"})
+    assert tuple(src.pair) == ("/data/x", "y")
