@@ -972,3 +972,54 @@ def containment_contaminated_pairs(
         .filter(F.col("containment") >= threshold)
         .select(id_col, "bench_id", "n_shared_ngrams", "bench_ngrams", "containment")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings first, then compare pairs
+    only WITHIN a cluster — the scale move that turns all-pairs cosine
+    dedup into k independent, bounded quadratic tiles. Clustering is
+    the deterministic k-means assignment step (seed centroids = the k
+    smallest ids, rounded-argmin — engine-portable, no RNG), so the
+    whole operator is oracle-checkable, unlike RNG-seeded SemDeDup.
+
+    Returns (cluster_id, id_a, id_b, cos) for within-cluster pairs
+    with round(cos, 6) ≥ threshold, id_a < id_b.
+
+    Scale shape: assignment is a join-free in-row argmin (bounded
+    k·dim driver pull for the seed centroids); the pair join shuffles
+    by cluster_id, so per-task work is O((n/k)²·dim) — pick
+    k ≈ n / target_cluster_size at scale (SemDeDup uses ~n/1e3..1e4
+    clusters; the default 8 is the small-SF test shape). The cosine is
+    the Arrow-batched exact fold (pair_cosine_raw), rounded JVM-side
+    to the oracle contract. Null vectors are dropped (can't embed ⇒
+    can't semantically compare), matching the assignment step.
+    """
+    from a2b_spark.functions.vectors import as_double, pair_cosine_raw
+    from a2b_spark.operators.similarity import kmeans_assign
+
+    df = df.filter(F.col(vec_col).isNotNull())
+    assign = kmeans_assign(df, vec_col, id_col, k=k).select(id_col, "cluster_id")
+    v = df.select(F.col(id_col), as_double(vec_col).alias("__v")).join(
+        assign, id_col
+    )
+    a = v.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col("__v").alias("__va")
+    )
+    b = v.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
+    )
+    cos_raw = pair_cosine_raw()
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cos_raw(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("cluster_id", "id_a", "id_b", "cos")
+    )

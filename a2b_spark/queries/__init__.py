@@ -26,12 +26,12 @@ tools/check_oracle.py and bench.py each round.
 import json
 import os
 
-from a2b_spark.queries import analytic, curation, pipeline, relational
+from a2b_spark.queries import analytic, curation, pipeline, relational, reports
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, pipeline, analytic, curation):
+for mod in (relational, pipeline, analytic, curation, reports):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -950,3 +950,65 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
         if len(a) == len(b) and lev(a, b) <= 1
     }
     assert got == want, (got ^ want)
+
+
+def test_table_profile_counts_and_canon(spark):
+    """Profiler: null counts, exact distincts, canonical min/max —
+    including a fully-null column and a double column's fixed-scale
+    decimal rendering."""
+    from a2b_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "b", 2.5, None), (2, "a", None, None), (2, "c", 10000.0, None)],
+        "k long, s string, x double, z string",
+    )
+    rows = {r.col_name: r for r in table_profile(df).collect()}
+    assert rows["k"].null_count == 0 and rows["k"].n_distinct == 2
+    assert rows["k"].min_s == "1" and rows["k"].max_s == "2"
+    assert rows["s"].min_s == "a" and rows["s"].max_s == "c"
+    assert rows["x"].null_count == 1 and rows["x"].n_distinct == 2
+    # doubles render through DECIMAL(28,4): never scientific notation
+    assert rows["x"].min_s == "2.5000" and rows["x"].max_s == "10000.0000"
+    assert rows["z"].null_count == 3 and rows["z"].n_distinct == 0
+    assert rows["z"].min_s is None and rows["z"].max_s is None
+
+
+def test_table_profile_single_scan(spark):
+    """The profile of N columns must stay ONE scan (a single wide
+    aggregate), not N per-column scans."""
+    from a2b_spark.operators.profile import table_profile
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m"), F.col("id").cast("string").alias("s")
+    )
+    plan = table_profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("range (") == 1
+
+
+def test_semantic_dedup_subset_of_exact_pairs(embs):
+    """Within-cluster semantic pairs are exactly the exact all-pairs
+    cosine pairs whose endpoints share a k-means cluster — no pair
+    invented, none lost inside a cluster."""
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in D.embedding_dup_pairs_exact(
+            embs, "embedding", "vec_id", threshold=0.45
+        ).collect()
+    }
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in S.kmeans_assign(embs, "embedding", "vec_id", k=8).collect()
+    }
+    sem = {
+        (r.id_a, r.id_b): (r.cluster_id, r.cos)
+        for r in D.semantic_dedup_pairs(
+            embs, "embedding", "vec_id", k=8, threshold=0.45
+        ).collect()
+    }
+    expected = {
+        p for p in exact if assign[p[0]] == assign[p[1]]
+    }
+    assert set(sem) == expected
+    for (ia, ib), (cid, cos) in sem.items():
+        assert assign[ia] == assign[ib] == cid
+        assert cos == pytest.approx(exact[(ia, ib)], abs=2e-6)
