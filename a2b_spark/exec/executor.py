@@ -54,6 +54,59 @@ from a2b_spark.mapping.store import (
 
 SRC_STRUCT = "__src__"
 EXISTING = "__existing"
+ROW_HASH = "__row_hash"
+
+
+def _with_row_hash(entity: DataFrame) -> DataFrame:
+    """Deterministic content hash of everything the destination would
+    receive: xxhash64 of the canonical JSON of the sorted payload
+    columns. JSON (with explicit nulls), not a bare multi-column
+    xxhash64 — the raw hash folds a NULL column as a no-op, so two
+    rows differing only in WHICH column is null would collide."""
+    payload = sorted(c for c in entity.columns if c not in (SRC_STRUCT, ROW_HASH))
+    return entity.withColumn(
+        ROW_HASH,
+        F.xxhash64(
+            F.to_json(
+                F.struct(*[F.col(c) for c in payload]),
+                {"ignoreNullFields": "false"},
+            )
+        ),
+    )
+
+
+def _changed_rows(mapper: MappingStore, m: Migration, entity: DataFrame) -> DataFrame:
+    """Incremental filter: keep entity rows whose content hash differs
+    from the one stored in the mapping table (or that have no mapping
+    yet — new rows and pre-round stubs both qualify). One left join on
+    the source keys against a two-column projection of the mapping
+    table; O(entity + mapping-key scan), never a destination read."""
+    prev = mapper.load(m.mapping_key(), m.source_ids, m.destination_ids)
+    key_cols = [prev[src_col(f)] for f in m.source_ids]
+    if "row_hash" in prev.columns:
+        prev_h = prev.select(*key_cols, prev["row_hash"].alias("__prev_hash"))
+    else:
+        # mapping table written before incremental mode existed: no
+        # stored hashes, so everything counts as changed ONCE and the
+        # hashes backfill on this run's mapping merge
+        prev_h = prev.select(*key_cols).withColumn(
+            "__prev_hash", F.lit(None).cast("long")
+        )
+    # orphan-preserve rows carry all-NULL source ids — not addressable
+    # by source key (same exclusion as dest_ids_for)
+    not_all_null = None
+    for f in m.source_ids:
+        c = prev_h[src_col(f)].isNotNull()
+        not_all_null = c if not_all_null is None else (not_all_null | c)
+    prev_h = prev_h.filter(not_all_null)
+    cond = None
+    for f in m.source_ids:
+        c = entity[f"{SRC_STRUCT}.{f.name}"].eqNullSafe(prev_h[src_col(f)])
+        cond = c if cond is None else (cond & c)
+    joined = entity.join(prev_h, on=cond, how="left")
+    return joined.filter(
+        F.col("__prev_hash").isNull() | (F.col("__prev_hash") != F.col(ROW_HASH))
+    ).drop(F.col("__prev_hash"), *[prev_h[src_col(f)] for f in m.source_ids])
 
 
 def existing_field(df: DataFrame, name: str, default) -> F.Column:
@@ -252,6 +305,7 @@ def run_migration(
     orphan_policy: str = "keep",
     collect_stats: bool = True,
     record_mappings: bool = True,
+    incremental: bool = False,
 ) -> MigrationResult:
     """Execute one migration end-to-end (entry point 2 of the reference,
     DataMigrationExecutor::execute).
@@ -259,9 +313,24 @@ def run_migration(
     orphan_policy ∈ {keep, prune, preserve, report} — the reference's
     interactive prompt (MigrateCommand.php:123-133) is replaced by
     explicit policy; ``report`` returns the orphan rows.
+
+    ``incremental=True`` makes re-runs cost O(changed): each entity row
+    carries a content hash, the hash persists in the mapping table, and
+    rows whose hash is unchanged since the last run SKIP the
+    destination and mapping merges entirely (a 100 TB re-run where 1%
+    drifted writes 1%). Orphan detection still sees the full entity
+    set, so prune/preserve/report are unaffected. First run after
+    enabling (or over a pre-incremental mapping table) writes
+    everything once, backfilling hashes. ``rows_written`` counts rows
+    actually merged; unchanged rows land in ``rows_skipped``.
     """
     if orphan_policy not in {"keep", "prune", "preserve", "report"}:
         raise ValueError(f"unknown orphan policy {orphan_policy!r}")
+    if incremental and not record_mappings:
+        raise ValueError(
+            "incremental mode stores row hashes in the mapping table; "
+            "record_mappings=False would rewrite everything every run"
+        )
 
     prepared, snap, existing_ids = prepare(spark, m, mapper)
 
@@ -280,22 +349,37 @@ def run_migration(
 
     entity = m.transform(prepared)
     entity = finalize_entity(entity, m)
+    if incremental:
+        entity = _with_row_hash(entity)
 
     # Cache: the entity feeds the destination merge, the mapping merge,
     # and the orphan diff — three actions over one plan.
     entity = entity.persist()
+    write_set = None
     try:
-        rows_written = entity.count()
+        rows_processed = entity.count()
         rows_in = int(obs.get["rows_in"]) if obs is not None else -1
 
         dest_names = [f.name for f in m.destination_ids]
-        m.destination.merge(entity.drop(SRC_STRUCT))
+        if incremental:
+            write_set = _changed_rows(mapper, m, entity).persist()
+            rows_written = write_set.count()
+        else:
+            write_set = entity
+            rows_written = rows_processed
+        if rows_written or not incremental:
+            m.destination.merge(write_set.drop(SRC_STRUCT, ROW_HASH))
 
-        if record_mappings:
-            mb = mapping_batch(entity, m.source_ids, m.destination_ids)
-            mapper.merge(
-                m.mapping_key(), mb, m.source_ids, m.destination_ids, STATUS_MIGRATED
-            )
+            if record_mappings:
+                mb = mapping_batch(
+                    write_set,
+                    m.source_ids,
+                    m.destination_ids,
+                    extra_cols={"row_hash": F.col(ROW_HASH)} if incremental else None,
+                )
+                mapper.merge(
+                    m.mapping_key(), mb, m.source_ids, m.destination_ids, STATUS_MIGRATED
+                )
 
         orphans_df = None
         orphan_count = 0
@@ -329,3 +413,5 @@ def run_migration(
         )
     finally:
         entity.unpersist()
+        if write_set is not None and write_set is not entity:
+            write_set.unpersist()

@@ -200,13 +200,19 @@ def _retract_source_keys(
 
 
 def mapping_batch(
-    entity: DataFrame, source_ids: Sequence[IdField], dest_ids: Sequence[IdField]
+    entity: DataFrame,
+    source_ids: Sequence[IdField],
+    dest_ids: Sequence[IdField],
+    extra_cols: dict | None = None,
 ) -> DataFrame:
     """Project an entity DataFrame into mapping-table shape.
 
     Source id values ride in the executor-maintained ``__src__`` struct
     (collision-proof when a field name appears in both id sets); dest
-    id values are the entity's plain columns."""
+    id values are the entity's plain columns. ``extra_cols`` maps
+    additional output names to Column expressions over the entity
+    (incremental mode rides its ``row_hash`` along this way)."""
     cols = [F.col(f"__src__.{f.name}").alias(src_col(f)) for f in source_ids]
     cols += [F.col(f.name).alias(dest_col(f)) for f in dest_ids]
+    cols += [expr.alias(name) for name, expr in (extra_cols or {}).items()]
     return entity.select(*cols)
