@@ -80,7 +80,14 @@ def _changed_rows(mapper: MappingStore, m: Migration, entity: DataFrame) -> Data
     from the one stored in the mapping table (or that have no mapping
     yet — new rows and pre-round stubs both qualify). One left join on
     the source keys against a two-column projection of the mapping
-    table; O(entity + mapping-key scan), never a destination read."""
+    table; O(entity + mapping-key scan), never a destination read.
+
+    This is deliberately a SECOND (thin) pass over the mapping table
+    after prepare()'s id join: carrying the hash through prepare would
+    leak a ``__prev_hash`` column into user transforms (the exact
+    pass-through-pollution bug the prepare() drop list guards
+    against). The extra cost is a column-pruned scan of
+    (source keys, row_hash) only — parquet never reads the rest."""
     prev = mapper.load(m.mapping_key(), m.source_ids, m.destination_ids)
     key_cols = [prev[src_col(f)] for f in m.source_ids]
     if "row_hash" in prev.columns:
@@ -140,6 +147,7 @@ class MigrationResult:
     orphan_count: int
     orphans: Optional[DataFrame]  # dest-id rows; None when policy consumed them
     spark_metrics: Optional[dict] = None  # job/stage/task counts (runner fills)
+    rows_unchanged: int = 0  # incremental mode: transformed but content-identical
 
 
 def prepare(
@@ -204,6 +212,11 @@ def prepare(
         *[map_df[dest_col(f)] for f in m.destination_ids],
         map_df["updated"],
         map_df["status"],
+        # incremental mode's stored hash: without this drop a
+        # pass-through transform would carry the STALE hash into the
+        # entity (polluting the destination schema and making
+        # _with_row_hash never match) — round-6 review
+        *([map_df["row_hash"]] if "row_hash" in map_df.columns else []),
     )
     return joined, snap, existing_ids
 
@@ -322,7 +335,9 @@ def run_migration(
     set, so prune/preserve/report are unaffected. First run after
     enabling (or over a pre-incremental mapping table) writes
     everything once, backfilling hashes. ``rows_written`` counts rows
-    actually merged; unchanged rows land in ``rows_skipped``.
+    actually merged; content-identical rows are reported separately in
+    ``rows_unchanged`` (``rows_skipped`` stays rows_in − rows_written:
+    transform-filtered PLUS unchanged).
     """
     if orphan_policy not in {"keep", "prune", "preserve", "report"}:
         raise ValueError(f"unknown orphan policy {orphan_policy!r}")
@@ -371,11 +386,21 @@ def run_migration(
             m.destination.merge(write_set.drop(SRC_STRUCT, ROW_HASH))
 
             if record_mappings:
+                # non-incremental runs must NULL the stored hash for
+                # every row they rewrite: leaving a stale hash behind
+                # would make a LATER incremental run silently skip a
+                # row whose content rolled back to the hashed value
+                # while the destination holds something else entirely
+                # (round-6 review, reproduced)
                 mb = mapping_batch(
                     write_set,
                     m.source_ids,
                     m.destination_ids,
-                    extra_cols={"row_hash": F.col(ROW_HASH)} if incremental else None,
+                    extra_cols={
+                        "row_hash": F.col(ROW_HASH)
+                        if incremental
+                        else F.lit(None).cast("long")
+                    },
                 )
                 mapper.merge(
                     m.mapping_key(), mb, m.source_ids, m.destination_ids, STATUS_MIGRATED
@@ -410,6 +435,7 @@ def run_migration(
             rows_skipped=skipped,
             orphan_count=orphan_count,
             orphans=orphans_df,
+            rows_unchanged=(rows_processed - rows_written) if incremental else 0,
         )
     finally:
         entity.unpersist()

@@ -15,8 +15,9 @@ DuckDB render identically —
 * integral types: plain decimal string of the exact value;
 * strings: the raw value (both engines compare strings bytewise);
 * date: ISO ``yyyy-MM-dd``;
-* timestamp: epoch SECONDS as a decimal string (timestamp→string
-  rendering differs across engines; epoch integers cannot);
+* timestamp: formatted ``yyyy-MM-dd HH:mm:ss`` (zero-padded ISO sorts
+  like the timestamp; fractional seconds deliberately dropped on both
+  engines — raw timestamp→string rendering differs across engines);
 * float/double: rounded to 4 places and passed through DECIMAL(28,4)
   so the string has a fixed scale (raw double→string formatting is
   engine-specific: ``1.0E4`` vs ``10000.0``);
@@ -77,27 +78,37 @@ def table_profile(df: DataFrame, columns: Optional[Sequence[str]] = None) -> Dat
         columns = [f.name for f in df.schema.fields]
     if not columns:
         raise ValueError("table_profile: no columns to profile")
+    # index-based internal aliases + a pure Column-API unpivot: column
+    # NAMES never pass through the SQL parser, so names with hyphens,
+    # spaces, quotes, or backticks profile fine (round-6 review — an
+    # f-string stack() expr broke on any non-bare identifier)
     aggs = []
-    for c in columns:
+    for i, c in enumerate(columns):
         dt = df.schema[c].dataType
-        canon = _canon(F.col(c), dt)
+        canon = _canon(df[c], dt)
         aggs.extend(
             [
-                F.count(F.when(F.col(c).isNull(), F.lit(1))).cast("long").alias(f"__n_{c}"),
-                F.count_distinct(F.col(c)).cast("long").alias(f"__d_{c}"),
-                F.min(canon).cast("string").alias(f"__mn_{c}"),
-                F.max(canon).cast("string").alias(f"__mx_{c}"),
+                F.count(F.when(df[c].isNull(), F.lit(1))).cast("long").alias(f"__n_{i}"),
+                F.count_distinct(df[c]).cast("long").alias(f"__d_{i}"),
+                F.min(canon).cast("string").alias(f"__mn_{i}"),
+                F.max(canon).cast("string").alias(f"__mx_{i}"),
             ]
         )
     row = df.agg(*aggs)
-    # unpivot the single stat row: stack(k, name1, n1, d1, mn1, mx1, ...)
-    parts = ", ".join(
-        f"'{c}', __n_{c}, __d_{c}, __mn_{c}, __mx_{c}" for c in columns
+    stats = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__n_{i}").alias("null_count"),
+                F.col(f"__d_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_s"),
+                F.col(f"__mx_{i}").alias("max_s"),
+            )
+            for i, c in enumerate(columns)
+        ]
     )
     return (
-        row.selectExpr(
-            f"stack({len(columns)}, {parts}) AS "
-            "(col_name, null_count, n_distinct, min_s, max_s)"
-        )
+        row.select(F.explode(stats).alias("p"))
+        .select("p.*")
         .orderBy("col_name")
     )

@@ -213,7 +213,7 @@ def q115_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = TXT.word_tokens("text")
     n = F.size(toks)
     staged = d.select(
-        F.slice(toks, 1, n - 1).alias("__w1"), F.slice(toks, 2, n - 1).alias("__w2"), toks.alias("__toks")
+        F.slice(toks, 1, n - 1).alias("__w1"), F.slice(toks, 2, n - 1).alias("__w2")
     )
     big = (
         staged.select(F.explode(F.arrays_zip("__w1", "__w2")).alias("bg"))
@@ -267,6 +267,33 @@ FROM scored ORDER BY pmi_e7 DESC, w1, w2 LIMIT 20
 """
 
 
+def _grouped_cum_hist(d: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """The grouped-histogram percentile spine shared by q116/q118:
+    collapse rows to (group, distinct value, count), then attach the
+    per-group cumulative and total counts. The exact-percentile pick
+    is the cross-multiplied ``cum·den >= tot·num`` MIN — callers
+    apply it so p-lists stay per-query, the machinery doesn't."""
+    g = d.groupBy(group_col, val_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wc = W.partitionBy(group_col).orderBy(val_col)
+    wt = W.partitionBy(group_col)
+    return g.select(
+        group_col,
+        val_col,
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+
+
+def _pct(num: int, den: int, val_col: str):
+    """Smallest value whose cumulative count reaches ceil(num/den · n)
+    — written cross-multiplied so no division or ceil ever runs."""
+    return F.min(
+        F.when(F.col("cum") * den >= F.col("tot") * num, F.col(val_col))
+    )
+
+
 # --------------------------------------------------------------- Q116
 def q116_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source length percentiles (p50/p90/p99 of n_chars),
@@ -282,31 +309,14 @@ def q116_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count) — exact percentiles without sorting raw rows, the
     grouped-histogram formulation."""
     d = _t(spark, sf_dir, "documents")
-    g = d.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    wc = W.partitionBy("source").orderBy("n_chars")
-    wt = W.partitionBy("source")
-    cum = F.sum("n").over(wc)
-    tot = F.sum("n").over(wt)
-    staged = g.select(
-        "source", "n_chars", cum.alias("cum"), tot.alias("tot")
-    )
-    # "cum reaches ceil(p·tot)" written cross-multiplied
-    # (cum·den >= tot·num) so no division or ceil ever runs
+    staged = _grouped_cum_hist(d, "source", "n_chars")
     return (
         staged.groupBy("source")
         .agg(
             F.max("tot").alias("n_docs"),
-            F.min(
-                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("n_chars"))
-            ).alias("p50"),
-            F.min(
-                F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("n_chars"))
-            ).alias("p90"),
-            F.min(
-                F.when(F.col("cum") * 100 >= F.col("tot") * 99, F.col("n_chars"))
-            ).alias("p99"),
+            _pct(1, 2, "n_chars").alias("p50"),
+            _pct(9, 10, "n_chars").alias("p90"),
+            _pct(99, 100, "n_chars").alias("p99"),
         )
         .select("source", "n_docs", "p50", "p90", "p99")
     )
@@ -392,24 +402,10 @@ def q118_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids the .5 factor). The distribution-drift tripwire for a
     corpus ingest."""
     d = _t(spark, sf_dir, "documents")
-    g = d.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    wc = W.partitionBy("source").orderBy("n_chars")
-    wt = W.partitionBy("source")
-    staged = g.select(
-        "source",
-        "n_chars",
-        F.sum("n").over(wc).alias("cum"),
-        F.sum("n").over(wt).alias("tot"),
-    )
+    staged = _grouped_cum_hist(d, "source", "n_chars")
     q = staged.groupBy("source").agg(
-        F.min(
-            F.when(F.col("cum") * 4 >= F.col("tot"), F.col("n_chars"))
-        ).alias("p25"),
-        F.min(
-            F.when(F.col("cum") * 4 >= F.col("tot") * 3, F.col("n_chars"))
-        ).alias("p75"),
+        _pct(1, 4, "n_chars").alias("p25"),
+        _pct(3, 4, "n_chars").alias("p75"),
     )
     iqr = F.col("p75") - F.col("p25")
     bounds = q.select(

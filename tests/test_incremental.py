@@ -123,3 +123,54 @@ def test_incremental_requires_mappings(spark, base):
         run_migration(
             spark, _mig(src, dest), mapper, incremental=True, record_mappings=False
         )
+
+
+def test_passthrough_transform_stays_clean(spark, base):
+    """A contract-legal pass-through transform must not leak the
+    mapping table's stored row_hash into the entity (round-6 review:
+    it polluted the destination schema AND made every re-run rewrite
+    everything because the stale hash joined the payload)."""
+    src, mapper, dest = base
+
+    def mk():
+        return Migration(
+            name="inc",
+            source=DataFrameSource(src),
+            destination=ParquetDestination(dest, key_cols=("id",)),
+            source_ids=(IdField("c_custkey", "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=lambda df: df,  # pass-through: keeps EVERY column
+        )
+
+    r1 = run_migration(spark, mk(), mapper, incremental=True)
+    assert r1.rows_written == 20
+    r2 = run_migration(spark, mk(), mapper, incremental=True)
+    assert r2.rows_written == 0
+    assert r2.rows_unchanged == 20
+    assert "row_hash" not in mk().destination.read_snapshot(spark).columns
+
+
+def test_non_incremental_rewrite_invalidates_hash(spark, tmp_path):
+    """Interleaving: incremental(A) -> NON-incremental(B) ->
+    incremental(A again). The middle run rewrote the destination to B,
+    so the final run MUST write A (round-6 review: a stale stored
+    hash made it silently skip, leaving B in the destination)."""
+    mapper = MappingStore(spark, str(tmp_path / "maps"))
+    dest = str(tmp_path / "dest")
+
+    def mk(val):
+        df = spark.createDataFrame([(1, val)], "c_custkey long, v string")
+        return Migration(
+            name="inc",
+            source=DataFrameSource(df),
+            destination=ParquetDestination(dest, key_cols=("id",)),
+            source_ids=(IdField("c_custkey", "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=lambda d: d.select("__src__", "__dest_id", "v"),
+        )
+
+    assert run_migration(spark, mk("A"), mapper, incremental=True).rows_written == 1
+    run_migration(spark, mk("B"), mapper)  # non-incremental rewrite
+    r3 = run_migration(spark, mk("A"), mapper, incremental=True)
+    assert r3.rows_written == 1
+    assert mk("A").destination.read_snapshot(spark).first().v == "A"

@@ -1012,3 +1012,15 @@ def test_semantic_dedup_subset_of_exact_pairs(embs):
     for (ia, ib), (cid, cos) in sem.items():
         assert assign[ia] == assign[ib] == cid
         assert cos == pytest.approx(exact[(ia, ib)], abs=2e-6)
+
+
+def test_table_profile_odd_column_names(spark):
+    """Names with hyphens/spaces/quotes must profile fine — the
+    unpivot never routes names through the SQL parser (round-6
+    review: an f-string stack() expr broke on any non-bare name)."""
+    from a2b_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([(1, "x")], ["a-b", "it's a col"])
+    rows = {r.col_name: r for r in table_profile(df).collect()}
+    assert rows["a-b"].min_s == "1"
+    assert rows["it's a col"].n_distinct == 1
