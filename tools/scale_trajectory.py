@@ -47,6 +47,11 @@ QUERIES = [
     "q70_remove_dup_spans",
     "q68_dedup_keep_best",
     "q47_tfidf_top_terms",
+    # round 6b: the new documents-bound joins — source-level gram
+    # overlap (distinct + gram-keyed self-join) and PMI bigrams
+    # (two wordcount shuffles + vocabulary joins)
+    "q114_source_overlap",
+    "q115_pmi_bigrams",
 ]
 
 
