@@ -31,8 +31,9 @@ def _mig(src_df, dest_path):
 
 @pytest.fixture()
 def base(spark, sf_dir, tmp_path):
-    src = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(20).cache()
-    src.count()
+    # localCheckpoint, not cache(): the suite asserts the shared
+    # session's cache manager stays EMPTY (test_prefix cache-hygiene)
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(20).localCheckpoint()
     mapper = MappingStore(spark, str(tmp_path / "maps"))
     dest = str(tmp_path / "dest")
     return src, mapper, dest
