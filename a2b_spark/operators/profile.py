@@ -23,12 +23,13 @@ DuckDB render identically —
   engine-specific: ``1.0E4`` vs ``10000.0``);
 * boolean: ``true`` / ``false``.
 
-Scale shape: ONE scan. All per-column stats are computed in a single
-wide aggregate (Spark plans the multiple COUNT(DISTINCT)s as one
-Expand + two-stage aggregate — one shuffle whose width is
-rows × profiled-columns, map-side partially combined), then the single
-result row is unpivoted driver-free with ``stack``. No per-column
-scans, no collect of anything data-sized.
+Scale shape: ONE scan. Each row explodes into one cell per profiled
+column (typed value slot + canonical string), then two HASH
+aggregations — dedup on (column, raw value), then per-column stats —
+both map-side partially combined. No per-column scans, no sorts of
+the input (the naive multi-COUNT(DISTINCT) wide aggregate plans as
+back-to-back SortAggregates keyed on every profiled column), and no
+collect of anything data-sized.
 """
 
 from __future__ import annotations
@@ -78,37 +79,73 @@ def table_profile(df: DataFrame, columns: Optional[Sequence[str]] = None) -> Dat
         columns = [f.name for f in df.schema.fields]
     if not columns:
         raise ValueError("table_profile: no columns to profile")
-    # index-based internal aliases + a pure Column-API unpivot: column
-    # NAMES never pass through the SQL parser, so names with hyphens,
-    # spaces, quotes, or backticks profile fine (round-6 review — an
-    # f-string stack() expr broke on any non-bare identifier)
-    aggs = []
+    # Formulation: unpivot FIRST (one (cidx, raw-value, canon) row per
+    # cell), then two hash aggregations — dedup on (cidx, raw value),
+    # then per-cidx stats. NOT one wide agg of count_distinct()s:
+    # Spark's multi-distinct rewrite plans that as back-to-back
+    # SortAggregates keyed on EVERY profiled column (two full sorts of
+    # the table — measured 3.2s on 1.5M rows where this runs 0.5s, and
+    # a sort-vs-hash gap that only widens at scale). Distinct-counting
+    # groups on the RAW value in a typed slot (so 0.0/-0.0/NaN follow
+    # grouping semantics and a lossy canonicalization can't collapse
+    # two values); the canonical string is carried only for min/max.
+    # Column NAMES never pass through the SQL parser (round-6 review).
+    slots: dict[str, T.DataType] = {}
+    for c in columns:
+        dt = df.schema[c].dataType
+        slots.setdefault(dt.simpleString(), dt)
+    slot_names = {k: f"__v_{i}" for i, k in enumerate(slots)}
+    entries = []
     for i, c in enumerate(columns):
         dt = df.schema[c].dataType
-        canon = _canon(df[c], dt)
-        aggs.extend(
-            [
-                F.count(F.when(df[c].isNull(), F.lit(1))).cast("long").alias(f"__n_{i}"),
-                F.count_distinct(df[c]).cast("long").alias(f"__d_{i}"),
-                F.min(canon).cast("string").alias(f"__mn_{i}"),
-                F.max(canon).cast("string").alias(f"__mx_{i}"),
-            ]
-        )
-    row = df.agg(*aggs)
-    stats = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"__n_{i}").alias("null_count"),
-                F.col(f"__d_{i}").alias("n_distinct"),
-                F.col(f"__mn_{i}").alias("min_s"),
-                F.col(f"__mx_{i}").alias("max_s"),
-            )
-            for i, c in enumerate(columns)
+        tkey = dt.simpleString()
+        fields = [
+            F.lit(i).alias("cidx"),
+            df[c].isNull().cast("int").alias("isn"),
         ]
+        for k, slot in slot_names.items():
+            fields.append(
+                (df[c] if k == tkey else F.lit(None).cast(slots[k])).alias(slot)
+            )
+        entries.append(F.struct(*fields))
+    cells = df.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+    per_value = cells.groupBy("cidx", "isn", *slot_names.values()).agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
+    nn = F.col("isn") == 0
+    stats = per_value.groupBy("cidx").agg(
+        F.coalesce(
+            F.sum(F.when(~nn, F.col("__cnt"))), F.lit(0)
+        ).cast("long").alias("null_count"),
+        F.count(F.when(nn, F.lit(1))).cast("long").alias("n_distinct"),
+        # min/max on the TYPED slots (numeric order, not string order);
+        # canonical rendering happens after aggregation — canon is
+        # monotone per type, so canon(min(x)) == min(canon(x))
+        *[F.min(s).alias(f"__mn{s}") for s in slot_names.values()],
+        *[F.max(s).alias(f"__mx{s}") for s in slot_names.values()],
+    )
+
+    def _render(prefix: str) -> F.Column:
+        out = None
+        for i, c in enumerate(columns):
+            dt = df.schema[c].dataType
+            slot = slot_names[dt.simpleString()]
+            rendered = _canon(F.col(f"{prefix}{slot}"), dt).cast("string")
+            out = (
+                F.when(F.col("cidx") == i, rendered)
+                if out is None
+                else out.when(F.col("cidx") == i, rendered)
+            )
+        return out
+
+    names = F.array(*[F.lit(c) for c in columns])
     return (
-        row.select(F.explode(stats).alias("p"))
-        .select("p.*")
+        stats.select(
+            F.element_at(names, F.col("cidx") + 1).alias("col_name"),
+            "null_count",
+            "n_distinct",
+            _render("__mn").alias("min_s"),
+            _render("__mx").alias("max_s"),
+        )
         .orderBy("col_name")
     )
