@@ -373,3 +373,78 @@ def test_table_op_sequences_match_dict_model(spark, tmp_path_factory, ops, parti
         assert os.path.exists(cur), "extra metadata lost by a later commit"
         with open(cur) as f:
             assert f.read() == "42"
+
+
+# ---------------------------------------------------------- incremental
+inc_history = st.lists(
+    st.tuples(
+        st.booleans(),  # run incrementally?
+        st.dictionaries(  # key -> payload for this run's source
+            st.integers(1, 6), st.sampled_from(["a", "b", "c", None]),
+            min_size=1, max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(history=inc_history)
+def test_incremental_matches_model_over_random_histories(spark, tmp_path_factory, history):
+    """Random interleavings of incremental and full runs over drifting
+    sources: the destination always equals the dict model (last run's
+    source wins), and an incremental run writes exactly the rows whose
+    payload differs from the last VALID stored hash. Full runs NULL
+    the stored hash for every row they rewrite (executor contract:
+    a stale hash plus a content rollback would silently skip a row
+    the destination no longer holds), so the model tracks hash
+    validity separately from destination content: a key last touched
+    by a full run is always rewritten by the next incremental run."""
+    from a2b_spark.core.migration import IdField, Migration
+    from a2b_spark.exec.executor import run_migration
+    from a2b_spark.mapping.store import MappingStore
+    from a2b_spark.sinks.parquet import ParquetDestination
+    from a2b_spark.sources.base import DataFrameSource
+
+    base = tmp_path_factory.mktemp("inc_prop")
+    mapper = MappingStore(spark, str(base / "maps"))
+    dest_path = str(base / "dest")
+
+    _NO_HASH = object()  # full run touched it (hash NULLed) — always rewritten
+    last_migrated: dict = {}  # key -> payload as of the last run that saw it
+    hashed: dict = {}  # key -> payload covered by a VALID stored hash
+    for incremental, source in history:
+        df = spark.createDataFrame(
+            [(k, v) for k, v in source.items()], "c_custkey long, v string"
+        )
+        m = Migration(
+            name="p",
+            source=DataFrameSource(df),
+            destination=ParquetDestination(dest_path, key_cols=("id",)),
+            source_ids=(IdField("c_custkey", "int"),),
+            destination_ids=(IdField("id", "int"),),
+            transform=lambda d: d.select("__src__", "__dest_id", "c_custkey", "v"),
+        )
+        r = run_migration(spark, m, mapper, incremental=incremental)
+        if incremental:
+            expect_written = sum(
+                1 for k, v in source.items() if hashed.get(k, _NO_HASH) != v
+            )
+            assert r.rows_written == expect_written
+            assert r.rows_unchanged == len(source) - expect_written
+            hashed.update(source)  # skipped rows already held hash == v
+        else:
+            assert r.rows_written == len(source)
+            hashed.update({k: _NO_HASH for k in source})
+        last_migrated.update(source)
+        # the destination holds the latest payload for every key ever seen
+        snap = {
+            r2.c_custkey: r2.v
+            for r2 in m.destination.read_snapshot(spark).select("c_custkey", "v").collect()
+        }
+        assert snap == dict(last_migrated)
