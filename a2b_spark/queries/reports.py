@@ -462,6 +462,176 @@ GROUP BY 1
 """
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct edge list of the high-quantity
+    co-supply graph shared by q119/q120: suppliers are linked when
+    both shipped a qty>=45 lineitem in the same order. Per-order edge
+    fan-out is C(k,2) on k = qualifying suppliers per order — bounded
+    small by order shape, so the generate-then-distinct stays linear
+    in lineitems at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    return (
+        ps.alias("a")
+        .join(ps.alias("b"), "o")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- Q119
+def q119_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the high-quantity co-supply graph:
+    vertices are suppliers, an edge links two suppliers that both
+    shipped a qty>=45 lineitem in the SAME order. Emits the classic
+    graph summary (n_vertices, n_edges, n_wedges, n_triangles) —
+    the structure report one runs on a near-dup pair graph before
+    choosing a clustering strategy (dense cores vs sparse chains).
+
+    Shape: edges are stored ORIENTED (u < v), so each triangle
+    (u < v < w) is counted exactly once by the e1=(u,v) ⋈ e2=(v,w)
+    ⋈ e3=(u,w) chain — no /6 correction and the wedge join runs on
+    the oriented lists (≈n³/6 worst case, here 600k rows at sf0.1).
+    All three joins are hash equi-joins on supplier keys; the two
+    scalar aggregate branches (degree stats, triangle count) are
+    1-row frames combined by unionByName + a final max-fold, never a
+    constant-key cross join (which Catalyst folds to a nested-loop).
+
+    At 100 TB: the per-order edge fan-out is C(k,2) on k = qualifying
+    suppliers per order (bounded small by order shape); for power-law
+    graphs the standard refinement is degree-ordered orientation
+    (orient each edge toward the higher-degree endpoint), which this
+    implementation's id-orientation approximates for the near-uniform
+    TPC-H degree distribution. Wedges/triangles are pure integer math
+    (sum deg·(deg−1) is even, the /2 is exact), so the oracle hash
+    is engine-independent."""
+    e = _cosupply_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    deg_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        (F.sum("deg") / F.lit(2)).cast("long").alias("n_edges"),
+        (F.sum(F.col("deg") * (F.col("deg") - F.lit(1))) / F.lit(2))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    tri_stats = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    nulls = F.lit(None).cast("long")
+    combined = deg_stats.select(
+        "n_vertices", "n_edges", "n_wedges", nulls.alias("n_triangles")
+    ).unionByName(
+        tri_stats.select(
+            nulls.alias("n_vertices"),
+            nulls.alias("n_edges"),
+            nulls.alias("n_wedges"),
+            "n_triangles",
+        )
+    )
+    return combined.agg(
+        F.max("n_vertices").alias("n_vertices"),
+        F.max("n_edges").alias("n_edges"),
+        F.max("n_wedges").alias("n_wedges"),
+        F.max("n_triangles").alias("n_triangles"),
+    )
+
+
+O_Q119 = """
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+  FROM lineitem WHERE l_quantity >= 45),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM e e1
+   JOIN e e2 ON e2.u = e1.v
+   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
+# --------------------------------------------------------------- Q120
+def q120_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-supply graph
+    (q119's edge set): the 20 supplier pairs sharing the most
+    neighbors, with each endpoint's degree — the integer inputs to
+    any neighborhood-similarity score (Jaccard common/(du+dv−common),
+    Adamic-Adar), left un-divided so the result hashes exactly.
+
+    Shape: the candidate pairs are generated per CENTER vertex x
+    (a1.x = a2.x, a1.y < a2.y — Σ deg(x)² wedge rows, ~1.2M at
+    sf0.1), then one hash aggregation; degrees attach by broadcast.
+    The global top-20 is a TakeOrdered (per-partition partial top-k,
+    no full sort) on the total order (common DESC, u, v). At 100 TB
+    the Σ deg² blow-up is the known hub hazard — the mitigation is
+    capping or sampling hub adjacency lists before the self-join;
+    this graph's near-uniform degree needs none."""
+    e = _cosupply_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    cn = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), "x")
+        .filter(F.col("a1.y") < F.col("a2.y"))
+        .groupBy(F.col("a1.y").alias("u"), F.col("a2.y").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    out = (
+        cn.join(F.broadcast(deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u"))), "u")
+        .join(F.broadcast(deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v"))), "v")
+        .orderBy(F.col("common").desc(), "u", "v")
+        .limit(20)
+    )
+    return out.select("u", "v", "common", "deg_u", "deg_v")
+
+
+O_Q120 = """
+WITH ps AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+  FROM lineitem WHERE l_quantity >= 45),
+e AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM ps a JOIN ps b ON a.o = b.o AND a.s < b.s),
+adj AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v AS x, u AS y FROM e),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+cn AS (
+  SELECT a1.y AS u, a2.y AS v, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj a1 JOIN adj a2 ON a1.x = a2.x AND a1.y < a2.y
+  GROUP BY 1, 2)
+SELECT cn.u, cn.v, cn.common, du.deg AS deg_u, dv.deg AS deg_v
+FROM cn
+JOIN deg du ON du.x = cn.u
+JOIN deg dv ON dv.x = cn.v
+ORDER BY cn.common DESC, cn.u, cn.v
+LIMIT 20
+"""
+
+
 QUERIES.update(
     {
         "q112_table_profile": q112_table_profile,
@@ -471,6 +641,8 @@ QUERIES.update(
         "q116_length_percentiles": q116_length_percentiles,
         "q117_quality_budget_curve": q117_quality_budget_curve,
         "q118_length_outliers": q118_length_outliers,
+        "q119_triangle_count": q119_triangle_count,
+        "q120_common_neighbors": q120_common_neighbors,
     }
 )
 
@@ -483,5 +655,7 @@ ORACLES.update(
         "q116_length_percentiles": O_Q116,
         "q117_quality_budget_curve": O_Q117,
         "q118_length_outliers": O_Q118,
+        "q119_triangle_count": O_Q119,
+        "q120_common_neighbors": O_Q120,
     }
 )
