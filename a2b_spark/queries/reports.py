@@ -632,6 +632,85 @@ LIMIT 20
 """
 
 
+# --------------------------------------------------------------- Q121
+_Q121_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def q121_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for every lineitem FK: distinct keys,
+    total rows, hottest key's row count, and the exact p99 of
+    rows-per-key — the diagnostic one runs BEFORE choosing a shuffle
+    strategy at 100 TB (a max_rows ≫ p99_rows key wants salting or an
+    AQE skew join; a flat profile wants plain hash partitioning).
+
+    Shape: per key column, one hash aggregation to rows-per-key, a
+    second to the count-of-counts histogram, then the cross-multiplied
+    integer percentile (q116's idiom: smallest n with cum·100 ≥
+    tot·99, no division) over that histogram. The unpartitioned
+    window runs only on the histogram — tens of rows (distinct count
+    VALUES), never row data. Everything emitted is a BIGINT, so the
+    oracle hash is engine-exact; ratios (hot-key share) are left to
+    the consumer."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _Q121_KEYS:
+        g = li.groupBy(F.col(c).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        h = g.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("keys"))
+        s = h.select(
+            "n",
+            "keys",
+            F.sum("keys").over(W.orderBy("n")).alias("cum"),
+            F.sum("keys").over(W.partitionBy()).alias("tot"),
+        )
+        parts.append(
+            s.agg(
+                F.max("tot").alias("n_keys"),
+                F.sum(F.col("n") * F.col("keys")).cast("long").alias("total_rows"),
+                F.max("n").alias("max_rows"),
+                F.min(
+                    F.when(F.col("cum") * 100 >= F.col("tot") * 99, F.col("n"))
+                ).alias("p99_rows"),
+            ).select(
+                F.lit(c).alias("join_key"),
+                "n_keys",
+                "total_rows",
+                "max_rows",
+                "p99_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("join_key")
+
+
+def _o_q121() -> str:
+    ctes, selects = [], []
+    for i, c in enumerate(_Q121_KEYS, 1):
+        ctes.append(
+            f"g{i} AS (SELECT {c} AS k, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM lineitem GROUP BY 1),\n"
+            f"h{i} AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS keys FROM g{i} GROUP BY 1),\n"
+            f"s{i} AS (SELECT n, keys, SUM(keys) OVER (ORDER BY n) AS cum, "
+            f"SUM(keys) OVER () AS tot FROM h{i})"
+        )
+        selects.append(
+            f"SELECT '{c}' AS join_key,\n"
+            f"       CAST(MAX(tot) AS BIGINT) AS n_keys,\n"
+            f"       CAST(SUM(n * keys) AS BIGINT) AS total_rows,\n"
+            f"       MAX(n) AS max_rows,\n"
+            f"       MIN(CASE WHEN cum * 100 >= tot * 99 THEN n END) AS p99_rows\n"
+            f"FROM s{i}"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT * FROM (\n" + body + "\n) ORDER BY join_key"
+    )
+
+
 QUERIES.update(
     {
         "q112_table_profile": q112_table_profile,
@@ -643,6 +722,7 @@ QUERIES.update(
         "q118_length_outliers": q118_length_outliers,
         "q119_triangle_count": q119_triangle_count,
         "q120_common_neighbors": q120_common_neighbors,
+        "q121_join_skew_report": q121_join_skew_report,
     }
 )
 
@@ -657,5 +737,6 @@ ORACLES.update(
         "q118_length_outliers": O_Q118,
         "q119_triangle_count": O_Q119,
         "q120_common_neighbors": O_Q120,
+        "q121_join_skew_report": _o_q121(),
     }
 )
