@@ -281,6 +281,10 @@ def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_Q76 = """
+-- pack_id MUST be cast to BIGINT: DuckDB promotes the window SUM over
+-- BIGINT to HUGEINT, so the uncast `//` result Arrow-exports as
+-- decimal128(38,0) while Spark emits bigint — the driver value hash
+-- then mismatches even though every value is identical (rounds 4-6 red).
 WITH toks AS (
   SELECT doc_id, n_chars AS tokens
   FROM documents),
@@ -289,7 +293,7 @@ run AS (
          SUM(tokens) OVER (ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING) AS running
   FROM toks)
-SELECT (running - tokens) // 8192 AS pack_id,
+SELECT CAST((running - tokens) // 8192 AS BIGINT) AS pack_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

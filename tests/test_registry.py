@@ -61,3 +61,46 @@ def test_never_checked_queries_are_inside_the_cap():
     never = [q for q in QUERIES if cov.get(q, 0) == 0]
     missing = [q for q in never if q not in inside]
     assert not missing, f"never-driver-checked queries outside the cap: {missing}"
+
+
+def test_no_oracle_binds_hugeint_or_decimal():
+    """Cross-engine type audit, encoded after the q76 postmortem: a
+    DuckDB window SUM over BIGINT silently promotes to HUGEINT, which
+    Arrow-exports as decimal128(38,0) while the Spark twin emits
+    bigint — the driver's value hash then mismatches even though every
+    value is equal (q76 was red rounds 4-6 on exactly this). Our
+    oracle discipline casts every aggregate to BIGINT/DOUBLE
+    explicitly, so NO oracle column may bind to HUGEINT or DECIMAL.
+    This uses the DuckDB binder only (no execution), so it is cheap
+    enough to run over the whole registry every pytest."""
+    import duckdb
+
+    from a2b_spark.queries import ORACLES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    con = duckdb.connect()
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    offenders = {}
+    for name, sql in ORACLES.items():
+        if sql is None:
+            continue
+        rel = con.sql(sql)
+        bad = [
+            f"{c}:{ty}"
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty) == "HUGEINT" or str(ty).startswith("DECIMAL")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracle columns that will Arrow-export as decimal128 and "
+        f"hash-mismatch the integer/double Spark twin: {offenders} — "
+        f"add an explicit CAST in the oracle SQL"
+    )

@@ -2,9 +2,13 @@
 
 Runs every ``__spark_entry__.queries()`` entry and its
 ``oracle_sql()`` twin on the same parquet tables, compares row count,
-column-name set, and exact sorted values. Stricter than the driver's
-value-hash (exact equality incl. float bits), so a PASS here should be
-a PASS there.
+column-name set, NUMERIC TYPE CATEGORY (int vs float vs decimal — the
+driver's value hash is type-sensitive, and DuckDB silently promotes
+window SUMs to HUGEINT which Arrow-exports as decimal128; that exact
+divergence kept q76 red for three rounds while pandas ``.eq`` said
+``0 == 0.0``), and exact sorted values. Stricter than the driver's
+value-hash (exact equality incl. float bits + type categories), so a
+PASS here should be a PASS there.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -23,6 +27,68 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+NUMERIC_CATEGORIES = {"int", "float", "decimal"}
+
+
+def arrow_category(t) -> str:
+    """Collapse an Arrow type into the categories the driver hash
+    distinguishes. DuckDB HUGEINT exports as decimal128(38,0)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_temporal(t):
+        return "ts"
+    return "other"
+
+
+def spark_category(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        return "decimal"
+    if s == "boolean":
+        return "bool"
+    if s == "string" or s.startswith(("varchar", "char")):
+        return "str"
+    if s in ("date", "timestamp", "timestamp_ntz"):
+        return "ts"
+    return "other"
+
+
+def type_gate(spark_schema, oracle_arrow_schema) -> list[str]:
+    """Cross-engine type divergence check: an integer Spark column whose
+    oracle twin Arrow-exports as decimal/float (or vice versa) WILL
+    hash-mismatch on the driver even when every value is numerically
+    equal. pandas value comparison is blind to it (0 == 0.0), so this
+    runs BEFORE value comparison."""
+    problems = []
+    otypes = {f.name: arrow_category(f.type) for f in oracle_arrow_schema}
+    for f in spark_schema.fields:
+        sc = spark_category(f.dataType)
+        oc = otypes.get(f.name)
+        if oc is None:
+            continue
+        if sc != oc and (sc in NUMERIC_CATEGORIES) and (oc in NUMERIC_CATEGORIES):
+            problems.append(
+                f"column {f.name!r}: TYPE divergence spark={f.dataType.simpleString()}"
+                f" ({sc}) vs oracle arrow ({oc}) — driver hash will mismatch;"
+                f" cast the oracle (DuckDB window SUM promotes to HUGEINT/decimal128)"
+            )
+    return problems
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -123,7 +189,8 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            spark_df = fn(spark, sf_dir)
+            sdf = spark_df.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
             failed.append(name)
@@ -133,12 +200,17 @@ def main():
             print(f"SKIP {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
             continue
         try:
-            odf = con.sql(sql).df()
+            # .arrow() (not .df()) so HUGEINT/decimal promotion is
+            # visible — pandas export flattens decimal128 to float64
+            # and hides exactly the divergence the driver hash catches.
+            otab = con.sql(sql).arrow()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {type(exc).__name__}: {exc}")
             failed.append(name)
             continue
-        problems = compare(name, sdf, odf)
+        problems = type_gate(spark_df.schema, otab.schema)
+        odf = otab.to_pandas()
+        problems += compare(name, sdf, odf)
         if problems:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
             for p in problems:
