@@ -201,3 +201,85 @@ def connected_components(
             F.coalesce("component", "n").alias("component"),
         )
     )
+
+
+def cap_adjacency(
+    adj: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    cap: int = 1024,
+    salts: int = 32,
+) -> DataFrame:
+    """Deterministic hub cap for an adjacency list: keep at most
+    ``cap`` neighbors per center vertex, chosen by ascending
+    md5(x,y) — a fixed pseudo-random sample that is stable across
+    partitionings, engines and runs (never ``rand()``/``sample()``).
+
+    This is the standard pre-join guard for wedge enumeration
+    (common-neighbor counting, candidate generation): the self-join on
+    the center vertex emits Σ deg(x)² rows, so ONE hub of degree 10^6
+    emits 10^12 rows in a single key group. Capped, the worst vertex
+    emits cap² — at cap=1024 that is ~10^6 rows, executor-sized.
+
+    Approximation bound: a pair's common-neighbor count through capped
+    hubs becomes a uniform subsample — for a center x with
+    deg(x) = d > cap, each wedge through x survives with probability
+    cap/d, so a count C is under-counted by expectation
+    C·(1 - cap/d_hubs) through those hubs only; vertices with
+    deg <= cap contribute EXACTLY. On graphs whose max degree is
+    below ``cap`` (the co-supply graphs at every test SF) the output
+    is bit-identical to the uncapped one — equivalence is pinned by
+    ``tests/test_operators.py::test_cap_adjacency_equivalence``.
+
+    Cost: one salted top-k per center (``operators.topk`` two-phase,
+    no hot-key single-task window), O(Σ deg) rows total.
+    """
+    from a2b_spark.operators.topk import top_k_per_group
+
+    return top_k_per_group(
+        adj,
+        [x],
+        [F.md5(F.concat_ws("\x1f", F.col(x).cast("string"), F.col(y).cast("string"))).asc()],
+        cap,
+        salts=salts,
+    ).drop("rk")
+
+
+def orient_by_degree(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Re-orient an undirected edge list toward the HIGHER-degree
+    endpoint (ties broken by id): the classic triangle-enumeration
+    refinement (degree ordering / degeneracy orientation). Any acyclic
+    orientation counts each triangle exactly once via the
+    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) chain, but id-orientation lets a
+    low-id HUB keep all its edges outgoing — deg² wedge rows from one
+    vertex. Degree-orientation bounds every out-degree by O(sqrt(m))
+    on any graph, so the wedge join stays executor-sized even with
+    power-law hubs. Output columns keep the input names, oriented
+    (deg(u), id(u)) < (deg(v), id(v)) lexicographically.
+
+    Cost: one degree aggregation + two broadcast-sized joins when the
+    vertex set is broadcastable, shuffle joins otherwise — both plain
+    hash equi-joins either way."""
+    deg = (
+        edges.select(F.col(u).alias("n"))
+        .unionAll(edges.select(F.col(v).alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias(u), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("n").alias(v), F.col("deg").alias("__dv"))
+    keep = (F.col("__du") < F.col("__dv")) | (
+        (F.col("__du") == F.col("__dv")) & (F.col(u) < F.col(v))
+    )
+    return (
+        edges.join(du, u)
+        .join(dv, v)
+        .select(
+            F.when(keep, F.col(u)).otherwise(F.col(v)).alias(u),
+            F.when(keep, F.col(v)).otherwise(F.col(u)).alias(v),
+        )
+    )

@@ -493,27 +493,35 @@ def q119_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the structure report one runs on a near-dup pair graph before
     choosing a clustering strategy (dense cores vs sparse chains).
 
-    Shape: edges are stored ORIENTED (u < v), so each triangle
-    (u < v < w) is counted exactly once by the e1=(u,v) ⋈ e2=(v,w)
-    ⋈ e3=(u,w) chain — no /6 correction and the wedge join runs on
-    the oriented lists (≈n³/6 worst case, here 600k rows at sf0.1).
-    All three joins are hash equi-joins on supplier keys; the two
-    scalar aggregate branches (degree stats, triangle count) are
-    1-row frames combined by unionByName + a final max-fold, never a
-    constant-key cross join (which Catalyst folds to a nested-loop).
+    Shape: the triangle chain runs on a DEGREE-ORDERED orientation
+    (operators.graph.orient_by_degree — each edge points to its
+    higher-degree endpoint, ties by id), so each triangle is counted
+    exactly once by the e1=(u,v) ⋈ e2=(v,w) ⋈ e3=(u,w) chain with NO
+    /6 correction, and every out-degree is bounded by O(sqrt(m)) even
+    under a power-law hub — the wedge join from one vertex is
+    out-deg², which id-orientation leaves unbounded for a low-id hub
+    but degree-orientation caps at O(m). The triangle COUNT is
+    orientation-invariant (any acyclic orientation), so the oracle's
+    simpler id-oriented chain hashes identically. All three joins are
+    hash equi-joins on supplier keys; the two scalar aggregate
+    branches (degree stats, triangle count) are 1-row frames combined
+    by unionByName + a final max-fold, never a constant-key cross
+    join (which Catalyst folds to a nested-loop).
 
     At 100 TB: the per-order edge fan-out is C(k,2) on k = qualifying
-    suppliers per order (bounded small by order shape); for power-law
-    graphs the standard refinement is degree-ordered orientation
-    (orient each edge toward the higher-degree endpoint), which this
-    implementation's id-orientation approximates for the near-uniform
-    TPC-H degree distribution. Wedges/triangles are pure integer math
-    (sum deg·(deg−1) is even, the /2 is exact), so the oracle hash
-    is engine-independent."""
-    e = _cosupply_edges(spark, sf_dir)
+    suppliers per order (bounded small by order shape); wedge/triangle
+    stats are pure integer math (sum deg·(deg−1) is even, the /2 is
+    exact), so the oracle hash is engine-independent."""
+    from a2b_spark.operators.graph import orient_by_degree
+
+    e_und = _cosupply_edges(spark, sf_dir)
+    # one pipeline feeds the degree stats AND two sides of the triangle
+    # join — pin it so the order-distinct + edge-distinct work runs once
+    e_und = e_und.localCheckpoint()
+    e = orient_by_degree(e_und)
     deg = (
-        e.select(F.col("u").alias("x"))
-        .unionAll(e.select(F.col("v").alias("x")))
+        e_und.select(F.col("u").alias("x"))
+        .unionAll(e_und.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
@@ -585,18 +593,33 @@ def q120_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a1.x = a2.x, a1.y < a2.y — Σ deg(x)² wedge rows, ~1.2M at
     sf0.1), then one hash aggregation; degrees attach by broadcast.
     The global top-20 is a TakeOrdered (per-partition partial top-k,
-    no full sort) on the total order (common DESC, u, v). At 100 TB
-    the Σ deg² blow-up is the known hub hazard — the mitigation is
-    capping or sampling hub adjacency lists before the self-join;
-    this graph's near-uniform degree needs none."""
+    no full sort) on the total order (common DESC, u, v).
+
+    Hub hazard, MITIGATED: Σ deg² means one degree-10^6 hub would
+    emit 10^12 wedge rows in a single key group. The self-join
+    therefore runs on operators.graph.cap_adjacency(hub_cap=1024) —
+    a deterministic md5-ordered neighbor cap bounding the worst
+    vertex at cap² ≈ 10^6 wedge rows. Vertices with deg <= cap
+    contribute EXACTLY; through a capped hub a pair's count becomes
+    a uniform cap/deg subsample (bound documented on the operator).
+    Max degree here is 58 at sf0.1, so the capped plan is
+    bit-identical to the uncapped oracle at every test SF —
+    equivalence pinned by tests/test_operators.py. Reported degrees
+    (deg_u/deg_v) are always the TRUE uncapped degrees."""
+    from a2b_spark.operators.graph import cap_adjacency
+
     e = _cosupply_edges(spark, sf_dir)
     adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
+    # pin: adj feeds the true-degree agg and BOTH sides of the wedge
+    # self-join (through the cap's own top-k pre-pass)
+    adj = adj.localCheckpoint()
     deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    capped = cap_adjacency(adj, "x", "y", cap=1024)
     cn = (
-        adj.alias("a1")
-        .join(adj.alias("a2"), "x")
+        capped.alias("a1")
+        .join(capped.alias("a2"), "x")
         .filter(F.col("a1.y") < F.col("a2.y"))
         .groupBy(F.col("a1.y").alias("u"), F.col("a2.y").alias("v"))
         .agg(F.count(F.lit(1)).cast("long").alias("common"))

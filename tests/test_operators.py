@@ -1024,3 +1024,102 @@ def test_table_profile_odd_column_names(spark):
     rows = {r.col_name: r for r in table_profile(df).collect()}
     assert rows["a-b"].min_s == "1"
     assert rows["it's a col"].n_distinct == 1
+
+
+def _wedge_counts(adj):
+    """(u, v) -> common-neighbor count over an (x, y) adjacency."""
+    from pyspark.sql import functions as F
+
+    return {
+        (r.u, r.v): r.common
+        for r in (
+            adj.alias("a1")
+            .join(adj.alias("a2"), "x")
+            .filter(F.col("a1.y") < F.col("a2.y"))
+            .groupBy(F.col("a1.y").alias("u"), F.col("a2.y").alias("v"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        ).collect()
+    }
+
+
+def test_cap_adjacency_equivalence(spark, sf_dir):
+    """On a graph whose max degree is below the cap (the co-supply
+    graph at every test SF — max deg 58 at sf0.1), the capped wedge
+    counts must be BIT-IDENTICAL to the uncapped ones: the q120 hub
+    cap is a no-op until a hub actually exceeds it."""
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.graph import cap_adjacency
+    from a2b_spark.queries.reports import _cosupply_edges
+
+    e = _cosupply_edges(spark, sf_dir)
+    adj = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    max_deg = adj.groupBy("x").count().agg(F.max("count")).collect()[0][0]
+    assert max_deg < 1024
+    assert _wedge_counts(cap_adjacency(adj, cap=1024)) == _wedge_counts(adj)
+
+
+def test_cap_adjacency_bounds_hub(spark):
+    """A synthetic star hub (deg 500) capped at 16: per-center output
+    is <= cap, deterministic across two runs, and spoke-only wedges
+    survive exactly."""
+    from a2b_spark.operators.graph import cap_adjacency
+
+    hub = [("h", f"s{i}") for i in range(500)]
+    # a small exact clique among low-degree vertices, untouched by the cap
+    clique = [(a, b) for a in ("p", "q") for b in ("r", "t")]
+    adj = spark.createDataFrame(hub + clique, ["x", "y"])
+    capped1 = sorted(map(tuple, cap_adjacency(adj, cap=16).collect()))
+    capped2 = sorted(map(tuple, cap_adjacency(adj, cap=16).collect()))
+    assert capped1 == capped2, "md5-ordered cap must be run-deterministic"
+    by_center = {}
+    for x, y in capped1:
+        by_center.setdefault(x, []).append(y)
+    assert len(by_center["h"]) == 16
+    assert sorted(by_center["p"]) == ["r", "t"]
+    assert sorted(by_center["q"]) == ["r", "t"]
+    # low-degree centers' wedges are exact even while the hub is capped
+    w = _wedge_counts(cap_adjacency(adj, cap=16))
+    assert w[("r", "t")] == 2  # via p and via q, both uncapped
+
+
+def test_orient_by_degree_triangle_invariance(spark):
+    """Triangle counts are orientation-invariant: degree-ordered
+    orientation (the hub-safe plan) must count exactly what
+    id-orientation counts, on a hub-heavy graph where the two
+    orientations differ a lot. Out-degree must be bounded."""
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.graph import orient_by_degree
+
+    # hub 0 connected to everyone (id-orientation would give the hub
+    # out-degree n); ring + chords add triangles through the hub
+    n = 40
+    und = [(0, i) for i in range(1, n)]
+    und += [(i, i + 1) for i in range(1, n - 1)]
+    und += [(1, n - 1)]
+    e_id = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in und], ["u", "v"]
+    ).distinct()
+
+    def tri_count(e):
+        return (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+            .join(
+                e.alias("e3"),
+                (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+            )
+            .count()
+        )
+
+    e_deg = orient_by_degree(e_id)
+    # every hub-adjacent ring edge forms a triangle with the hub: n-1 of
+    # them (ring of n-1 nodes), plus no others
+    assert tri_count(e_id) == n - 1
+    assert tri_count(e_deg) == n - 1
+    # degree orientation points ring nodes INTO the hub: hub out-deg 0
+    out_deg = {r.u: r["count"] for r in e_deg.groupBy("u").count().collect()}
+    assert out_deg.get(0, 0) == 0
