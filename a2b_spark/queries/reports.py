@@ -121,34 +121,58 @@ def q114_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-corpus similarity map behind mixture design: which sources
     are stylistically redundant before any training tokens are spent.
 
-    Scale shape: per-source distinct gram-hash sets come from ONE
-    kgram_hash_docs pass + explode + distinct (a (source, gram)
-    shuffle with map-side combine); the intersection is a gram-keyed
-    self-join whose per-gram fan-out is bounded by the SOURCE count
-    (≤ |sources|² rows per gram, never doc-quadratic); per-source
-    totals are a tiny aggregate broadcast back. Jaccard = one
-    long/long division. Gram identity is xxhash64 — the kgram_hash
-    contract (oracle computes gram STRINGS; counts agree modulo a
-    ~|set|²/2^64 collision, same accepted bound as q25)."""
+    Scale shape (round-7 rewrite; was a gram-keyed SELF-JOIN —
+    two shuffles of the full (source, gram) set plus a sort-merge
+    join): ONE shuffle total on the gram hash. kgram_hash_docs +
+    explode feeds groupBy(gram).collect_set(source) directly — the
+    partial aggregate dedups map-side and every per-gram set is
+    bounded by |sources| (20 here; a profile dimension, never
+    doc-scale). Per-source totals fall out of the same frame
+    (explode + count, map-side combine to ≤|sources| rows per task),
+    and the pairwise intersections come from exploding each gram's
+    C(|set|,2) source pairs — after DROPPING single-source grams,
+    which are the heavy tail of any vocabulary and contribute nothing
+    to an intersection (the join version shuffled and probed them
+    all). Jaccard = one long/long division. Gram identity is
+    xxhash64 — the kgram_hash contract (oracle computes gram
+    STRINGS; counts agree modulo a ~|set|²/2^64 collision, same
+    accepted bound as q25)."""
     from a2b_spark.operators.dedup import kgram_hash_docs
 
     d = _t(spark, sf_dir, "documents")
-    grams = (
+    by_g = (
         kgram_hash_docs(
             d.select(F.col("source").alias("__sid"), "text"), "text", "__sid", 3
         )
-        .select("__sid", F.explode("khs").alias("g"))
-        .distinct()
+        .select("__sid", F.explode_outer("khs").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("__sid")).alias("ss"))
+        # one wide consumer tree (totals + pairs) over one shuffle
+        .localCheckpoint(eager=False)
     )
-    tot = grams.groupBy("__sid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_g")
+    tot = (
+        by_g.select(F.explode_outer("ss").alias("__sid"))
+        .groupBy("__sid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_g"))
     )
-    a = grams.select(F.col("__sid").alias("src_a"), "g")
-    b = grams.select(F.col("__sid").alias("src_b"), "g")
+    # C(|ss|,2) ordered pairs per multi-source gram; ss is sorted so
+    # x < y holds by construction (no post-filter re-inlining the HOF)
+    pairs = (
+        by_g.filter(F.size("ss") >= 2)
+        .select(
+            F.explode_outer(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss) - i - 1), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+    )
     inter = (
-        a.join(b, "g")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        pairs.groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     ta = tot.select(F.col("__sid").alias("src_a"), F.col("n_g").alias("n_a"))
