@@ -37,6 +37,64 @@ def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def doc_term_freqs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term, tf) rows computed ENTIRELY map-side: sort each
+    document's token array and emit run-lengths via array HOFs —
+    O(L log L) per doc inside codegen, zero shuffle. The classic
+    explode + groupBy(id, token) word-count shape pays a full
+    (doc, token) exchange for the same result; a document's tokens
+    are already colocated in its row, so the aggregation never needed
+    to cross partitions. Single-space tokenization contract (empties
+    preserved) — identical rows to the exploded variant."""
+    # stage each array as a REAL column referenced multiple times
+    # downstream — CollapseProject declines to inline multiply-used
+    # non-cheap aliases, so the sort runs once per row, not once per
+    # lambda element (and explode's filter rewrite can't re-inline it
+    # either — the q91/q40 lesson)
+    staged = (
+        df.select(
+            F.col(id_col),
+            F.array_sort(F.split(F.col(text_col), " ")).alias("__ts"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__ts"),
+            F.filter(
+                F.sequence(F.lit(0), F.size("__ts") - 1),
+                lambda i: (i == F.lit(0))
+                | (F.get("__ts", i) != F.get("__ts", i - 1)),
+            ).alias("__starts"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__ts"),
+            F.col("__starts"),
+            F.concat(
+                F.slice(
+                    F.col("__starts"),
+                    F.lit(2),
+                    F.greatest(F.size("__starts") - 1, F.lit(0)),
+                ),
+                F.array(F.size("__ts")),
+            ).alias("__ends"),
+        )
+    )
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.zip_with(
+                "__starts",
+                "__ends",
+                lambda s, e: F.struct(
+                    F.get("__ts", s).alias("term"),
+                    (e - s).cast("long").alias("tf"),
+                ),
+            )
+        ).alias("p"),
+    ).filter(F.col("p").isNotNull())
+    return pairs.select(id_col, F.col("p.term").alias("token"), F.col("p.tf").alias("tf"))
+
+
 def tfidf_top_terms(
     df: DataFrame, text_col: str, id_col: str, top_k: int = 3
 ) -> DataFrame:
@@ -46,10 +104,18 @@ def tfidf_top_terms(
     idf = ln(N / df) with df = number of docs containing the term.
     Output: (id, term, score rounded to 6, rank 1..top_k), rank by
     score desc then term asc — fully deterministic.
-    """
+
+    Shuffle budget (round-7 rewrite; was 3 exchanges of the tf frame
+    + a small dfreq exchange): per-doc tf is map-side
+    (``doc_term_freqs`` — run-lengths over the sorted token array, no
+    (doc, token) exchange), then ONE explicit repartition on the term
+    satisfies BOTH the doc-frequency aggregation and the tf⋈df join
+    (Catalyst sees hashpartitioning(term) and plans neither with a
+    new exchange), and the per-doc top-k window is the second and
+    last exchange. Hot-token groups (stopwords appear in every doc)
+    stay sort-merge-safe and AQE splits skewed partitions."""
     n_docs = df.count()  # one scalar action; footer-stats cheap on parquet
-    toks = _doc_tokens(df, text_col, id_col)
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = doc_term_freqs(df, text_col, id_col).repartition(F.col("token"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "token").select(
         F.col(id_col),

@@ -173,3 +173,36 @@ def test_knn_ivf_pq_matches_bruteforce(spark, sf_dir):
     }
     exact_pairs = {(a, b) for a, b, _, _ in exact}
     assert len(exact_pairs & pruned) / len(exact_pairs) >= 0.5
+
+
+def test_doc_term_freqs_matches_explode_groupby(spark):
+    """The map-side run-length tf (sorted-array HOFs, zero shuffle)
+    must emit exactly the rows of the classic explode + groupBy
+    word count, including the empty-string token from '' and
+    adjacent-space splits; null text yields no rows."""
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.ranking import doc_term_freqs
+
+    rows = [
+        (1, "a b a c a b"),
+        (2, ""),
+        (3, "x"),
+        (4, "a  b"),  # double space -> empty token
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.token): r.tf
+        for r in doc_term_freqs(df, "text", "doc_id").collect()
+    }
+    exp = {
+        (r.doc_id, r.token): r.tf
+        for r in (
+            df.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        ).collect()
+    }
+    assert got == exp
+    assert got[(1, "a")] == 3 and got[(4, "")] == 1 and (5, None) not in got
