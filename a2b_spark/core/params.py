@@ -77,13 +77,12 @@ def _walk(obj: Any, params: Mapping[str, Any], seen: set[int], depth: int = 0) -
                 return type(v)._make(items)
             if type(v) is tuple:
                 return tuple(items)
-            # unknown tuple subclass: its constructor signature is not
-            # knowable (may not take one iterable) — try it, else fall
-            # back to a plain tuple (the pre-resolution behavior)
-            try:
-                return type(v)(items)
-            except TypeError:
-                return tuple(items)
+            # unknown tuple subclass: its one-iterable constructor (if
+            # any) may VALIDATE, reorder, or coerce — reconstructing
+            # through it could silently build a wrong value, so always
+            # fall back to a plain tuple (the documented pre-resolution
+            # behavior for non-NamedTuple subclasses)
+            return tuple(items)
         if type(v).__module__.startswith(("pyspark", "py4j")):
             return v
         if hasattr(v, "__dict__"):

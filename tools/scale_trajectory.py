@@ -52,6 +52,14 @@ QUERIES = [
     # (two wordcount shuffles + vocabulary joins)
     "q114_source_overlap",
     "q115_pmi_bigrams",
+    # round 7: the embeddings/lineitem tranches (scaled copies of
+    # those tables are synthesized too) — SemDeDup with self-tuning
+    # k (the cluster-bounded pair-search claim), the co-supply graph
+    # census pair, and the join-skew report
+    "q113_semantic_dedup",
+    "q119_triangle_count",
+    "q120_common_neighbors",
+    "q121_join_skew_report",
 ]
 
 
@@ -85,8 +93,76 @@ def build_scaled(spark, mult: int) -> str:
         out.repartition(32).write.mode("overwrite").parquet(
             os.path.join(out_dir, "documents.parquet")
         )
+    # embeddings: mult disjoint-id copies; each copy's vectors are
+    # dimension-ROLLED by (k mod 64) and sign-flipped past 64 rolls —
+    # norms and within-copy geometry are preserved exactly while
+    # cross-copy cosine structure decorrelates, so semantic-dup pair
+    # counts grow linearly (naive replication would make every vector
+    # a (mult-1)-way exact duplicate and inflate the pair stage
+    # quadratically). 128 distinct transforms cover mult <= 128.
+    emb_dst = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(emb_dst):
+        os.unlink(emb_dst)  # replace a symlink from an older layout
+    if not os.path.exists(os.path.join(emb_dst, "_SUCCESS")):
+        base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        n = base.agg(F.max("vec_id")).first()[0] + 1
+        dim = 64
+        rolled = F.expr(
+            f"concat(slice(embedding, pmod(k, {dim}) + 1, {dim} - pmod(k, {dim})), "
+            f"slice(embedding, 1, pmod(k, {dim})))"
+        )
+        out = (
+            base.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))))
+            .select(
+                (F.col("vec_id") + F.col("k") * n).alias("vec_id"),
+                F.when(F.col("embedding").isNull(), F.lit(None))
+                .otherwise(
+                    F.transform(
+                        rolled,
+                        lambda x: (
+                            x
+                            * F.when(F.col("k") >= 64, F.lit(-1.0)).otherwise(F.lit(1.0))
+                        ).cast("float"),
+                    )
+                )
+                .alias("embedding"),
+            )
+        )
+        out.repartition(32).write.mode("overwrite").parquet(emb_dst)
+    # lineitem: mult copies with ALL three FK spaces shifted per copy
+    # (orders, parts and suppliers all scale with a real SF increase),
+    # so the co-supply graph becomes mult disjoint copies — vertices
+    # and edges grow linearly, per-key row counts stay flat.
+    li_dst = os.path.join(out_dir, "lineitem.parquet")
+    if os.path.islink(li_dst):
+        os.unlink(li_dst)
+    if not os.path.exists(os.path.join(li_dst, "_SUCCESS")):
+        base = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        maxes = base.agg(
+            F.max("l_orderkey").alias("o"),
+            F.max("l_partkey").alias("p"),
+            F.max("l_suppkey").alias("s"),
+        ).first()
+        out = base.withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        out = out.select(
+            *[
+                (
+                    (F.col(c) + F.col("k") * (maxes["o"] + 1)).alias(c)
+                    if c == "l_orderkey"
+                    else (F.col(c) + F.col("k") * (maxes["p"] + 1)).alias(c)
+                    if c == "l_partkey"
+                    else (F.col(c) + F.col("k") * (maxes["s"] + 1)).alias(c)
+                    if c == "l_suppkey"
+                    else F.col(c)
+                )
+                for c in base.columns
+            ]
+        )
+        out.repartition(32).write.mode("overwrite").parquet(li_dst)
     for t in (
-        "region nation customer supplier part orders lineitem events embeddings"
+        "region nation customer supplier part orders events"
     ).split():
         dst = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.lexists(dst):  # exists() follows (dangling) links
@@ -98,7 +174,19 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="sweep only these queries and MERGE into the existing out "
+        "file (other entries kept) — for measuring a new tranche "
+        "without the full ~35-min resweep",
+    )
     args = ap.parse_args()
+    sweep = QUERIES if args.only is None else args.only
+    unknown = set(sweep) - set(QUERIES)
+    if unknown:
+        raise SystemExit(f"--only names not in the sweep list: {sorted(unknown)}")
 
     from a2b_spark.session import get_spark
     from a2b_spark.queries import QUERIES as REGISTRY
@@ -121,7 +209,10 @@ def main() -> int:
     ).save()
 
     results: dict = {}
-    for name in QUERIES:
+    if args.only is not None and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f).get("queries", {})
+    for name in sweep:
         fn = REGISTRY[name]
         per_scale = {}
         for mult, d in scales:
