@@ -282,6 +282,50 @@ def kmeans_assign(
         )
     if not seeds:
         raise ValueError("kmeans_assign: no non-null vectors to seed from")
+    if len(seeds) > 64:
+        # Large-k scale path (SemDeDup's k ∝ n regime): the literal
+        # centroid-array expression is O(k·dim) interpreted HOF work
+        # PER ROW — measured 20× super-linear when k grew with the
+        # corpus (round-7 trajectory: q113 x100 at k=800 took 166s,
+        # with this path 18s). One Arrow-batched mapInPandas computes
+        # the full n×k distance matrix as a numpy matmul
+        # (|x|² − 2x·C + |C|²); ties still break to the smallest cid
+        # (argmin returns the first minimum). Float caveat, by design:
+        # the matmul accumulation order differs from the small-k
+        # path's sequential fold, so the two paths can disagree only
+        # when two rounded distances straddle a 0.5·10^-digits
+        # boundary — measure-zero for continuous embeddings, pinned
+        # equal on the real corpus by tests/test_operators.py. Every
+        # oracle SF uses k=8, i.e. the expression path.
+        import numpy as np
+        import pandas as pd
+
+        C = np.array([list(row["v"]) for row in seeds], dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"{id_col} {id_type}, cluster_id int, dist2 double"
+
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+                d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+                d2r = np.round(d2, round_digits)
+                cid = d2r.argmin(axis=1)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values,
+                        "cluster_id": cid.astype("int32"),
+                        "dist2": d2r[np.arange(len(cid)), cid],
+                    }
+                )
+
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), as_double(vec_col).alias("__v"))
+            .mapInPandas(_assign, out_schema)
+        )
     cents = F.array(
         *[
             F.struct(

@@ -26,12 +26,12 @@ tools/check_oracle.py and bench.py each round.
 import json
 import os
 
-from a2b_spark.queries import analytic, curation, pipeline, relational, reports
+from a2b_spark.queries import analytic, curation, pipeline, relational, reports, round7
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, pipeline, analytic, curation, reports):
+for mod in (relational, pipeline, analytic, curation, reports, round7):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

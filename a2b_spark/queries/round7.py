@@ -1,0 +1,478 @@
+"""Round-7 registry tranche.
+
+Three groups:
+
+- **q122**: the cross-version data diff report (storage/diff.py) —
+  beyond-reference surface completing the versioned-storage story
+  (history says a write happened; the diff says which keys it
+  touched). Driven end-to-end: the query WRITES two versions of a
+  real VersionedParquetTable under /tmp and diffs them; the oracle
+  recomputes the same deterministic mutation directly in SQL.
+- **q123–q127**: the remaining classic TPC-H optimizer shapes not
+  yet in the registry — Q11 (group agg vs global-scalar HAVING),
+  Q16 (anti-join + COUNT DISTINCT rollup), Q20 (semi-join chain
+  gated by an aggregate threshold), Q19 (disjunctive OR-of-ANDs
+  pushdown), Q7 (two-sided dimension filter + year rollup). The
+  testdata has no partsupp table, so the distinct
+  (l_partkey, l_suppkey) pairs of lineitem stand in for it — the
+  join/optimizer shape is identical.
+- **q128–q129**: LLM-pipeline operators — DSIR-style importance
+  weighting (Xie et al. 2023, arXiv:2302.03169: score every document
+  by how much its unigram distribution looks like a target domain,
+  the standard pre-training data-selection step) and per-language
+  token fertility (chars/token — the tokenizer-budget planning
+  stat).
+
+Float discipline as everywhere: DECIMAL accumulation with one final
+DOUBLE cast; scalar thresholds compared in DECIMAL (exact in both
+engines); ln() only on exact integers with the result rounded to 7
+before entering any weighted sum.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from a2b_spark.queries.relational import _t, dsum
+
+
+# --------------------------------------------------------------- Q122
+def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which keys changed between two table versions — insert /
+    delete / update counts with key ranges, via storage.diff's
+    full-outer key join over two retained snapshots.
+
+    Drive: v1 = the orders table; v2 = a deterministic mutation
+    (keys %97 deleted, %89 repriced, %101 cloned to a shifted key
+    range). Both are committed to a real VersionedParquetTable so
+    the diff exercises the versioned read path, not two in-memory
+    frames. At 100 TB the diff is one key-join bounded by the churn;
+    here the churn is ~3% of orders."""
+    from a2b_spark.storage.diff import version_diff
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = f"/tmp/a2b_q122_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedParquetTable(path, key_cols=["o_orderkey"])
+    t.overwrite(o)
+    v2 = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    t.overwrite(v2)
+    d = version_diff(t, spark)
+    return (
+        d.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("change")
+    )
+
+
+O_Q122 = """
+SELECT * FROM (
+  SELECT 'delete' AS change, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+  FROM orders WHERE o_orderkey % 97 = 0
+  HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+         MIN(o_orderkey + 10000000), MAX(o_orderkey + 10000000)
+  FROM orders WHERE o_orderkey % 101 = 0
+  HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT 'update', CAST(COUNT(*) AS BIGINT),
+         MIN(o_orderkey), MAX(o_orderkey)
+  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+  HAVING COUNT(*) > 0
+) ORDER BY change
+"""
+
+
+# --------------------------------------------------------------- Q123
+def q123_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue share vs a GLOBAL scalar —
+    parts whose revenue exceeds 0.05% of total revenue. The global
+    total attaches via an unpartitioned window over the PER-PART
+    aggregate (|parts| rows, never lineitem — the established
+    global-scalar idiom; a constant-key join would fold to a
+    nested-loop). The share predicate compares DECIMALs
+    (val·2000 > tot), so the cut is exact in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(rev).alias("val"))
+    tot = F.sum("val").over(W.partitionBy())
+    return (
+        pv.withColumn("tot", tot)
+        .filter(F.col("val") * 2000 > F.col("tot"))
+        .select(
+            "l_partkey", F.col("val").cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+O_Q123 = """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS val
+  FROM lineitem GROUP BY 1),
+w AS (SELECT l_partkey, val, SUM(val) OVER () AS tot FROM pv)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM w WHERE val * 2000 > tot
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# --------------------------------------------------------------- Q124
+def q124_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers can provide each
+    (brand, type, size) combination, excluding one brand and the
+    'complaint' suppliers (negative account balance), which are
+    removed by ANTI-join before the rollup. Supplier-part pairs come
+    from lineitem DISTINCT (the partsupp stand-in). The count-
+    distinct aggregates after two broadcast-size dimension joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(bad, "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(pf), pairs["l_partkey"] == pf["p_partkey"]
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+O_Q124 = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+  SELECT * FROM pairs
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ok JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------- Q125
+def q125_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE than a threshold
+    quantity of some small part during 1995 — a semi-join chain
+    gated by an aggregate threshold. The (part, supplier) totals
+    aggregate in DECIMAL so the >60 cut is exact; the qualifying
+    pair set then SEMI-joins (distinct suppkeys) back to supplier.
+    Every join key is a dimension key; the only big scan is one
+    filtered lineitem pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    small = p.filter(F.col("p_size") < 15).select("p_partkey")
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1995)
+        .join(F.broadcast(small), li["l_partkey"] == small["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(shipped, s["s_suppkey"] == shipped["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+O_Q125 = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 15)
+  GROUP BY 1, 2)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > 60)
+ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------- Q126
+def q126_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    join-side (brand, size) and fact-side (quantity) conditions —
+    the classic disjunctive-pushdown stress. Catalyst extracts the
+    common l_partkey equi-join and evaluates the disjunction as a
+    post-join filter; the shared fact-side bound (quantity <= 36)
+    still pushes to the lineitem scan. Single DECIMAL-exact row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#14") & q.between(20, 36) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6)
+    )
+
+
+O_Q126 = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#14' AND l_quantity BETWEEN 20 AND 36 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# --------------------------------------------------------------- Q127
+def q127_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations, both
+    directions, by ship year — supplier and customer each join their
+    own nation dimension (both broadcast), the pair filter keeps
+    (N1→N2) and (N2→N1), and revenue rolls up per (supp_nation,
+    cust_nation, year). One lineitem scan, one orders join on the
+    orderkey; everything else is broadcast-size."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    )
+    sn = s.join(F.broadcast(n1), "s_nationkey").select("s_suppkey", "supp_nation")
+    cn = c.join(F.broadcast(n2), "c_nationkey").select("c_custkey", "cust_nation")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(cn, F.col("o_custkey") == cn["c_custkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+O_Q127 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------- Q128
+def q128_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by the log-likelihood
+    ratio of its unigrams under the TARGET domain (lang='en') vs the
+    full corpus, add-one smoothed — the hashed-ngram data-selection
+    recipe behind targeted pre-training mixes. Top-50 docs by score.
+
+    Cross-engine float contract: each term weight is
+    ln(ct+1) + ln(Ng+V) − ln(cg+1) − ln(Nt+V) — four lns of EXACT
+    integers in a fixed expression order (never ln of a ratio whose
+    int64 product could overflow at corpus scale), rounded to 7 and
+    accumulated in DECIMAL weighted by the exact tf.
+
+    Scale shape: per-doc tf is map-side (doc_term_freqs), the
+    vocabulary aggregates once by token, corpus constants are ONE
+    3-scalar driver pull, and the score join shuffles tf by token —
+    the same two-exchange budget as TF-IDF."""
+    from a2b_spark.operators.ranking import doc_term_freqs
+
+    d = _t(spark, sf_dir, "documents")
+    tf = doc_term_freqs(d, "text", "doc_id").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    g = tf.groupBy("token").agg(
+        F.sum("tf").alias("cg"),
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")).otherwise(F.lit(0))).alias(
+            "ct"
+        ),
+    )
+    consts = g.agg(
+        F.sum("cg").alias("ng"), F.sum("ct").alias("nt"), F.count(F.lit(1)).alias("v")
+    ).first()
+    ng_v, nt_v = consts["ng"] + consts["v"], consts["nt"] + consts["v"]
+    term = F.round(
+        F.log(F.col("ct") + 1)
+        + F.log(F.lit(ng_v).cast("double"))
+        - F.log(F.col("cg") + 1)
+        - F.log(F.lit(nt_v).cast("double")),
+        7,
+    ).cast("decimal(20,7)")
+    scored = (
+        tf.join(g.withColumn("w", term).select("token", "w"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.col("w")).cast("double"), 6).alias("score")
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+
+
+O_Q128 = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, MIN(lang) AS lang, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token),
+g AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cg,
+         CAST(SUM(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct
+  FROM tf GROUP BY token),
+c AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng, CAST(SUM(ct) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS v FROM g),
+w AS (
+  SELECT token,
+         CAST(round(ln(ct + 1) + ln(CAST(ng + v AS DOUBLE))
+                    - ln(cg + 1) - ln(CAST(nt + v AS DOUBLE)), 7)
+              AS DECIMAL(20,7)) AS w
+  FROM g CROSS JOIN c),
+s AS (
+  SELECT tf.doc_id, round(CAST(SUM(tf.tf * w.w) AS DOUBLE), 6) AS score
+  FROM tf JOIN w USING (token) GROUP BY tf.doc_id)
+SELECT s.doc_id, d.lang, s.score
+FROM s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id
+LIMIT 50
+"""
+
+
+# --------------------------------------------------------------- Q129
+def q129_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token fertility: docs, chars, single-space
+    tokens, and the chars-per-token / tokens-per-doc ratios — the
+    budget-planning stat that converts a storage size into a token
+    count per language. Counts are exact BIGINTs; each ratio is ONE
+    IEEE division of exact integers (identical in both engines).
+    One scan, one tiny aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long"))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            (F.col("total_chars").cast("double") / F.col("total_tokens"))
+            .alias("chars_per_token"),
+            (F.col("total_tokens").cast("double") / F.col("n_docs"))
+            .alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_Q129 = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(len(string_split(text, ' ')))
+         AS chars_per_token,
+       CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+         AS tokens_per_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = {
+    "q122_version_diff": q122_version_diff,
+    "q123_important_parts": q123_important_parts,
+    "q124_supplier_breadth": q124_supplier_breadth,
+    "q125_excess_shippers": q125_excess_shippers,
+    "q126_disjunctive_revenue": q126_disjunctive_revenue,
+    "q127_nation_trade_flows": q127_nation_trade_flows,
+    "q128_dsir_importance": q128_dsir_importance,
+    "q129_token_fertility": q129_token_fertility,
+}
+
+ORACLES = {
+    "q122_version_diff": O_Q122,
+    "q123_important_parts": O_Q123,
+    "q124_supplier_breadth": O_Q124,
+    "q125_excess_shippers": O_Q125,
+    "q126_disjunctive_revenue": O_Q126,
+    "q127_nation_trade_flows": O_Q127,
+    "q128_dsir_importance": O_Q128,
+    "q129_token_fertility": O_Q129,
+}

@@ -1,0 +1,99 @@
+"""Cross-version diff report for versioned tables — which keys were
+inserted, deleted, or updated between two retained versions.
+
+The natural companion to incremental mode (``run_migration(
+incremental=True)`` skips unchanged keys; this reports what DID
+change) and to :meth:`VersionedParquetTable.history` (history says a
+merge happened; the diff says what it touched). The reference has no
+versioned storage at all — its destination is the live DB — so this
+is beyond-reference surface, designed the way Delta's
+``table_changes`` / CDF reads are consumed.
+
+Shape: ONE full-outer join on the key columns between the two
+version snapshots (both sides pruned to key + compared columns at
+the scan), classifying each key:
+
+- key only in ``v_to``   → ``insert``
+- key only in ``v_from`` → ``delete``
+- key in both, any compared column differing (null-safe) → ``update``
+- identical rows are dropped (the overwhelming majority at 100 TB —
+  the join's output is bounded by the churn, not the table).
+
+At scale both snapshot scans read only key + compared columns
+(column pruning), the join shuffles on the key like any merge, and
+nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.table import VersionedParquetTable
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Diff two keyed snapshots: (key cols..., change) with change in
+    {'insert', 'delete', 'update'}; unchanged keys are omitted.
+    ``compare_cols`` defaults to every shared non-key column.
+    Column comparison is null-safe (NULL == NULL is unchanged)."""
+    keys = list(key_cols)
+    if compare_cols is None:
+        shared = [c for c in before.columns if c in set(after.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    cmp_cols = list(compare_cols)
+
+    def payload(alias: str):
+        # zero compared columns is legal (pure key-presence diff):
+        # a constant payload makes every matched key "unchanged"
+        if not cmp_cols:
+            return F.lit(0).alias(alias)
+        return F.struct(*[F.col(c) for c in cmp_cols]).alias(alias)
+
+    b = before.select(*keys, payload("__b"))
+    a = after.select(*keys, payload("__a"))
+    j = b.join(a, on=keys, how="full_outer")
+    change = (
+        F.when(F.col("__b").isNull(), F.lit("insert"))
+        .when(F.col("__a").isNull(), F.lit("delete"))
+        .when(~F.col("__b").eqNullSafe(F.col("__a")), F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
+def version_diff(
+    table: VersionedParquetTable,
+    spark: SparkSession,
+    v_from: Optional[str] = None,
+    v_to: Optional[str] = None,
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Diff two retained versions of ``table`` (defaults: the previous
+    retained version → the current one). Keys come from the table's
+    own ``key_cols``; see :func:`snapshot_diff` for the output
+    contract. Raises if a requested version is not retained or the
+    table has fewer than two versions and none are named."""
+    versions = table.versions()
+    if v_to is None:
+        v_to = table.current_version()
+    if v_from is None:
+        if len(versions) < 2:
+            raise ValueError(
+                f"table {table.path} has {len(versions)} retained "
+                "version(s); pass v_from explicitly or write more history"
+            )
+        v_from = versions[versions.index(v_to) - 1]
+    before = table.read(spark, version=v_from)
+    after = table.read(spark, version=v_to)
+    return snapshot_diff(before, after, table.key_cols, compare_cols)

@@ -1123,3 +1123,36 @@ def test_orient_by_degree_triangle_invariance(spark):
     # degree orientation points ring nodes INTO the hub: hub out-deg 0
     out_deg = {r.u: r["count"] for r in e_deg.groupBy("u").count().collect()}
     assert out_deg.get(0, 0) == 0
+
+
+def test_kmeans_assign_large_k_path_matches_expression_path(spark, sf_dir):
+    """k=80 forces the numpy matmul path; verify its (cluster_id,
+    dist2) against an independent exact recomputation (python
+    math.fsum over the same seeds) for a sample of the real embedding
+    corpus — the argmin and the rounded distance must agree with the
+    small-k expression path's semantics."""
+    import math
+
+    from a2b_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 80
+    got = {
+        r[0]: (r[1], r[2])
+        for r in kmeans_assign(emb, "embedding", "vec_id", k=k).collect()
+    }
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("embedding IS NOT NULL").orderBy("vec_id").limit(k).collect()
+    ]
+    rows = emb.filter("embedding IS NOT NULL").collect()
+    for r in rows[:50]:
+        v = [float(x) for x in r.embedding]
+        best = None
+        for cid, c in enumerate(seeds):
+            d = round(math.fsum((x - y) * (x - y) for x, y in zip(v, c)), 6)
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        g_cid, g_d = got[r.vec_id]
+        assert g_cid == best[1], (r.vec_id, got[r.vec_id], best)
+        assert abs(g_d - best[0]) < 2e-6

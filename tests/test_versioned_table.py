@@ -479,3 +479,52 @@ def test_delete_all_rows_leaves_readable_empty_table(spark, tmp_path):
         assert [
             (r["id"], r["p"], r["v"]) for r in t.read(spark).collect()
         ] == [(3, "c", "z")]
+
+
+# ------------------------------------------------------- version diff
+def test_snapshot_diff_classifies_and_is_null_safe(spark):
+    from a2b_spark.storage.diff import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "id int, s string, x double",
+    )
+    after = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> omitted
+            (2, "b", None),     # unchanged incl. NULL==NULL -> omitted
+            (3, "c", 3.5),      # value change -> update
+            (5, "e", 5.0),      # new key -> insert
+        ],
+        "id int, s string, x double",
+    )
+    got = {r.id: r.change for r in snapshot_diff(before, after, ["id"]).collect()}
+    assert got == {3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_null_to_value_is_update(spark):
+    from a2b_spark.storage.diff import snapshot_diff
+
+    before = spark.createDataFrame([(1, None)], "id int, s string")
+    after = spark.createDataFrame([(1, "x")], "id int, s string")
+    got = snapshot_diff(before, after, ["id"]).collect()
+    assert [(r.id, r.change) for r in got] == [(1, "update")]
+
+
+def test_version_diff_defaults_to_last_two_versions(spark, tmp_path):
+    from a2b_spark.storage.diff import version_diff
+
+    t = VersionedParquetTable(str(tmp_path / "d"), key_cols=("id",))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    t.overwrite(v1)
+    with pytest.raises(ValueError):
+        version_diff(t, spark)  # only one version retained
+    t.overwrite(spark.createDataFrame([(1, "a"), (3, "c")], "id int, s string"))
+    got = {r.id: r.change for r in version_diff(t, spark).collect()}
+    assert got == {2: "delete", 3: "insert"}
+    # explicit compare_cols restricted to a constant column -> no update
+    t.overwrite(spark.createDataFrame([(1, "z"), (3, "c")], "id int, s string"))
+    assert version_diff(t, spark).count() == 1  # s changed for id 1
+    assert (
+        version_diff(t, spark, compare_cols=[]).count() == 0
+    ), "empty compare set must see equal-key rows as unchanged"
