@@ -336,7 +336,8 @@ def q128_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(ct+1) + ln(Ng+V) − ln(cg+1) − ln(Nt+V) — four lns of EXACT
     integers in a fixed expression order (never ln of a ratio whose
     int64 product could overflow at corpus scale), rounded to 7 and
-    accumulated in DECIMAL weighted by the exact tf.
+    accumulated in DECIMAL weighted by the exact tf; the final score
+    is that exact decimal cast to double, never re-rounded.
 
     Scale shape: per-doc tf is map-side (doc_term_freqs), the
     vocabulary aggregates once by token, corpus constants are ONE
@@ -365,11 +366,23 @@ def q128_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.log(F.lit(nt_v).cast("double")),
         7,
     ).cast("decimal(20,7)")
+    # the DECIMAL(·,7) sum is EXACT in both engines; cast it straight
+    # to double (identical bits below 2^53) — a final round(double, 6)
+    # here measurably flips on the .5-at-scale-7 boundaries (Spark
+    # rounds the exact BigDecimal, DuckDB rounds via a float multiply
+    # — the q53 lesson, re-measured on this query: 28/500 docs off by
+    # 1e-6 with the round, zero without)
+    # tf must be a NARROW decimal before the multiply: bigint×dec(20,7)
+    # needs precision 41 > 38, and Spark's precision-loss rule silently
+    # drops the scale below 7 (measured: scores off by ≤3e-6 vs the
+    # oracle); dec(10,0)×dec(20,7) = dec(31,7) keeps every digit
     scored = (
         tf.join(g.withColumn("w", term).select("token", "w"), "token")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(F.col("tf") * F.col("w")).cast("double"), 6).alias("score")
+            F.sum(F.col("tf").cast("decimal(10,0)") * F.col("w"))
+            .cast("double")
+            .alias("score")
         )
     )
     return (
@@ -399,7 +412,8 @@ w AS (
               AS DECIMAL(20,7)) AS w
   FROM g CROSS JOIN c),
 s AS (
-  SELECT tf.doc_id, round(CAST(SUM(tf.tf * w.w) AS DOUBLE), 6) AS score
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(tf.tf AS DECIMAL(10,0)) * w.w) AS DOUBLE) AS score
   FROM tf JOIN w USING (token) GROUP BY tf.doc_id)
 SELECT s.doc_id, d.lang, s.score
 FROM s JOIN documents d ON d.doc_id = s.doc_id
