@@ -653,13 +653,41 @@ def embedding_dup_pairs_exact(
     )
 
 
+def _srp_plan(n: int, threshold: float) -> tuple[int, int]:
+    """Scale-aware SRP bucket plan: bits grow with corpus size so
+    bucket occupancy stays ~250 vectors (a fixed bucket COUNT makes
+    per-bucket tiles grow quadratically with n — measured 30× at a
+    10× corpus before this), and the table count is re-derived from
+    the collision model to hold the recall budget at the operator's
+    threshold.
+
+    n <= 2000 reproduces the historical (3 bits, 36 tables) exactly —
+    every oracle SF lands here, so q36/q56 outputs are unchanged and
+    their == exact-pairs oracles still certify ~1e-5 miss. Past that,
+    the miss budget is 1e-2 per true pair (the production dedup
+    norm; holding 1e-5 while buckets shrink would need T ∝ n^0.6
+    MORE tables and forfeit most of the bucketing win). Total tile
+    work then grows ~n^1.6 instead of n²: sub-quadratic is the
+    honest ceiling for sign-random-projection LSH at a fixed
+    threshold and bounded miss rate."""
+    import math
+
+    if n <= 2000:
+        return 3, 36
+    b = max(3, int(math.floor(math.log2(n / 250))))
+    theta = math.acos(max(-1.0, min(1.0, threshold)))
+    p1 = (1.0 - theta / math.pi) ** b
+    t = math.ceil(math.log(0.01) / math.log(1.0 - p1)) if 0 < p1 < 1 else 36
+    return b, max(8, min(256, t))
+
+
 def embedding_dup_pairs_lsh(
     df: DataFrame,
     vec_col: str,
     id_col: str,
     threshold: float,
-    n_bits: int = 3,
-    n_tables: int = 36,
+    n_bits: int | None = None,
+    n_tables: int | None = None,
     rerank: str = "tile",
 ) -> DataFrame:
     """SRP-LSH bucketed embedding near-dup — the 100 TB path: map-only
@@ -689,10 +717,19 @@ def embedding_dup_pairs_lsh(
       Arrow kernel. Minimum bytes shuffled per candidate — the right
       shape when candidates are rare but each vector is huge.
 
-    Both produce bit-identical cosines (same IEEE-754 fold)."""
+    Both produce bit-identical cosines (same IEEE-754 fold).
+
+    ``n_bits``/``n_tables`` default to the corpus-sized ``_srp_plan``
+    (identical to the historical 3/36 at every oracle SF); pass
+    explicit values to pin a configuration."""
     from a2b_spark.functions.vectors import as_double, pair_cosine_raw, srp_buckets
 
-    e = spread(df.select(F.col(id_col), F.col(vec_col)).filter(F.col(vec_col).isNotNull()))
+    base = df.select(F.col(id_col), F.col(vec_col)).filter(F.col(vec_col).isNotNull())
+    if n_bits is None or n_tables is None:
+        auto_b, auto_t = _srp_plan(base.count(), threshold)
+        n_bits = auto_b if n_bits is None else n_bits
+        n_tables = auto_t if n_tables is None else n_tables
+    e = spread(base)
     if rerank == "tile":
         margin = threshold - 1e-6  # raw-cosine prefilter; round moves < 5e-7
         bv = srp_buckets(e, vec_col, id_col, n_bits=n_bits, n_tables=n_tables, with_vec=True)

@@ -1156,3 +1156,22 @@ def test_kmeans_assign_large_k_path_matches_expression_path(spark, sf_dir):
         g_cid, g_d = got[r.vec_id]
         assert g_cid == best[1], (r.vec_id, got[r.vec_id], best)
         assert abs(g_d - best[0]) < 2e-6
+
+
+def test_srp_plan_scales_buckets_and_preserves_oracle_config():
+    from a2b_spark.operators.dedup import _srp_plan
+
+    # every oracle SF (<= 2000 vectors) keeps the historical plan
+    assert _srp_plan(50, 0.45) == (3, 36)
+    assert _srp_plan(2000, 0.45) == (3, 36)
+    # past that, bits grow with log(n) (~250-vector buckets) and
+    # tables re-derive from the collision model
+    b10, t10 = _srp_plan(20_000, 0.45)
+    b100, t100 = _srp_plan(200_000, 0.45)
+    assert b10 == 6 and b100 == 9
+    assert t10 > 36 and t100 > t10  # recall budget holds
+    # per-bucket tile work (n/2^b)^2 * 2^b * T must grow sub-quadratically
+    def work(n):
+        b, t = _srp_plan(n, 0.45)
+        return t * n * n / (2 ** b)
+    assert work(200_000) / work(20_000) < 50  # << the 100x of fixed buckets
