@@ -93,7 +93,15 @@ def version_diff(
                 f"table {table.path} has {len(versions)} retained "
                 "version(s); pass v_from explicitly or write more history"
             )
-        v_from = versions[versions.index(v_to) - 1]
+        idx = versions.index(v_to)
+        if idx == 0:
+            # negative indexing would silently wrap to the NEWEST
+            # version and diff backwards
+            raise ValueError(
+                f"{v_to!r} is the oldest retained version of "
+                f"{table.path}; pass v_from explicitly"
+            )
+        v_from = versions[idx - 1]
     before = table.read(spark, version=v_from)
     after = table.read(spark, version=v_to)
     return snapshot_diff(before, after, table.key_cols, compare_cols)

@@ -528,3 +528,17 @@ def test_version_diff_defaults_to_last_two_versions(spark, tmp_path):
     assert (
         version_diff(t, spark, compare_cols=[]).count() == 0
     ), "empty compare set must see equal-key rows as unchanged"
+
+
+def test_version_diff_oldest_v_to_raises(spark, tmp_path):
+    from a2b_spark.storage.diff import version_diff
+
+    t = VersionedParquetTable(str(tmp_path / "w"), key_cols=("id",))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    t.overwrite(spark.createDataFrame([(2, "b")], "id int, s string"))
+    first = t.versions()[0]
+    with pytest.raises(ValueError, match="oldest retained"):
+        version_diff(t, spark, v_to=first)
+    # explicit v_from works in any direction
+    got = version_diff(t, spark, v_from=t.versions()[1], v_to=first).collect()
+    assert {(r.id, r.change) for r in got} == {(1, "insert"), (2, "delete")}
