@@ -675,10 +675,22 @@ def _srp_plan(n: int, threshold: float) -> tuple[int, int]:
     if n <= 2000:
         return 3, 36
     b = max(3, int(math.floor(math.log2(n / 250))))
+    return b, _srp_tables(b, threshold)
+
+
+def _srp_tables(n_bits: int, threshold: float) -> int:
+    """Tables needed for a ≤1e-2 per-true-pair miss at ``threshold``
+    with ``n_bits``-bit signatures, from the SRP collision model
+    p1 = (1 − θ/π)^bits. Used both by the auto plan and to complete a
+    PARTIAL override (a caller pinning n_bits must not silently get a
+    table count derived for some other bit width — at 8 bits the old
+    36-table default misses ~32% of cos=0.45 pairs)."""
+    import math
+
     theta = math.acos(max(-1.0, min(1.0, threshold)))
-    p1 = (1.0 - theta / math.pi) ** b
+    p1 = (1.0 - theta / math.pi) ** n_bits
     t = math.ceil(math.log(0.01) / math.log(1.0 - p1)) if 0 < p1 < 1 else 36
-    return b, max(8, min(256, t))
+    return max(8, min(256, t))
 
 
 def embedding_dup_pairs_lsh(
@@ -725,10 +737,14 @@ def embedding_dup_pairs_lsh(
     from a2b_spark.functions.vectors import as_double, pair_cosine_raw, srp_buckets
 
     base = df.select(F.col(id_col), F.col(vec_col)).filter(F.col(vec_col).isNotNull())
-    if n_bits is None or n_tables is None:
+    if n_bits is None:
         auto_b, auto_t = _srp_plan(base.count(), threshold)
-        n_bits = auto_b if n_bits is None else n_bits
+        n_bits = auto_b
         n_tables = auto_t if n_tables is None else n_tables
+    elif n_tables is None:
+        # partial override: the table count must match the PINNED bit
+        # width, not one derived for the auto plan's width
+        n_tables = _srp_tables(n_bits, threshold)
     e = spread(base)
     if rerank == "tile":
         margin = threshold - 1e-6  # raw-cosine prefilter; round moves < 5e-7

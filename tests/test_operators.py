@@ -1175,3 +1175,23 @@ def test_srp_plan_scales_buckets_and_preserves_oracle_config():
         b, t = _srp_plan(n, 0.45)
         return t * n * n / (2 ** b)
     assert work(200_000) / work(20_000) < 50  # << the 100x of fixed buckets
+
+
+def test_srp_partial_override_rederives_tables_for_pinned_bits():
+    from a2b_spark.operators.dedup import _srp_plan, _srp_tables
+
+    # a caller pinning n_bits must get a table count derived for THAT
+    # width: at 8 bits the collision model needs far more tables than
+    # the 3-bit auto plan's count to hold the 1e-2 miss budget
+    import math
+
+    for bits in (3, 6, 8, 12):
+        t = _srp_tables(bits, 0.45)
+        p1 = (1.0 - math.acos(0.45) / math.pi) ** bits
+        miss = (1.0 - p1) ** t
+        assert miss <= 0.01 or t == 256, (bits, t, miss)
+    # monotone: narrower collisions need more tables
+    assert _srp_tables(8, 0.45) > _srp_tables(3, 0.45)
+    # the auto plan's own tables agree with the helper at its width
+    b, t = _srp_plan(200_000, 0.45)
+    assert t == _srp_tables(b, 0.45)
