@@ -952,3 +952,98 @@ def knn_ivf_pq(
         .select("query_id", "corpus_id")
     )
     return _exact_rerank(cands, queries, corpus, vec_col, id_col, k)
+
+
+def nearest_in_set(
+    df: DataFrame,
+    ref: DataFrame,
+    vec_col: str,
+    id_col: str,
+    exclude_self: bool = False,
+    max_ref_rows: int = 100_000,
+) -> DataFrame:
+    """For every vector in ``df``, its single nearest neighbor (by
+    cosine) inside a small REFERENCE set — the embedding-space
+    decontamination primitive: score a 100 TB corpus against a
+    benchmark/eval suite and flag anything that lands too close
+    (Lee et al. 2022 "Deduplicating Training Data", §5 applies the
+    same shape to eval leakage).
+
+    Returns (id_col, ref_id, cos) with cos rounded to 6; the argmax
+    compares ROUNDED cosines with ties broken to the smallest ref id,
+    so both engines (and any partitioning) pick the identical winner.
+
+    Scale shape: the reference set is a bounded driver pull
+    (``max_ref_rows`` guard, same contract as knn_bruteforce's query
+    side) broadcast to every executor; the corpus is scored in one
+    Arrow-batched mapInPandas pass — NO join, NO shuffle, O(n·r·dim)
+    flops stage-local. Inner products use the same per-dimension
+    sequential fold as the module's other kernels (oracle parity).
+
+    ``exclude_self`` masks pairs with equal ids (reference drawn from
+    the corpus itself); rows whose every reference is masked drop out.
+    """
+    rpd = (
+        ref.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("rid"), as_double(vec_col).alias("rv"))
+        .orderBy("rid")  # argmax first-hit => smallest rid on ties
+        .limit(max_ref_rows + 1)
+        .toPandas()
+    )
+    if len(rpd) > max_ref_rows:
+        raise ValueError(
+            f"nearest_in_set reference side exceeds max_ref_rows={max_ref_rows}; "
+            "pre-reduce the reference set (sample/centroids) or raise the bound"
+        )
+    if len(rpd) == 0:
+        raise ValueError("nearest_in_set: empty reference set")
+    R = np.vstack([np.asarray(v, dtype=np.float64) for v in rpd["rv"]])
+    rids = rpd["rid"].to_numpy()
+    d = R.shape[1]
+    rn = np.zeros(len(rids))
+    for i in range(d):  # exact sequential fold (oracle parity)
+        rn = rn + R[:, i] * R[:, i]
+    rnorm = np.sqrt(rn)
+    br = df.sparkSession.sparkContext.broadcast((rids, R, rnorm))
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("ref_id", id_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_r, mr, nr = br.value
+        dd = mr.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            ids_v = pdf[id_col].to_numpy()
+            dots = np.zeros((len(ids_v), len(ids_r)))
+            vn = np.zeros(len(ids_v))
+            for i in range(dd):  # same fold order as cosine(v, r)
+                dots = dots + np.outer(V[:, i], mr[:, i])
+                vn = vn + V[:, i] * V[:, i]
+            cos = np.round(dots / (np.sqrt(vn)[:, None] * nr[None, :]), 6)
+            if exclude_self:
+                cos[ids_v[:, None] == ids_r[None, :]] = -np.inf
+            best = cos.argmax(axis=1)
+            bc = cos[np.arange(len(best)), best]
+            keep = np.isfinite(bc)
+            yield pd.DataFrame(
+                {
+                    id_col: ids_v[keep],
+                    "ref_id": ids_r[best[keep]],
+                    "cos": bc[keep],
+                }
+            )
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(vec_col).alias("__v"))
+        .mapInPandas(score, out_schema)
+    )

@@ -26,12 +26,20 @@ tools/check_oracle.py and bench.py each round.
 import json
 import os
 
-from a2b_spark.queries import analytic, curation, pipeline, relational, reports, round7
+from a2b_spark.queries import (
+    analytic,
+    curation,
+    pipeline,
+    relational,
+    reports,
+    round7,
+    round7b,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, pipeline, analytic, curation, reports, round7):
+for mod in (relational, pipeline, analytic, curation, reports, round7, round7b):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

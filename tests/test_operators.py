@@ -1195,3 +1195,72 @@ def test_srp_partial_override_rederives_tables_for_pinned_bits():
     # the auto plan's own tables agree with the helper at its width
     b, t = _srp_plan(200_000, 0.45)
     assert t == _srp_tables(b, 0.45)
+
+
+def test_nearest_in_set_exact_and_deterministic(spark):
+    from a2b_spark.operators.similarity import nearest_in_set
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.6, 0.8, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    refs = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ref = spark.createDataFrame(refs, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: (r.ref_id, r.cos)
+        for r in nearest_in_set(df, ref, "embedding", "vec_id").collect()
+    }
+    assert got[1] == (10, 1.0)
+    assert got[2] == (11, 1.0)
+    assert got[3] == (11, 0.8)  # 0.8 vs ref 11 beats 0.6 vs ref 10
+    assert got[4] == (11, 0.0)  # tie 0.0 vs -1.0? no: ref10 cos=-1, ref11 cos=0
+
+
+def test_nearest_in_set_tie_breaks_to_smallest_ref_id(spark):
+    from a2b_spark.operators.similarity import nearest_in_set
+
+    df = spark.createDataFrame([(1, [1.0, 1.0])], ["vec_id", "embedding"])
+    # both refs at identical rounded cosine -> smallest ref id wins
+    ref = spark.createDataFrame(
+        [(21, [1.0, 1.0]), (20, [2.0, 2.0])], ["vec_id", "embedding"]
+    )
+    [r] = nearest_in_set(df, ref, "embedding", "vec_id").collect()
+    assert r.ref_id == 20 and r.cos == 1.0
+
+
+def test_nearest_in_set_exclude_self_and_guards(spark):
+    import pytest as _pytest
+
+    from a2b_spark.operators.similarity import nearest_in_set
+
+    e = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    # ref == corpus: without exclude_self every row matches itself
+    got = {
+        r.vec_id: r.ref_id
+        for r in nearest_in_set(e, e, "embedding", "vec_id").collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+    got2 = {
+        r.vec_id: r.ref_id
+        for r in nearest_in_set(
+            e, e, "embedding", "vec_id", exclude_self=True
+        ).collect()
+    }
+    assert got2[1] == 2 and got2[2] == 1
+    # single-row ref fully masked by exclude_self -> row drops out
+    one = e.filter("vec_id = 1")
+    only_self = nearest_in_set(one, one, "embedding", "vec_id", exclude_self=True)
+    assert only_self.count() == 0
+    with _pytest.raises(ValueError, match="empty reference"):
+        nearest_in_set(e, e.filter("vec_id < 0"), "embedding", "vec_id")
+    with _pytest.raises(ValueError, match="max_ref_rows"):
+        nearest_in_set(e, e, "embedding", "vec_id", max_ref_rows=2)
