@@ -983,6 +983,19 @@ def nearest_in_set(
     ``exclude_self`` masks pairs with equal ids (reference drawn from
     the corpus itself); rows whose every reference is masked drop out.
     """
+    br = broadcast_reference_set(ref, vec_col, id_col, max_ref_rows)
+    return nearest_with_broadcast(df, br, vec_col, id_col, exclude_self)
+
+
+def broadcast_reference_set(
+    ref: DataFrame, vec_col: str, id_col: str, max_ref_rows: int = 100_000
+):
+    """Collect + broadcast a reference embedding set ONCE for reuse
+    across many scoring passes (the streaming decontamination filter
+    scores every micro-batch against the same benchmark — re-collecting
+    per batch would re-ship the matrix each trigger). Bounded driver
+    pull under the knn_bruteforce contract; refs are sorted by id so
+    the argmax's first-hit tie break lands on the smallest ref id."""
     rpd = (
         ref.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("rid"), as_double(vec_col).alias("rv"))
@@ -1004,8 +1017,18 @@ def nearest_in_set(
     for i in range(d):  # exact sequential fold (oracle parity)
         rn = rn + R[:, i] * R[:, i]
     rnorm = np.sqrt(rn)
-    br = df.sparkSession.sparkContext.broadcast((rids, R, rnorm))
+    return ref.sparkSession.sparkContext.broadcast((rids, R, rnorm))
 
+
+def nearest_with_broadcast(
+    df: DataFrame,
+    br,
+    vec_col: str,
+    id_col: str,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """nearest_in_set's scoring pass against an ALREADY-broadcast
+    reference set (see broadcast_reference_set)."""
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [

@@ -71,3 +71,59 @@ def run_bloom_decontaminate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_embedding_decontaminate_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    ref_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    table: VersionedParquetTable,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    max_ref_rows: int = 100_000,
+) -> StreamingQuery:
+    """Streaming twin of q137's embedding-space decontamination:
+    arriving vectors (documents with an embedding column) are scored
+    against a STATIC benchmark/eval reference set and dropped when
+    their nearest reference cosine reaches ``threshold``; survivors
+    append to a versioned table with idempotent keys.
+
+    Same cost model as the Bloom stream above, with the broadcast
+    being a dense matrix instead of a bitset: the reference set is
+    collected and broadcast ONCE per stream (bounded by
+    ``max_ref_rows`` — the knn_bruteforce contract), each micro-batch
+    pays one Arrow-batched mapInPandas pass (O(batch·refs·dim) flops,
+    stateless, no shuffle against the reference), and the keyed
+    append keeps redelivery idempotent. Rows with a NULL embedding
+    pass through unscored (they cannot leak a benchmark), matching
+    the batch operator, which drops them from the SCORING frame only.
+    """
+    from a2b_spark.operators.similarity import (
+        broadcast_reference_set,
+        nearest_with_broadcast,
+    )
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame (spark.readStream)")
+    # ship the reference matrix ONCE for the stream's lifetime
+    br = broadcast_reference_set(ref_df, vec_col, id_col, max_ref_rows)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        from pyspark.sql import functions as SF
+
+        scored = nearest_with_broadcast(batch_df, br, vec_col, id_col)
+        hot = scored.filter(SF.col("cos") >= threshold).select(id_col)
+        clean = batch_df.join(hot, id_col, "left_anti")
+        table.append(clean, dedupe_keys=list(table.key_cols))
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -204,3 +204,55 @@ def test_bloom_broadcast_handle_reuse(spark):
         map(tuple, bloom_flag_contaminated(corpus, b, "text", "doc_id").collect())
     )
     assert via_handle == direct and via_handle
+
+
+def test_streaming_embedding_decontaminate(spark, tmp_path):
+    """Streaming embedding decontamination == the batch operator: docs
+    whose nearest benchmark cosine >= threshold never land; null
+    embeddings pass through; replay under a fresh checkpoint inserts
+    nothing (idempotent keyed append)."""
+    import os
+
+    from a2b_spark.operators.similarity import nearest_in_set
+    from a2b_spark.streaming.filters import run_embedding_decontaminate_stream
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    bench = spark.createDataFrame(
+        [(900, [1.0, 0.0, 0.0]), (901, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = [
+        (1, [0.99, 0.1, 0.0]),   # ~bench 900 -> dropped
+        (2, [0.0, 0.0, 1.0]),    # orthogonal -> kept
+        (3, [0.1, 0.99, 0.0]),   # ~bench 901 -> dropped
+        (4, [1.0, 1.0, 1.0]),    # cos ~0.577 < 0.9 -> kept
+        (5, None),               # null embedding -> kept (unscored)
+    ]
+    src = str(tmp_path / "ein")
+    os.makedirs(src)
+    table = VersionedParquetTable(str(tmp_path / "eclean"), key_cols=("vec_id",))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src)
+        run_embedding_decontaminate_stream(
+            spark, stream, bench, "embedding", "vec_id", 0.9,
+            table, str(tmp_path / ckpt),
+        ).awaitTermination(120)
+
+    batch_df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    batch_df.write.mode("append").parquet(src)
+    run("eck1")
+    got = {r.vec_id for r in table.read(spark).collect()}
+
+    # batch twin: same threshold decision on the same rows
+    nn = nearest_in_set(batch_df, bench, "embedding", "vec_id")
+    hot = {r.vec_id for r in nn.collect() if r.cos >= 0.9}
+    expect = {i for i, _ in rows} - hot
+    assert got == expect == {2, 4, 5}
+
+    # replay with a fresh checkpoint: nothing new inserted
+    before = sorted(r.vec_id for r in table.read(spark).collect())
+    run("eck_replay")
+    assert sorted(r.vec_id for r in table.read(spark).collect()) == before
