@@ -428,19 +428,23 @@ def q138_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark would silently drop scale), and the slope is ONE IEEE
     division of the two exact cast-to-double moments.
 
-    Scale shape: one token explode + (lang, token) count, a per-lang
-    top-200 window over the counts (hot only if a language's
-    vocabulary is hot — vocabulary, not corpus, sized), then a
-    5-row aggregate."""
+    Scale shape: one token explode + (lang, token) count, then the
+    SALTED two-phase top-200 per language (a language's vocabulary is
+    corpus-scale at 100 TB — a plain per-lang row_number window would
+    sort it inside one task; the partition-id pre-pass bounds the
+    final window at salts·k rows per language), then a 5-row
+    aggregate."""
+    from a2b_spark.operators.topk import top_k_per_group
+
     d = _t(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
     freq = tok.groupBy("lang", "token").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
     )
-    w = W.partitionBy("lang").orderBy(F.desc("freq"), F.asc("token"))
     ranked = (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 200)
+        top_k_per_group(
+            freq, ["lang"], [F.desc("freq"), F.asc("token")], 200, rank_col="rank"
+        )
         .select(
             "lang",
             F.round(F.log(F.col("rank").cast("double")), 7)
