@@ -380,7 +380,13 @@ def q137_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow-batched mapInPandas pass (no join, no shuffle beyond
     the final tiny top-k); at 100 TB the corpus never moves and the
     benchmark rides the closure. Cosines use the module's sequential
-    fold, so the oracle's list_inner_product matches bit-for-bit."""
+    fold, so the oracle's list_inner_product matches bit-for-bit.
+
+    Note the %50 stand-in grows the reference with the corpus — a
+    test-data artifact. The operator's contract is a FIXED benchmark
+    (eval suites don't scale with training data), making it linear in
+    corpus size; see tools/scale_trajectory.py for why it is measured
+    that way and not through this query."""
     from a2b_spark.operators.similarity import nearest_in_set
 
     e = _t(spark, sf_dir, "embeddings")

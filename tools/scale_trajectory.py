@@ -60,6 +60,13 @@ QUERIES = [
     "q119_triangle_count",
     "q120_common_neighbors",
     "q121_join_skew_report",
+    # round 7b: the Zipf top-200 (wordcount + salted top-k, expected
+    # ≈ q47 tfidf). q137 decontam is deliberately NOT here: its
+    # vec_id%50 stand-in grows the reference WITH the corpus, so a
+    # trajectory would measure the stand-in's O(n²/50), not the
+    # operator's contract (fixed benchmark ⇒ linear in corpus —
+    # nearest_in_set is one broadcast + one map pass by construction).
+    "q138_zipf_slope",
 ]
 
 
@@ -126,6 +133,9 @@ def build_scaled(spark, mult: int) -> str:
                     )
                 )
                 .alias("embedding"),
+                # keep the full schema: label rides unchanged per copy
+                # (q136 cluster purity reads it; distribution preserved)
+                F.col("label"),
             )
         )
         out.repartition(32).write.mode("overwrite").parquet(emb_dst)
