@@ -31,6 +31,7 @@ in; every caller goes through read()/merge()/overwrite()/delete_keys().
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import uuid
@@ -65,6 +66,30 @@ _FORMAT_OPTIONS: dict[str, dict[str, str]] = {
 
 # formats whose files carry their own schema — no _SCHEMA sidecar needed
 _SELF_DESCRIBING = {"parquet", "orc"}
+
+
+@contextlib.contextmanager
+def _stats_friendly_timestamps(spark: SparkSession):
+    """Spark's default parquet timestamp encoding is INT96, which
+    carries NO footer min/max statistics — it blinds the ``_STATS``
+    file-skipping layer to every timestamp predicate. TIMESTAMP_MICROS
+    is stats-capable and read identically by Spark/DuckDB/pyarrow. Set
+    transiently around table writes (the driver harness builds its own
+    session, so the table must not depend on caller conf), restore
+    after."""
+    key = "spark.sql.parquet.outputTimestampType"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 class VersionedParquetTable:
@@ -191,6 +216,83 @@ class VersionedParquetTable:
                     break
         return reader.load(os.path.join(self.path, v))
 
+    # ----------------------------------------------------- file skipping
+    def _write_stats_sidecar(self, tmp_target: str, base: Optional[str]) -> None:
+        """Per-file min/max statistics (``_STATS``), parquet only —
+        written into the staging dir so it commits atomically with the
+        data. Hardlinked (untouched-partition) files reuse the base
+        version's entries by inode; only new files pay a footer read."""
+        if self.fmt != "parquet":
+            return
+        from a2b_spark.storage import stats as _stats
+
+        base_dir = os.path.join(self.path, base) if base else None
+        base_stats = _stats.load_stats(base_dir) if base_dir else None
+        _stats.write_stats(
+            tmp_target, _stats.build_version_stats(tmp_target, base_dir, base_stats)
+        )
+
+    def prune_files(
+        self, predicates, version: Optional[str] = None
+    ) -> tuple[list[str], int]:
+        """Driver-side file skipping: data files of ``version`` whose
+        stats may satisfy the conjunctive ``predicates`` (list of
+        (col, op, value); op in =, <, <=, >, >=, between — between
+        takes a (lo, hi) tuple). Returns (kept absolute paths, total
+        file count). Files without usable stats are always kept;
+        partition columns are not in file stats (Spark prunes them
+        from the directory layout during the pruned read)."""
+        from a2b_spark.storage import stats as _stats
+
+        v = version or self.current_version()
+        if v is None:
+            return [], 0
+        preds = _stats.normalize_predicates(predicates)
+        vdir = os.path.join(self.path, v)
+        s = _stats.load_stats(vdir)
+        all_files = _stats._data_files(vdir)
+        if s is None:  # pre-stats version: nothing can be skipped
+            return [os.path.join(vdir, f) for f in all_files], len(all_files)
+        entries = s["files"]
+        kept = [
+            os.path.join(vdir, f)
+            for f in all_files
+            if _stats.file_may_match(entries.get(f, {}), preds)
+        ]
+        return kept, len(all_files)
+
+    def read_pruned(
+        self, spark: SparkSession, predicates, version: Optional[str] = None
+    ) -> Optional[DataFrame]:
+        """``read`` + file skipping: scan only the files whose stats
+        may satisfy ``predicates``, then apply the SAME predicates as a
+        real filter — exact results whether or not any file has stats,
+        with the scan bounded by the driver-side prune (the
+        data-skipping contract of Delta/Iceberg readers). Parquet only;
+        other formats fall back to a filtered full read."""
+        from a2b_spark.storage import stats as _stats
+
+        v = version or self.current_version()
+        if v is None:
+            return None
+        preds = _stats.normalize_predicates(predicates)
+        cond = _stats.predicates_to_column(preds)
+        if self.fmt != "parquet":
+            full = self.read(spark, version=v)
+            return None if full is None else full.filter(cond)
+        kept, _total = self.prune_files(preds, version=v)
+        if not kept:
+            base = self.read(spark, version=v)
+            return None if base is None else base.filter(F.lit(False)).filter(cond)
+        vdir = os.path.join(self.path, v)
+        df = (
+            spark.read.format(self.fmt)
+            .options(**_FORMAT_OPTIONS[self.fmt])
+            .option("basePath", vdir)  # keep partition columns
+            .load(kept)
+        )
+        return df.filter(cond)
+
     # ------------------------------------------------------------ writes
     def _next_version(self) -> str:
         v = self.current_version()
@@ -260,11 +362,14 @@ class VersionedParquetTable:
         base_dir = os.path.join(self.path, base)
         if not os.path.isdir(base_dir):
             return
+        from a2b_spark.storage.stats import STATS_FILE
+
         for fn in os.listdir(base_dir):
             src = os.path.join(base_dir, fn)
             dst = os.path.join(target, fn)
             if (
                 fn.startswith("_")
+                and fn != STATS_FILE  # per-version file map, never inherited
                 and os.path.isfile(src)
                 and not os.path.exists(dst)
             ):
@@ -338,7 +443,8 @@ class VersionedParquetTable:
         writer = df.write.mode("overwrite").format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.save(tmp_target)
+        with _stats_friendly_timestamps(df.sparkSession):
+            writer.save(tmp_target)
         # per-VERSION schema sidecar: committed atomically with the
         # data and carried forward like other metadata, so a failed
         # concurrent commit or schema evolution can never corrupt
@@ -356,6 +462,7 @@ class VersionedParquetTable:
         for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
             with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
+        self._write_stats_sidecar(tmp_target, base)
         self._carry_forward_metadata(tmp_target, base)  # base resolved above
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
@@ -500,13 +607,14 @@ class VersionedParquetTable:
         old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
-        (
-            self._reject_null_partitions(touched_df).write.mode("overwrite")
-            .format(self.fmt)
-            .options(**_FORMAT_OPTIONS[self.fmt])
-            .partitionBy(*self.partition_by)
-            .save(tmp_target)
-        )
+        with _stats_friendly_timestamps(touched_df.sparkSession):
+            (
+                self._reject_null_partitions(touched_df).write.mode("overwrite")
+                .format(self.fmt)
+                .options(**_FORMAT_OPTIONS[self.fmt])
+                .partitionBy(*self.partition_by)
+                .save(tmp_target)
+            )
         for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
             if values in touched:
                 continue
@@ -525,6 +633,9 @@ class VersionedParquetTable:
         }.items():
             with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
+        # old_version (the hardlink source), not base: inode reuse is
+        # against the dir the untouched partitions were linked FROM
+        self._write_stats_sidecar(tmp_target, old_version)
         self._carry_forward_metadata(tmp_target, old_version)
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)

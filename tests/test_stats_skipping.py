@@ -1,0 +1,209 @@
+"""File-skipping statistics (_STATS sidecar) for VersionedParquetTable:
+prune correctness (never a wrong skip), exactness of read_pruned vs a
+filtered full read, hardlink stats reuse across partitioned commits,
+and the safe fallbacks (missing stats, truncated strings, all-null
+columns, pre-stats versions, non-parquet formats)."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.stats import (
+    STATS_FILE,
+    file_may_match,
+    load_stats,
+    normalize_predicates,
+)
+from a2b_spark.storage.table import VersionedParquetTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_path):
+    """3 files with DISJOINT k-ranges (repartitionByRange sorts before
+    writing), so value predicates provably skip files."""
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",))
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.concat(F.lit("name_"), F.col("id")).alias("s"),
+    )
+    t.overwrite(df.repartitionByRange(3, "k"))
+    return t
+
+
+def test_stats_sidecar_written_and_covers_every_file(ranged_table):
+    vdir = os.path.join(ranged_table.path, ranged_table.current_version())
+    s = load_stats(vdir)
+    assert s is not None and len(s["files"]) == 3
+    for entry in s["files"].values():
+        assert entry["rows"] > 0
+        assert set(entry["cols"]) == {"k", "v", "s"}
+        k = entry["cols"]["k"]
+        assert k["t"] == "i" and k["min"] is not None and k["max"] is not None
+        assert k["nulls"] == 0
+
+
+def test_prune_skips_disjoint_ranges_and_read_is_exact(spark, ranged_table):
+    t = ranged_table
+    kept, total = t.prune_files([("k", "=", 5)])
+    assert total == 3 and len(kept) == 1
+    for preds in (
+        [("k", "=", 5)],
+        [("k", "<", 10)],
+        [("k", ">=", 290)],
+        [("k", "between", (95, 105))],
+        [("k", ">", 100), ("v", "<=", 250)],  # conjunction
+        [("s", "=", "name_7")],  # string stats
+    ):
+        got = _rows(t.read_pruned(spark, preds))
+        from a2b_spark.storage.stats import predicates_to_column
+
+        want = _rows(t.read(spark).filter(predicates_to_column(normalize_predicates(preds))))
+        assert got == want, preds
+    # the range predicates actually skip scans, not just filter
+    assert len(t.prune_files([("k", "<", 10)])[0]) == 1
+    assert len(t.prune_files([("k", "between", (95, 105))])[0]) <= 2
+
+
+def test_prune_empty_result_keeps_schema(spark, ranged_table):
+    out = ranged_table.read_pruned(spark, [("k", "=", -1)])
+    assert out.count() == 0
+    assert out.columns == ["k", "v", "s"]
+    assert len(ranged_table.prune_files([("k", "=", -1)])[0]) == 0
+
+
+def test_partitioned_merge_reuses_hardlinked_stats(spark, tmp_path):
+    t = VersionedParquetTable(
+        str(tmp_path / "p"), key_cols=("k",), partition_by=("p",)
+    )
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(90)], "k long, p int, x double"
+    )
+    t.overwrite(df)
+    v1 = t.current_version()
+    s1 = load_stats(os.path.join(t.path, v1))
+    # merge touches ONLY partition p=0
+    t.merge(spark.createDataFrame([(0, 0, 999.0)], "k long, p int, x double"))
+    v2 = t.current_version()
+    s2 = load_stats(os.path.join(t.path, v2))
+    assert s2 is not None
+    # every data file of v2 has a stats entry
+    data_files = {
+        os.path.relpath(os.path.join(r, f), os.path.join(t.path, v2))
+        for r, _, fs in os.walk(os.path.join(t.path, v2))
+        for f in fs
+        if not f.startswith(("_", "."))
+    }
+    assert set(s2["files"]) == data_files
+    # untouched partitions: identical entries carried by inode, and the
+    # files really are hardlinks
+    for rel, entry in s2["files"].items():
+        if "/p=1/" in rel or rel.startswith("p=1/"):
+            assert entry == s1["files"][rel]
+            st = os.stat(os.path.join(t.path, v2, rel))
+            assert st.st_nlink > 1
+    # pruning on the rewritten value finds it; exactness holds
+    # (partition column lands last in the read schema, same as read())
+    got = _rows(t.read_pruned(spark, [("x", ">=", 999.0)]))
+    assert got == [(0, 999.0, 0)]
+    assert _rows(t.read(spark).filter(F.col("x") >= 999.0)) == got
+
+
+def test_all_null_column_file_is_skipped(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "n"), key_cols=("k",))
+    a = spark.createDataFrame([(1, None), (2, None)], "k long, x double")
+    b = spark.createDataFrame([(3, 1.5), (4, 2.5)], "k long, x double")
+    t.overwrite(a.repartition(1).unionByName(b.repartition(1)).repartitionByRange(2, "k"))
+    kept, total = t.prune_files([("x", "=", 1.5)])
+    assert total == 2 and len(kept) == 1
+    assert _rows(t.read_pruned(spark, [("x", "=", 1.5)])) == [(3, 1.5)]
+
+
+def test_long_string_max_is_unbounded_never_wrong_skip(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "s"), key_cols=("k",))
+    long_a = "a" * 100
+    long_z = "z" * 100
+    t.overwrite(
+        spark.createDataFrame([(1, long_a), (2, long_z)], "k long, s string")
+    )
+    vdir = os.path.join(t.path, t.current_version())
+    entry = next(iter(load_stats(vdir)["files"].values()))
+    # Spark omits footer stats for oversized binary values entirely, so
+    # max is unknown (our own truncation path would also yield None);
+    # min may be None (omitted) or a 64-char prefix (truncated)
+    assert entry["cols"]["s"]["max"] is None
+    assert entry["cols"]["s"]["min"] is None or len(entry["cols"]["s"]["min"]) == 64
+    # an out-of-prefix-range probe must still read the file (max unknown)
+    assert _rows(t.read_pruned(spark, [("s", "=", long_z)])) == [(2, long_z)]
+
+
+def test_timestamp_predicates_accept_iso_strings(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "ts"), key_cols=("k",))
+    rows = [(i, dt.datetime(2026, 1, 1) + dt.timedelta(days=i)) for i in range(20)]
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, ts timestamp").repartitionByRange(2, "ts")
+    )
+    kept, total = t.prune_files([("ts", "<", "2026-01-03T00:00:00")])
+    assert total == 2 and len(kept) == 1
+    got = _rows(
+        t.read_pruned(spark, [("ts", "<", dt.datetime(2026, 1, 3))])
+    )
+    assert got == _rows(
+        t.read(spark).filter(F.col("ts") < F.lit(dt.datetime(2026, 1, 3)))
+    )
+    assert len(got) == 2
+
+
+def test_pre_stats_version_keeps_everything(spark, ranged_table):
+    vdir = os.path.join(ranged_table.path, ranged_table.current_version())
+    os.remove(os.path.join(vdir, STATS_FILE))
+    kept, total = ranged_table.prune_files([("k", "=", 5)])
+    assert len(kept) == total == 3  # no stats -> nothing skipped
+    assert _rows(ranged_table.read_pruned(spark, [("k", "=", 5)])) == [
+        (5, 10, "name_5")
+    ]
+
+
+def test_compact_regenerates_stats(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "c"), key_cols=("k",))
+    df = spark.range(0, 50).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    t.overwrite(df.repartition(8))
+    t.compact(spark, target_file_bytes=1 << 30, min_files=2)
+    vdir = os.path.join(t.path, t.current_version())
+    s = load_stats(vdir)
+    assert s is not None and len(s["files"]) >= 1
+    assert _rows(t.read_pruned(spark, [("k", "=", 7)])) == [(7, 7)]
+
+
+def test_stats_not_carried_forward_and_formats_fall_back(spark, tmp_path):
+    # jsonl table: no _STATS written, read_pruned = filtered full read
+    t = VersionedParquetTable(str(tmp_path / "j"), key_cols=("k",), fmt="json")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.exists(os.path.join(vdir, STATS_FILE))
+    assert _rows(t.read_pruned(spark, [("k", "=", 2)])) == [(2, "b")]
+    # a stale _STATS in the base version must NOT be inherited
+    with open(os.path.join(vdir, STATS_FILE), "w") as f:
+        json.dump({"version": 1, "files": {"bogus": {}}}, f)
+    t.overwrite(spark.createDataFrame([(3, "c")], "k long, s string"))
+    v2 = os.path.join(t.path, t.current_version())
+    assert not os.path.exists(os.path.join(v2, STATS_FILE))
+
+
+def test_bad_ops_raise_and_missing_column_keeps(ranged_table):
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        ranged_table.prune_files([("k", "!=", 5)])
+    with pytest.raises(ValueError, match="non-empty"):
+        ranged_table.prune_files([])
+    # unknown column: no stats -> keep everything
+    kept, total = ranged_table.prune_files([("nope", "=", 1)])
+    assert len(kept) == total
+    # unit: entry without the column keeps
+    assert file_may_match({"rows": 5, "cols": {}}, normalize_predicates([("x", "=", 1)]))
