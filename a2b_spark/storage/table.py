@@ -680,6 +680,7 @@ class VersionedParquetTable:
         spark: SparkSession,
         target_file_bytes: int = 128 << 20,
         min_files: int = 2,
+        cluster_by: Sequence[str] | None = None,
     ) -> dict:
         """Bin-pack small files (the OPTIMIZE of Delta/Iceberg): rewrite
         any partition holding ``min_files``-or-more data files into
@@ -691,6 +692,20 @@ class VersionedParquetTable:
         read). Data is byte-identical; the commit is a normal new
         version, so time travel retains the pre-compaction layout until
         vacuum.
+
+        ``cluster_by``: the OPTIMIZE ZORDER analogue — ALSO re-layout
+        the data so those columns' value ranges are DISJOINT across
+        files (range repartition + within-file sort, lexicographic on
+        the column tuple), which is what turns the ``_STATS``
+        file-skipping sidecar from "never wrong" into "actually
+        skips": after clustering, a point or range predicate on the
+        leading cluster column prunes to O(matching files) instead of
+        reading everything. Clustering REWRITES every partition
+        (changing layout is the point — ``min_files`` only gates the
+        no-cluster fast path), still sizing file counts by bytes.
+        Lexicographic, not bit-interleaved: exact skipping on the
+        leading column and prefix benefits on the rest — the honest
+        v1 of multi-dimensional clustering.
 
         Per-partition output file counts are computed driver-side from
         the leaf directory listing (O(file count), no data read) and
@@ -714,8 +729,32 @@ class VersionedParquetTable:
                 if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(d, f))
             ]
 
+        if cluster_by:
+            cur_df = self.read(spark, version=cur)
+            missing = [c for c in cluster_by if c not in cur_df.columns]
+            if missing:
+                raise ValueError(f"cluster_by columns not in table: {missing}")
+
         if not self.partition_by:
             files = _data_files(vdir)
+            if cluster_by:
+                if not files:
+                    return empty
+                n = max(
+                    1,
+                    math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes),
+                )
+                clustered = (
+                    self.read(spark, version=cur)
+                    .repartitionByRange(n, *cluster_by)
+                    .sortWithinPartitions(*cluster_by)
+                )
+                self.overwrite(clustered, op="compact", base=cur)
+                return {
+                    "partitions_rewritten": 1,
+                    "files_before": len(files),
+                    "files_after": n,
+                }
             if len(files) < min_files:
                 return {**empty, "files_before": len(files), "files_after": len(files)}
             n = max(1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes))
@@ -737,7 +776,12 @@ class VersionedParquetTable:
             n = max(
                 1, math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes)
             )
-            if len(files) >= min_files and n < len(files):
+            if cluster_by:
+                # re-layout rewrites every non-empty partition
+                if files:
+                    plan[values] = n
+                    after += n
+            elif len(files) >= min_files and n < len(files):
                 plan[values] = n
                 after += n
             else:
@@ -747,6 +791,22 @@ class VersionedParquetTable:
 
         current = self.read(spark, version=cur)  # pinned snapshot
         touched_df = current.filter(self._partition_filter(set(plan)))
+        if cluster_by:
+            # contiguous (partition, cluster) ranges: partitionBy splits
+            # each range task by partition value, so a leaf's rows land
+            # in ~(leaf share of rows)·N contiguous files, each covering
+            # a disjoint cluster-column range; within-file sort keeps
+            # row groups tight for the footer stats
+            total_n = sum(plan.values())
+            clustered = touched_df.repartitionByRange(
+                max(1, total_n), *self.partition_by, *cluster_by
+            ).sortWithinPartitions(*self.partition_by, *cluster_by)
+            self._commit_touched(clustered, set(plan), op="compact", base=cur)
+            return {
+                "partitions_rewritten": len(plan),
+                "files_before": before,
+                "files_after": after,
+            }
         # per-partition bucket count via a literal map (partition lists
         # are low-cardinality by design — same contract as
         # _touched_partitions)

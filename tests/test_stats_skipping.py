@@ -207,3 +207,60 @@ def test_bad_ops_raise_and_missing_column_keeps(ranged_table):
     assert len(kept) == total
     # unit: entry without the column keeps
     assert file_may_match({"rows": 5, "cols": {}}, normalize_predicates([("x", "=", 1)]))
+
+
+def test_cluster_by_makes_pruning_effective_unpartitioned(spark, tmp_path):
+    """Before clustering every file spans the full k-range (hash
+    layout) so nothing can be skipped; compact(cluster_by=['k'])
+    produces disjoint ranges and a point predicate prunes to one
+    file. Content identical."""
+    t = VersionedParquetTable(str(tmp_path / "z"), key_cols=("k",))
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    t.overwrite(df.repartition(4, "k"))  # hash layout: full range per file
+    kept, total = t.prune_files([("k", "=", 200)])
+    assert total == 4 and len(kept) == 4  # nothing skippable
+    before = _rows(t.read(spark))
+
+    vdir = os.path.join(t.path, t.current_version())
+    sizes = sum(
+        os.path.getsize(os.path.join(vdir, f))
+        for f in os.listdir(vdir)
+        if not f.startswith(("_", "."))
+    )
+    res = t.compact(spark, target_file_bytes=max(1, sizes // 4), cluster_by=["k"])
+    assert res["partitions_rewritten"] == 1 and res["files_after"] >= 2
+    assert _rows(t.read(spark)) == before  # re-layout, same content
+    kept2, total2 = t.prune_files([("k", "=", 200)])
+    assert total2 >= 2 and len(kept2) == 1  # disjoint ranges now skip
+    assert _rows(t.read_pruned(spark, [("k", "=", 200)])) == [(200, 200 % 7)]
+
+
+def test_cluster_by_partitioned_and_validation(spark, tmp_path):
+    t = VersionedParquetTable(
+        str(tmp_path / "zp"), key_cols=("k",), partition_by=("p",)
+    )
+    df = spark.createDataFrame(
+        [(i, i % 2, i * 10) for i in range(200)], "k long, p int, x long"
+    )
+    t.overwrite(df.repartition(3, "k"))
+    before = _rows(t.read(spark))
+    vdir = os.path.join(t.path, t.current_version())
+    total_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(vdir)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    res = t.compact(spark, target_file_bytes=max(1, total_bytes // 6), cluster_by=["x"])
+    assert res["partitions_rewritten"] == 2
+    assert _rows(t.read(spark)) == before
+    # x ranges are now disjoint-ish: a narrow range keeps a strict subset
+    kept, total = t.prune_files([("x", "between", (0, 100))])
+    assert len(kept) < total
+    got = _rows(t.read_pruned(spark, [("x", "between", (0, 100))]))
+    want = _rows(t.read(spark).filter(F.col("x").between(0, 100)))
+    assert got == want
+    with pytest.raises(ValueError, match="cluster_by columns not in table"):
+        t.compact(spark, cluster_by=["nope"])
