@@ -602,6 +602,63 @@ FROM f GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- Q140
+def q140_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping statistics driven end-to-end: orders lands in a
+    real VersionedParquetTable (hash layout), gets CLUSTERED on
+    o_orderdate via compact(cluster_by=...), and a date-range report
+    runs through read_pruned — the scan touches only the files whose
+    _STATS ranges intersect 1996-H1, asserted here, and the oracle
+    recomputes the same report straight from the source table, so the
+    driver hash proves pruning lost no rows. The lakehouse
+    data-skipping contract (Delta/Iceberg) as an oracle-checked query.
+    """
+    import os
+    import shutil
+
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = f"/tmp/a2b_q140_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(path, ignore_errors=True)
+    t = VersionedParquetTable(path, key_cols=["o_orderkey"])
+    t.overwrite(o.repartition(8, "o_orderkey"))  # hash layout: no skipping
+    vdir = os.path.join(path, t.current_version())
+    nbytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(vdir)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    # ~6 clustered files at ANY test SF so the date range provably skips
+    t.compact(spark, target_file_bytes=max(1, nbytes // 6), cluster_by=["o_orderdate"])
+    lo, hi = "1996-01-01T00:00:00", "1996-06-30T23:59:59"
+    kept, total = t.prune_files([("o_orderdate", "between", (lo, hi))])
+    assert 0 < len(kept) < total, (len(kept), total)  # skipping is real
+    pruned = t.read_pruned(spark, [("o_orderdate", "between", (lo, hi))])
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "total_price", 2),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+O_Q140 = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1996-06-30 23:59:59'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q130_promo_revenue": q130_promo_revenue,
     "q131_late_shipment_priority": q131_late_shipment_priority,
@@ -613,6 +670,7 @@ QUERIES = {
     "q137_benchmark_decontam": q137_benchmark_decontam,
     "q138_zipf_slope": q138_zipf_slope,
     "q139_gopher_rules": q139_gopher_rules,
+    "q140_stats_pruned_scan": q140_stats_pruned_scan,
 }
 
 ORACLES = {
@@ -626,4 +684,5 @@ ORACLES = {
     "q137_benchmark_decontam": O_Q137,
     "q138_zipf_slope": O_Q138,
     "q139_gopher_rules": O_Q139,
+    "q140_stats_pruned_scan": O_Q140,
 }
