@@ -66,8 +66,13 @@ def _exact_rerank(
 
     qv = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("corpus_id"), as_double(vec_col).alias("cv"))
+    # NO broadcast hint on the query vectors: this re-rank also serves
+    # the on_overflow='lsh' fallback whose whole purpose is query sets
+    # too large to broadcast (a forced hint would hit Spark's 8 GB
+    # broadcast ceiling exactly on the path meant to degrade
+    # gracefully); AQE still broadcasts small query sides on its own
     scored = (
-        cands.join(F.broadcast(qv), "query_id")
+        cands.join(qv, "query_id")
         .join(cv, "corpus_id")
         .withColumn("cos", F.round(pair_cosine_raw()(F.col("qv"), F.col("cv")), 6))
     )
@@ -160,17 +165,28 @@ def knn_bruteforce(
                 continue
             mc = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
             ids_c = pdf["cid"].to_numpy()
-            dots = np.zeros((len(ids_q), len(ids_c)))
-            cn = np.zeros(len(ids_c))
-            for i in range(dd):  # same fold order as cosine(qv, cv)
-                dots = dots + np.outer(mq[:, i], mc[:, i])
+            nc = len(ids_c)
+            cn = np.zeros(nc)
+            for i in range(dd):
                 cn = cn + mc[:, i] * mc[:, i]
-            cos = dots / (nq[:, None] * np.sqrt(cn)[None, :])
-            iq, ic = np.broadcast_arrays(ids_q[:, None], ids_c[None, :])
-            keep = iq != ic
-            yield pd.DataFrame(
-                {"query_id": iq[keep], "corpus_id": ic[keep], "cos_raw": cos[keep]}
-            )
+            cnorm = np.sqrt(cn)
+            # block over queries: an unblocked |queries|x|batch| float64
+            # tile is 8 GB at the documented 100k-query contract limit
+            # (same cap discipline as knn_pq's adc_scan); blocking over
+            # query ROWS leaves each pair's per-dimension fold order
+            # untouched, so cosines stay bit-identical
+            qblock = max(1, 4_000_000 // max(nc, 1))
+            for s in range(0, len(ids_q), qblock):
+                mqb, idq = mq[s : s + qblock], ids_q[s : s + qblock]
+                dots = np.zeros((len(idq), nc))
+                for i in range(dd):  # same fold order as cosine(qv, cv)
+                    dots = dots + np.outer(mqb[:, i], mc[:, i])
+                cos = dots / (nq[s : s + qblock][:, None] * cnorm[None, :])
+                iq, ic = np.broadcast_arrays(idq[:, None], ids_c[None, :])
+                keep = iq != ic
+                yield pd.DataFrame(
+                    {"query_id": iq[keep], "corpus_id": ic[keep], "cos_raw": cos[keep]}
+                )
 
     scored = c.mapInPandas(score, out_schema).withColumn(
         "cos", F.round(F.col("cos_raw"), 6)
@@ -302,8 +318,16 @@ def kmeans_assign(
 
         C = np.array([list(row["v"]) for row in seeds], dtype=np.float64)
         c2 = (C * C).sum(axis=1)
-        id_type = df.schema[id_col].dataType.simpleString()
-        out_schema = f"{id_col} {id_type}, cluster_id int, dist2 double"
+        # StructType, never a DDL f-string: an id column needing
+        # backticks (space/hyphen/reserved word) must work identically
+        # on both k paths (the project's odd-column-name rule)
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, df.schema[id_col].dataType),
+                T.StructField("cluster_id", T.IntegerType()),
+                T.StructField("dist2", T.DoubleType()),
+            ]
+        )
 
         def _assign(batches):
             for pdf in batches:
@@ -1017,6 +1041,15 @@ def broadcast_reference_set(
     for i in range(d):  # exact sequential fold (oracle parity)
         rn = rn + R[:, i] * R[:, i]
     rnorm = np.sqrt(rn)
+    # a zero-norm reference has no direction — cosine against it is
+    # 0/0 = NaN, and ONE such column NaN-poisons argmax for EVERY
+    # corpus row (np.argmax propagates NaN), silently emptying the
+    # output and disabling decontamination. Drop them here.
+    ok = rnorm > 0.0
+    if not ok.all():
+        rids, R, rnorm = rids[ok], R[ok], rnorm[ok]
+    if len(rids) == 0:
+        raise ValueError("nearest_in_set: every reference vector has zero norm")
     return ref.sparkSession.sparkContext.broadcast((rids, R, rnorm))
 
 
@@ -1046,22 +1079,39 @@ def nearest_with_broadcast(
                 continue
             V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
             ids_v = pdf[id_col].to_numpy()
-            dots = np.zeros((len(ids_v), len(ids_r)))
-            vn = np.zeros(len(ids_v))
-            for i in range(dd):  # same fold order as cosine(v, r)
-                dots = dots + np.outer(V[:, i], mr[:, i])
+            m = len(ids_v)
+            vn = np.zeros(m)
+            for i in range(dd):
                 vn = vn + V[:, i] * V[:, i]
-            cos = np.round(dots / (np.sqrt(vn)[:, None] * nr[None, :]), 6)
-            if exclude_self:
-                cos[ids_v[:, None] == ids_r[None, :]] = -np.inf
-            best = cos.argmax(axis=1)
-            bc = cos[np.arange(len(best)), best]
-            keep = np.isfinite(bc)
+            vnorm = np.sqrt(vn)  # zero-norm rows yield NaN cos and drop
+            # block over the reference axis: an unblocked batch×refs
+            # float64 tile is 8 GB at the 100k-ref contract limit.
+            # Blocks scan left-to-right over the id-ascending refs and
+            # update only on STRICTLY greater cos, so ties still land
+            # on the smallest ref id; each pair's per-dimension fold is
+            # untouched (bit-identical cosines).
+            best_cos = np.full(m, -np.inf)
+            best_rid = np.empty(m, dtype=ids_r.dtype)
+            rblock = max(1, 4_000_000 // max(m, 1))
+            for s in range(0, len(ids_r), rblock):
+                mrb, nrb, idr = mr[s : s + rblock], nr[s : s + rblock], ids_r[s : s + rblock]
+                dots = np.zeros((m, len(idr)))
+                for i in range(dd):  # same fold order as cosine(v, r)
+                    dots = dots + np.outer(V[:, i], mrb[:, i])
+                cos = np.round(dots / (vnorm[:, None] * nrb[None, :]), 6)
+                if exclude_self:
+                    cos[ids_v[:, None] == idr[None, :]] = -np.inf
+                arg = cos.argmax(axis=1)  # first max = smallest rid in block
+                val = cos[np.arange(m), arg]
+                upd = val > best_cos  # NaN never updates; strict keeps earlier rid
+                best_cos[upd] = val[upd]
+                best_rid[upd] = idr[arg[upd]]
+            keep = np.isfinite(best_cos)
             yield pd.DataFrame(
                 {
                     id_col: ids_v[keep],
-                    "ref_id": ids_r[best[keep]],
-                    "cos": bc[keep],
+                    "ref_id": best_rid[keep],
+                    "cos": best_cos[keep],
                 }
             )
 

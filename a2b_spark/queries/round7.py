@@ -58,7 +58,14 @@ def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
-    path = f"/tmp/a2b_q122_{os.path.basename(os.path.normpath(sf_dir))}"
+    import uuid
+
+    # uuid-suffixed: concurrent invocations (bench + oracle check) must
+    # not rmtree the version dir another run's lazy plan still reads
+    path = (
+        f"/tmp/a2b_q122_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{uuid.uuid4().hex[:8]}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     t = VersionedParquetTable(path, key_cols=["o_orderkey"])
     t.overwrite(o)

@@ -106,8 +106,11 @@ def q131_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .groupBy(F.col("l_returnflag").alias("ship_mode"))
         .agg(
-            F.sum(hi.cast("long")).cast("long").alias("high_line_count"),
-            F.sum((~hi).cast("long")).cast("long").alias("low_line_count"),
+            # when/otherwise, not boolean casts: a NULL priority makes
+            # `hi` NULL — sum(NULL.cast) silently skips the row while
+            # the oracle's CASE ELSE counts it (null-parity rule)
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
         )
         .orderBy("ship_mode")
     )
@@ -231,14 +234,17 @@ ORDER BY nation, ship_year DESC
 # --------------------------------------------------------------- Q134
 def q134_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: the forecast-revenue-change scan — a single
-    aggregate whose EVERY predicate (year, discount band, quantity
-    cap) pushes to the parquet scan, no join at all. The classic
-    pushdown probe: the plan must show all three in PushedFilters and
-    read only 4 columns."""
+    aggregate whose EVERY predicate (ship-date range, discount band,
+    quantity cap) pushes to the parquet scan, no join at all. The
+    classic pushdown probe: the date cut is a RANGE on the raw column
+    (year(col)==1996 wraps the column in a function and does NOT reach
+    PushedFilters — the whole point of this query is that all three
+    predicates prune row groups by min/max)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.year("l_shipdate") == 1996)
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
             & (F.col("l_discount").between(0.02, 0.06))
             & (F.col("l_quantity") < 24)
         ).agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue", 6))
@@ -249,7 +255,8 @@ O_Q134 = """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
          AS revenue
 FROM lineitem
-WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.02 AND 0.06
   AND l_quantity < 24
 """
@@ -615,13 +622,16 @@ def q140_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
+    import uuid
 
     from a2b_spark.storage.table import VersionedParquetTable
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    path = f"/tmp/a2b_q140_{os.path.basename(os.path.normpath(sf_dir))}"
+    # uuid-suffixed: concurrent invocations (bench + oracle check) must
+    # not rmtree the version dir another run's lazy plan still reads
+    path = f"/tmp/a2b_q140_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}"
     shutil.rmtree(path, ignore_errors=True)
     t = VersionedParquetTable(path, key_cols=["o_orderkey"])
     t.overwrite(o.repartition(8, "o_orderkey"))  # hash layout: no skipping
@@ -636,7 +646,8 @@ def q140_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.compact(spark, target_file_bytes=max(1, nbytes // 6), cluster_by=["o_orderdate"])
     lo, hi = "1996-01-01T00:00:00", "1996-06-30T23:59:59"
     kept, total = t.prune_files([("o_orderdate", "between", (lo, hi))])
-    assert 0 < len(kept) < total, (len(kept), total)  # skipping is real
+    if not (0 < len(kept) < total):  # raise, not assert: -O must not void it
+        raise ValueError(f"file skipping did not engage: kept {len(kept)}/{total}")
     pruned = t.read_pruned(spark, [("o_orderdate", "between", (lo, hi))])
     return (
         pruned.groupBy("o_orderstatus")

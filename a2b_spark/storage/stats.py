@@ -247,6 +247,61 @@ def load_stats(version_dir: str) -> Optional[dict]:
         return None
 
 
+def _tzinfo(name: str):
+    """Session-timezone string → tzinfo (IANA name or ±HH:MM offset)."""
+    if name.upper() in ("UTC", "Z", "GMT"):
+        return _dt.timezone.utc
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:
+        pass
+    try:  # ±HH:MM zone offsets, which Spark also accepts
+        sign = -1 if name.startswith("-") else 1
+        hh, mm = name.lstrip("+-").split(":")
+        return _dt.timezone(sign * _dt.timedelta(hours=int(hh), minutes=int(mm)))
+    except Exception as exc:
+        raise ValueError(f"unrecognized session timezone {name!r}") from exc
+
+
+def localize_ts_predicates(
+    predicates: Sequence[tuple], schema, session_tz: str
+) -> list[tuple]:
+    """Re-express timestamp-column literals in the naive-UTC frame the
+    ``_STATS`` sidecar stores. Spark evaluates a naive/string timestamp
+    literal in the SESSION timezone; the sidecar stores UTC instants —
+    comparing them raw under a non-UTC session would skip files whose
+    rows the real filter matches (silent row loss). ``schema`` is the
+    table's Spark schema (identifies TimestampType columns); literals
+    that are already tz-aware convert exactly, naive ones are localized
+    to ``session_tz`` first."""
+    from pyspark.sql import types as T
+
+    ts_cols = {f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)}
+    if not ts_cols:
+        return list(predicates)
+    tz = _tzinfo(session_tz)
+
+    def conv(v):
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        elif isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            v = _dt.datetime(v.year, v.month, v.day)
+        if not isinstance(v, _dt.datetime):
+            return v
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=tz)
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+    out = []
+    for col, op, value in predicates:
+        if col in ts_cols:
+            value = (conv(value[0]), conv(value[1])) if op == "between" else conv(value)
+        out.append((col, op, value))
+    return out
+
+
 _OPS = {"=", "<", "<=", ">", ">=", "between"}
 
 

@@ -280,7 +280,15 @@ class VersionedParquetTable:
         if self.fmt != "parquet":
             full = self.read(spark, version=v)
             return None if full is None else full.filter(cond)
-        kept, _total = self.prune_files(preds, version=v)
+        # the filter evaluates timestamp literals in the SESSION
+        # timezone while the sidecar stores naive UTC — re-express the
+        # pruning literals so a non-UTC session can never skip a file
+        # the filter would match
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+        stat_preds = _stats.localize_ts_predicates(
+            preds, self.read(spark, version=v).schema, tz
+        )
+        kept, _total = self.prune_files(stat_preds, version=v)
         if not kept:
             base = self.read(spark, version=v)
             return None if base is None else base.filter(F.lit(False)).filter(cond)
@@ -455,11 +463,11 @@ class VersionedParquetTable:
         # of the schema — read() falls back to a typed empty frame.
         import json as _json
 
-        extra_files = {
+        for fn, content in {
             **(extra_files or {}),
             SCHEMA: _json.dumps(df.schema.jsonValue()),
-        }
-        for fn, content in {**(extra_files or {}), COMMIT_INFO: self._commit_info(op)}.items():
+            COMMIT_INFO: self._commit_info(op),
+        }.items():
             with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
         self._write_stats_sidecar(tmp_target, base)

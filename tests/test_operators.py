@@ -1264,3 +1264,68 @@ def test_nearest_in_set_exclude_self_and_guards(spark):
         nearest_in_set(e, e.filter("vec_id < 0"), "embedding", "vec_id")
     with _pytest.raises(ValueError, match="max_ref_rows"):
         nearest_in_set(e, e, "embedding", "vec_id", max_ref_rows=2)
+
+
+def test_nearest_in_set_zero_norm_refs_dropped_not_poisoning(spark):
+    """REGRESSION: one zero-norm reference used to NaN-poison argmax
+    for EVERY corpus row (np.argmax propagates NaN), silently emptying
+    the output — the streaming decontamination filter then let every
+    contaminated doc through."""
+    from a2b_spark.operators.similarity import nearest_in_set
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    ref = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 0.0])],  # first ref has zero norm
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.ref_id, r.cos) for r in
+           nearest_in_set(df, ref, "embedding", "vec_id").collect()}
+    assert got == {1: (11, 1.0), 2: (11, 0.0)}
+    import pytest as _pytest
+
+    all_zero = spark.createDataFrame(
+        [(10, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="zero norm"):
+        nearest_in_set(df, all_zero, "embedding", "vec_id")
+
+
+def test_nearest_in_set_ref_blocking_preserves_results(spark, sf_dir):
+    """The blocked reference scan (memory cap) must be invisible:
+    force tiny blocks by scoring many refs against few rows and
+    compare with the brute expectation on real embeddings."""
+    import numpy as np
+
+    from a2b_spark.operators.similarity import nearest_in_set
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = e.filter("vec_id < 40")
+    refs = e.filter("vec_id >= 40")
+    got = {r.vec_id: (r.ref_id, r.cos) for r in
+           nearest_in_set(corpus, refs, "embedding", "vec_id").collect()}
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in e.filter("embedding is not null").collect()}
+    for vid, (rid, cos) in got.items():
+        v = rows[vid]
+        best = None
+        for r_id in sorted(k for k in rows if k >= 40):
+            r = rows[r_id]
+            c = round(float(v @ r / (np.sqrt(v @ v) * np.sqrt(r @ r))), 6)
+            if best is None or c > best[1]:
+                best = (r_id, c)
+        assert (rid, cos) == best, vid
+
+
+def test_kmeans_assign_large_k_odd_column_name(spark):
+    """REGRESSION: the >64-centroid path built its schema via DDL
+    f-string — an id column with a space crashed it while the small-k
+    expression path accepted it."""
+    from a2b_spark.operators.similarity import kmeans_assign
+
+    rows = [(i, [float(i % 7), float(i % 11)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc id", "embedding"])
+    out = kmeans_assign(df, "embedding", "doc id", k=70)
+    assert out.columns[0] == "doc id"
+    assert out.count() == 200

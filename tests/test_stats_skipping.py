@@ -264,3 +264,36 @@ def test_cluster_by_partitioned_and_validation(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="cluster_by columns not in table"):
         t.compact(spark, cluster_by=["nope"])
+
+
+def test_read_pruned_timestamps_under_non_utc_session(spark, tmp_path):
+    """REGRESSION: the sidecar stores naive-UTC instants while Spark
+    evaluates timestamp literals in the SESSION timezone — pruning
+    used to compare them raw, silently skipping files whose rows the
+    real filter matches under a non-UTC session."""
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    t = VersionedParquetTable(str(tmp_path / "tz"), key_cols=("k",))
+    try:
+        spark.conf.set(key, "America/Los_Angeles")  # UTC-8 in January
+        rows = [
+            (i, dt.datetime(2026, 1, 1) + dt.timedelta(hours=6 * i))
+            for i in range(16)
+        ]
+        t.overwrite(
+            spark.createDataFrame(rows, "k long, ts timestamp")
+            .repartitionByRange(4, "ts")
+        )
+        # boundary cut: rows strictly before Jan 2 00:00 SESSION time
+        lit = "2026-01-02T00:00:00"
+        got = _rows(t.read_pruned(spark, [("ts", "<", lit)]))
+        want = _rows(t.read(spark).filter(F.col("ts") < lit))
+        assert got == want and len(got) > 0
+        # and a range probe across a file boundary
+        got2 = _rows(t.read_pruned(spark, [("ts", "between",
+                                            ("2026-01-01T12:00:00", lit))]))
+        want2 = _rows(t.read(spark).filter(
+            F.col("ts").between("2026-01-01T12:00:00", lit)))
+        assert got2 == want2 and len(got2) > 0
+    finally:
+        spark.conf.set(key, old)
