@@ -276,7 +276,11 @@ def orient_by_degree(
         (F.col("__du") == F.col("__dv")) & (F.col(u) < F.col(v))
     )
     return (
-        edges.join(du, u)
+        # self-loops survive any orientation unchanged and each one
+        # fabricates a phantom triangle per out-neighbor in the
+        # e1⋈e2⋈e3 chain — drop them, like connected_components does
+        edges.filter(~F.col(u).eqNullSafe(F.col(v)))
+        .join(du, u)
         .join(dv, v)
         .select(
             F.when(keep, F.col(u)).otherwise(F.col(v)).alias(u),

@@ -72,8 +72,21 @@ def running_total(
     consumer, and the chunk offsets are computed inside the same plan
     (window over per-chunk totals + broadcast join), so there is no
     second action that could observe a different partitioning.
+
+    The value must be INTEGRAL (or an exact DECIMAL cast by the
+    caller): the scan accumulates in long for cross-run/engine
+    determinism, and silently truncating a float column (a running
+    balance of ±0.5s collapsing to zeros) is exactly the wrong
+    failure mode — fractional inputs raise instead.
     """
     value = F.col(value_col) if isinstance(value_col, str) else value_col
+    dt = df.select(value.alias("__probe")).schema["__probe"].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"running_total value expression has type {dt}: the scan "
+            "sums in long and would silently truncate; cast to an "
+            "integral type (or scale to integer units) first"
+        )
     staged = df.withColumn("__v", value.cast("long"))
     if num_partitions:
         staged = staged.repartitionByRange(num_partitions, order_col)

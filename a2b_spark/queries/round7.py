@@ -40,6 +40,31 @@ from pyspark.sql import functions as F
 from a2b_spark.queries.relational import _t, dsum
 
 
+def _sweep_stale_scratch(root: str, prefix: str, max_age_s: int = 7200) -> None:
+    """Best-effort removal of old scratch-table dirs from prior runs.
+    uuid-suffixed paths protect CONCURRENT runs from each other, which
+    also means nothing deletes them at exit — without this sweep /tmp
+    grows by two table copies per bench/oracle invocation. 2h is far
+    beyond any live run, so a swept dir can't be one a running plan
+    still reads."""
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith(prefix):
+            continue
+        p = os.path.join(root, name)
+        try:
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 # --------------------------------------------------------------- Q122
 def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which keys changed between two table versions — insert /
@@ -61,14 +86,19 @@ def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     # uuid-suffixed: concurrent invocations (bench + oracle check) must
-    # not rmtree the version dir another run's lazy plan still reads
+    # not rmtree the version dir another run's lazy plan still reads;
+    # stale siblings (>2h — far beyond any live run) are swept instead
     path = (
         f"/tmp/a2b_q122_{os.path.basename(os.path.normpath(sf_dir))}"
         f"_{uuid.uuid4().hex[:8]}"
     )
-    shutil.rmtree(path, ignore_errors=True)
+    _sweep_stale_scratch("/tmp", "a2b_q122_")
     t = VersionedParquetTable(path, key_cols=["o_orderkey"])
     t.overwrite(o)
+    # the cloned-key shift derives from the table's own max key (ONE
+    # scalar pull): a fixed +10M literal collides with real orderkeys
+    # past TPC-H SF ~1.7 and would break key uniqueness at scale
+    shift = o.agg(F.max("o_orderkey")).first()[0] + 1
     v2 = (
         o.filter(F.col("o_orderkey") % 97 != 0)
         .withColumn(
@@ -79,7 +109,7 @@ def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             o.filter(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+                (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
                 "o_totalprice",
                 "o_orderpriority",
             )
@@ -99,6 +129,7 @@ def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 O_Q122 = """
+WITH s AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders)
 SELECT * FROM (
   SELECT 'delete' AS change, CAST(COUNT(*) AS BIGINT) AS n_keys,
          MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
@@ -106,7 +137,8 @@ SELECT * FROM (
   HAVING COUNT(*) > 0
   UNION ALL
   SELECT 'insert', CAST(COUNT(*) AS BIGINT),
-         MIN(o_orderkey + 10000000), MAX(o_orderkey + 10000000)
+         MIN(o_orderkey + (SELECT shift FROM s)),
+         MAX(o_orderkey + (SELECT shift FROM s))
   FROM orders WHERE o_orderkey % 101 = 0
   HAVING COUNT(*) > 0
   UNION ALL
@@ -350,11 +382,17 @@ def q128_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary aggregates once by token, corpus constants are ONE
     3-scalar driver pull, and the score join shuffles tf by token —
     the same two-exchange budget as TF-IDF."""
+    from a2b_spark.operators.dedup import _materialize
     from a2b_spark.operators.ranking import doc_term_freqs
 
     d = _t(spark, sf_dir, "documents")
-    tf = doc_term_freqs(d, "text", "doc_id").join(
-        d.select("doc_id", "lang"), "doc_id"
+    # pin tf: the consts .first() pull plus the two tf consumers in the
+    # returned plan (the g aggregation and the score join) would
+    # otherwise re-run the dominant tokenize+sort stage three times
+    tf = _materialize(
+        doc_term_freqs(d, "text", "doc_id").join(
+            d.select("doc_id", "lang"), "doc_id"
+        )
     )
     g = tf.groupBy("token").agg(
         F.sum("tf").alias("cg"),

@@ -621,7 +621,6 @@ def q140_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-skipping contract (Delta/Iceberg) as an oracle-checked query.
     """
     import os
-    import shutil
     import uuid
 
     from a2b_spark.storage.table import VersionedParquetTable
@@ -629,10 +628,13 @@ def q140_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
+    from a2b_spark.queries.round7 import _sweep_stale_scratch
+
     # uuid-suffixed: concurrent invocations (bench + oracle check) must
-    # not rmtree the version dir another run's lazy plan still reads
+    # not rmtree the version dir another run's lazy plan still reads;
+    # stale siblings from prior runs are swept instead (>2h old)
     path = f"/tmp/a2b_q140_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}"
-    shutil.rmtree(path, ignore_errors=True)
+    _sweep_stale_scratch("/tmp", "a2b_q140_")
     t = VersionedParquetTable(path, key_cols=["o_orderkey"])
     t.overwrite(o.repartition(8, "o_orderkey"))  # hash layout: no skipping
     vdir = os.path.join(path, t.current_version())

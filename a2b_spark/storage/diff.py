@@ -57,9 +57,19 @@ def snapshot_diff(
             return F.lit(0).alias(alias)
         return F.struct(*[F.col(c) for c in cmp_cols]).alias(alias)
 
-    b = before.select(*keys, payload("__b"))
-    a = after.select(*keys, payload("__a"))
-    j = b.join(a, on=keys, how="full_outer")
+    # NULL-SAFE key match, like merge_dataframes: the storage layer's
+    # documented key semantics let a NULL key tuple exist (merge
+    # upserts it in place); a plain `on=keys` join would never match
+    # NULL=NULL and mis-report that unchanged row as delete+insert
+    b = before.select(
+        *[F.col(k).alias(f"__kb_{k}") for k in keys], payload("__b")
+    )
+    a = after.select(*[F.col(k).alias(f"__ka_{k}") for k in keys], payload("__a"))
+    cond = None
+    for k in keys:
+        e = F.col(f"__kb_{k}").eqNullSafe(F.col(f"__ka_{k}"))
+        cond = e if cond is None else (cond & e)
+    j = b.join(a, cond, "full_outer")
     change = (
         F.when(F.col("__b").isNull(), F.lit("insert"))
         .when(F.col("__a").isNull(), F.lit("delete"))
@@ -68,7 +78,13 @@ def snapshot_diff(
     return (
         j.withColumn("change", change)
         .filter(F.col("change").isNotNull())
-        .select(*keys, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"__kb_{k}"), F.col(f"__ka_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
     )
 
 
@@ -87,6 +103,11 @@ def version_diff(
     versions = table.versions()
     if v_to is None:
         v_to = table.current_version()
+    elif v_to not in versions:
+        raise ValueError(
+            f"version {v_to!r} not retained at {table.path}; "
+            f"available: {versions}"
+        )
     if v_from is None:
         if len(versions) < 2:
             raise ValueError(

@@ -1329,3 +1329,16 @@ def test_kmeans_assign_large_k_odd_column_name(spark):
     out = kmeans_assign(df, "embedding", "doc id", k=70)
     assert out.columns[0] == "doc id"
     assert out.count() == 200
+
+
+def test_orient_by_degree_drops_self_loops(spark):
+    """REGRESSION: a self-loop survived orientation and fabricated one
+    phantom triangle per out-neighbor in the e1-e2-e3 chain."""
+    from a2b_spark.operators.graph import orient_by_degree
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (1, 3)], "u long, v long"
+    )
+    out = {(r.u, r.v) for r in orient_by_degree(edges).collect()}
+    assert (1, 1) not in out
+    assert len(out) == 3

@@ -542,3 +542,50 @@ def test_version_diff_oldest_v_to_raises(spark, tmp_path):
     # explicit v_from works in any direction
     got = version_diff(t, spark, v_from=t.versions()[1], v_to=first).collect()
     assert {(r.id, r.change) for r in got} == {(1, "insert"), (2, "delete")}
+
+
+def test_version_diff_null_keys_and_unretained_version(spark, tmp_path):
+    """REGRESSION: the diff joined keys with plain equality, so an
+    unchanged NULL-key row was mis-reported as delete+insert; an
+    explicit unretained v_to raised a bare list.index error."""
+    import pytest as _pytest
+
+    from a2b_spark.storage.diff import snapshot_diff, version_diff
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    before = spark.createDataFrame(
+        [(None, 1.0), (1, 2.0), (2, 3.0)], "k int, x double"
+    )
+    # NULL key unchanged; k=1 updated; k=2 deleted; k=3 inserted
+    after = spark.createDataFrame(
+        [(None, 1.0), (1, 9.0), (3, 4.0)], "k int, x double"
+    )
+    got = {(r.k, r.change) for r in snapshot_diff(before, after, ["k"]).collect()}
+    assert got == {(1, "update"), (2, "delete"), (3, "insert")}
+    # NULL-key update is reported as an update, not delete+insert
+    after2 = spark.createDataFrame([(None, 5.0)], "k int, x double")
+    got2 = {(r.k, r.change) for r in
+            snapshot_diff(before, after2, ["k"]).collect()}
+    assert (None, "update") in got2 and (None, "delete") not in got2
+
+    t = VersionedParquetTable(str(tmp_path / "vd"), key_cols=("k",))
+    t.overwrite(before)
+    t.overwrite(after)
+    with _pytest.raises(ValueError, match="not retained"):
+        version_diff(t, spark, v_to="v_0000000099")
+
+
+def test_running_total_rejects_fractional_values(spark):
+    """REGRESSION: float values were silently cast to long (a running
+    balance of ±0.5s collapsed to zeros)."""
+    import pytest as _pytest
+
+    from a2b_spark.operators.prefix import running_total
+
+    df = spark.createDataFrame([(1, 0.5), (2, 0.5)], "ts long, amount double")
+    with _pytest.raises(ValueError, match="truncate"):
+        running_total(df, "ts", "amount")
+    ok = running_total(
+        df.withColumn("cents", (F.col("amount") * 100).cast("long")), "ts", "cents"
+    )
+    assert [r.running for r in ok.orderBy("ts").collect()] == [50, 100]
