@@ -15,18 +15,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from a2b_spark.queries import QUERIES, ORACLES  # noqa: E402
+# module reference, NOT name binding: registry.register() REBINDS a
+# new reordered dict — a captured `from ... import QUERIES` would keep
+# serving the stale order with late-registered queries appended past
+# the driver's 50-entry window (the silent drop _reorder exists to
+# prevent)
+from a2b_spark import queries as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the engine's keyed merge semantics (upsert of a
     transformed batch over existing entities) on sf0.001."""
-    return QUERIES["q09_merge_upsert"](spark, "/root/testdata/sf0.001")
+    return _registry.QUERIES["q09_merge_upsert"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return dict(_registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(_registry.ORACLES)

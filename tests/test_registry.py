@@ -73,20 +73,13 @@ def test_no_oracle_binds_hugeint_or_decimal():
     explicitly, so NO oracle column may bind to HUGEINT or DECIMAL.
     This uses the DuckDB binder only (no execution), so it is cheap
     enough to run over the whole registry every pytest."""
-    import duckdb
-
     from a2b_spark.queries import ORACLES
 
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from check_oracle import make_duckdb_con  # single source of the table list
+
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
-    tables = (
-        "region nation customer supplier part orders lineitem "
-        "events documents embeddings"
-    ).split()
-    con = duckdb.connect()
-    for t in tables:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = make_duckdb_con(sf_dir)
     offenders = {}
     for name, sql in ORACLES.items():
         if sql is None:

@@ -29,6 +29,18 @@ sys.path.insert(0, REPO)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def make_duckdb_con(sf_dir: str):
+    """DuckDB connection with every base table registered as a view —
+    THE one place the table list is wired (tests/test_registry.py's
+    binder check imports this; a second copy would drift)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
 NUMERIC_CATEGORIES = {"int", "float", "decimal"}
 
 
@@ -82,7 +94,11 @@ def type_gate(spark_schema, oracle_arrow_schema) -> list[str]:
         oc = otypes.get(f.name)
         if oc is None:
             continue
-        if sc != oc and (sc in NUMERIC_CATEGORIES) and (oc in NUMERIC_CATEGORIES):
+        # ANY category divergence between KNOWN categories is a driver
+        # hash risk — not just int-vs-float/decimal: a bool oracle twin
+        # of an int Spark column value-compares equal (1 == True) but
+        # hashes differently, the q76 failure class in another coat
+        if sc != oc and sc != "other" and oc != "other":
             problems.append(
                 f"column {f.name!r}: TYPE divergence spark={f.dataType.simpleString()}"
                 f" ({sc}) vs oracle arrow ({oc}) — driver hash will mismatch;"
@@ -131,8 +147,28 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                         f"column {c!r}: {int((~np.isclose(av, bv, rtol=0, atol=0, equal_nan=True)).sum())} "
                         f"value diffs, max abs diff {diff.max():.3e}"
                     )
+                else:
+                    # allclose equates -0.0 with +0.0; a hash over the
+                    # raw 8 bytes does not — compare bit patterns (NULLs
+                    # became the one canonical NaN via fillna above)
+                    abits = av.fillna(np.nan).to_numpy(dtype="float64").view(np.int64)
+                    bbits = bv.fillna(np.nan).to_numpy(dtype="float64").view(np.int64)
+                    nbit = abits != bbits
+                    if nbit.any():
+                        i = int(np.argmax(nbit))
+                        problems.append(
+                            f"column {c!r}: {int(nbit.sum())} float BIT diffs "
+                            f"(e.g. -0.0 vs 0.0), first at row {i}: "
+                            f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+                        )
             else:
-                neq = ~(av.eq(bv) | (av.isna() & bv.isna()))
+                # NA-mismatch must be explicit: pandas eq yields <NA>
+                # wherever a side is NA and .any() SKIPS NA — the old
+                # ~(eq | both-na) form silently passed NULL-vs-value
+                # divergences (verified with pandas 2.2)
+                na_a, na_b = av.isna(), bv.isna()
+                neq = (na_a != na_b) | (av.ne(bv) & ~na_a & ~na_b)
+                neq = neq.fillna(False).astype(bool)
                 if neq.any():
                     i = int(neq.idxmax())
                     problems.append(
@@ -146,7 +182,16 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    only = set(a for a in args if not os.path.isdir(a))
+    rest = args[1:] if args and os.path.isdir(args[0]) else args
+    stray_dirs = [a for a in rest if os.path.isdir(a)]
+    if stray_dirs:
+        # only args[0] can be the sf dir; silently dropping a misplaced
+        # dir would validate queries against the WRONG scale factor
+        raise SystemExit(
+            f"directory argument(s) {stray_dirs} must come first (sf_dir); "
+            f"got sf_dir={sf_dir!r}"
+        )
+    only = set(rest)
 
     import __spark_entry__ as entry
 
@@ -171,11 +216,7 @@ def main():
         from a2b_spark import get_spark
 
         spark = get_spark("oracle_check")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con = make_duckdb_con(sf_dir)
 
     qs = entry.queries()
     oracles = entry.oracle_sql()

@@ -41,11 +41,24 @@ def tracked_correctness_files() -> list[str]:
 def green_rounds(sources: list[str]) -> dict[str, int]:
     """Per-query count of driver-green rounds. Green = value-hash
     match; for queries the harness checks weakly (no hash key),
-    rows_match alone counts."""
+    rows_match alone counts.
+
+    Content comes from the COMMITTED blobs (`git show HEAD:<fn>`), not
+    the working tree: the manifest's contract is 'reproducible from
+    committed state alone', and a locally corrupted/half-written
+    CORRECTNESS file would otherwise silently reorder the 50-cap
+    prefix — the freshness test regenerates from the same source, so
+    it could never catch working-tree drift."""
     cov: dict[str, int] = {}
     for fn in sources:
-        with open(os.path.join(REPO, fn)) as f:
-            rounds = json.load(f)
+        blob = subprocess.run(
+            ["git", "show", f"HEAD:{fn}"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        rounds = json.loads(blob)
         for q, res in rounds.items():
             if res.get("hash_match") is True or (
                 "hash_match" not in res and res.get("rows_match")
