@@ -448,3 +448,64 @@ def test_incremental_matches_model_over_random_histories(spark, tmp_path_factory
             for r2 in m.destination.read_snapshot(spark).select("c_custkey", "v").collect()
         }
         assert snap == dict(last_migrated)
+
+
+# ---------------------------------------------------------------------------
+# file-skipping statistics: read_pruned must EQUAL a filtered full read
+# for arbitrary data (nulls, negatives, duplicate values), arbitrary
+# file layouts, and arbitrary conjunctive predicates — the property the
+# whole _STATS layer stands on (a wrong skip silently loses rows).
+
+_prune_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9_999),                                  # key
+        st.one_of(st.none(), st.integers(-50, 50)),             # int value
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False, width=32)),
+        st.one_of(st.none(), st.sampled_from(["aa", "ab", "b", "zz", ""])),
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: r[0],
+)
+
+_ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=_prune_rows,
+    layout=st.integers(1, 5),
+    p1=st.tuples(st.sampled_from(["k", "i", "x"]), _ops, st.integers(-60, 60)),
+    use_between=st.booleans(),
+    lo=st.integers(-60, 60),
+    span=st.integers(0, 40),
+)
+def test_read_pruned_equals_filtered_read(
+    spark, tmp_path_factory, rows, layout, p1, use_between, lo, span
+):
+    from a2b_spark.storage.stats import normalize_predicates, predicates_to_column
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    base = tmp_path_factory.mktemp("prune_prop")
+    t = VersionedParquetTable(str(base / "t"), key_cols=("k",))
+    df = spark.createDataFrame(rows, "k long, i long, x float, s string")
+    t.overwrite(df.repartition(layout) if layout > 1 else df.coalesce(1))
+
+    col, op, val = p1
+    preds = [(col, op, float(val) if col == "x" else val)]
+    if use_between:
+        preds.append(("k", "between", (lo, lo + span)))
+    got = sorted(map(tuple, t.read_pruned(spark, preds).collect()))
+    want = sorted(
+        map(
+            tuple,
+            t.read(spark)
+            .filter(predicates_to_column(normalize_predicates(preds)))
+            .collect(),
+        )
+    )
+    assert got == want
