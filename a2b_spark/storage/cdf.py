@@ -1,0 +1,285 @@
+"""Change data feed over VersionedParquetTable history — the
+``table_changes`` analogue of Delta CDF / Iceberg incremental reads.
+
+Two consumption modes:
+
+- :func:`table_changes` (batch): the per-commit key-level diff across a
+  RANGE of retained versions — one ``snapshot_diff`` per consecutive
+  version pair, tagged ``_commit_version``. Fully general (insert/
+  update/delete over any write op), distributed, output bounded by
+  churn. ``with_rows=True`` attaches the after-image payload for
+  inserts/updates (deletes have none, their payload columns are NULL).
+
+- :class:`VersionAppendsDataSource` (streaming): a Spark 4 PYTHON
+  streaming data source (``spark.dataSource.register`` +
+  ``readStream.format("a2b_table_appends")``) whose offsets are the
+  table's committed version numbers. Each micro-batch reads only the
+  FILES ADDED by the new commits — the hardlink layout makes "new
+  rows" literally "new inodes", so the planner ships one InputPartition
+  per new file and the work distributes like any file source.
+  APPEND-ONLY tables (every commit op "append"/"overwrite" initial
+  load): a merge/delete/retract commit rewrites partitions (old rows in
+  new files) and raises rather than silently double-reading;
+  ``compact``/``vacuum`` commits rewrite LAYOUT only and are skipped.
+  This is the streaming twin of the epoch-partitioned history pattern
+  (streaming/neardup.py) — insert-only appends are exactly what it
+  produces.
+
+Offsets are ``{"version": n}`` with ``n`` the monotone
+``current_version_number`` (never reset by vacuum). A checkpoint
+older than the retention window raises a contextual error instead of
+silently skipping lost commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.diff import snapshot_diff
+from a2b_spark.storage.table import COMMIT_INFO, SCHEMA, VersionedParquetTable
+
+# commit ops that change layout, not logical content
+_LAYOUT_ONLY_OPS = {"compact"}
+_APPEND_OPS = {"append", "overwrite"}
+
+
+def table_changes(
+    table: VersionedParquetTable,
+    spark: SparkSession,
+    from_version: Optional[str] = None,
+    to_version: Optional[str] = None,
+    with_rows: bool = False,
+) -> DataFrame:
+    """Key-level changes for every commit in ``(from_version,
+    to_version]`` (defaults: oldest retained → current). Output:
+    key columns + ``change`` ∈ {insert, delete, update} +
+    ``_commit_version`` (int). ``with_rows`` left-joins the after-image
+    from each commit's own snapshot (deletes keep NULL payloads)."""
+    versions = table.versions()
+    if not versions:
+        raise ValueError(f"table {table.path} has no committed versions")
+    if to_version is None:
+        to_version = table.current_version()
+    if from_version is None:
+        from_version = versions[0]
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(
+                f"version {v!r} not retained at {table.path}; "
+                f"available: {versions}"
+            )
+    lo, hi = versions.index(from_version), versions.index(to_version)
+    if hi <= lo:
+        raise ValueError(
+            f"empty version range ({from_version!r} → {to_version!r}]"
+        )
+    out = None
+    for i in range(lo + 1, hi + 1):
+        prev_v, cur_v = versions[i - 1], versions[i]
+        before = table.read(spark, version=prev_v)
+        after = table.read(spark, version=cur_v)
+        d = snapshot_diff(before, after, table.key_cols).withColumn(
+            "_commit_version",
+            F.lit(VersionedParquetTable._parse_version_number(cur_v)).cast("int"),
+        )
+        if with_rows:
+            d = d.join(after, on=list(table.key_cols), how="left")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _commit_op(vdir: str) -> Optional[str]:
+    p = os.path.join(vdir, COMMIT_INFO)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f).get("op")
+    except (OSError, ValueError):
+        return None
+
+
+def _data_files_with_ino(vdir: str) -> dict[str, int]:
+    out = {}
+    for root, _dirs, files in os.walk(vdir):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, fn)
+            out[os.path.relpath(p, vdir)] = os.stat(p).st_ino
+    return out
+
+
+def _new_files(prev_dir: Optional[str], cur_dir: str) -> list[str]:
+    """Files of ``cur_dir`` that are NOT hardlinks of a predecessor
+    file — i.e. this commit's appended rows (the hardlink layout makes
+    inode identity the exact 'unchanged' signal)."""
+    cur = _data_files_with_ino(cur_dir)
+    prev = _data_files_with_ino(prev_dir) if prev_dir else {}
+    prev_inos = set(prev.values())
+    return sorted(
+        os.path.join(cur_dir, rel)
+        for rel, ino in cur.items()
+        if ino not in prev_inos
+    )
+
+
+try:  # pyspark >= 4: python data source API
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str, commit_version: int):
+            self.path = path
+            self.commit_version = commit_version
+
+    class _AppendsStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("a2b_table_appends requires option 'path'")
+            # verbatim table handle, driver-side listing only
+            self.table = VersionedParquetTable(self.path, key_cols=())
+            start = options.get("startingversion")
+            self._initial = int(start) if start is not None else 0
+            with open(
+                os.path.join(self.path, self.table.current_version(), SCHEMA)
+            ) as f:
+                from pyspark.sql import types as T
+
+                self._fields = [
+                    f2.name for f2 in T.StructType.fromJson(json.load(f)).fields
+                ]
+
+        def initialOffset(self) -> dict:
+            return {"version": self._initial}
+
+        def latestOffset(self) -> dict:
+            n = self.table.current_version_number()
+            return {"version": int(n or 0)}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["version"]), int(end["version"])
+            if hi <= lo:
+                return []
+            retained = {
+                VersionedParquetTable._parse_version_number(v): v
+                for v in self.table.versions()
+            }
+            missing = [n for n in range(lo + 1, hi + 1) if n not in retained]
+            if missing:
+                raise ValueError(
+                    f"commits {missing} at {self.path} were vacuumed past the "
+                    "retention window; restart the stream from a fresh "
+                    "checkpoint (or raise the table's retention)"
+                )
+            parts: list[_FilePartition] = []
+            for n in range(lo + 1, hi + 1):
+                vdir = os.path.join(self.path, retained[n])
+                op = _commit_op(vdir)
+                if op in _LAYOUT_ONLY_OPS:
+                    continue
+                if op is not None and op not in _APPEND_OPS:
+                    raise ValueError(
+                        f"commit {retained[n]} has op {op!r}: the appends "
+                        "stream supports append-only tables (merge/delete "
+                        "rewrite old rows into new files); use "
+                        "storage.cdf.table_changes for keyed diffs"
+                    )
+                prev_dir = (
+                    os.path.join(self.path, retained[n - 1])
+                    if (n - 1) in retained
+                    else None
+                )
+                if prev_dir is None and n > self._initial + 1:
+                    raise ValueError(
+                        f"predecessor of commit {retained[n]} was vacuumed; "
+                        "cannot derive its appended files"
+                    )
+                new = _new_files(prev_dir, vdir)
+                if prev_dir is not None:
+                    # "new rows == new files" holds only when appends
+                    # land in FRESH partitions (the epoch-partitioned
+                    # insert-only pattern): appending into an existing
+                    # partition — or any commit on an UNPARTITIONED
+                    # table — rewrites old rows into the new files and
+                    # would double-read them
+                    prev_leaves = {
+                        os.path.dirname(rel)
+                        for rel in _data_files_with_ino(prev_dir)
+                    }
+                    stale = [
+                        p
+                        for p in new
+                        if os.path.dirname(os.path.relpath(p, vdir)) in prev_leaves
+                    ]
+                    if stale:
+                        raise ValueError(
+                            f"commit {retained[n]} rewrote partition(s) that "
+                            "already held data — the appends stream requires "
+                            "appends into FRESH partitions (epoch-partitioned "
+                            "insert-only tables, streaming/neardup.py "
+                            "pattern); use storage.cdf.table_changes for "
+                            "keyed diffs over rewriting tables"
+                        )
+                for p in new:
+                    parts.append(_FilePartition(p, n))
+            return parts
+
+        def read(self, partition: _FilePartition):
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
+            cols = [
+                tbl.column(n).to_pylist() if n in tbl.column_names else None
+                for n in self._fields
+            ]
+            nrows = tbl.num_rows
+            cv = partition.commit_version
+            for i in range(nrows):
+                yield tuple(
+                    (c[i] if c is not None else None) for c in cols
+                ) + (cv,)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class VersionAppendsDataSource(DataSource):
+        """``readStream.format("a2b_table_appends").option("path", …)``
+        — streams each commit's appended rows with a
+        ``_commit_version`` column. Register once per session:
+        ``spark.dataSource.register(VersionAppendsDataSource)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "a2b_table_appends"
+
+        def schema(self):
+            from pyspark.sql import types as T
+
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("a2b_table_appends requires option 'path'")
+            t = VersionedParquetTable(path, key_cols=())
+            cur = t.current_version()
+            if cur is None:
+                raise ValueError(f"no committed versions at {path}")
+            with open(os.path.join(path, cur, SCHEMA)) as f:
+                base = T.StructType.fromJson(json.load(f))
+            return T.StructType(
+                base.fields + [T.StructField("_commit_version", T.IntegerType())]
+            )
+
+        def streamReader(self, schema):
+            return _AppendsStreamReader(self.options)
+
+except ImportError:  # pragma: no cover - pyspark < 4 fallback
+    VersionAppendsDataSource = None  # type: ignore[assignment]

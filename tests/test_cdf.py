@@ -1,0 +1,155 @@
+"""Change data feed over VersionedParquetTable: batch table_changes
+(per-commit keyed diffs across a version range) and the Spark 4 Python
+streaming data source that streams each commit's appended files."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.cdf import VersionAppendsDataSource, table_changes
+from a2b_spark.storage.table import VersionedParquetTable
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def history_table(spark, tmp_path):
+    t = VersionedParquetTable(str(tmp_path / "h"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    # v2: update k=1, insert k=3
+    t.merge(spark.createDataFrame([(1, "A"), (3, "c")], "k long, v string"))
+    # v3: delete k=2
+    t.delete_keys(spark.createDataFrame([(2,)], "k long"))
+    return t
+
+
+def test_table_changes_across_range(spark, history_table):
+    t = history_table
+    got = {
+        (r.k, r.change, r._commit_version)
+        for r in table_changes(t, spark).collect()
+    }
+    assert got == {
+        (1, "update", 2),
+        (3, "insert", 2),
+        (2, "delete", 3),
+    }
+    # sub-range: only the last commit
+    vs = t.versions()
+    sub = {(r.k, r.change) for r in
+           table_changes(t, spark, from_version=vs[1]).collect()}
+    assert sub == {(2, "delete")}
+    # after-images: inserts/updates carry payload, deletes NULL
+    rows = {
+        (r.k, r.change): r.v
+        for r in table_changes(t, spark, with_rows=True).collect()
+    }
+    assert rows[(1, "update")] == "A"
+    assert rows[(3, "insert")] == "c"
+    assert rows[(2, "delete")] is None
+    with pytest.raises(ValueError, match="not retained"):
+        table_changes(t, spark, from_version="v_0000000099")
+    with pytest.raises(ValueError, match="empty version range"):
+        table_changes(t, spark, from_version=t.current_version())
+
+
+def test_appends_stream_reads_per_commit(spark, tmp_path):
+    # the documented contract: epoch-partitioned insert-only appends
+    # (each batch lands in a FRESH partition; untouched ones hardlink)
+    t = VersionedParquetTable(
+        str(tmp_path / "a"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, 10.0), (2, 0, 20.0)], "k long, epoch int, x double"
+        )
+    )
+    t.append(spark.createDataFrame([(3, 1, 30.0)], "k long, epoch int, x double"))
+    # layout-only commit: must stream NOTHING
+    t.compact(spark, target_file_bytes=1 << 30, min_files=1)
+    t.append(spark.createDataFrame([(4, 2, 40.0)], "k long, epoch int, x double"))
+
+    spark.dataSource.register(VersionAppendsDataSource)
+    out_dir = str(tmp_path / "out")
+    (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.k, r.x, r._commit_version)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, 10.0, 1),
+        (2, 20.0, 1),
+        (3, 30.0, 2),
+        (4, 40.0, 4),  # commit 3 was the compact — nothing streamed
+    }
+
+    # restart on the same checkpoint: only NEW commits stream
+    t.append(spark.createDataFrame([(5, 3, 50.0)], "k long, epoch int, x double"))
+    (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got2 = {
+        (r.k, r._commit_version) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2 == {(1, 1), (2, 1), (3, 2), (4, 4), (5, 5)}
+
+
+def test_appends_stream_rejects_non_append_history(spark, tmp_path):
+    spark.dataSource.register(VersionAppendsDataSource)
+    t = VersionedParquetTable(str(tmp_path / "m"), key_cols=("k",), retention=10)
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(spark.createDataFrame([(1, "B")], "k long, v string"))
+    # and the FRESH-partition contract: an unpartitioned second append
+    # rewrites old rows into new files and must be rejected too
+    t2 = VersionedParquetTable(str(tmp_path / "u"), key_cols=("k",), retention=10)
+    t2.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t2.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    q2 = (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t2.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_reject_unpart")
+        .option("checkpointLocation", str(tmp_path / "cku"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="FRESH partitions"):
+        q2.awaitTermination(120)
+    q = (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_reject")
+        .option("checkpointLocation", str(tmp_path / "ckm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="append-only"):
+        q.awaitTermination(120)
