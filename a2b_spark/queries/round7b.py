@@ -672,6 +672,80 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- Q141
+def q141_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed walk (storage/cdf.table_changes) driven
+    end-to-end over THREE real commits: v1 = orders, v2 = reprice
+    keys %89, v3 = delete keys %97 and insert max-key-shifted clones
+    of keys %101. The query returns per-(commit, change) key counts
+    and ranges; the oracle recomputes each commit's expected churn
+    straight from the source table, so the driver hash certifies both
+    the per-pair diffs and the version-range walk/tagging."""
+    import os
+    import uuid
+
+    from a2b_spark.queries.round7 import _sweep_stale_scratch
+    from a2b_spark.storage.cdf import table_changes
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = f"/tmp/a2b_q141_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}"
+    _sweep_stale_scratch("/tmp", "a2b_q141_")
+    t = VersionedParquetTable(path, key_cols=["o_orderkey"], retention=5)
+    t.overwrite(o)
+    v2 = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    t.overwrite(v2)
+    shift = o.agg(F.max("o_orderkey")).first()[0] + 1
+    v3 = v2.filter(F.col("o_orderkey") % 97 != 0).unionByName(
+        v2.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + F.lit(shift)).alias("o_orderkey"),
+            "o_totalprice",
+            "o_orderpriority",
+        )
+    )
+    t.overwrite(v3)
+    return (
+        table_changes(t, spark)
+        .groupBy("_commit_version", "change")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("_commit_version", "change")
+    )
+
+
+O_Q141 = """
+WITH s AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders)
+SELECT * FROM (
+  SELECT CAST(2 AS INTEGER) AS _commit_version, 'update' AS change,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+  FROM orders WHERE o_orderkey % 89 = 0
+  HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'delete', CAST(COUNT(*) AS BIGINT),
+         MIN(o_orderkey), MAX(o_orderkey)
+  FROM orders WHERE o_orderkey % 97 = 0
+  HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'insert', CAST(COUNT(*) AS BIGINT),
+         MIN(o_orderkey + (SELECT shift FROM s)),
+         MAX(o_orderkey + (SELECT shift FROM s))
+  FROM orders WHERE o_orderkey % 101 = 0
+  HAVING COUNT(*) > 0
+) ORDER BY _commit_version, change
+"""
+
+
 QUERIES = {
     "q130_promo_revenue": q130_promo_revenue,
     "q131_late_shipment_priority": q131_late_shipment_priority,
@@ -684,6 +758,7 @@ QUERIES = {
     "q138_zipf_slope": q138_zipf_slope,
     "q139_gopher_rules": q139_gopher_rules,
     "q140_stats_pruned_scan": q140_stats_pruned_scan,
+    "q141_table_changes": q141_table_changes,
 }
 
 ORACLES = {
@@ -698,4 +773,7 @@ ORACLES = {
     "q138_zipf_slope": O_Q138,
     "q139_gopher_rules": O_Q139,
     "q140_stats_pruned_scan": O_Q140,
+    "q141_table_changes": O_Q141,
 }
+
+
