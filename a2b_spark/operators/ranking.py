@@ -51,8 +51,14 @@ def doc_term_freqs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # non-cheap aliases, so the sort runs once per row, not once per
     # lambda element (and explode's filter rewrite can't re-inline it
     # either — the q91/q40 lesson)
+    # NULL text must drop the doc entirely, matching the exploded
+    # variant (explode of a null array yields no rows). Without this,
+    # non-ANSI sessions see size(null) == -1, sequence(0, -2) yields
+    # [0, -1, -2], and the run-length machinery emits a phantom
+    # (id, NULL, -1) row that corrupts downstream TF counts.
     staged = (
-        df.select(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col),
             F.array_sort(F.split(F.col(text_col), " ")).alias("__ts"),
         )

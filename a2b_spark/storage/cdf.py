@@ -41,7 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from a2b_spark.storage.diff import snapshot_diff
-from a2b_spark.storage.table import COMMIT_INFO, SCHEMA, VersionedParquetTable
+from a2b_spark.storage.table import (
+    COMMIT_INFO,
+    SCHEMA,
+    VersionedParquetTable,
+    _unescape_hive,
+)
 
 # commit ops that change layout, not logical content
 _LAYOUT_ONLY_OPS = {"compact"}
@@ -88,7 +93,19 @@ def table_changes(
             F.lit(VersionedParquetTable._parse_version_number(cur_v)).cast("int"),
         )
         if with_rows:
-            d = d.join(after, on=list(table.key_cols), how="left")
+            # NULL-SAFE key match, mirroring snapshot_diff: the storage
+            # layer's key semantics allow a NULL key tuple, and a plain
+            # on=keys join would strip such a row's after-image
+            keys = list(table.key_cols)
+            a = after.select(
+                *[F.col(k).alias(f"__ra_{k}") for k in keys],
+                *[c for c in after.columns if c not in set(keys)],
+            )
+            cond = None
+            for k in keys:
+                e = F.col(k).eqNullSafe(F.col(f"__ra_{k}"))
+                cond = e if cond is None else (cond & e)
+            d = d.join(a, cond, "left").drop(*[f"__ra_{k}" for k in keys])
         out = d if out is None else out.unionByName(d)
     return out
 
@@ -137,9 +154,13 @@ try:  # pyspark >= 4: python data source API
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, path: str, commit_version: int):
+        def __init__(self, path: str, commit_version: int, part_values: dict):
             self.path = path
             self.commit_version = commit_version
+            # hive-style {col: unescaped string value} parsed from the
+            # file's directory segments — partitionBy stores partition
+            # values ONLY in dir names, never in the files themselves
+            self.part_values = part_values
 
     class _AppendsStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -155,9 +176,10 @@ try:  # pyspark >= 4: python data source API
             ) as f:
                 from pyspark.sql import types as T
 
-                self._fields = [
-                    f2.name for f2 in T.StructType.fromJson(json.load(f)).fields
-                ]
+                base = T.StructType.fromJson(json.load(f))
+            self._return_type = T.StructType(
+                base.fields + [T.StructField("_commit_version", T.IntegerType())]
+            )
 
         def initialOffset(self) -> dict:
             return {"version": self._initial}
@@ -199,10 +221,18 @@ try:  # pyspark >= 4: python data source API
                     if (n - 1) in retained
                     else None
                 )
-                if prev_dir is None and n > self._initial + 1:
+                if prev_dir is None and (n - 1) > 0:
+                    # without the predecessor snapshot, EVERY file of
+                    # this version (all hardlinked history included)
+                    # would look "new" — the exact double-read the
+                    # module contract promises to raise on. The only
+                    # commit with no predecessor by construction is
+                    # the very first one (n-1 == 0).
                     raise ValueError(
-                        f"predecessor of commit {retained[n]} was vacuumed; "
-                        "cannot derive its appended files"
+                        f"predecessor commit v{n - 1} of {retained[n]} was "
+                        "vacuumed past the retention window; its appended "
+                        "files cannot be derived — restart the stream from "
+                        "a fresh checkpoint (or raise the table's retention)"
                     )
                 new = _new_files(prev_dir, vdir)
                 if prev_dir is not None:
@@ -231,23 +261,68 @@ try:  # pyspark >= 4: python data source API
                             "keyed diffs over rewriting tables"
                         )
                 for p in new:
-                    parts.append(_FilePartition(p, n))
+                    pvals = {}
+                    for seg in os.path.dirname(
+                        os.path.relpath(p, vdir)
+                    ).split(os.sep):
+                        if "=" in seg:
+                            c, val = seg.split("=", 1)
+                            pvals[c] = _unescape_hive(val)
+                    parts.append(_FilePartition(p, n, pvals))
             return parts
 
         def read(self, partition: _FilePartition):
+            """Vectorized: yields ``pyarrow.RecordBatch``es cast to the
+            exact Arrow schema Spark expects — never per-row Python
+            tuples (the worker passes RecordBatches straight through,
+            so this path is the streaming feed's throughput floor).
+            Partition-column values come from the hive-style directory
+            segments (``col=value``) parsed at planning time and are
+            materialized as constant Arrow arrays."""
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(partition.path)
-            cols = [
-                tbl.column(n).to_pylist() if n in tbl.column_names else None
-                for n in self._fields
-            ]
-            nrows = tbl.num_rows
-            cv = partition.commit_version
-            for i in range(nrows):
-                yield tuple(
-                    (c[i] if c is not None else None) for c in cols
-                ) + (cv,)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(self._return_type)
+            pf = pq.ParquetFile(partition.path)
+            present = set(pf.schema_arrow.names)
+            # pre-resolve each output field to (source, typed constant)
+            consts: dict[str, object] = {}
+            for field in arrow_schema:
+                if field.name == "_commit_version":
+                    consts[field.name] = pa.scalar(
+                        partition.commit_version, type=field.type
+                    )
+                elif field.name not in present:
+                    raw = partition.part_values.get(field.name)
+                    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                        consts[field.name] = None  # null fill
+                    else:
+                        consts[field.name] = pc.cast(
+                            pa.scalar(raw), field.type
+                        )
+            read_cols = [f.name for f in arrow_schema if f.name in present]
+            for chunk in pf.iter_batches(batch_size=1 << 16, columns=read_cols):
+                n = chunk.num_rows
+                arrays = []
+                for field in arrow_schema:
+                    if field.name in present:
+                        col = chunk.column(field.name)
+                        arrays.append(
+                            col
+                            if col.type == field.type
+                            else col.cast(field.type)
+                        )
+                    else:
+                        c = consts[field.name]
+                        arrays.append(
+                            pa.nulls(n, type=field.type)
+                            if c is None
+                            else pa.repeat(c, n)
+                        )
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
         def commit(self, end: dict) -> None:
             pass

@@ -89,15 +89,18 @@ def test_appends_stream_reads_per_commit(spark, tmp_path):
         .start()
         .awaitTermination(120)
     )
+    # epoch is a PARTITION column — its values live only in dir names,
+    # so asserting it here is what catches a reader that streams
+    # partition columns as NULL (round-8 advice fix)
     got = {
-        (r.k, r.x, r._commit_version)
+        (r.k, r.epoch, r.x, r._commit_version)
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {
-        (1, 10.0, 1),
-        (2, 20.0, 1),
-        (3, 30.0, 2),
-        (4, 40.0, 4),  # commit 3 was the compact — nothing streamed
+        (1, 0, 10.0, 1),
+        (2, 0, 20.0, 1),
+        (3, 1, 30.0, 2),
+        (4, 2, 40.0, 4),  # commit 3 was the compact — nothing streamed
     }
 
     # restart on the same checkpoint: only NEW commits stream
@@ -117,6 +120,88 @@ def test_appends_stream_reads_per_commit(spark, tmp_path):
         (r.k, r._commit_version) for r in spark.read.parquet(out_dir).collect()
     }
     assert got2 == {(1, 1), (2, 1), (3, 2), (4, 4), (5, 5)}
+
+
+def test_table_changes_null_key_after_image(spark, tmp_path):
+    """The storage layer's key semantics allow a NULL key tuple; its
+    after-image must survive the with_rows join (null-safe match, like
+    snapshot_diff — a plain on=keys join would drop it)."""
+    t = VersionedParquetTable(str(tmp_path / "nk"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(None, "a"), (1, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(None, "A"), (2, "c")], "k long, v string"))
+    rows = {
+        (r.k, r.change): r.v
+        for r in table_changes(t, spark, with_rows=True).collect()
+    }
+    assert rows == {(None, "update"): "A", (2, "insert"): "c"}
+
+
+def _epoch_table(spark, tmp_path, name, epochs, retention=10):
+    t = VersionedParquetTable(
+        str(tmp_path / name),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=retention,
+    )
+    for k, ep, x in epochs:
+        t.append(
+            spark.createDataFrame([(k, ep, x)], "k long, epoch int, x double")
+        )
+    return t
+
+
+def test_appends_reader_yields_arrow_batches_with_partition_values(
+    spark, tmp_path
+):
+    """Direct reader contract: read() yields pyarrow.RecordBatches (the
+    vectorized path — never per-row tuples) with partition-column
+    values filled from the hive-style dir names."""
+    import pyarrow as pa
+
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "pv"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, 10.0), (2, 0, 20.0)], "k long, epoch int, x double"
+        )
+    )
+    t.append(spark.createDataFrame([(3, 1, 30.0)], "k long, epoch int, x double"))
+    r = _AppendsStreamReader({"path": t.path})
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 2}):
+        for b in r.read(p):
+            assert isinstance(b, pa.RecordBatch)
+            assert b.schema.names == ["k", "x", "epoch", "_commit_version"]
+            rows.extend(b.to_pylist())
+    got = {(d["k"], d["epoch"], d["x"], d["_commit_version"]) for d in rows}
+    assert got == {(1, 0, 10.0, 1), (2, 0, 20.0, 1), (3, 1, 30.0, 2)}
+
+
+def test_appends_stream_vacuumed_predecessor_raises(spark, tmp_path):
+    """startingversion=k where commit k itself was vacuumed: the reader
+    cannot tell k+1's new files from hardlinked history, so it must
+    raise — not silently replay the full k+1 snapshot."""
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = _epoch_table(
+        spark,
+        tmp_path,
+        "vac",
+        [(1, 0, 1.0), (2, 1, 2.0), (3, 2, 3.0), (4, 3, 4.0)],
+        retention=2,
+    )
+    assert len(t.versions()) == 2  # v3, v4 retained; v1, v2 vacuumed
+    r = _AppendsStreamReader({"path": t.path, "startingversion": "2"})
+    with pytest.raises(ValueError, match="vacuumed"):
+        r.partitions({"version": 2}, {"version": 4})
 
 
 def test_appends_stream_rejects_non_append_history(spark, tmp_path):

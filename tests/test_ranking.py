@@ -206,3 +206,20 @@ def test_doc_term_freqs_matches_explode_groupby(spark):
     }
     assert got == exp
     assert got[(1, "a")] == 3 and got[(4, "")] == 1 and (5, None) not in got
+
+
+def test_doc_term_freqs_drops_null_text_like_explode(spark):
+    """NULL text must drop the doc entirely — matching the exploded
+    tokenizer (explode of a null array yields no rows) — in BOTH
+    legacy-sizeOfNull and ANSI sessions; without the guard, legacy
+    size(null) == -1 fabricates a phantom (id, NULL, -1) row."""
+    from a2b_spark.operators.ranking import doc_term_freqs
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_id, r.token, r.tf)
+        for r in doc_term_freqs(df, "text", "doc_id").collect()
+    }
+    assert got == {(1, "a", 2), (1, "b", 1)}
