@@ -238,3 +238,71 @@ def test_appends_stream_rejects_non_append_history(spark, tmp_path):
     )
     with pytest.raises(Exception, match="append-only"):
         q.awaitTermination(120)
+
+
+def test_changes_stream_matches_batch_and_restarts(spark, tmp_path):
+    """Streaming twin contract: per-commit diffs delivered in order ==
+    batch table_changes (plus the initial commit as pure inserts);
+    restart resumes from the stored offset; a failing handler replays
+    the same commit; compaction advances the offset without a diff."""
+    from a2b_spark.storage.cdf import TableChangesStream
+
+    t = VersionedParquetTable(str(tmp_path / "cs"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(1, "A"), (3, "c")], "k long, v string"))
+    t.delete_keys(spark.createDataFrame([(2,)], "k long"))
+
+    ck = str(tmp_path / "cs_ck")
+    s = TableChangesStream(t, spark, ck, with_rows=True)
+    got = {}
+    delivered = s.process_available(
+        lambda df, v: got.__setitem__(v, {(r.k, r.change, r.v) for r in df.collect()})
+    )
+    assert delivered == [1, 2, 3]
+    # initial load streams as pure inserts with after-images
+    assert got[1] == {(1, "insert", "a"), (2, "insert", "b")}
+    # commits 2..N match batch table_changes exactly
+    batch = {
+        (r._commit_version, r.k, r.change, r.v)
+        for r in table_changes(t, spark, with_rows=True).collect()
+    }
+    streamed = {
+        (v, k, c, p) for v, rows in got.items() if v > 1 for (k, c, p) in rows
+    }
+    assert streamed == batch
+
+    # restart on the same checkpoint: nothing new
+    s2 = TableChangesStream(t, spark, ck, with_rows=True)
+    assert s2.process_available(lambda df, v: None) == []
+
+    # failing handler leaves the offset so the commit replays
+    t.merge(spark.createDataFrame([(4, "d")], "k long, v string"))
+
+    def boom(df, v):
+        raise RuntimeError("sink down")
+
+    with pytest.raises(RuntimeError):
+        s2.process_available(boom)
+    assert s2.last_processed() == 3
+    redo = {}
+    assert s2.process_available(
+        lambda df, v: redo.__setitem__(v, {(r.k, r.change) for r in df.collect()})
+    ) == [4]
+    assert redo[4] == {(4, "insert")}
+
+    # layout-only commit: offset advances, no diff delivered
+    # (cluster_by forces a rewrite even for an already-compact layout)
+    t.compact(spark, target_file_bytes=1 << 30, min_files=1, cluster_by=["k"])
+    assert s2.process_available(lambda df, v: None) == []
+    assert s2.last_processed() == 5
+
+
+def test_changes_stream_vacuumed_gap_raises(spark, tmp_path):
+    from a2b_spark.storage.cdf import TableChangesStream
+
+    t = VersionedParquetTable(str(tmp_path / "cv"), key_cols=("k",), retention=2)
+    for i in range(4):
+        t.merge(spark.createDataFrame([(i, str(i))], "k long, v string"))
+    s = TableChangesStream(t, spark, str(tmp_path / "cv_ck"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        s.process_available(lambda df, v: None)
