@@ -64,9 +64,6 @@ _FORMAT_OPTIONS: dict[str, dict[str, str]] = {
     "json": {},
 }
 
-# formats whose files carry their own schema — no _SCHEMA sidecar needed
-_SELF_DESCRIBING = {"parquet", "orc"}
-
 
 @contextlib.contextmanager
 def _stats_friendly_timestamps(spark: SparkSession):
@@ -199,21 +196,28 @@ class VersionedParquetTable:
                         [], T.StructType.fromJson(__import__("json").loads(f.read()))
                     )
         reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
-        if self.fmt not in _SELF_DESCRIBING:
-            # per-version sidecar (current layout); table-root sidecar
-            # as back-compat for tables written before round 5
-            for schema_file in (
-                os.path.join(self.path, v, SCHEMA),
-                os.path.join(self.path, SCHEMA),
-            ):
-                if os.path.exists(schema_file):
-                    from pyspark.sql import types as T
+        # The per-version sidecar is the AUTHORITATIVE schema of that
+        # version — applied for every format, parquet included (the
+        # Delta model: schema from the log, not the footers). This is
+        # what makes ADD-COLUMN schema evolution work: a version whose
+        # untouched partitions hard-link pre-evolution files reads
+        # them with the widened schema (missing columns null-fill),
+        # instead of taking whichever file's footer Spark samples
+        # first. Table-root sidecar is back-compat for pre-round-5
+        # tables; a parquet version with no sidecar at all falls back
+        # to footer inference.
+        for schema_file in (
+            os.path.join(self.path, v, SCHEMA),
+            os.path.join(self.path, SCHEMA),
+        ):
+            if os.path.exists(schema_file):
+                from pyspark.sql import types as T
 
-                    with open(schema_file) as f:
-                        reader = reader.schema(
-                            T.StructType.fromJson(__import__("json").loads(f.read()))
-                        )
-                    break
+                with open(schema_file) as f:
+                    reader = reader.schema(
+                        T.StructType.fromJson(__import__("json").loads(f.read()))
+                    )
+                break
         return reader.load(os.path.join(self.path, v))
 
     # ----------------------------------------------------- file skipping
