@@ -38,7 +38,8 @@ import os
 from typing import Any, Iterable, Optional, Sequence
 
 STATS_FILE = "_STATS"
-STATS_FORMAT_VERSION = 1
+STATS_FORMAT_VERSION = 1  # JSON layout (read back-compat)
+STATS_PARQUET_VERSION = 2  # columnar layout (written since round 8)
 MAX_STATS_COLUMNS = 32  # Delta's first-N-columns discipline
 MAX_STRING_LEN = 64
 
@@ -230,21 +231,242 @@ def build_version_stats(
     return {"version": STATS_FORMAT_VERSION, "files": files}
 
 
+# ------------------------------------------------- columnar sidecar (v2)
+# A single JSON document per commit is the Delta-1.x mistake: at
+# ~10⁵–10⁶ file entries the driver's json.load + per-entry Python loop
+# becomes the PLANNING bottleneck. v2 stores the sidecar as ONE parquet
+# file with flat typed columns — "rel", "rows", and per stats column
+# "min:<tag>:<name>" / "max:<tag>:<name>" / "nulls:<tag>:<name>" — so
+# loading is a columnar read and pruning is vectorized pyarrow.compute
+# over all files at once (sub-second at 10⁵ entries; see
+# tools/bench_stats_prune.py). v1 JSON sidecars (and the dict in-memory
+# form, which build_version_stats still speaks) remain readable; the
+# file name is unchanged and the format is detected by magic bytes.
+
+_KINDS = ("min", "max", "nulls")
+
+
+def _arrow_value_type(tag: str):
+    import pyarrow as pa
+
+    return {
+        "i": pa.int64(),
+        "f": pa.float64(),
+        "s": pa.string(),
+        "b": pa.bool_(),
+        "ts": pa.timestamp("us"),
+        "d": pa.date32(),
+    }[tag]
+
+
+def stats_to_arrow(stats: dict):
+    """Dict form → flat columnar arrow table (see module layout note)."""
+    import pyarrow as pa
+
+    files = stats.get("files", {})
+    rels = list(files)
+    arrays: dict[str, object] = {
+        "rel": pa.array(rels, pa.string()),
+        "rows": pa.array([files[r].get("rows") for r in rels], pa.int64()),
+    }
+    specs: dict[str, str] = {}
+    for e in files.values():
+        for name, c in e.get("cols", {}).items():
+            specs.setdefault(name, c["t"])
+    for name, tag in specs.items():
+        vt = _arrow_value_type(tag)
+        mins, maxs, nulls = [], [], []
+        for r in rels:
+            c = files[r].get("cols", {}).get(name)
+            if c is None or c.get("t") != tag:
+                mins.append(None), maxs.append(None), nulls.append(None)
+            else:
+                mins.append(_decode(c.get("min"), tag))
+                maxs.append(_decode(c.get("max"), tag))
+                nulls.append(c.get("nulls"))
+        arrays[f"min:{tag}:{name}"] = pa.array(mins, vt)
+        arrays[f"max:{tag}:{name}"] = pa.array(maxs, vt)
+        arrays[f"nulls:{tag}:{name}"] = pa.array(nulls, pa.int64())
+    tbl = pa.table(arrays)
+    return tbl.replace_schema_metadata(
+        {b"a2b_stats_version": str(STATS_PARQUET_VERSION).encode()}
+    )
+
+
+def _stat_col_specs(schema_names) -> dict[str, dict]:
+    """Arrow schema names → {col_name: {"t": tag, "min"/"max"/"nulls":
+    arrow column name}} (names may themselves contain ':')."""
+    spec: dict[str, dict] = {}
+    for fname in schema_names:
+        parts = fname.split(":", 2)
+        if len(parts) == 3 and parts[0] in _KINDS:
+            kind, tag, name = parts
+            spec.setdefault(name, {"t": tag})[kind] = fname
+    return spec
+
+
+def arrow_to_stats(tbl) -> dict:
+    """Columnar form → dict form (the writer-side / compat shape)."""
+    rels = tbl.column("rel").to_pylist()
+    rows = tbl.column("rows").to_pylist()
+    spec = _stat_col_specs(tbl.schema.names)
+    cols_data = {
+        name: {
+            "t": sp["t"],
+            "min": tbl.column(sp["min"]).to_pylist(),
+            "max": tbl.column(sp["max"]).to_pylist(),
+            "nulls": tbl.column(sp["nulls"]).to_pylist(),
+        }
+        for name, sp in spec.items()
+    }
+    files = {}
+    for i, rel in enumerate(rels):
+        cols = {}
+        for name, d in cols_data.items():
+            tag = d["t"]
+            mn, mx, nl = d["min"][i], d["max"][i], d["nulls"][i]
+            if mn is None and mx is None and nl is None:
+                continue  # column absent from this file's entry
+            cols[name] = {
+                "t": tag,
+                "min": _encode(mn, tag),
+                "max": _encode(mx, tag),
+                "nulls": nl,
+            }
+        files[rel] = {"rows": rows[i], "cols": cols}
+    return {"version": STATS_FORMAT_VERSION, "files": files}
+
+
 def write_stats(version_dir: str, stats: dict) -> None:
-    with open(os.path.join(version_dir, STATS_FILE), "w") as f:
-        json.dump(stats, f)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        stats_to_arrow(stats), os.path.join(version_dir, STATS_FILE)
+    )
 
 
-def load_stats(version_dir: str) -> Optional[dict]:
+def load_stats_arrow(version_dir: str):
+    """The fast path: the sidecar as an arrow table (None = no usable
+    stats). v1 JSON sidecars convert on load."""
     p = os.path.join(version_dir, STATS_FILE)
     if not os.path.exists(p):
         return None
     try:
+        with open(p, "rb") as f:
+            magic = f.read(4)
+        if magic == b"PAR1":
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(p)
+            meta = tbl.schema.metadata or {}
+            ver = meta.get(b"a2b_stats_version")
+            if ver != str(STATS_PARQUET_VERSION).encode():
+                return None
+            return tbl
         with open(p) as f:
             s = json.load(f)
-        return s if s.get("version") == STATS_FORMAT_VERSION else None
-    except (OSError, ValueError):
+        if s.get("version") != STATS_FORMAT_VERSION:
+            return None
+        return stats_to_arrow(s)
+    except Exception:
         return None
+
+
+def load_stats(version_dir: str) -> Optional[dict]:
+    """Dict-form sidecar (writer-side compat; prefers
+    :func:`load_stats_arrow` for pruning)."""
+    tbl = load_stats_arrow(version_dir)
+    return None if tbl is None else arrow_to_stats(tbl)
+
+
+def prune_fail_mask(tbl, predicates: Sequence[tuple]):
+    """VECTORIZED prune core: boolean mask (None = no constraint) over
+    the sidecar's rows, True where the stats PROVE no row of that file
+    can satisfy the conjunction — evaluated with pyarrow.compute over
+    the whole sidecar at once (no per-file Python loop). Exactly
+    ``file_may_match``'s semantics: null stats never prune, an
+    all-null column fails every value predicate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    spec = _stat_col_specs(tbl.schema.names)
+    rows = tbl.column("rows")
+    fail_total = None
+
+    def _lit(value, tag, col):
+        v = _coerce_literal(value, tag)
+        try:
+            return pa.scalar(v, type=_arrow_value_type(tag))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as exc:
+            raise TypeError(
+                f"predicate literal {value!r} is not comparable with "
+                f"column {col!r} stats (type tag {tag!r})"
+            ) from exc
+
+    def _f(cmp):  # null comparison = can't prove = don't fail
+        return pc.fill_null(cmp, False)
+
+    for col, op, value in predicates:
+        sp = spec.get(col)
+        if sp is None:
+            continue  # no stats for this column -> can't prune on it
+        tag = sp["t"]
+        mn, mx = tbl.column(sp["min"]), tbl.column(sp["max"])
+        nl = tbl.column(sp["nulls"])
+        if op == "between":
+            lo, hi = _lit(value[0], tag, col), _lit(value[1], tag, col)
+            fail = pc.or_(_f(pc.less(mx, lo)), _f(pc.greater(mn, hi)))
+        else:
+            v = _lit(value, tag, col)
+            if op == "=":
+                fail = pc.or_(_f(pc.greater(mn, v)), _f(pc.less(mx, v)))
+            elif op == "<":
+                fail = _f(pc.greater_equal(mn, v))
+            elif op == "<=":
+                fail = _f(pc.greater(mn, v))
+            elif op == ">":
+                fail = _f(pc.less_equal(mx, v))
+            else:  # >=
+                fail = _f(pc.less(mx, v))
+        # every supported op compares against non-null values; a file
+        # whose column is entirely null cannot satisfy any of them
+        all_null = _f(
+            pc.and_(pc.equal(nl, rows), pc.not_equal(rows, 0))
+        )
+        fail = pc.or_(fail, all_null)
+        fail_total = fail if fail_total is None else pc.or_(fail_total, fail)
+    return fail_total
+
+
+def pruned_out_rels(tbl, predicates: Sequence[tuple]) -> set:
+    """Relative paths :func:`prune_fail_mask` drops, as a Python set —
+    test/introspection convenience; the hot path
+    (:func:`keep_files`) never materializes the full set."""
+    import pyarrow.compute as pc
+
+    mask = prune_fail_mask(tbl, predicates)
+    if mask is None:
+        return set()
+    return set(pc.filter(tbl.column("rel"), mask).to_pylist())
+
+
+def keep_files(tbl, all_files: Sequence[str], predicates: Sequence[tuple]) -> list[str]:
+    """The kept subset of ``all_files`` — everything not provably
+    non-matching, files missing from the sidecar always kept. Stays in
+    arrow end-to-end (dropped-rel hash join via ``is_in``), so only the
+    KEPT paths are ever materialized as Python strings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mask = prune_fail_mask(tbl, predicates)
+    if mask is None:
+        return list(all_files)
+    dropped = pc.filter(tbl.column("rel"), mask)
+    if isinstance(dropped, pa.ChunkedArray):
+        dropped = dropped.combine_chunks()
+    all_arr = pa.array(list(all_files), pa.string())
+    keep = pc.invert(pc.is_in(all_arr, value_set=dropped))
+    return pc.filter(all_arr, keep).to_pylist()
 
 
 def _tzinfo(name: str):

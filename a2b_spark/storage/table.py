@@ -253,15 +253,17 @@ class VersionedParquetTable:
             return [], 0
         preds = _stats.normalize_predicates(predicates)
         vdir = os.path.join(self.path, v)
-        s = _stats.load_stats(vdir)
+        s = _stats.load_stats_arrow(vdir)
         all_files = _stats._data_files(vdir)
         if s is None:  # pre-stats version: nothing can be skipped
             return [os.path.join(vdir, f) for f in all_files], len(all_files)
-        entries = s["files"]
+        # vectorized pyarrow.compute prune over the whole sidecar at
+        # once: planning stays sub-second at 10⁵+ file entries, and
+        # only the KEPT paths materialize as Python strings. A file
+        # missing from the sidecar is always kept.
         kept = [
             os.path.join(vdir, f)
-            for f in all_files
-            if _stats.file_may_match(entries.get(f, {}), preds)
+            for f in _stats.keep_files(s, all_files, preds)
         ]
         return kept, len(all_files)
 
@@ -297,13 +299,23 @@ class VersionedParquetTable:
             base = self.read(spark, version=v)
             return None if base is None else base.filter(F.lit(False)).filter(cond)
         vdir = os.path.join(self.path, v)
-        df = (
+        reader = (
             spark.read.format(self.fmt)
             .options(**_FORMAT_OPTIONS[self.fmt])
             .option("basePath", vdir)  # keep partition columns
-            .load(kept)
         )
-        return df.filter(cond)
+        # the version's sidecar schema, like read(): kept files from
+        # before an add-column evolution null-fill the new column
+        # instead of steering footer inference
+        schema_file = os.path.join(vdir, SCHEMA)
+        if os.path.exists(schema_file):
+            from pyspark.sql import types as T
+
+            with open(schema_file) as f:
+                reader = reader.schema(
+                    T.StructType.fromJson(__import__("json").loads(f.read()))
+                )
+        return reader.load(kept).filter(cond)
 
     # ------------------------------------------------------------ writes
     def _next_version(self) -> str:

@@ -297,3 +297,126 @@ def test_read_pruned_timestamps_under_non_utc_session(spark, tmp_path):
         assert got2 == want2 and len(got2) > 0
     finally:
         spark.conf.set(key, old)
+
+
+def test_vectorized_prune_matches_file_may_match():
+    """The arrow fast path and the dict-based file_may_match are the
+    same decision procedure — randomized entries exercising missing
+    stats, null bounds, all-null columns, and every op."""
+    import random
+
+    from a2b_spark.storage.stats import (
+        STATS_FORMAT_VERSION,
+        file_may_match,
+        normalize_predicates,
+        pruned_out_rels,
+        stats_to_arrow,
+    )
+
+    rnd = random.Random(11)
+    files = {}
+    for i in range(300):
+        cols = {}
+        if rnd.random() < 0.9:
+            lo = rnd.randrange(0, 100)
+            hi = lo + rnd.randrange(0, 50)
+            cols["x"] = {
+                "t": "i",
+                "min": lo if rnd.random() < 0.9 else None,
+                "max": hi if rnd.random() < 0.9 else None,
+                "nulls": rnd.choice([0, 3, 10, None]),
+            }
+        if rnd.random() < 0.8:
+            cols["s"] = {
+                "t": "s",
+                "min": "a",
+                "max": rnd.choice(["m", "z", None]),
+                "nulls": 0,
+            }
+        files[f"f{i}.parquet"] = {"rows": 10, "cols": cols}
+    stats = {"version": STATS_FORMAT_VERSION, "files": files}
+    tbl = stats_to_arrow(stats)
+    for raw in [
+        [("x", "=", 25)],
+        [("x", "<", 10)],
+        [("x", "<=", 10)],
+        [("x", ">", 80)],
+        [("x", ">=", 80)],
+        [("x", "between", (20, 30))],
+        [("x", "=", 25), ("s", "<", "c")],
+        [("s", ">=", "n")],
+        [("nosuchcol", "=", 1)],
+    ]:
+        preds = normalize_predicates(raw)
+        dropped = pruned_out_rels(tbl, preds)
+        for rel, e in files.items():
+            assert (rel not in dropped) == file_may_match(e, preds), (rel, raw)
+
+
+def test_stats_sidecar_round_trips_dict_form(tmp_path):
+    """write_stats (parquet v2) -> load_stats returns the same dict,
+    including timestamp/date ISO encoding and files with no stats."""
+    import datetime as dt
+
+    from a2b_spark.storage.stats import (
+        STATS_FORMAT_VERSION,
+        load_stats,
+        write_stats,
+    )
+
+    stats = {
+        "version": STATS_FORMAT_VERSION,
+        "files": {
+            "a.parquet": {
+                "rows": 5,
+                "cols": {
+                    "x": {"t": "i", "min": -3, "max": 7, "nulls": 0},
+                    "ts": {
+                        "t": "ts",
+                        "min": dt.datetime(2024, 1, 1, 12, 30).isoformat(),
+                        "max": dt.datetime(2024, 6, 1).isoformat(),
+                        "nulls": 1,
+                    },
+                    "d": {"t": "d", "min": "2024-01-01", "max": "2024-06-01", "nulls": None},
+                },
+            },
+            "b.parquet": {"rows": None, "cols": {}},
+        },
+    }
+    d = str(tmp_path)
+    write_stats(d, stats)
+    assert load_stats(d) == stats
+
+
+def test_v1_json_sidecar_still_readable(tmp_path):
+    """A pre-round-8 JSON sidecar loads through both APIs."""
+    import json as _json
+
+    from a2b_spark.storage.stats import (
+        STATS_FILE,
+        STATS_FORMAT_VERSION,
+        load_stats,
+        load_stats_arrow,
+        normalize_predicates,
+        pruned_out_rels,
+    )
+
+    stats = {
+        "version": STATS_FORMAT_VERSION,
+        "files": {
+            "a.parquet": {
+                "rows": 5,
+                "cols": {"x": {"t": "i", "min": 0, "max": 9, "nulls": 0}},
+            },
+            "b.parquet": {
+                "rows": 5,
+                "cols": {"x": {"t": "i", "min": 100, "max": 200, "nulls": 0}},
+            },
+        },
+    }
+    with open(tmp_path / STATS_FILE, "w") as f:
+        _json.dump(stats, f)
+    assert load_stats(str(tmp_path)) == stats
+    tbl = load_stats_arrow(str(tmp_path))
+    dropped = pruned_out_rels(tbl, normalize_predicates([("x", "=", 50)]))
+    assert dropped == {"a.parquet", "b.parquet"}
