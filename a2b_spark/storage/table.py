@@ -705,6 +705,7 @@ class VersionedParquetTable:
         target_file_bytes: int = 128 << 20,
         min_files: int = 2,
         cluster_by: Sequence[str] | None = None,
+        cluster_mode: str = "range",
     ) -> dict:
         """Bin-pack small files (the OPTIMIZE of Delta/Iceberg): rewrite
         any partition holding ``min_files``-or-more data files into
@@ -727,9 +728,14 @@ class VersionedParquetTable:
         reading everything. Clustering REWRITES every partition
         (changing layout is the point — ``min_files`` only gates the
         no-cluster fast path), still sizing file counts by bytes.
-        Lexicographic, not bit-interleaved: exact skipping on the
-        leading column and prefix benefits on the rest — the honest
-        v1 of multi-dimensional clustering.
+        ``cluster_mode``: ``"range"`` (default) lays files out
+        lexicographically on the column tuple — exact skipping on the
+        LEADING column, prefix benefits on the rest. ``"zorder"``
+        bit-interleaves the columns (storage/zorder.py) so each file
+        covers a small hyper-rectangle and predicates on ANY clustered
+        column prune — the OPTIMIZE ZORDER BY semantics. Single-column
+        cluster_by should stay on "range" (interleaving one column is
+        just a coarser range).
 
         Per-partition output file counts are computed driver-side from
         the leaf directory listing (O(file count), no data read) and
@@ -753,11 +759,32 @@ class VersionedParquetTable:
                 if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(d, f))
             ]
 
+        if cluster_mode not in ("range", "zorder"):
+            raise ValueError(
+                f"cluster_mode must be 'range' or 'zorder', got {cluster_mode!r}"
+            )
         if cluster_by:
             cur_df = self.read(spark, version=cur)
             missing = [c for c in cluster_by if c not in cur_df.columns]
             if missing:
                 raise ValueError(f"cluster_by columns not in table: {missing}")
+
+        def _cluster_layout(df: DataFrame, n: int, lead: Sequence[str]):
+            """Range-partition + within-file sort on the cluster layout
+            key: the raw column tuple ("range") or the interleaved-bit
+            z-value ("zorder"). ``lead``: partition columns, kept ahead
+            of the key so each leaf's rows stay contiguous."""
+            if cluster_mode == "zorder":
+                from a2b_spark.storage.zorder import zorder_key
+
+                df = df.withColumn("__z", zorder_key(df, list(cluster_by)))
+                out = df.repartitionByRange(
+                    max(1, n), *lead, "__z"
+                ).sortWithinPartitions(*lead, "__z")
+                return out.drop("__z")
+            return df.repartitionByRange(
+                max(1, n), *lead, *cluster_by
+            ).sortWithinPartitions(*lead, *cluster_by)
 
         if not self.partition_by:
             files = _data_files(vdir)
@@ -768,10 +795,8 @@ class VersionedParquetTable:
                     1,
                     math.ceil(sum(os.path.getsize(f) for f in files) / target_file_bytes),
                 )
-                clustered = (
-                    self.read(spark, version=cur)
-                    .repartitionByRange(n, *cluster_by)
-                    .sortWithinPartitions(*cluster_by)
+                clustered = _cluster_layout(
+                    self.read(spark, version=cur), n, lead=()
                 )
                 self.overwrite(clustered, op="compact", base=cur)
                 return {
@@ -822,9 +847,9 @@ class VersionedParquetTable:
             # a disjoint cluster-column range; within-file sort keeps
             # row groups tight for the footer stats
             total_n = sum(plan.values())
-            clustered = touched_df.repartitionByRange(
-                max(1, total_n), *self.partition_by, *cluster_by
-            ).sortWithinPartitions(*self.partition_by, *cluster_by)
+            clustered = _cluster_layout(
+                touched_df, total_n, lead=self.partition_by
+            )
             self._commit_touched(clustered, set(plan), op="compact", base=cur)
             return {
                 "partitions_rewritten": len(plan),

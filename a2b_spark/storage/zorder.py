@@ -1,0 +1,113 @@
+"""Z-order (interleaved-bit) clustering key for multi-column file
+skipping — the OPTIMIZE ZORDER BY analogue for
+:meth:`VersionedParquetTable.compact`.
+
+Lexicographic range-clustering (``cluster_mode="range"``) gives exact
+skipping on the LEADING cluster column only: files are contiguous in
+(a, b), so a predicate on b alone matches every file. Interleaving the
+columns' bits makes each file cover a small hyper-rectangle in (a, b)
+space instead of a thin slice of a, so point/range predicates on ANY
+clustered column prune to O(matching tiles) files via the per-file
+min/max ``_STATS``.
+
+Construction (all JVM-side whole-stage-codegen expressions; the only
+driver interaction is ONE min/max aggregate — 2·k scalars):
+
+1. each column is projected to a monotone double (numerics/timestamps
+   cast; dates via days-since-epoch; strings via their first 4 bytes
+   as a big-endian integer — order-preserving on the prefix; booleans
+   via int);
+2. scaled to a ``bits``-bit integer bucket with EQUAL-WIDTH binning
+   over the observed [min, max] (the honest v1: no per-row HOFs, no
+   global-sort ranks; heavy value skew degrades toward fewer effective
+   bits on that column but never breaks correctness — stats pruning
+   stays exact either way);
+3. buckets are bit-interleaved column-major (bit i of column j lands
+   at position i·k + j) into one BIGINT z-value.
+
+``bits`` defaults to 12 per column (4096 bins), bounded so k·bits ≤ 62
+keeps the z-value in a signed 64-bit long.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _monotone_double(df: DataFrame, name: str) -> Column:
+    """An order-preserving DOUBLE projection of the column."""
+    dt = df.schema[name].dataType
+    c = F.col(name)
+    if isinstance(dt, T.BooleanType):
+        return c.cast("int").cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return c.cast("double")
+    if isinstance(dt, T.StringType):
+        # big-endian value of the first 4 UTF-8 bytes: preserves
+        # lexicographic order on the prefix; 2^32 max fits a double
+        # exactly. conv() yields a decimal string -> double.
+        return F.conv(
+            F.hex(F.encode(F.substring(c, 1, 4), "UTF-8")), 16, 10
+        ).cast("double")
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        # NaN -> NULL (bucket 0): ANSI long-casts of NaN raise, and
+        # NaN would otherwise poison the min/max aggregate
+        return F.nanvl(c.cast("double"), F.lit(None).cast("double"))
+    if isinstance(dt, T.NumericType):
+        return c.cast("double")
+    raise ValueError(
+        f"cluster column {name!r} has unsupported type {dt.simpleString()} "
+        "for zorder clustering"
+    )
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 12) -> Column:
+    """BIGINT z-value column interleaving ``cols``. NULLs project to
+    bucket 0 (they sort first, like NULLS FIRST)."""
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder needs at least one column")
+    bits = min(int(bits), 62 // k)
+    if bits < 1:
+        raise ValueError(f"too many zorder columns ({k}) for a 64-bit key")
+    top = (1 << bits) - 1
+
+    proj = {c: _monotone_double(df, c) for c in cols}
+    # ONE bounded driver pull: 2k scalars
+    row = df.agg(
+        *[F.min(proj[c]).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(proj[c]).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+
+    buckets = []
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        import math as _math
+
+        if (
+            mn is None
+            or mx is None
+            or not (_math.isfinite(mn) and _math.isfinite(mx))
+            or mx <= mn
+        ):
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        scaled = F.floor((proj[c] - F.lit(mn)) / F.lit(mx - mn) * F.lit(float(top)))
+        clamped = F.least(F.lit(top).cast("long"), F.greatest(F.lit(0).cast("long"), scaled.cast("long")))
+        buckets.append(F.coalesce(clamped, F.lit(0).cast("long")))
+
+    terms = [
+        F.shiftleft(
+            F.shiftright(buckets[j], i).bitwiseAND(F.lit(1)), i * k + j
+        )
+        for i in range(bits)
+        for j in range(k)
+    ]
+    return functools.reduce(lambda a, b: a + b, terms).cast("long")

@@ -420,3 +420,81 @@ def test_v1_json_sidecar_still_readable(tmp_path):
     tbl = load_stats_arrow(str(tmp_path))
     dropped = pruned_out_rels(tbl, normalize_predicates([("x", "=", 50)]))
     assert dropped == {"a.parquet", "b.parquet"}
+
+
+def test_zorder_prunes_on_second_cluster_column(spark, tmp_path):
+    """cluster_mode="zorder": each file covers a hyper-rectangle in
+    (a, b), so a point predicate on the SECOND clustered column skips
+    files — the case lexicographic range clustering cannot prune.
+    Content identical, read_pruned exact."""
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, rnd.randrange(4096), rnd.randrange(4096)) for i in range(40_000)]
+    t = VersionedParquetTable(str(tmp_path / "zz"), key_cols=("k",), retention=5)
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, a int, b int").repartition(4, "k")
+    )
+    before = _rows(t.read(spark))
+    vdir = os.path.join(t.path, t.current_version())
+    total_bytes = sum(
+        os.path.getsize(os.path.join(vdir, f))
+        for f in os.listdir(vdir)
+        if not f.startswith(("_", "."))
+    )
+    res = t.compact(
+        spark,
+        target_file_bytes=max(1, total_bytes // 16),
+        cluster_by=["a", "b"],
+        cluster_mode="zorder",
+    )
+    assert res["files_after"] >= 8
+    assert _rows(t.read(spark)) == before  # re-layout only
+
+    pred_b = [("b", "between", (2000, 2100))]
+    kept_b, total = t.prune_files(pred_b)
+    assert len(kept_b) < total  # second column prunes
+    # and the first column still prunes too
+    kept_a, _ = t.prune_files([("a", "between", (100, 200))])
+    assert len(kept_a) < total
+    # conjunctive point-ish predicate: strictly fewer than either alone
+    kept_ab, _ = t.prune_files(
+        [("a", "between", (100, 200)), ("b", "between", (2000, 2100))]
+    )
+    assert len(kept_ab) <= min(len(kept_a), len(kept_b))
+    # exactness of the pruned read
+    got = _rows(t.read_pruned(spark, pred_b))
+    want = _rows(t.read(spark).filter(F.col("b").between(2000, 2100)))
+    assert got == want
+    with pytest.raises(ValueError, match="cluster_mode"):
+        t.compact(spark, cluster_by=["a"], cluster_mode="hilbert")
+
+
+def test_zorder_partitioned_and_mixed_types(spark, tmp_path):
+    """zorder on a partitioned table (partition columns lead the
+    layout) and on a string+numeric column pair."""
+    t = VersionedParquetTable(
+        str(tmp_path / "zp2"), key_cols=("k",), partition_by=("p",), retention=5
+    )
+    rows = [
+        (i, i % 2, f"w{i % 50:03d}", (i * 37) % 1000) for i in range(5000)
+    ]
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, p int, s string, x int").repartition(4, "k")
+    )
+    before = _rows(t.read(spark))
+    res = t.compact(
+        spark,
+        target_file_bytes=1 << 14,
+        cluster_by=["s", "x"],
+        cluster_mode="zorder",
+    )
+    assert res["partitions_rewritten"] == 2
+    assert _rows(t.read(spark)) == before
+    kept, total = t.prune_files([("x", "between", (0, 100))])
+    assert len(kept) < total
+    got = _rows(t.read_pruned(spark, [("s", ">=", "w040"), ("x", "<", 500)]))
+    want = _rows(
+        t.read(spark).filter((F.col("s") >= "w040") & (F.col("x") < 500))
+    )
+    assert got == want
