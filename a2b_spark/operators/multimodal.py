@@ -117,8 +117,11 @@ def decode_media(
 
     - ``"fake"`` (default): deterministic synthetic decode — the full
       distributed plumbing with no codec libs.
-    - ``"real"``: the seam for PIL/ffmpeg — NotImplementedError here
-      because codec libs are not in this container.
+    - ``"png"``: REAL decode for PNG payloads via the stdlib-only
+      codec in operators/png.py (zlib + scanline unfiltering).
+    - ``"real"``: the seam for PIL/ffmpeg (arbitrary formats) —
+      NotImplementedError here because codec libs are not in this
+      container; the message points PNG payloads at ``"png"``.
     - a CALLABLE ``bytes -> (width, height, channels, features)``:
       dependency injection of an actual codec. The callable is
       cloudpickled to the executors with the kernel, so it must be
@@ -136,12 +139,19 @@ def decode_media(
         kernel = decoder
     elif decoder == "fake":
         kernel = lambda payload: _fake_decode(payload, n_features)  # noqa: E731
+    elif decoder == "png":
+        # REAL decode for a real format, stdlib-only: PNG is zlib +
+        # scanline filters, implemented in operators/png.py
+        from a2b_spark.operators.png import png_decoder
+
+        kernel = lambda payload: png_decoder(payload, n_features)  # noqa: E731
     elif decoder == "real":
         raise NotImplementedError(
-            "real media decode needs codec libraries (PIL/ffmpeg) not present "
-            "in this environment; pass a decoder callable "
-            "(bytes -> (w, h, c, features)) to inject one, or use "
-            "decoder='fake' for plumbing tests"
+            "general media decode needs codec libraries (PIL/ffmpeg) not "
+            "present in this environment; PNG payloads decode for real via "
+            "decoder='png' (stdlib zlib codec, operators/png.py); for other "
+            "formats pass a decoder callable (bytes -> (w, h, c, features)), "
+            "or use decoder='fake' for plumbing tests"
         )
     else:
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -179,9 +189,11 @@ def resize_media(
     """Resize plumbing for image payloads: (id, payload) → (media_id,
     width, height, channels, scale_x, scale_y, payload) with the
     payload re-encoded at the target size. Same seam discipline as
-    decode_media: ``resizer="real"`` is where PIL's
-    ``Image.resize`` drops in (NotImplementedError here — no codecs in
-    this container); ``"fake"`` produces a deterministic hash-derived
+    decode_media: ``resizer="png"`` is a REAL nearest-neighbor resize
+    for PNG payloads (stdlib codec, operators/png.py);
+    ``resizer="real"`` is where PIL's ``Image.resize`` drops in for
+    other formats (NotImplementedError here — no codecs in this
+    container); ``"fake"`` produces a deterministic hash-derived
     payload of exactly target_w × target_h × channels bytes (capped at
     ``max_out_bytes``), with source dims from the same fake decode, so
     dims/scales/byte-counts are SQL-mirrorable for the oracle. A
@@ -205,12 +217,18 @@ def resize_media(
             seed = hashlib.sha256(b + b"resize").digest()
             return in_w, in_h, ch, (seed * (n_out // len(seed) + 1))[:n_out]
 
+    elif resizer == "png":
+        from a2b_spark.operators.png import png_resizer
+
+        kernel = png_resizer
     elif resizer == "real":
         raise NotImplementedError(
-            "real resize needs codec libraries (PIL) not present in this "
-            "environment; pass a resizer callable ((payload, w, h) -> "
-            "(in_w, in_h, channels, out_payload)) to inject one, or use "
-            "resizer='fake' for plumbing tests"
+            "general resize needs codec libraries (PIL) not present in this "
+            "environment; PNG payloads resize for real via resizer='png' "
+            "(stdlib codec, nearest-neighbor, operators/png.py); for other "
+            "formats pass a resizer callable ((payload, w, h) -> "
+            "(in_w, in_h, channels, out_payload)), or use resizer='fake' "
+            "for plumbing tests"
         )
     else:
         raise ValueError(f"unknown resizer {resizer!r}")
