@@ -789,14 +789,17 @@ def q50_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization KNN (the memory-bound ANN family beside
     SRP-LSH and IVF): m=16 4-dim subquantizers × 32 centroids, ADC
     inner-product scoring over 16-byte codes, deterministic
-    shortlist-256 + exact re-rank. At these settings recall is exactly
-    1 on this corpus (pytest-checked against bruteforce at sf0.001 and
-    empirically at sf0.01/sf0.1), so the exact-KNN SQL is the oracle."""
+    corpus-scaled shortlist (max(256, n/25) — a FIXED shortlist's
+    covered share shrinks as n grows; 7/50 top-k misses measured at a
+    10x corpus with 256) + exact re-rank. At these settings recall is
+    exactly 1 (pytest-checked against bruteforce at sf0.001,
+    check_recall at sf0.1 and 10x), so the exact-KNN SQL is the
+    oracle."""
     from a2b_spark.operators.similarity import knn_pq
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return knn_pq(q, e, "embedding", "vec_id", k=5, m=16, ks=32, shortlist=256)
+    return knn_pq(q, e, "embedding", "vec_id", k=5, m=16, ks=32, shortlist="auto")
 
 
 # --------------------------------------------------------------- Q64
