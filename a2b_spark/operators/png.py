@@ -5,9 +5,11 @@ PNG is zlib (stdlib) + per-scanline byte filters, so a complete
 decoder needs nothing beyond ``zlib``/``struct``/numpy: parse chunks,
 inflate IDAT, undo filters 0–4, map palettes. Supported: bit depth 8,
 color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA),
-non-interlaced — i.e. what encoders emit by default. Adam7, 1/2/4/16
-bit depths raise with a clear message (the safety model of the seam:
-an unsupported payload is an ERROR, never a silently wrong decode).
+non-interlaced — i.e. what encoders emit by default; palette
+transparency (tRNS) expands to RGBA. Adam7, 1/2/4/16 bit depths, and
+gray/RGB color-key tRNS raise with a clear message (the safety model
+of the seam: an unsupported payload is an ERROR, never a silently
+wrong decode).
 
 The exported kernels match the multimodal injection contracts
 (``decode_media(decoder=...)`` / ``resize_media(resizer=...)``):
@@ -43,7 +45,7 @@ def decode_png(data: bytes):
 
     if bytes(data[:8]) != _SIG:
         raise ValueError("not a PNG (bad signature)")
-    pos, ihdr, plte, idat = 8, None, None, []
+    pos, ihdr, plte, trns, idat = 8, None, None, None, []
     n = len(data)
     while pos + 8 <= n:
         ln = int.from_bytes(data[pos : pos + 4], "big")
@@ -54,6 +56,8 @@ def decode_png(data: bytes):
             ihdr = chunk
         elif typ == b"PLTE":
             plte = chunk
+        elif typ == b"tRNS":
+            trns = chunk
         elif typ == b"IDAT":
             idat.append(chunk)
         elif typ == b"IEND":
@@ -67,6 +71,12 @@ def decode_png(data: bytes):
         raise ValueError("Adam7-interlaced PNG unsupported")
     if ctype not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {ctype}")
+    if trns is not None and ctype in (0, 2):
+        # color-key transparency on gray/RGB: silently decoding it
+        # opaque would be a WRONG decode, not a degraded one
+        raise ValueError(
+            "PNG tRNS color-key transparency on gray/RGB unsupported"
+        )
     ch = _CHANNELS[ctype]
     raw = zlib.decompress(b"".join(idat))
     stride = w * ch
@@ -123,8 +133,19 @@ def decode_png(data: bytes):
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        img = pal[img[..., 0]]
-        ch = 3
+        if trns is not None:
+            # palette transparency: expand to RGBA (entries past the
+            # tRNS table are fully opaque, per spec) — dropping alpha
+            # silently would be a wrong decode
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            a = np.frombuffer(trns, np.uint8)[: pal.shape[0]]
+            alpha[: len(a)] = a
+            pal = np.concatenate([pal, alpha[:, None]], axis=1)
+            img = pal[img[..., 0]]
+            ch = 4
+        else:
+            img = pal[img[..., 0]]
+            ch = 3
     return int(w), int(h), int(ch), img
 
 

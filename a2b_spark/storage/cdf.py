@@ -88,6 +88,7 @@ def table_changes(
         prev_v, cur_v = versions[i - 1], versions[i]
         before = table.read(spark, version=prev_v)
         after = table.read(spark, version=cur_v)
+        before = _align_to(before, after)
         d = snapshot_diff(before, after, table.key_cols).withColumn(
             "_commit_version",
             F.lit(VersionedParquetTable._parse_version_number(cur_v)).cast("int"),
@@ -96,6 +97,20 @@ def table_changes(
             d = _attach_after_image(d, after, table.key_cols)
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def _align_to(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Project ``before`` to include every column of ``after``
+    (missing columns null-fill) — the same widening read() gives old
+    files after an ADD-COLUMN evolution. Without it, snapshot_diff
+    compares only SHARED columns and a commit that merely POPULATES
+    the new column reports no change at all: the CDF would silently
+    never deliver the evolved column's values for keys whose old
+    columns didn't move."""
+    missing = [f for f in after.schema.fields if f.name not in set(before.columns)]
+    for f in missing:
+        before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return before
 
 
 def _attach_after_image(d: DataFrame, after: DataFrame, key_cols) -> DataFrame:
@@ -157,10 +172,15 @@ class TableChangesStream:
         self._offset_path = os.path.join(checkpoint_dir, "a2b_changes_offset.json")
 
     def last_processed(self) -> int:
+        """Stored offset, or ``start_version`` when none exists yet.
+        Only a MISSING offset file means a fresh stream — a transient
+        read error (EACCES/EIO) or corrupt content must raise, not
+        silently rewind to the start and re-deliver the whole retained
+        history to the handler."""
         try:
             with open(self._offset_path) as f:
                 return int(json.load(f)["version"])
-        except (OSError, ValueError, KeyError):
+        except FileNotFoundError:
             return self._start
 
     def _store(self, n: int) -> None:
@@ -202,7 +222,9 @@ class TableChangesStream:
                 continue
             after = self.table.read(self.spark, version=retained[n])
             before = (
-                self.table.read(self.spark, version=retained[n - 1])
+                _align_to(
+                    self.table.read(self.spark, version=retained[n - 1]), after
+                )
                 if (n - 1) in retained
                 else after.limit(0)  # first commit: diff vs empty
             )
@@ -406,6 +428,21 @@ try:  # pyspark >= 4: python data source API
                     raw = partition.part_values.get(field.name)
                     if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
                         consts[field.name] = None  # null fill
+                    elif (
+                        pa.types.is_timestamp(field.type)
+                        and field.type.tz is not None
+                    ):
+                        # arrow refuses to cast a zone-less timestamp
+                        # STRING straight to a tz-aware type; the hive
+                        # dir value is the UTC-normalized instant the
+                        # storage layer writes, so parse naive then
+                        # stamp the zone on
+                        naive = pc.cast(
+                            pa.scalar(raw), pa.timestamp(field.type.unit)
+                        )
+                        consts[field.name] = pc.assume_timezone(
+                            naive, field.type.tz
+                        )
                     else:
                         consts[field.name] = pc.cast(
                             pa.scalar(raw), field.type

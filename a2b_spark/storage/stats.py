@@ -272,7 +272,12 @@ def stats_to_arrow(stats: dict):
     specs: dict[str, str] = {}
     for e in files.values():
         for name, c in e.get("cols", {}).items():
-            specs.setdefault(name, c["t"])
+            if c.get("t") in _TAGS.values():
+                specs.setdefault(name, c["t"])
+            # unknown tag (foreign/corrupt sidecar entry): skip the
+            # COLUMN, keep the rest — per-column degradation, like the
+            # v1 dict loop; dropping the whole sidecar would silently
+            # disable all pruning
     for name, tag in specs.items():
         vt = _arrow_value_type(tag)
         mins, maxs, nulls = [], [], []
@@ -368,7 +373,10 @@ def load_stats_arrow(version_dir: str):
         if s.get("version") != STATS_FORMAT_VERSION:
             return None
         return stats_to_arrow(s)
-    except Exception:
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # unreadable/corrupt sidecar -> no stats -> nothing pruned
+        # (pyarrow's ArrowInvalid subclasses ValueError); anything else
+        # is a real bug and should surface, not silently stop pruning
         return None
 
 
@@ -413,10 +421,29 @@ def prune_fail_mask(tbl, predicates: Sequence[tuple]):
         tag = sp["t"]
         mn, mx = tbl.column(sp["min"]), tbl.column(sp["max"])
         nl = tbl.column(sp["nulls"])
-        if op == "between":
+        if tag == "i":
+            # EXACT integer semantics for real-valued literals: a
+            # naive pa.scalar(2.5, int64) TRUNCATES to 2 and
+            # over-prunes (x < 2.5 must keep a file with min = 2), and
+            # ints beyond int64 overflow. Translate the predicate into
+            # an equivalent int64 one (ceil/floor per op, saturation
+            # at the type bounds) or decide it outright.
+            fail = _int_fail_mask(pc, _f, op, value, mn, mx, tbl.num_rows, col)
+            if fail is None:  # predicate can never prune (e.g. x < inf)
+                continue
+        elif op == "between":
             lo, hi = _lit(value[0], tag, col), _lit(value[1], tag, col)
             fail = pc.or_(_f(pc.less(mx, lo)), _f(pc.greater(mn, hi)))
         else:
+            if (
+                tag == "f"
+                and isinstance(value, int)
+                and not isinstance(value, bool)
+                and abs(value) > 1 << 53
+            ):
+                # the float64 cast of the literal would round; an
+                # inexact bound can over-prune -> don't prune on it
+                continue
             v = _lit(value, tag, col)
             if op == "=":
                 fail = pc.or_(_f(pc.greater(mn, v)), _f(pc.less(mx, v)))
@@ -436,6 +463,107 @@ def prune_fail_mask(tbl, predicates: Sequence[tuple]):
         fail = pc.or_(fail, all_null)
         fail_total = fail if fail_total is None else pc.or_(fail_total, fail)
     return fail_total
+
+
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+
+
+def _int_threshold(value, rounding: str, col):
+    """Exact int64 threshold for a real literal compared against an
+    integer column: ``int`` within range, ``"high"``/``"low"`` when it
+    saturates past int64, ``None`` for NaN (incomparable — never
+    prune)."""
+    import math
+
+    if isinstance(value, bool):
+        value = int(value)
+    if isinstance(value, float):
+        if math.isnan(value):
+            return None
+        if value == math.inf:
+            return "high"
+        if value == -math.inf:
+            return "low"
+        value = math.ceil(value) if rounding == "ceil" else math.floor(value)
+    if not isinstance(value, int):
+        raise TypeError(
+            f"predicate literal {value!r} is not comparable with "
+            f"column {col!r} stats (type tag 'i')"
+        )
+    if value > _I64_MAX:
+        return "high"
+    if value < _I64_MIN:
+        return "low"
+    return int(value)
+
+
+def _int_fail_mask(pc, _f, op, value, mn, mx, n_rows, col):
+    """Fail mask for one predicate on an INTEGER-stats column with
+    exact literal translation. Returns None when the predicate can
+    never prune; an all-True mask when it is unsatisfiable by any
+    integer (x = 2.5, x > int64max)."""
+    import pyarrow as pa
+
+    def scalar(v):
+        return pa.scalar(v, type=pa.int64())
+
+    def always_fail():
+        return pa.chunked_array([pa.array([True] * n_rows, pa.bool_())])
+
+    if op == "between":
+        lo = _int_threshold(value[0], "ceil", col)  # x >= lo  ->  ceil
+        hi = _int_threshold(value[1], "floor", col)  # x <= hi  ->  floor
+        if lo is None or hi is None:
+            return None  # NaN bound: incomparable, never prune
+        if lo == "high" or hi == "low":
+            return always_fail()
+        parts = []
+        if lo != "low":
+            parts.append(_f(pc.less(mx, scalar(lo))))
+        if hi != "high":
+            parts.append(_f(pc.greater(mn, scalar(hi))))
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = pc.or_(out, p)
+        return out
+    if op == "=":
+        c = _int_threshold(value, "ceil", col)
+        f = _int_threshold(value, "floor", col)
+        if c is None:
+            return None
+        if c in ("high", "low") or c != f:  # out of range or fractional
+            return always_fail()
+        return pc.or_(_f(pc.greater(mn, scalar(c))), _f(pc.less(mx, scalar(c))))
+    if op == "<":  # x < v  <=>  x < ceil(v)
+        t = _int_threshold(value, "ceil", col)
+        if t is None or t == "high":
+            return None
+        if t == "low":
+            return always_fail()
+        return _f(pc.greater_equal(mn, scalar(t)))
+    if op == "<=":  # x <= v  <=>  x <= floor(v)
+        t = _int_threshold(value, "floor", col)
+        if t is None or t == "high":
+            return None
+        if t == "low":
+            return always_fail()
+        return _f(pc.greater(mn, scalar(t)))
+    if op == ">":  # x > v  <=>  x > floor(v)
+        t = _int_threshold(value, "floor", col)
+        if t is None or t == "low":
+            return None
+        if t == "high":
+            return always_fail()
+        return _f(pc.less_equal(mx, scalar(t)))
+    # >=  :  x >= v  <=>  x >= ceil(v)
+    t = _int_threshold(value, "ceil", col)
+    if t is None or t == "low":
+        return None
+    if t == "high":
+        return always_fail()
+    return _f(pc.less(mx, scalar(t)))
 
 
 def pruned_out_rels(tbl, predicates: Sequence[tuple]) -> set:

@@ -167,6 +167,25 @@ class VersionedParquetTable:
             d for d in os.listdir(self.path) if d.startswith("v_") and d <= cur
         )
 
+    def _version_schema(self, v: str):
+        """The version's authoritative schema from its ``_SCHEMA``
+        sidecar (table-root sidecar as pre-round-5 back-compat), or
+        None when neither exists. THE one place sidecar schema
+        resolution lives — read(), read_pruned() and the empty-table
+        branch all go through it."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        for schema_file in (
+            os.path.join(self.path, v, SCHEMA),
+            os.path.join(self.path, SCHEMA),
+        ):
+            if os.path.exists(schema_file):
+                with open(schema_file) as f:
+                    return T.StructType.fromJson(_json.loads(f.read()))
+        return None
+
     def read(self, spark: SparkSession, version: Optional[str] = None) -> Optional[DataFrame]:
         """Read the live version, or a retained historical one (time
         travel) when ``version`` names an entry of ``versions()``."""
@@ -187,14 +206,9 @@ class VersionedParquetTable:
             # a fully-deleted table: Spark writes NO data files for an
             # empty (especially partitioned) frame, so the version is
             # readable only through its schema sidecar
-            schema_file = os.path.join(vdir, SCHEMA)
-            if os.path.exists(schema_file):
-                from pyspark.sql import types as T
-
-                with open(schema_file) as f:
-                    return spark.createDataFrame(
-                        [], T.StructType.fromJson(__import__("json").loads(f.read()))
-                    )
+            schema = self._version_schema(v)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
         reader = spark.read.format(self.fmt).options(**_FORMAT_OPTIONS[self.fmt])
         # The per-version sidecar is the AUTHORITATIVE schema of that
         # version — applied for every format, parquet included (the
@@ -203,21 +217,11 @@ class VersionedParquetTable:
         # untouched partitions hard-link pre-evolution files reads
         # them with the widened schema (missing columns null-fill),
         # instead of taking whichever file's footer Spark samples
-        # first. Table-root sidecar is back-compat for pre-round-5
-        # tables; a parquet version with no sidecar at all falls back
+        # first. A parquet version with no sidecar at all falls back
         # to footer inference.
-        for schema_file in (
-            os.path.join(self.path, v, SCHEMA),
-            os.path.join(self.path, SCHEMA),
-        ):
-            if os.path.exists(schema_file):
-                from pyspark.sql import types as T
-
-                with open(schema_file) as f:
-                    reader = reader.schema(
-                        T.StructType.fromJson(__import__("json").loads(f.read()))
-                    )
-                break
+        schema = self._version_schema(v)
+        if schema is not None:
+            reader = reader.schema(schema)
         return reader.load(os.path.join(self.path, v))
 
     # ----------------------------------------------------- file skipping
@@ -307,14 +311,9 @@ class VersionedParquetTable:
         # the version's sidecar schema, like read(): kept files from
         # before an add-column evolution null-fill the new column
         # instead of steering footer inference
-        schema_file = os.path.join(vdir, SCHEMA)
-        if os.path.exists(schema_file):
-            from pyspark.sql import types as T
-
-            with open(schema_file) as f:
-                reader = reader.schema(
-                    T.StructType.fromJson(__import__("json").loads(f.read()))
-                )
+        schema = self._version_schema(v)
+        if schema is not None:
+            reader = reader.schema(schema)
         return reader.load(kept).filter(cond)
 
     # ------------------------------------------------------------ writes

@@ -50,12 +50,18 @@ def _monotone_double(df: DataFrame, name: str) -> Column:
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return c.cast("double")
     if isinstance(dt, T.StringType):
-        # big-endian value of the first 4 UTF-8 bytes: preserves
-        # lexicographic order on the prefix; 2^32 max fits a double
-        # exactly. conv() yields a decimal string -> double.
-        return F.conv(
-            F.hex(F.encode(F.substring(c, 1, 4), "UTF-8")), 16, 10
-        ).cast("double")
+        # big-endian value of the first 4 UTF-8 BYTES (substring on
+        # the encoded binary — 4 CHARACTERS could be 16 bytes and
+        # overflow both conv and double precision), scaled as if
+        # right-padded with 0x00 to 4 bytes: without the padding a
+        # short string sorts below every longer one ('b' -> 98 but
+        # 'aaaa' -> 1633771873, inverting lexicographic order) and
+        # the z-buckets scramble the string dimension. Result < 2^32
+        # fits a double exactly; conv() yields a decimal string.
+        b4 = F.substring(F.encode(c, "UTF-8"), 1, 4)
+        val = F.conv(F.hex(b4), 16, 10).cast("double")
+        pad = F.pow(F.lit(256.0), (F.lit(4) - F.length(b4)).cast("double"))
+        return F.coalesce(val, F.lit(0.0)) * pad
     if isinstance(dt, (T.FloatType, T.DoubleType)):
         # NaN -> NULL (bucket 0): ANSI long-casts of NaN raise, and
         # NaN would otherwise poison the min/max aggregate

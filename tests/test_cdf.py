@@ -306,3 +306,87 @@ def test_changes_stream_vacuumed_gap_raises(spark, tmp_path):
     s = TableChangesStream(t, spark, str(tmp_path / "cv_ck"))
     with pytest.raises(ValueError, match="vacuumed"):
         s.process_available(lambda df, v: None)
+
+
+def test_table_changes_sees_evolved_column_only_update(spark, tmp_path):
+    """Round-8 review regression: a merge that only POPULATES a column
+    added by schema evolution must surface as an update with its
+    after-image — snapshot_diff over the SHARED columns alone reported
+    no change at all."""
+    from a2b_spark.storage.cdf import TableChangesStream
+
+    t = VersionedParquetTable(str(tmp_path / "ev"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    # v unchanged for key 1; only the NEW column w carries data
+    t.merge(
+        spark.createDataFrame([(1, "a", 5.0)], "k long, v string, w double")
+    )
+    rows = {
+        (r.k, r.change): (r.v, r.w)
+        for r in table_changes(t, spark, with_rows=True).collect()
+    }
+    assert rows == {(1, "update"): ("a", 5.0)}
+    # and the streaming twin agrees
+    got = []
+    TableChangesStream(
+        t, spark, str(tmp_path / "ev_ck"), with_rows=True
+    ).process_available(
+        lambda df, ver: got.append(
+            {(r.k, r.change): r.w for r in df.collect()} if ver == 2 else None
+        )
+    )
+    assert got[1] == {(1, "update"): 5.0}
+
+
+def test_changes_stream_corrupt_offset_raises(spark, tmp_path):
+    """Only a MISSING offset file means a fresh stream; corrupt or
+    unreadable content must raise, not silently rewind to the start
+    and re-deliver the whole history."""
+    from a2b_spark.storage.cdf import TableChangesStream
+
+    t = VersionedParquetTable(str(tmp_path / "co"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    ck = tmp_path / "co_ck"
+    s = TableChangesStream(t, spark, str(ck))
+    s.process_available(lambda df, v: None)
+    assert s.last_processed() == 1
+    (ck / "a2b_changes_offset.json").write_text("{not json")
+    with pytest.raises(ValueError):
+        s.last_processed()
+
+
+def test_appends_reader_timestamp_partition_column(spark, tmp_path):
+    """tz-aware timestamp partition values: the hive dir string can't
+    cast straight to arrow's timestamp[us, UTC] — the reader must
+    parse naive then stamp the zone (round-8 review crash repro)."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "tsp"),
+        key_cols=("k",),
+        partition_by=("ts",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0)],
+            "k long, ts timestamp, x double",
+        )
+    )
+    r = _AppendsStreamReader({"path": t.path})
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 1}):
+        for b in r.read(p):
+            assert isinstance(b, pa.RecordBatch)
+            rows.extend(b.to_pylist())
+    assert len(rows) == 1
+    got = rows[0]["ts"]
+    assert got is not None
+    # the stored instant round-trips (compare in UTC, tz-normalized)
+    want = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    assert got.astimezone(dt.timezone.utc) == want

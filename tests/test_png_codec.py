@@ -182,3 +182,36 @@ def test_png_codec_end_to_end_spark(spark):
     w2, h2, c2, img2 = decode_png(bytes(res[1].payload))
     col_means = img2[:, :, 0].mean(axis=0)
     assert all(col_means[i] <= col_means[i + 1] for i in range(len(col_means) - 1))
+
+
+def test_palette_trns_expands_to_rgba_and_colorkey_raises():
+    """Round-8 review: palette tRNS alpha must survive (RGBA out, not
+    silently-opaque RGB); gray/RGB color-key transparency raises."""
+    pal = bytes([255, 0, 0, 0, 255, 0])
+    trns = bytes([128])  # entry 0 half-transparent; entry 1 opaque
+    idx = np.array([[0, 1]], np.uint8)[..., None]
+    raw = b"\x00" + idx[0].tobytes()
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"tRNS", trns)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, c, img = decode_png(png)
+    assert (w, h, c) == (2, 1, 4)
+    assert img[0, 0].tolist() == [255, 0, 0, 128]
+    assert img[0, 1].tolist() == [0, 255, 0, 255]
+
+    gray = np.zeros((2, 2, 1), np.uint8)
+    body = b"".join(b"\x00" + gray[y].tobytes() for y in range(2))
+    png_gray_trns = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"tRNS", struct.pack(">H", 0))
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color-key"):
+        decode_png(png_gray_trns)

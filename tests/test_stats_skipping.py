@@ -498,3 +498,154 @@ def test_zorder_partitioned_and_mixed_types(spark, tmp_path):
         t.read(spark).filter((F.col("s") >= "w040") & (F.col("x") < 500))
     )
     assert got == want
+
+
+def test_int_column_float_and_huge_literals_never_over_prune():
+    """Round-8 review regression: pa.scalar(2.5, int64) TRUNCATES to 2,
+    so the naive arrow cast over-pruned (x < 2.5 dropped a file with
+    min=2). Integer-stats predicates now translate literals exactly
+    (ceil/floor per op, int64 saturation) — checked against the
+    ground truth 'does any integer in [min, max] satisfy it'."""
+    from fractions import Fraction
+
+    from a2b_spark.storage.stats import (
+        STATS_FORMAT_VERSION,
+        normalize_predicates,
+        pruned_out_rels,
+        stats_to_arrow,
+    )
+
+    files = {
+        f"f{lo}_{hi}.parquet": {
+            "rows": 5,
+            "cols": {"x": {"t": "i", "min": lo, "max": hi, "nulls": 0}},
+        }
+        for lo, hi in [(2, 10), (-10, -3), (0, 0), (100, 200)]
+    }
+    stats = {"version": STATS_FORMAT_VERSION, "files": files}
+    tbl = stats_to_arrow(stats)
+
+    def satisfiable(lo, hi, op, v):
+        """Is there an integer x in [lo, hi] with (x op v)? Exact
+        rational arithmetic, no floats."""
+        import math
+
+        if isinstance(v, float):
+            if v != v:
+                return False
+            v = Fraction(v) if v not in (float("inf"), float("-inf")) else v
+        if op == "between":
+            a, b = v
+            a = Fraction(a) if isinstance(a, float) else a
+            b = Fraction(b) if isinstance(b, float) else b
+            lo2, hi2 = max(lo, math.ceil(a)), min(hi, math.floor(b))
+            return lo2 <= hi2
+        if op == "=":
+            return lo <= v <= hi and Fraction(v).denominator == 1
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        return hi >= v  # >=
+
+    cases = [
+        ("<", 2.5), ("<", 1.5), ("<", 2), ("<=", 1.9), ("<=", 2.0),
+        (">", 9.5), (">", 10.0), (">", 10.5), (">=", 10.2), (">=", -3.5),
+        ("=", 2.5), ("=", 2.0), ("=", -7), ("=", 150),
+        ("between", (2.2, 2.8)), ("between", (1.5, 2.5)),
+        ("between", (-9.5, -8.5)), ("between", (10.5, 11.5)),
+        ("<", 2**63), (">", 2**63), ("=", 2**64), ("<", -(2**63) - 5),
+        (">", -(2**63) - 5), ("between", (-(2**70), 2**70)),
+        ("<", float("inf")), ("<", float("-inf")), (">", float("nan")),
+    ]
+    for op, v in cases:
+        preds = normalize_predicates([("x", op, v)])
+        dropped = pruned_out_rels(tbl, preds)
+        for rel, e in files.items():
+            c = e["cols"]["x"]
+            sat = satisfiable(c["min"], c["max"], op, v)
+            if rel in dropped:
+                # NEVER a wrong skip: a pruned file must be provably
+                # unsatisfiable
+                assert not sat, (rel, op, v)
+            elif not sat and not (isinstance(v, float) and v != v):
+                # and (except for NaN, where we stay conservative)
+                # unsatisfiable files should actually be pruned
+                assert rel in dropped or True  # informational only
+        # the two canonical review repros, asserted tightly:
+    d = pruned_out_rels(tbl, normalize_predicates([("x", "<", 2.5)]))
+    assert "f2_10.parquet" not in d  # x=2 satisfies x<2.5
+    d = pruned_out_rels(tbl, normalize_predicates([("x", "<", 1.5)]))
+    assert "f2_10.parquet" in d  # no int in [2,10] is < 1.5
+    d = pruned_out_rels(tbl, normalize_predicates([("x", "=", 2.5)]))
+    assert d == set(files)  # no integer equals 2.5 anywhere
+    d = pruned_out_rels(tbl, normalize_predicates([("x", "<", 2**63)]))
+    assert d == set()  # huge bound: every file may match, no crash
+    d = pruned_out_rels(tbl, normalize_predicates([("x", ">", 2**63)]))
+    assert d == set(files)  # nothing exceeds int64 max
+
+
+def test_unknown_stat_tag_degrades_per_column(tmp_path):
+    """A sidecar entry with an unrecognized tag disables pruning for
+    THAT column only — the healthy column still prunes (v1's loop
+    semantics, not all-or-nothing)."""
+    import json as _json
+
+    from a2b_spark.storage.stats import (
+        STATS_FILE,
+        STATS_FORMAT_VERSION,
+        load_stats_arrow,
+        normalize_predicates,
+        pruned_out_rels,
+    )
+
+    stats = {
+        "version": STATS_FORMAT_VERSION,
+        "files": {
+            "a.parquet": {
+                "rows": 5,
+                "cols": {
+                    "x": {"t": "i", "min": 0, "max": 9, "nulls": 0},
+                    "weird": {"t": "zzz", "min": 0, "max": 1, "nulls": 0},
+                },
+            },
+        },
+    }
+    with open(tmp_path / STATS_FILE, "w") as f:
+        _json.dump(stats, f)
+    tbl = load_stats_arrow(str(tmp_path))
+    assert tbl is not None
+    assert pruned_out_rels(tbl, normalize_predicates([("x", ">", 50)])) == {
+        "a.parquet"
+    }
+    assert pruned_out_rels(tbl, normalize_predicates([("weird", "=", 0)])) == set()
+
+
+def test_read_pruned_float_literal_on_int_column_exact(spark, ranged_table):
+    t = ranged_table
+    got = _rows(t.read_pruned(spark, [("k", "<", 0.5)]))
+    want = _rows(t.read(spark).filter(F.col("k") < 0.5))
+    assert got == want and len(got) == 1
+
+
+def test_zorder_string_projection_preserves_prefix_order(spark):
+    """Round-8 review: variable-length strings must project
+    order-preservingly ('b' > 'aaaa' lexicographically, so its
+    projected value must be larger too — the unpadded byte value
+    inverted that), and the prefix is 4 BYTES of UTF-8, not 4
+    characters (non-ASCII stays within conv/double range)."""
+    from a2b_spark.storage.zorder import _monotone_double
+
+    vals = ["", "a", "aaaa", "ab", "b", "ba", "zz", "é", "日本語です"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    proj = {
+        r.s: r.p
+        for r in df.select("s", _monotone_double(df, "s").alias("p")).collect()
+    }
+    for x in vals:
+        for y in vals:
+            if x.encode()[:4] < y.encode()[:4]:
+                assert proj[x] < proj[y], (x, y, proj[x], proj[y])
+    assert all(0 <= proj[v] < 2**32 for v in vals)
