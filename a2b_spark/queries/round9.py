@@ -233,14 +233,90 @@ SELECT * FROM (
 """
 
 
+# --------------------------------------------------------------- Q145
+def q145_appends_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python streaming data source (a2b_table_appends)
+    driven END-TO-END under the oracle gate: orders lands in an
+    epoch-partitioned insert-only table over three append commits
+    (epoch = o_orderkey % 3), the source streams every commit
+    availableNow into a memory sink, and the per-epoch rollup of the
+    STREAMED rows — including the commit tag and the partition column,
+    which only exists in dir names — must equal the oracle's
+    recomputation from the source table. Certifies offsets, new-file
+    planning, the vectorized Arrow read, and partition-value fill in
+    one driver-hashed query."""
+    import os
+    import uuid
+
+    from a2b_spark.queries.round7 import _sweep_stale_scratch
+    from a2b_spark.storage.cdf import VersionAppendsDataSource
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    tag = uuid.uuid4().hex[:8]
+    path = f"/tmp/a2b_q145_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
+    _sweep_stale_scratch("/tmp", "a2b_q145_")
+    try:
+        spark.dataSource.register(VersionAppendsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    t = VersionedParquetTable(
+        path,
+        key_cols=["o_orderkey"],
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=5,
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).cast("int").alias("epoch"),
+    )
+    for e in (0, 1, 2):  # one FRESH partition per commit
+        t.append(o.filter(F.col("epoch") == e))
+    sink = f"q145_sink_{tag}"
+    (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(path, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return (
+        spark.table(sink)
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "total_price", 2),
+            F.min("_commit_version").alias("commit_version"),
+        )
+        .orderBy("epoch")
+    )
+
+
+O_Q145 = """
+SELECT CAST(o_orderkey % 3 AS INTEGER) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(o_orderkey % 3 + 1 AS INTEGER) AS commit_version
+FROM orders
+GROUP BY 1, 4 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q142_zorder_pruned_scan": q142_zorder_pruned_scan,
     "q143_schema_evolution": q143_schema_evolution,
     "q144_changes_stream_fold": q144_changes_stream_fold,
+    "q145_appends_stream_rollup": q145_appends_stream_rollup,
 }
 
 ORACLES = {
     "q142_zorder_pruned_scan": O_Q142,
     "q143_schema_evolution": O_Q143,
     "q144_changes_stream_fold": O_Q144,
+    "q145_appends_stream_rollup": O_Q145,
 }
