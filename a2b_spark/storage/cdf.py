@@ -95,7 +95,12 @@ def table_changes(
         )
         if with_rows:
             d = _attach_after_image(d, after, table.key_cols)
-        out = d if out is None else out.unionByName(d)
+        # allowMissingColumns: a range spanning an ADD-COLUMN evolution
+        # has per-commit after-images with different column sets — the
+        # pre-evolution commits' rows null-fill the new column (plain
+        # unionByName raises NUM_COLUMNS_MISMATCH on exactly the
+        # cross-evolution ranges _align_to exists for)
+        out = d if out is None else out.unionByName(d, allowMissingColumns=True)
     return out
 
 
@@ -296,6 +301,12 @@ try:  # pyspark >= 4: python data source API
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("a2b_table_appends requires option 'path'")
+            # Spark renders timestamp partition DIRECTORY names in the
+            # WRITER's session timezone; the reader cannot recover it
+            # from the path, so it is an option (IANA name, default
+            # UTC — the storage layer's pinned convention). A mismatch
+            # shifts streamed instants by the zone offset.
+            self._tz = options.get("timezone", "UTC")
             # verbatim table handle, driver-side listing only
             self.table = VersionedParquetTable(self.path, key_cols=())
             start = options.get("startingversion")
@@ -396,7 +407,10 @@ try:  # pyspark >= 4: python data source API
                     ).split(os.sep):
                         if "=" in seg:
                             c, val = seg.split("=", 1)
-                            pvals[c] = _unescape_hive(val)
+                            # the column NAME is hive-escaped too — an
+                            # escaped key would never match field.name
+                            # and the column would silently null-fill
+                            pvals[_unescape_hive(c)] = _unescape_hive(val)
                     parts.append(_FilePartition(p, n, pvals))
             return parts
 
@@ -433,15 +447,18 @@ try:  # pyspark >= 4: python data source API
                         and field.type.tz is not None
                     ):
                         # arrow refuses to cast a zone-less timestamp
-                        # STRING straight to a tz-aware type; the hive
-                        # dir value is the UTC-normalized instant the
-                        # storage layer writes, so parse naive then
-                        # stamp the zone on
+                        # STRING straight to a tz-aware type: parse
+                        # naive, stamp the WRITER-session zone on
+                        # (option "timezone", default UTC), then
+                        # convert to the field's zone
                         naive = pc.cast(
                             pa.scalar(raw), pa.timestamp(field.type.unit)
                         )
-                        consts[field.name] = pc.assume_timezone(
-                            naive, field.type.tz
+                        zoned = pc.assume_timezone(naive, self._tz)
+                        consts[field.name] = (
+                            zoned
+                            if zoned.type == field.type
+                            else pc.cast(zoned, field.type)
                         )
                     else:
                         consts[field.name] = pc.cast(

@@ -414,6 +414,13 @@ def prune_fail_mask(tbl, predicates: Sequence[tuple]):
     def _f(cmp):  # null comparison = can't prove = don't fail
         return pc.fill_null(cmp, False)
 
+    def _float_exact(v) -> bool:
+        """False when the float64 cast of an int literal would round —
+        an inexact bound could over-prune, so such a bound is unusable."""
+        return not (
+            isinstance(v, int) and not isinstance(v, bool) and abs(v) > 1 << 53
+        )
+
     for col, op, value in predicates:
         sp = spec.get(col)
         if sp is None:
@@ -429,21 +436,18 @@ def prune_fail_mask(tbl, predicates: Sequence[tuple]):
             # an equivalent int64 one (ceil/floor per op, saturation
             # at the type bounds) or decide it outright.
             fail = _int_fail_mask(pc, _f, op, value, mn, mx, tbl.num_rows, col)
-            if fail is None:  # predicate can never prune (e.g. x < inf)
-                continue
         elif op == "between":
-            lo, hi = _lit(value[0], tag, col), _lit(value[1], tag, col)
-            fail = pc.or_(_f(pc.less(mx, lo)), _f(pc.greater(mn, hi)))
+            parts = []
+            if tag != "f" or _float_exact(value[0]):
+                parts.append(_f(pc.less(mx, _lit(value[0], tag, col))))
+            if tag != "f" or _float_exact(value[1]):
+                parts.append(_f(pc.greater(mn, _lit(value[1], tag, col))))
+            fail = None
+            for p in parts:
+                fail = p if fail is None else pc.or_(fail, p)
+        elif tag == "f" and not _float_exact(value):
+            fail = None  # unusable bound: value comparison can't prune
         else:
-            if (
-                tag == "f"
-                and isinstance(value, int)
-                and not isinstance(value, bool)
-                and abs(value) > 1 << 53
-            ):
-                # the float64 cast of the literal would round; an
-                # inexact bound can over-prune -> don't prune on it
-                continue
             v = _lit(value, tag, col)
             if op == "=":
                 fail = pc.or_(_f(pc.greater(mn, v)), _f(pc.less(mx, v)))
@@ -455,12 +459,15 @@ def prune_fail_mask(tbl, predicates: Sequence[tuple]):
                 fail = _f(pc.less_equal(mx, v))
             else:  # >=
                 fail = _f(pc.less(mx, v))
-        # every supported op compares against non-null values; a file
-        # whose column is entirely null cannot satisfy any of them
+        # every supported op compares against non-null values, so a
+        # file whose column is entirely null cannot satisfy ANY of
+        # them — this holds even when the value bound itself was
+        # unusable (fail is None, e.g. x < inf): null < inf is not
+        # true, so all-null files still prune
         all_null = _f(
             pc.and_(pc.equal(nl, rows), pc.not_equal(rows, 0))
         )
-        fail = pc.or_(fail, all_null)
+        fail = all_null if fail is None else pc.or_(fail, all_null)
         fail_total = fail if fail_total is None else pc.or_(fail_total, fail)
     return fail_total
 

@@ -293,11 +293,15 @@ class VersionedParquetTable:
         # the filter evaluates timestamp literals in the SESSION
         # timezone while the sidecar stores naive UTC — re-express the
         # pruning literals so a non-UTC session can never skip a file
-        # the filter would match
+        # the filter would match. Schema from the sidecar (two stat
+        # calls), NOT a full read(): a DataFrameReader.load here would
+        # list the whole version dir before pruning even starts,
+        # negating the sub-second planning win at 10^5 files.
         tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
-        stat_preds = _stats.localize_ts_predicates(
-            preds, self.read(spark, version=v).schema, tz
-        )
+        schema = self._version_schema(v)
+        if schema is None:
+            schema = self.read(spark, version=v).schema
+        stat_preds = _stats.localize_ts_predicates(preds, schema, tz)
         kept, _total = self.prune_files(stat_preds, version=v)
         if not kept:
             base = self.read(spark, version=v)
@@ -776,11 +780,15 @@ class VersionedParquetTable:
             if cluster_mode == "zorder":
                 from a2b_spark.storage.zorder import zorder_key
 
-                df = df.withColumn("__z", zorder_key(df, list(cluster_by)))
+                # collision-proof temp name: withColumn REPLACES an
+                # existing column, so a user column literally named
+                # "__z" would be silently destroyed by the rewrite
+                zc = f"__z_{uuid.uuid4().hex[:8]}"
+                df = df.withColumn(zc, zorder_key(df, list(cluster_by)))
                 out = df.repartitionByRange(
-                    max(1, n), *lead, "__z"
-                ).sortWithinPartitions(*lead, "__z")
-                return out.drop("__z")
+                    max(1, n), *lead, zc
+                ).sortWithinPartitions(*lead, zc)
+                return out.drop(zc)
             return df.repartitionByRange(
                 max(1, n), *lead, *cluster_by
             ).sortWithinPartitions(*lead, *cluster_by)

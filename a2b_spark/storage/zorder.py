@@ -47,7 +47,12 @@ def _monotone_double(df: DataFrame, name: str) -> Column:
         return c.cast("int").cast("double")
     if isinstance(dt, T.DateType):
         return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ has no direct double cast (DATATYPE_MISMATCH); go via
+        # timestamp — the session-tz interpretation is monotone, which
+        # is all the binning needs
+        return c.cast("timestamp").cast("double")
+    if isinstance(dt, T.TimestampType):
         return c.cast("double")
     if isinstance(dt, T.StringType):
         # big-endian value of the first 4 UTF-8 BYTES (substring on

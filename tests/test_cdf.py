@@ -390,3 +390,79 @@ def test_appends_reader_timestamp_partition_column(spark, tmp_path):
     # the stored instant round-trips (compare in UTC, tz-normalized)
     want = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     assert got.astimezone(dt.timezone.utc) == want
+
+
+def test_table_changes_with_rows_spans_evolution_range(spark, tmp_path):
+    """Second review pass: a with_rows range spanning an add-column
+    evolution must union per-commit after-images with DIFFERENT column
+    sets (null-fill), not raise NUM_COLUMNS_MISMATCH."""
+    t = VersionedParquetTable(str(tmp_path / "sp"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.merge(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.merge(spark.createDataFrame([(3, "c", 7.0)], "k long, v string, w double"))
+    rows = {
+        (r._commit_version, r.k, r.change): (r.v, r.w)
+        for r in table_changes(t, spark, with_rows=True).collect()
+    }
+    assert rows == {
+        (2, 2, "insert"): ("b", None),
+        (3, 3, "insert"): ("c", 7.0),
+    }
+
+
+def test_appends_reader_timezone_option_shifts_instants(spark, tmp_path):
+    """The writer-session timezone is a reader OPTION (dir names are
+    rendered in it); a non-UTC value shifts the reconstructed
+    instants by exactly the offset."""
+    import datetime as dt
+
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "tz"),
+        key_cols=("k",),
+        partition_by=("ts",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1.0)], "k long, ts timestamp, x double"
+        )
+    )
+
+    def instant(opts):
+        r = _AppendsStreamReader(opts)
+        vals = []
+        for p in r.partitions({"version": 0}, {"version": 1}):
+            for b in r.read(p):
+                vals.extend(d["ts"].astimezone(dt.timezone.utc) for d in b.to_pylist())
+        return vals[0]
+
+    utc = instant({"path": t.path})
+    shifted = instant({"path": t.path, "timezone": "Asia/Kolkata"})  # +05:30
+    assert utc - shifted == dt.timedelta(hours=5, minutes=30)
+
+
+def test_appends_reader_escaped_partition_column_name(spark, tmp_path):
+    """A partition COLUMN NAME with hive-escaped characters must still
+    match the schema field (the key is unescaped too, not just the
+    value)."""
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "esc"),
+        key_cols=("k",),
+        partition_by=("p:c",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(
+        spark.createDataFrame([(1, 0, 1.0)], ["k", "p:c", "x"])
+    )
+    r = _AppendsStreamReader({"path": t.path})
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 1}):
+        for b in r.read(p):
+            rows.extend(b.to_pylist())
+    assert rows and rows[0]["p:c"] == 0

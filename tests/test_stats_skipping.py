@@ -649,3 +649,93 @@ def test_zorder_string_projection_preserves_prefix_order(spark):
             if x.encode()[:4] < y.encode()[:4]:
                 assert proj[x] < proj[y], (x, y, proj[x], proj[y])
     assert all(0 <= proj[v] < 2**32 for v in vals)
+
+
+def test_float_stats_huge_int_between_and_allnull_parity():
+    """Second review pass: (a) a between bound past 2^53 on a FLOAT
+    column must degrade to the usable half, never raise; (b) the
+    all-null fast skip applies even when the value bound is unusable
+    (x < inf), matching file_may_match."""
+    from a2b_spark.storage.stats import (
+        STATS_FORMAT_VERSION,
+        file_may_match,
+        keep_files,
+        normalize_predicates,
+        pruned_out_rels,
+        stats_to_arrow,
+    )
+
+    files = {
+        "f.parquet": {
+            "rows": 5,
+            "cols": {"x": {"t": "f", "min": 0.0, "max": 100.0, "nulls": 0}},
+        },
+        "hi.parquet": {
+            "rows": 5,
+            "cols": {"x": {"t": "f", "min": 1e18, "max": 2e18, "nulls": 0}},
+        },
+        "nulls.parquet": {
+            "rows": 5,
+            "cols": {"y": {"t": "i", "min": None, "max": None, "nulls": 5}},
+        },
+    }
+    stats = {"version": STATS_FORMAT_VERSION, "files": files}
+    tbl = stats_to_arrow(stats)
+    # (a) used to raise TypeError via pa.scalar(2**53+1, float64)
+    preds = normalize_predicates([("x", "between", (0, 2**53 + 1))])
+    kept = set(keep_files(tbl, list(files), preds))
+    assert "f.parquet" in kept  # in range
+    # hi.parquet: lower bound 0 usable -> mx < 0 never fails; upper
+    # bound unusable -> dropped; conservative KEEP
+    assert "hi.parquet" in kept
+    # single-op huge literal on float column: conservative keep, no crash
+    preds2 = normalize_predicates([("x", "<", 2**53 + 1)])
+    assert set(keep_files(tbl, list(files), preds2)) >= {"f.parquet", "hi.parquet"}
+    # (b) all-null column prunes even for a never-prune bound
+    preds3 = normalize_predicates([("y", "<", float("inf"))])
+    dropped = pruned_out_rels(tbl, preds3)
+    assert "nulls.parquet" in dropped
+    assert not file_may_match(files["nulls.parquet"], preds3)
+
+
+def test_zorder_timestamp_ntz_and_user_z_column(spark, tmp_path):
+    """Second review pass: TIMESTAMP_NTZ cluster columns must project
+    legally (no direct double cast exists), and a user column named
+    __z must survive a zorder rewrite byte-identically."""
+    import datetime as dt
+
+    t = VersionedParquetTable(str(tmp_path / "ntz"), key_cols=("k",), retention=5)
+    rows = [
+        (i, dt.datetime(2024, 1 + (i % 12), 1), float(i % 97), f"z{i}")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k long, tn timestamp_ntz, x double, __z string")
+    t.overwrite(df.repartition(4, "k"))
+    before = _rows(t.read(spark))
+    res = t.compact(
+        spark,
+        target_file_bytes=1 << 14,
+        cluster_by=["tn", "x"],
+        cluster_mode="zorder",
+    )
+    assert res["files_after"] >= 2
+    after = t.read(spark)
+    assert "__z" in after.columns
+    assert _rows(after) == before
+    # an out-of-range band proves the NTZ stats bind and prune
+    kept, total = t.prune_files(
+        [("tn", "between", ("2030-01-01T00:00:00", "2030-02-01T00:00:00"))]
+    )
+    assert total >= 2 and len(kept) == 0
+    got = _rows(
+        t.read_pruned(
+            spark,
+            [("tn", "between", ("2024-03-01T00:00:00", "2024-04-30T00:00:00"))],
+        )
+    )
+    want = _rows(
+        t.read(spark).filter(
+            F.col("tn").between("2024-03-01T00:00:00", "2024-04-30T00:00:00")
+        )
+    )
+    assert got == want and got
