@@ -29,6 +29,14 @@ Coverage targets (the round-8 features):
   merge/delete history; the folded per-(version, change) counts
   match the oracle's churn recomputation, certifying the streaming
   twin against batch semantics.
+- q145: the a2b_table_appends Spark 4 Python streaming source driven
+  availableNow into a memory sink; the rollup of the STREAMED rows
+  (incl. the partition column that exists only in dir names and the
+  commit tag) matches the oracle.
+- q146: the stdlib PNG codec under the driver hash — rule-derived
+  solid PNGs are synthesized, decoded back by decode_media
+  (decoder='png') on the executors, and the decoded-dimension sums
+  must reproduce the construction rule.
 """
 
 from __future__ import annotations
@@ -307,11 +315,74 @@ GROUP BY 1, 4 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- Q146
+def q146_png_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib PNG codec certified under the driver hash: each
+    document (doc_id < 500) synthesizes a REAL solid-color PNG with
+    rule-derived dimensions (w = 4 + id%13, h = 3 + id%7,
+    c = 1 + id%3), decode_media(decoder='png') parses the actual
+    bytes back on the executors (Arrow-batched mapInPandas), and the
+    per-channel rollup of the DECODED dimensions must equal the
+    oracle's recomputation of the construction rule — if the codec
+    mis-parsed a single header or filter, the integer sums diverge.
+    """
+    from a2b_spark.operators.multimodal import decode_media
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from a2b_spark.operators.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, c = 4 + d % 13, 3 + d % 7, 1 + d % 3
+                img = np.full((h, w, c), d % 256, np.uint8)
+                payloads.append(bytearray(encode_png(img)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    dec = decode_media(media, "payload", "media_id", decoder="png")
+    return (
+        dec.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum(F.col("width") * F.col("height")).cast("long").alias("sum_pixels"),
+        )
+        .orderBy("channels")
+    )
+
+
+O_Q146 = """
+SELECT CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(4 + doc_id % 13) AS BIGINT) AS sum_width,
+       CAST(SUM(3 + doc_id % 7) AS BIGINT) AS sum_height,
+       CAST(SUM((4 + doc_id % 13) * (3 + doc_id % 7)) AS BIGINT) AS sum_pixels
+FROM documents
+WHERE doc_id < 500
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "q142_zorder_pruned_scan": q142_zorder_pruned_scan,
     "q143_schema_evolution": q143_schema_evolution,
     "q144_changes_stream_fold": q144_changes_stream_fold,
     "q145_appends_stream_rollup": q145_appends_stream_rollup,
+    "q146_png_decode_rollup": q146_png_decode_rollup,
 }
 
 ORACLES = {
@@ -319,4 +390,5 @@ ORACLES = {
     "q143_schema_evolution": O_Q143,
     "q144_changes_stream_fold": O_Q144,
     "q145_appends_stream_rollup": O_Q145,
+    "q146_png_decode_rollup": O_Q146,
 }
