@@ -50,6 +50,11 @@ def decode_png(data: bytes):
     while pos + 8 <= n:
         ln = int.from_bytes(data[pos : pos + 4], "big")
         typ = bytes(data[pos + 4 : pos + 8])
+        if pos + 12 + ln > n:
+            # a silently shortened chunk would decode wrong, not fail
+            raise ValueError(
+                f"truncated PNG: chunk {typ!r} declares {ln} bytes past EOF"
+            )
         chunk = bytes(data[pos + 8 : pos + 8 + ln])
         pos += 12 + ln  # len + type + data + crc
         if typ == b"IHDR":
@@ -62,9 +67,12 @@ def decode_png(data: bytes):
             idat.append(chunk)
         elif typ == b"IEND":
             break
-    if ihdr is None or not idat:
-        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("truncated PNG (missing/short IHDR or no IDAT)")
     w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0:
+        # a zero-dimension "image" would flow NaN features downstream
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (only 8)")
     if interlace:
@@ -78,10 +86,23 @@ def decode_png(data: bytes):
             "PNG tRNS color-key transparency on gray/RGB unsupported"
         )
     ch = _CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data has unexpected length")
+    want = h * (stride + 1)
+    # bounded inflate: the expected size is known from IHDR, so never
+    # let a crafted payload (decompression bomb) expand past it — a
+    # few-MB IDAT claiming 10x10 dims must not allocate gigabytes on
+    # an executor before the length check fires
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), want + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
+    if len(raw) != want or d.unconsumed_tail:
+        raise ValueError(
+            f"PNG scanline data has unexpected length ({len(raw)} "
+            f"inflated{'+' if d.unconsumed_tail or len(raw) > want else ''} "
+            f"vs {want} expected for {w}x{h}x{ch})"
+        )
 
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -150,13 +171,30 @@ def decode_png(data: bytes):
 
 
 def encode_png(img) -> bytes:
-    """HxWxC (or HxW) uint8 numpy array → PNG bytes (filter 0 rows)."""
+    """HxWxC (or HxW) uint8 numpy array → PNG bytes (filter 0 rows).
+    Rejects non-uint8 input (an unsafe cast would silently wrap
+    300.7 → 44 — the decode side's loud-error contract applies to the
+    encoder too) and channel counts outside 1–4."""
     import numpy as np
 
-    a = np.ascontiguousarray(img, dtype=np.uint8)
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError(
+            f"encode_png expects uint8 pixel data, got {a.dtype} "
+            "(cast explicitly if the wrap/truncate is intended)"
+        )
+    a = np.ascontiguousarray(a)
     if a.ndim == 2:
         a = a[..., None]
+    if a.ndim != 3:
+        raise ValueError(f"encode_png expects HxW or HxWxC, got shape {a.shape}")
     h, w, c = a.shape
+    if h == 0 or w == 0:
+        raise ValueError(f"invalid image dimensions {w}x{h}")
+    if c not in (1, 2, 3, 4):
+        raise ValueError(
+            f"unsupported channel count {c} (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA)"
+        )
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
@@ -196,6 +234,8 @@ def png_resizer(payload: bytes, target_w: int, target_h: int):
     png_bytes) — nearest-neighbor resample re-encoded as PNG."""
     import numpy as np
 
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(f"invalid resize target {target_w}x{target_h}")
     w, h, ch, img = decode_png(payload)
     ys = (np.arange(target_h) * h) // target_h
     xs = (np.arange(target_w) * w) // target_w

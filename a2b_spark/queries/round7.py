@@ -65,6 +65,21 @@ def _sweep_stale_scratch(root: str, prefix: str, max_age_s: int = 7200) -> None:
             continue
 
 
+def _scratch_path(sf_dir: str, qtag: str) -> str:
+    """Fresh uuid-suffixed scratch-table path for query ``qtag``
+    (e.g. "q142"), sweeping THAT query's stale siblings first — one
+    call sites both halves, so the sweep prefix can never drift from
+    the path prefix (a mismatched pair silently stops cleanup)."""
+    import uuid
+
+    prefix = f"a2b_{qtag}_"
+    _sweep_stale_scratch("/tmp", prefix)
+    return (
+        f"/tmp/{prefix}{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{uuid.uuid4().hex[:8]}"
+    )
+
+
 # --------------------------------------------------------------- Q122
 def q122_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which keys changed between two table versions — insert /

@@ -57,16 +57,14 @@ def q142_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table, so the driver hash proves the pruned scan is
     exact."""
     import os
-    import uuid
 
-    from a2b_spark.queries.round7 import _sweep_stale_scratch
+    from a2b_spark.queries.round7 import _scratch_path
     from a2b_spark.storage.table import VersionedParquetTable
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
     )
-    path = f"/tmp/a2b_q142_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}"
-    _sweep_stale_scratch("/tmp", "a2b_q142_")
+    path = _scratch_path(sf_dir, "q142")
     t = VersionedParquetTable(path, key_cols=["o_orderkey"])
     t.overwrite(o.repartition(8, "o_orderkey"))  # hash layout: no skipping
     vdir = os.path.join(path, t.current_version())
@@ -121,14 +119,12 @@ def q143_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per-flag counts and exact repriced sums the oracle
     rebuilds with CASE."""
     import os
-    import uuid
 
-    from a2b_spark.queries.round7 import _sweep_stale_scratch
+    from a2b_spark.queries.round7 import _scratch_path
     from a2b_spark.storage.table import VersionedParquetTable
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = f"/tmp/a2b_q143_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}"
-    _sweep_stale_scratch("/tmp", "a2b_q143_")
+    path = _scratch_path(sf_dir, "q143")
     t = VersionedParquetTable(path, key_cols=["o_orderkey"], retention=5)
     t.overwrite(o)
     widened = (
@@ -180,15 +176,13 @@ def q144_changes_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_changes cannot express once v1 is the floor). The oracle
     recomputes every commit's churn from the source table."""
     import os
-    import uuid
 
-    from a2b_spark.queries.round7 import _sweep_stale_scratch
+    from a2b_spark.queries.round7 import _scratch_path
     from a2b_spark.storage.cdf import TableChangesStream
     from a2b_spark.storage.table import VersionedParquetTable
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = f"/tmp/a2b_q144_{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex[:8]}"
-    _sweep_stale_scratch("/tmp", "a2b_q144_")
+    path = _scratch_path(sf_dir, "q144")
     t = VersionedParquetTable(path, key_cols=["o_orderkey"], retention=5)
     t.overwrite(o)
     v2 = o.withColumn(
@@ -254,19 +248,21 @@ def q145_appends_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning, the vectorized Arrow read, and partition-value fill in
     one driver-hashed query."""
     import os
-    import uuid
 
-    from a2b_spark.queries.round7 import _sweep_stale_scratch
+    from a2b_spark.queries.round7 import _scratch_path
     from a2b_spark.storage.cdf import VersionAppendsDataSource
     from a2b_spark.storage.table import VersionedParquetTable
 
-    tag = uuid.uuid4().hex[:8]
-    path = f"/tmp/a2b_q145_{os.path.basename(os.path.normpath(sf_dir))}_{tag}"
-    _sweep_stale_scratch("/tmp", "a2b_q145_")
-    try:
-        spark.dataSource.register(VersionAppendsDataSource)
-    except Exception:
-        pass  # already registered in this session
+    if VersionAppendsDataSource is None:
+        raise RuntimeError(
+            "a2b_table_appends needs pyspark >= 4 (python data source API)"
+        )
+    path = _scratch_path(sf_dir, "q145")
+    tag = path.rsplit("_", 1)[1]
+    # re-registering the same source in a session is a no-op in
+    # Spark 4; real registration failures must propagate, not be
+    # swallowed into a confusing "source not found" later
+    spark.dataSource.register(VersionAppendsDataSource)
     t = VersionedParquetTable(
         path,
         key_cols=["o_orderkey"],
@@ -282,7 +278,7 @@ def q145_appends_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in (0, 1, 2):  # one FRESH partition per commit
         t.append(o.filter(F.col("epoch") == e))
     sink = f"q145_sink_{tag}"
-    (
+    finished = (
         spark.readStream.format("a2b_table_appends")
         .option("path", t.path)
         .load()
@@ -293,6 +289,11 @@ def q145_appends_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
         .awaitTermination(300)
     )
+    if not finished:
+        # awaitTermination returns False on timeout (it only RAISES if
+        # the query died); reading a partially-filled sink would show
+        # up as a confusing oracle divergence instead of this error
+        raise TimeoutError("a2b_table_appends availableNow stream exceeded 300s")
     return (
         spark.table(sink)
         .groupBy("epoch")
@@ -322,9 +323,16 @@ def q146_png_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule-derived dimensions (w = 4 + id%13, h = 3 + id%7,
     c = 1 + id%3), decode_media(decoder='png') parses the actual
     bytes back on the executors (Arrow-batched mapInPandas), and the
-    per-channel rollup of the DECODED dimensions must equal the
-    oracle's recomputation of the construction rule — if the codec
-    mis-parsed a single header or filter, the integer sums diverge.
+    per-channel rollup must equal the oracle's recomputation of the
+    construction rule. The dimension sums certify the HEADER parse;
+    the feature sum certifies the PIXEL path (features are per-channel
+    means of the decoded bytes — a broken scanline unfilter diverges
+    it even when the header reads fine). Exact-sum discipline: the
+    per-image mean of a solid image is exactly (id%256)/255, rounded
+    to 6 by the kernel; both engines cast that double to DECIMAL(12,6)
+    (unambiguous — the double sits ~1e-17 from the 6-dp value, and
+    k/255 values are >=0.002 away from any rounding boundary) and sum
+    exactly.
     """
     from a2b_spark.operators.multimodal import decode_media
 
@@ -360,6 +368,11 @@ def q146_png_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("width").cast("long").alias("sum_width"),
             F.sum("height").cast("long").alias("sum_height"),
             F.sum(F.col("width") * F.col("height")).cast("long").alias("sum_pixels"),
+            F.sum(
+                F.element_at(F.col("features"), 1).cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("sum_mean_feature"),
         )
         .orderBy("channels")
     )
@@ -370,7 +383,9 @@ SELECT CAST(1 + doc_id % 3 AS INTEGER) AS channels,
        CAST(COUNT(*) AS BIGINT) AS n_images,
        CAST(SUM(4 + doc_id % 13) AS BIGINT) AS sum_width,
        CAST(SUM(3 + doc_id % 7) AS BIGINT) AS sum_height,
-       CAST(SUM((4 + doc_id % 13) * (3 + doc_id % 7)) AS BIGINT) AS sum_pixels
+       CAST(SUM((4 + doc_id % 13) * (3 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+       CAST(SUM(CAST(ROUND(CAST(doc_id % 256 AS DOUBLE) / 255, 6)
+                     AS DECIMAL(12,6))) AS DOUBLE) AS sum_mean_feature
 FROM documents
 WHERE doc_id < 500
 GROUP BY 1 ORDER BY 1

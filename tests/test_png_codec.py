@@ -215,3 +215,70 @@ def test_palette_trns_expands_to_rgba_and_colorkey_raises():
     )
     with pytest.raises(ValueError, match="color-key"):
         decode_png(png_gray_trns)
+
+
+def test_malformed_payloads_raise_valueerror_and_bomb_is_bounded():
+    """Third review pass: every malformed payload raises ValueError
+    (never zlib.error/struct.error/KeyError), chunk lengths past EOF
+    are an error not a silent truncation, zero-dimension images
+    raise instead of emitting NaN features, and a decompression bomb
+    (tiny claimed dims, huge IDAT) is stopped by a BOUNDED inflate."""
+    # zero dims
+    png00 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b""))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(png00)
+    # chunk declaring bytes past EOF
+    bad_len = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 10_000)
+        + b"IDAT"
+        + b"\x00" * 8
+    )
+    with pytest.raises(ValueError, match="past EOF"):
+        decode_png(bad_len)
+    # short IHDR -> ValueError, not struct.error
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", b"\x00" * 5)
+        + _chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_png(short)
+    # corrupt IDAT -> ValueError, not zlib.error
+    corrupt = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", b"\xde\xad\xbe\xef")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IDAT|length"):
+        decode_png(corrupt)
+    # decompression bomb: 10x10 gray claims, 50 MB of actual zeros —
+    # must raise on the BOUNDED inflate, never materialize 50 MB
+    bomb_raw = zlib.compress(b"\x00" * (50 << 20), 9)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", bomb_raw)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length"):
+        decode_png(bomb)
+
+
+def test_encoder_and_resizer_input_contracts():
+    with pytest.raises(ValueError, match="uint8"):
+        encode_png(np.array([[300.7, -2.5]]))
+    with pytest.raises(ValueError, match="channel count"):
+        encode_png(np.zeros((2, 2, 5), np.uint8))
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_png(np.zeros((0, 4, 3), np.uint8))
+    payload = encode_png(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="resize target"):
+        png_resizer(payload, 0, 4)
