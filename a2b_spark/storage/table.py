@@ -445,6 +445,57 @@ class VersionedParquetTable:
             out.append({"version": v, **info})
         return out
 
+    def restore(self, version: str) -> None:
+        """Commit a RETAINED historical version's content as the NEW
+        current version (Delta ``RESTORE TABLE ... TO VERSION``): undo
+        that doesn't rewrite history — the bad commits stay retained
+        for audit/time-travel until vacuum, and downstream CDF sees
+        the restore as one ordinary commit whose diff is the inverse
+        of what it undoes.
+
+        Metadata-only cost: every data file of the restored version is
+        HARDLINKED into the new version dir (inode reuse, no data
+        copied or rewritten), and the sidecars (``_SCHEMA``,
+        ``_STATS``, extra metadata) come from the restored version, so
+        schema evolution rolls back with the data. The appends
+        streaming source rejects restore commits like any rewrite
+        (op="restore" is not append-only); ``TableChangesStream``
+        delivers the keyed diff."""
+        versions = self.versions()
+        if version not in versions:
+            raise ValueError(
+                f"version {version!r} not retained at {self.path}; "
+                f"available: {versions}"
+            )
+        base = self.current_version()
+        if version == base:
+            return  # restoring the live version is a no-op
+        src_dir = os.path.join(self.path, version)
+        new_version = self._next_version()
+        tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        os.makedirs(tmp_target)
+        for root, _dirs, files in os.walk(src_dir):
+            rel_root = os.path.relpath(root, src_dir)
+            dst_root = (
+                tmp_target
+                if rel_root == "."
+                else os.path.join(tmp_target, rel_root)
+            )
+            os.makedirs(dst_root, exist_ok=True)
+            for fn in files:
+                src = os.path.join(root, fn)
+                dst = os.path.join(dst_root, fn)
+                if fn == COMMIT_INFO:
+                    continue  # the restore writes its own commit label
+                if fn.startswith(("_", ".")):
+                    shutil.copyfile(src, dst)  # sidecars: small, own copy
+                else:
+                    os.link(src, dst)  # data: metadata-only reuse
+        with open(os.path.join(tmp_target, COMMIT_INFO), "w") as f:
+            f.write(self._commit_info("restore"))
+        self._claim_version_dir(tmp_target, new_version)
+        self._commit(new_version, base=base)
+
     def overwrite(
         self,
         df: DataFrame,

@@ -589,3 +589,58 @@ def test_running_total_rejects_fractional_values(spark):
         df.withColumn("cents", (F.col("amount") * 100).cast("long")), "ts", "cents"
     )
     assert [r.running for r in ok.orderBy("ts").collect()] == [50, 100]
+
+
+def test_restore_rolls_back_content_schema_and_stats(spark, tmp_path):
+    """RESTORE (Delta analogue): a retained version's content becomes
+    the new current via hardlinks — undo without rewriting history.
+    Content, schema evolution, and the _STATS sidecar all roll back;
+    CDF sees the inverse diff as one ordinary commit."""
+    import os
+
+    from a2b_spark.storage.cdf import table_changes
+
+    t = VersionedParquetTable(str(tmp_path / "r"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v1 = t.current_version()
+    t.merge(spark.createDataFrame([(1, "A"), (3, "c", )], "k long, v string"))
+    t.restore(v1)
+
+    cur = t.read(spark)
+    assert {(r.k, r.v) for r in cur.collect()} == {(1, "a"), (2, "b")}
+    ops = [h["op"] for h in t.history()]
+    assert ops[-1] == "restore" and len(ops) == 3
+    # data files are hardlinks of the restored version's inodes
+    vdir = os.path.join(t.path, t.current_version())
+    links = [
+        os.stat(os.path.join(vdir, f)).st_nlink
+        for f in os.listdir(vdir)
+        if not f.startswith(("_", "."))
+    ]
+    assert links and all(n > 1 for n in links)
+    # CDF: the restore commit diffs as the inverse of what it undoes
+    ch = {
+        (r.k, r.change)
+        for r in table_changes(
+            t, spark, from_version=t.versions()[1]
+        ).collect()
+    }
+    assert ch == {(1, "update"), (3, "delete")}
+    # restoring the live version is a no-op
+    n_before = len(t.versions())
+    t.restore(t.current_version())
+    assert len(t.versions()) == n_before
+    with pytest.raises(ValueError, match="not retained"):
+        t.restore("v_0000000099")
+
+    # schema evolution rolls back with the data
+    t.merge(spark.createDataFrame([(9, "z", 1.0)], "k long, v string, w double"))
+    assert len(t.read(spark).columns) == 3
+    t.restore(v1)
+    assert t.read(spark).columns == ["k", "v"]
+
+    # the restored version's stats sidecar still prunes (empty part
+    # files have no min/max and are conservatively kept)
+    kept, total = t.prune_files([("k", "=", 999)])
+    assert total > 0 and len(kept) < total
+    assert t.read_pruned(spark, [("k", "=", 999)]).count() == 0
