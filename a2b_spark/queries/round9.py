@@ -33,6 +33,9 @@ Coverage targets (the round-8 features):
   availableNow into a memory sink; the rollup of the STREAMED rows
   (incl. the partition column that exists only in dir names and the
   commit tag) matches the oracle.
+- q147: RESTORE — v2 repricing overwrite, then restore(v1); the CDF
+  walk shows commit 3 as the exact inverse of commit 2, proving the
+  hardlinked restore committed v1's content bit-for-bit.
 - q146: the stdlib PNG codec under the driver hash — rule-derived
   solid PNGs are synthesized, decoded back by decode_media
   (decoder='png') on the executors, and the decoded-dimension sums
@@ -392,12 +395,59 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------- Q147
+def q147_restore_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE certified under the driver hash: v1 = orders, v2 = an
+    overwrite repricing keys %89, v3 = restore(v1). The CDF walk must
+    show commit 3 as the exact INVERSE of commit 2 (the same %89 keys
+    updating back), and the oracle recomputes both counts from the
+    source table — proving the hardlinked restore committed v1's
+    content bit-for-bit (any drift would change the diff)."""
+    from a2b_spark.queries.round7 import _scratch_path
+    from a2b_spark.storage.cdf import table_changes
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = _scratch_path(sf_dir, "q147")
+    t = VersionedParquetTable(path, key_cols=["o_orderkey"], retention=5)
+    t.overwrite(o)
+    v1 = t.current_version()
+    t.overwrite(
+        o.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    t.restore(v1)
+    return (
+        table_changes(t, spark)
+        .groupBy("_commit_version", "change")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy("_commit_version", "change")
+    )
+
+
+O_Q147 = """
+SELECT * FROM (
+  SELECT CAST(2 AS INTEGER) AS _commit_version, 'update' AS change,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM orders WHERE o_orderkey % 89 = 0 HAVING COUNT(*) > 0
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'update', CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderkey % 89 = 0 HAVING COUNT(*) > 0
+) ORDER BY _commit_version, change
+"""
+
+
 QUERIES = {
     "q142_zorder_pruned_scan": q142_zorder_pruned_scan,
     "q143_schema_evolution": q143_schema_evolution,
     "q144_changes_stream_fold": q144_changes_stream_fold,
     "q145_appends_stream_rollup": q145_appends_stream_rollup,
     "q146_png_decode_rollup": q146_png_decode_rollup,
+    "q147_restore_walk": q147_restore_walk,
 }
 
 ORACLES = {
@@ -406,4 +456,5 @@ ORACLES = {
     "q144_changes_stream_fold": O_Q144,
     "q145_appends_stream_rollup": O_Q145,
     "q146_png_decode_rollup": O_Q146,
+    "q147_restore_walk": O_Q147,
 }
