@@ -48,8 +48,8 @@ from a2b_spark.storage.table import (
     _unescape_hive,
 )
 
-# commit ops that change layout, not logical content
-_LAYOUT_ONLY_OPS = {"compact"}
+# commit ops that change layout/metadata, not logical row content
+_LAYOUT_ONLY_OPS = {"compact", "add_constraint", "drop_constraint"}
 _APPEND_OPS = {"append", "overwrite"}
 
 

@@ -45,6 +45,12 @@ from a2b_spark.storage.merge import merge_dataframes
 CURRENT = "_CURRENT"
 SCHEMA = "_SCHEMA"
 COMMIT_INFO = "_COMMIT_INFO"
+CONSTRAINTS = "_CONSTRAINTS"
+
+
+class ConstraintViolation(ValueError):
+    """A write batch (or, for add_constraint, the existing table)
+    contains rows that fail a CHECK constraint."""
 
 
 _UNSET_BASE = object()
@@ -470,7 +476,22 @@ class VersionedParquetTable:
         base = self.current_version()
         if version == base:
             return  # restoring the live version is a no-op
-        src_dir = os.path.join(self.path, version)
+        self._hardlink_commit(version, op="restore", base=base)
+
+    def _hardlink_commit(
+        self,
+        src_version: str,
+        op: str,
+        base: Optional[str],
+        replace_files: Optional[dict] = None,
+    ) -> None:
+        """Commit a new version whose DATA files hardlink
+        ``src_version``'s (metadata-only cost) and whose sidecars copy
+        from it, except the ones in ``replace_files`` ({filename:
+        content or None-to-omit}) — the machinery behind restore and
+        constraint metadata commits."""
+        replace = dict(replace_files or {})
+        src_dir = os.path.join(self.path, src_version)
         new_version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         os.makedirs(tmp_target)
@@ -485,16 +506,113 @@ class VersionedParquetTable:
             for fn in files:
                 src = os.path.join(root, fn)
                 dst = os.path.join(dst_root, fn)
-                if fn == COMMIT_INFO:
-                    continue  # the restore writes its own commit label
+                if fn == COMMIT_INFO or (rel_root == "." and fn in replace):
+                    continue  # replaced (or re-labelled) below
                 if fn.startswith(("_", ".")):
                     shutil.copyfile(src, dst)  # sidecars: small, own copy
                 else:
                     os.link(src, dst)  # data: metadata-only reuse
+        for fn, content in replace.items():
+            if content is not None:
+                with open(os.path.join(tmp_target, fn), "w") as f:
+                    f.write(content)
         with open(os.path.join(tmp_target, COMMIT_INFO), "w") as f:
-            f.write(self._commit_info("restore"))
+            f.write(self._commit_info(op))
         self._claim_version_dir(tmp_target, new_version)
         self._commit(new_version, base=base)
+
+    # ------------------------------------------------------- constraints
+    def constraints(self, version: Optional[str] = None) -> list[dict]:
+        """CHECK constraints of ``version`` (default current):
+        [{"name", "expr"}]. Constraints are VERSIONED metadata — they
+        carry forward with every commit and roll back with restore."""
+        import json as _json
+
+        v = version or self.current_version()
+        if v is None:
+            return []
+        p = os.path.join(self.path, v, CONSTRAINTS)
+        if not os.path.exists(p):
+            return []
+        try:
+            with open(p) as f:
+                return _json.loads(f.read())
+        except (OSError, ValueError):
+            return []
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> None:
+        """ADD CONSTRAINT name CHECK (expr) — Delta semantics: the
+        EXISTING data must already satisfy the expression (checked
+        here, one filter count), and every subsequent content commit
+        enforces it on the written rows before anything becomes
+        visible. NULL expression results pass (SQL CHECK semantics);
+        only FALSE rows violate. Metadata-only commit: data files
+        hardlink, op="add_constraint"."""
+        import json as _json
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"table {self.path} has no committed versions; write data "
+                "first (constraints are versioned metadata)"
+            )
+        cons = self.constraints(cur)
+        if any(c["name"] == name for c in cons):
+            raise ValueError(f"constraint {name!r} already exists at {self.path}")
+        bad = (
+            self.read(spark, version=cur)
+            .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+            .count()
+        )
+        if bad:
+            raise ConstraintViolation(
+                f"cannot add constraint {name!r}: {bad} existing row(s) "
+                f"violate CHECK ({expr})"
+            )
+        self._hardlink_commit(
+            cur,
+            op="add_constraint",
+            base=cur,
+            replace_files={
+                CONSTRAINTS: _json.dumps(cons + [{"name": name, "expr": expr}])
+            },
+        )
+
+    def drop_constraint(self, name: str) -> None:
+        """DROP CONSTRAINT name (metadata-only commit); unknown names
+        raise so a typo can't silently leave enforcement on."""
+        import json as _json
+
+        cur = self.current_version()
+        cons = self.constraints(cur)
+        if not any(c["name"] == name for c in cons):
+            raise ValueError(f"no constraint {name!r} at {self.path}")
+        remaining = [c for c in cons if c["name"] != name]
+        self._hardlink_commit(
+            cur,
+            op="drop_constraint",
+            base=cur,
+            replace_files={
+                CONSTRAINTS: _json.dumps(remaining) if remaining else None
+            },
+        )
+
+    def _enforce_constraints(self, df: DataFrame, base: Optional[str]) -> None:
+        """Reject the commit if any written row fails a CHECK
+        constraint of the base version. One filter-count per
+        constraint, only when constraints exist — zero cost
+        otherwise. Violations raise BEFORE anything is staged, so the
+        table never exposes a half-valid version."""
+        if base is None:
+            return
+        cons = self.constraints(base)
+        for c in cons:
+            bad = df.filter(~F.coalesce(F.expr(c["expr"]), F.lit(True))).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"{bad} row(s) violate CHECK constraint {c['name']!r} "
+                    f"({c['expr']}) at {self.path}"
+                )
 
     def overwrite(
         self,
@@ -513,6 +631,8 @@ class VersionedParquetTable:
         covers the whole read-to-commit span, not just the write)."""
         if base is _UNSET_BASE:
             base = self.current_version()
+        if op != "compact":  # layout-only rewrite of validated data
+            self._enforce_constraints(df, base)
         version = self._next_version()
         os.makedirs(self.path, exist_ok=True)
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
@@ -682,6 +802,8 @@ class VersionedParquetTable:
         old_version = self.current_version()
         if base is _UNSET_BASE:
             base = old_version
+        if op != "compact":  # layout-only rewrite of validated data
+            self._enforce_constraints(touched_df, base)
         old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")

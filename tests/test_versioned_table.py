@@ -644,3 +644,73 @@ def test_restore_rolls_back_content_schema_and_stats(spark, tmp_path):
     kept, total = t.prune_files([("k", "=", 999)])
     assert total > 0 and len(kept) < total
     assert t.read_pruned(spark, [("k", "=", 999)]).count() == 0
+
+
+def test_check_constraints_enforced_versioned_and_restorable(spark, tmp_path):
+    """CHECK constraints (Delta ADD CONSTRAINT parity): existing data
+    validated on add, every content commit enforced before anything
+    becomes visible, NULL results pass (SQL CHECK), metadata commits
+    are hardlinked and skipped by the appends stream, and constraints
+    roll back with restore."""
+    from a2b_spark.storage.table import ConstraintViolation
+
+    t = VersionedParquetTable(str(tmp_path / "ck"), key_cols=("k",), retention=10)
+    t.overwrite(
+        spark.createDataFrame([(1, 10.0), (2, None)], "k long, x double")
+    )
+    # NULL x passes CHECK (SQL semantics)
+    t.add_constraint(spark, "x_positive", "x > 0")
+    assert [c["name"] for c in t.constraints()] == ["x_positive"]
+    assert t.history()[-1]["op"] == "add_constraint"
+    pre_version = t.current_version_number()
+
+    # violating merge: rejected BEFORE any version is committed
+    with pytest.raises(ConstraintViolation, match="x_positive"):
+        t.merge(spark.createDataFrame([(3, -5.0)], "k long, x double"))
+    assert t.current_version_number() == pre_version
+    # passing merge commits
+    t.merge(spark.createDataFrame([(3, 5.0)], "k long, x double"))
+    assert {r.k for r in t.read(spark).collect()} == {1, 2, 3}
+
+    # duplicate name / unknown drop raise
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_constraint(spark, "x_positive", "x > 1")
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("nope")
+    # adding a constraint the EXISTING data violates is rejected
+    with pytest.raises(ConstraintViolation, match="existing row"):
+        t.add_constraint(spark, "x_big", "x > 100")
+
+    # restore to the pre-constraint version rolls enforcement back
+    t.restore(t.versions()[0])
+    assert t.constraints() == []
+    t.merge(spark.createDataFrame([(9, -1.0)], "k long, x double"))  # now legal
+
+    # re-add and drop
+    t.delete_keys(spark.createDataFrame([(9,)], "k long"))
+    t.add_constraint(spark, "x_positive", "x > 0")
+    t.drop_constraint("x_positive")
+    assert t.constraints() == []
+    t.merge(spark.createDataFrame([(7, -2.0)], "k long, x double"))
+
+
+def test_constraint_commits_skipped_by_appends_stream(spark, tmp_path):
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "cs2"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(spark.createDataFrame([(1, 0, 1.0)], "k long, epoch int, x double"))
+    t.add_constraint(spark, "x_pos", "x > 0")
+    t.append(spark.createDataFrame([(2, 1, 2.0)], "k long, epoch int, x double"))
+    r = _AppendsStreamReader({"path": t.path})
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 3}):
+        for b in r.read(p):
+            rows.extend(b.to_pylist())
+    got = {(d["k"], d["_commit_version"]) for d in rows}
+    assert got == {(1, 1), (2, 3)}  # commit 2 (constraint) streams nothing
