@@ -478,20 +478,49 @@ class VersionedParquetTable:
             return  # restoring the live version is a no-op
         self._hardlink_commit(version, op="restore", base=base)
 
+    def clone(self, dest_path: str) -> "VersionedParquetTable":
+        """SHALLOW CLONE (Delta analogue): a NEW independent table at
+        ``dest_path`` whose first version hardlinks this table's
+        current data files — zero bytes copied, created in one
+        metadata commit. The clone diverges freely afterward; vacuum
+        on either side stays safe because shared bytes live until the
+        last inode reference drops. Same-filesystem only (hardlink
+        semantics); sidecars (schema, stats, constraints) copy so the
+        clone starts with identical metadata."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"table {self.path} has no committed versions")
+        dst = VersionedParquetTable(
+            dest_path,
+            key_cols=self.key_cols,
+            partition_by=self.partition_by,
+            retention=self.retention,
+            fmt=self.fmt,
+            partitions_derived_from_keys=self.partitions_derived_from_keys,
+        )
+        if dst.current_version() is not None:
+            raise ValueError(f"clone target {dest_path} already has commits")
+        os.makedirs(dest_path, exist_ok=True)
+        dst._hardlink_commit(cur, op="clone", base=None, src_root=self.path)
+        return dst
+
     def _hardlink_commit(
         self,
         src_version: str,
         op: str,
         base: Optional[str],
         replace_files: Optional[dict] = None,
+        src_root: Optional[str] = None,
     ) -> None:
         """Commit a new version whose DATA files hardlink
         ``src_version``'s (metadata-only cost) and whose sidecars copy
         from it, except the ones in ``replace_files`` ({filename:
-        content or None-to-omit}) — the machinery behind restore and
-        constraint metadata commits."""
+        content or None-to-omit}) — the machinery behind restore,
+        constraint metadata commits, and shallow clone
+        (``src_root`` points at the SOURCE table for cross-table
+        linking)."""
         replace = dict(replace_files or {})
-        src_dir = os.path.join(self.path, src_version)
+        src_dir = os.path.join(src_root or self.path, src_version)
         new_version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         os.makedirs(tmp_target)

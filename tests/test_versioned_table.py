@@ -714,3 +714,48 @@ def test_constraint_commits_skipped_by_appends_stream(spark, tmp_path):
             rows.extend(b.to_pylist())
     got = {(d["k"], d["_commit_version"]) for d in rows}
     assert got == {(1, 1), (2, 3)}  # commit 2 (constraint) streams nothing
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    """SHALLOW CLONE: the clone's v1 hardlinks the source's current
+    data (no bytes copied), both sides diverge independently, and
+    vacuuming the source past the cloned version cannot break the
+    clone (inode refcounts keep shared bytes alive)."""
+    import os
+
+    src = VersionedParquetTable(str(tmp_path / "src"), key_cols=("k",), retention=2)
+    src.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    src.add_constraint(spark, "k_pos", "k > 0")
+    dst = src.clone(str(tmp_path / "dst"))
+
+    assert {(r.k, r.v) for r in dst.read(spark).collect()} == {(1, "a"), (2, "b")}
+    assert dst.history()[-1]["op"] == "clone"
+    # constraints came along
+    assert [c["name"] for c in dst.constraints()] == ["k_pos"]
+    # data files share inodes with the source (zero copy)
+    vdir = os.path.join(dst.path, dst.current_version())
+    links = [
+        os.stat(os.path.join(vdir, f)).st_nlink
+        for f in os.listdir(vdir)
+        if not f.startswith(("_", "."))
+    ]
+    assert links and all(n > 1 for n in links)
+
+    # divergence: writes to the clone don't touch the source
+    dst.merge(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert {r.k for r in src.read(spark).collect()} == {1, 2}
+    # the clone enforces the cloned constraint
+    from a2b_spark.storage.table import ConstraintViolation
+
+    with pytest.raises(ConstraintViolation):
+        dst.merge(spark.createDataFrame([(-9, "x")], "k long, v string"))
+
+    # vacuum the SOURCE past the shared version: clone still reads
+    for i in range(4):
+        src.merge(spark.createDataFrame([(10 + i, "z")], "k long, v string"))
+    assert len(src.versions()) <= 2  # retention trimmed the clone base
+    assert {r.k for r in dst.read(spark).collect()} == {1, 2, 3}
+
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already has commits"):
+        src.clone(str(tmp_path / "dst"))
