@@ -631,7 +631,15 @@ class VersionedParquetTable:
         constraint of the base version. One filter-count per
         constraint, only when constraints exist — zero cost
         otherwise. Violations raise BEFORE anything is staged, so the
-        table never exposes a half-valid version."""
+        table never exposes a half-valid version.
+
+        Known cost (v1, documented tradeoff): the count is a separate
+        action, so a constrained merge computes its join twice (once
+        to validate, once to write). The zero-extra-pass design is
+        Delta's — observe() metrics collected DURING the staging
+        write, aborting before the _CURRENT flip — and fits this
+        layer's staging model if the two-pass cost ever shows up in a
+        real profile; constraints are pay-per-use until then."""
         if base is None:
             return
         cons = self.constraints(base)
