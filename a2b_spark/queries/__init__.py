@@ -34,12 +34,14 @@ from a2b_spark.queries import (
     reports,
     round7,
     round7b,
+    round9,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (relational, pipeline, analytic, curation, reports, round7, round7b):
+for mod in (relational, pipeline, analytic, curation, reports, round7, round7b,
+            round9):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1,9 +1,9 @@
-"""The PENDING round-9 tranche (a2b_spark/queries/round9.py) is not
-registered yet — round 7's verdict pinned the 50-entry driver window
-for round 8 — but it must not rot while it waits: run every pending
-query against its DuckDB oracle with the SAME comparison the driver
+"""Direct oracle check of the round-9 tranche
+(a2b_spark/queries/round9.py) with the SAME comparison the driver
 gate uses (tools/check_oracle: row count, column names, numeric type
-categories, exact sorted values incl. float bits)."""
+categories, exact sorted values incl. float bits). The tranche was
+registered at the start of round 9 (after CORRECTNESS_r08 landed);
+this keeps the per-query pytest signal either way."""
 
 import pytest
 
@@ -23,10 +23,11 @@ def test_pending_query_matches_oracle(spark, sf_dir, name):
     assert not problems, problems
 
 
-def test_pending_tranche_not_registered_yet():
-    """Guard the round-7 verdict's registry pin: round9 queries stay
-    OUT of the live registry until CORRECTNESS_r08 lands (drop this
-    test when wiring round9 into queries/__init__.py)."""
+def test_tranche_registered():
+    """Round 9 wired round9 into queries/__init__.py; never-green
+    queries must occupy the front of the 50-cap window."""
     from a2b_spark import queries
 
-    assert not (set(round9.QUERIES) & set(queries.QUERIES))
+    assert set(round9.QUERIES) <= set(queries.QUERIES)
+    head = list(queries.QUERIES)[: len(round9.QUERIES)]
+    assert set(head) == set(round9.QUERIES)
