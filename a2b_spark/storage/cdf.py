@@ -122,8 +122,17 @@ def _attach_after_image(d: DataFrame, after: DataFrame, key_cols) -> DataFrame:
     """Left-join the after-image payload onto a keyed diff. NULL-SAFE
     key match, mirroring snapshot_diff: the storage layer's key
     semantics allow a NULL key tuple, and a plain ``on=keys`` join
-    would strip such a row's after-image."""
+    would strip such a row's after-image. The diff already carries the
+    reserved ``change`` / ``_commit_version`` columns — a table whose
+    DATA columns reuse those names would yield ambiguous duplicate
+    output columns, so raise loudly instead (round-8 advice)."""
     keys = list(key_cols)
+    reserved = {"change", "_commit_version"} & set(after.columns)
+    if reserved:
+        raise ValueError(
+            "table data columns collide with reserved CDF output columns "
+            f"{sorted(reserved)}; rename them before requesting with_rows=True"
+        )
     a = after.select(
         *[F.col(k).alias(f"__ra_{k}") for k in keys],
         *[c for c in after.columns if c not in set(keys)],
@@ -311,9 +320,12 @@ try:  # pyspark >= 4: python data source API
             self.table = VersionedParquetTable(self.path, key_cols=())
             start = options.get("startingversion")
             self._initial = int(start) if start is not None else 0
-            with open(
-                os.path.join(self.path, self.table.current_version(), SCHEMA)
-            ) as f:
+            cur = self.table.current_version()
+            if cur is None:
+                # mirror DataSource.schema()'s guard: without it the
+                # os.path.join below raises an opaque TypeError
+                raise ValueError(f"no committed versions at {self.path!r}")
+            with open(os.path.join(self.path, cur, SCHEMA)) as f:
                 from pyspark.sql import types as T
 
                 base = T.StructType.fromJson(json.load(f))

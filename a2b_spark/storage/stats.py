@@ -35,6 +35,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import warnings
 from typing import Any, Iterable, Optional, Sequence
 
 STATS_FILE = "_STATS"
@@ -307,7 +308,10 @@ def _stat_col_specs(schema_names) -> dict[str, dict]:
         if len(parts) == 3 and parts[0] in _KINDS:
             kind, tag, name = parts
             spec.setdefault(name, {"t": tag})[kind] = fname
-    return spec
+    # a truncated/foreign sidecar may carry only SOME of the three kind
+    # columns for a column — consumers index all three unconditionally,
+    # so drop incomplete specs (degrades to "no stats" = never pruned)
+    return {n: sp for n, sp in spec.items() if all(k in sp for k in _KINDS)}
 
 
 def arrow_to_stats(tbl) -> dict:
@@ -356,6 +360,10 @@ def load_stats_arrow(version_dir: str):
     p = os.path.join(version_dir, STATS_FILE)
     if not os.path.exists(p):
         return None
+    # corrupt/unreadable INPUT -> warn + no stats -> nothing pruned
+    # (pyarrow's ArrowInvalid subclasses ValueError); a genuine bug in
+    # OUR conversion code (e.g. AttributeError) surfaces instead of
+    # silently disabling pruning (round-8 advice)
     try:
         with open(p, "rb") as f:
             magic = f.read(4)
@@ -370,14 +378,24 @@ def load_stats_arrow(version_dir: str):
             return tbl
         with open(p) as f:
             s = json.load(f)
-        if s.get("version") != STATS_FORMAT_VERSION:
-            return None
-        return stats_to_arrow(s)
-    except (OSError, ValueError, KeyError, TypeError, AttributeError):
-        # unreadable/corrupt sidecar -> no stats -> nothing pruned
-        # (pyarrow's ArrowInvalid subclasses ValueError); anything else
-        # is a real bug and should surface, not silently stop pruning
+    except (OSError, ValueError) as exc:
+        warnings.warn(f"unreadable _STATS sidecar {p!r} ({exc}); pruning disabled")
         return None
+    if not isinstance(s, dict) or s.get("version") != STATS_FORMAT_VERSION:
+        return None
+    # structural pre-validation: conversion assumes this shape, and a
+    # foreign/truncated writer violating it must degrade, not raise —
+    # while a genuine stats_to_arrow bug still surfaces loudly
+    shape_ok = isinstance(s.get("files"), dict) and all(
+        isinstance(e, dict)
+        and isinstance(e.get("cols", {}), dict)
+        and all(isinstance(c, dict) for c in e.get("cols", {}).values())
+        for e in s["files"].values()
+    )
+    if not shape_ok:
+        warnings.warn(f"corrupt v1 _STATS sidecar {p!r}; pruning disabled")
+        return None
+    return stats_to_arrow(s)
 
 
 def load_stats(version_dir: str) -> Optional[dict]:

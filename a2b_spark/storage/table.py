@@ -304,7 +304,8 @@ class VersionedParquetTable:
         # list the whole version dir before pruning even starts,
         # negating the sub-second planning win at 10^5 files.
         tz = spark.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
-        schema = self._version_schema(v)
+        sidecar_schema = self._version_schema(v)
+        schema = sidecar_schema
         if schema is None:
             schema = self.read(spark, version=v).schema
         stat_preds = _stats.localize_ts_predicates(preds, schema, tz)
@@ -318,12 +319,11 @@ class VersionedParquetTable:
             .options(**_FORMAT_OPTIONS[self.fmt])
             .option("basePath", vdir)  # keep partition columns
         )
-        # the version's sidecar schema, like read(): kept files from
-        # before an add-column evolution null-fill the new column
-        # instead of steering footer inference
-        schema = self._version_schema(v)
-        if schema is not None:
-            reader = reader.schema(schema)
+        # the version's sidecar schema (resolved once above), like
+        # read(): kept files from before an add-column evolution
+        # null-fill the new column instead of steering footer inference
+        if sidecar_schema is not None:
+            reader = reader.schema(sidecar_schema)
         return reader.load(kept).filter(cond)
 
     # ------------------------------------------------------------ writes

@@ -466,3 +466,32 @@ def test_appends_reader_escaped_partition_column_name(spark, tmp_path):
         for b in r.read(p):
             rows.extend(b.to_pylist())
     assert rows and rows[0]["p:c"] == 0
+
+
+def test_with_rows_rejects_reserved_column_collision(spark, tmp_path):
+    """A data column named `change` or `_commit_version` would collide
+    with the reserved CDF output columns under with_rows=True — the
+    attach must raise loudly instead of emitting ambiguous duplicates
+    (round-8 advice)."""
+    t = VersionedParquetTable(str(tmp_path / "rc"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "x")], "k long, change string"))
+    t.merge(spark.createDataFrame([(1, "y")], "k long, change string"))
+    v1, v2 = t.versions()[0], t.current_version()
+    with pytest.raises(ValueError, match="reserved CDF output columns"):
+        table_changes(t, spark, from_version=v1, to_version=v2, with_rows=True)
+    # without after-images the reserved names never join in: still fine
+    d = table_changes(t, spark, from_version=v1, to_version=v2)
+    assert {r.change for r in d.collect()} == {"update"}
+
+
+def test_appends_stream_empty_table_raises_clearly(spark, tmp_path):
+    """Constructing the appends streamReader against a path with no
+    committed versions must raise the same clear ValueError as
+    DataSource.schema(), not an opaque TypeError from os.path.join
+    (round-8 advice)."""
+    p = str(tmp_path / "empty")
+    VersionedParquetTable(p, key_cols=("k",))  # never written
+    spark.dataSource.register(VersionAppendsDataSource)
+    with pytest.raises(Exception) as ei:
+        spark.readStream.format("a2b_table_appends").option("path", p).load()
+    assert "no committed versions" in str(ei.value)

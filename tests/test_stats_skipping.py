@@ -739,3 +739,76 @@ def test_zorder_timestamp_ntz_and_user_z_column(spark, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_truncated_sidecar_spec_degrades_per_column(tmp_path):
+    """A foreign/truncated sidecar carrying only SOME of the three kind
+    columns for a stats column must degrade to 'no stats for that
+    column' (never pruned) instead of a KeyError at prune time, while
+    complete columns still prune (round-8 advice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from a2b_spark.storage.stats import (
+        STATS_FILE,
+        STATS_PARQUET_VERSION,
+        load_stats_arrow,
+        normalize_predicates,
+        pruned_out_rels,
+    )
+
+    tbl = pa.table(
+        {
+            "rel": ["a.parquet", "b.parquet"],
+            "rows": pa.array([5, 5], pa.int64()),
+            # complete spec for y
+            "min:i:y": pa.array([0, 100], pa.int64()),
+            "max:i:y": pa.array([9, 200], pa.int64()),
+            "nulls:i:y": pa.array([0, 0], pa.int64()),
+            # truncated spec for x: min only
+            "min:i:x": pa.array([0, 100], pa.int64()),
+        }
+    ).replace_schema_metadata({b"a2b_stats_version": str(STATS_PARQUET_VERSION).encode()})
+    pq.write_table(tbl, str(tmp_path / STATS_FILE))
+    loaded = load_stats_arrow(str(tmp_path))
+    # x is unusable -> nothing pruned on it
+    assert pruned_out_rels(loaded, normalize_predicates([("x", "=", 50)])) == set()
+    # y is complete -> still prunes
+    assert pruned_out_rels(loaded, normalize_predicates([("y", "=", 50)])) == {
+        "a.parquet",
+        "b.parquet",
+    }
+
+
+def test_corrupt_sidecar_warns_and_disables_pruning(tmp_path):
+    """Corrupt INPUT (bad parquet magic tail / mangled v1 dict) warns
+    and returns None instead of raising or silently passing; a clean
+    absent file stays silent (round-8 advice)."""
+    import warnings as _w
+
+    from a2b_spark.storage.stats import (
+        STATS_FILE,
+        STATS_FORMAT_VERSION,
+        load_stats_arrow,
+    )
+
+    # garbage bytes with parquet magic -> ArrowInvalid -> warn + None
+    with open(tmp_path / STATS_FILE, "wb") as f:
+        f.write(b"PAR1garbage-not-a-footer")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert load_stats_arrow(str(tmp_path)) is None
+    assert any("pruning disabled" in str(r.message) for r in rec)
+
+    # v1 dict with mangled shape -> warn + None
+    import json as _json
+
+    with open(tmp_path / STATS_FILE, "w") as f:
+        _json.dump(
+            {"version": STATS_FORMAT_VERSION, "files": {"a.parquet": {"rows": 1, "cols": {"x": "oops"}}}},
+            f,
+        )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        assert load_stats_arrow(str(tmp_path)) is None
+    assert any("pruning disabled" in str(r.message) for r in rec)
