@@ -626,30 +626,45 @@ class VersionedParquetTable:
             },
         )
 
-    def _enforce_constraints(self, df: DataFrame, base: Optional[str]) -> None:
-        """Reject the commit if any written row fails a CHECK
-        constraint of the base version. One filter-count per
-        constraint, only when constraints exist — zero cost
-        otherwise. Violations raise BEFORE anything is staged, so the
-        table never exposes a half-valid version.
+    def _constraint_observation(self, df: DataFrame, base: Optional[str]):
+        """Single-pass CHECK enforcement (Delta's design): attach ONE
+        ``Observation`` whose per-constraint violation counts are
+        computed DURING the staging write itself — a constrained merge
+        runs its join exactly once, and N constraints are N aggregate
+        expressions in one pass, not N extra actions. Returns
+        ``(df, check)``; callers run the staging action on the
+        returned df, then call ``check()`` BEFORE the ``_CURRENT``
+        flip — on violation it raises :class:`ConstraintViolation`, so
+        the table never exposes a half-valid version (the staged tmp
+        dir is the caller's to discard). Zero cost when no constraints
+        exist: the frame is returned untouched."""
+        cons = [] if base is None else self.constraints(base)
+        if not cons:
+            return df, lambda: None
+        from pyspark.sql import Observation
 
-        Known cost (v1, documented tradeoff): the count is a separate
-        action, so a constrained merge computes its join twice (once
-        to validate, once to write). The zero-extra-pass design is
-        Delta's — observe() metrics collected DURING the staging
-        write, aborting before the _CURRENT flip — and fits this
-        layer's staging model if the two-pass cost ever shows up in a
-        real profile; constraints are pay-per-use until then."""
-        if base is None:
-            return
-        cons = self.constraints(base)
-        for c in cons:
-            bad = df.filter(~F.coalesce(F.expr(c["expr"]), F.lit(True))).count()
-            if bad:
-                raise ConstraintViolation(
-                    f"{bad} row(s) violate CHECK constraint {c['name']!r} "
-                    f"({c['expr']}) at {self.path}"
-                )
+        obs = Observation()
+        metrics = [
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.expr(c["expr"]), F.lit(True)), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias(f"viol_{i}")
+            for i, c in enumerate(cons)
+        ]
+        observed = df.observe(obs, *metrics)
+
+        def check() -> None:
+            got = obs.get  # blocks until the staging action finished
+            for i, c in enumerate(cons):
+                bad = got.get(f"viol_{i}") or 0  # empty write sums to NULL
+                if bad:
+                    raise ConstraintViolation(
+                        f"{bad} row(s) violate CHECK constraint {c['name']!r} "
+                        f"({c['expr']}) at {self.path}"
+                    )
+
+        return observed, check
 
     def overwrite(
         self,
@@ -669,7 +684,9 @@ class VersionedParquetTable:
         if base is _UNSET_BASE:
             base = self.current_version()
         if op != "compact":  # layout-only rewrite of validated data
-            self._enforce_constraints(df, base)
+            df, _check_constraints = self._constraint_observation(df, base)
+        else:
+            _check_constraints = lambda: None  # noqa: E731
         version = self._next_version()
         os.makedirs(self.path, exist_ok=True)
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
@@ -680,6 +697,11 @@ class VersionedParquetTable:
             writer = writer.partitionBy(*self.partition_by)
         with _stats_friendly_timestamps(df.sparkSession):
             writer.save(tmp_target)
+        try:
+            _check_constraints()  # BEFORE the flip; staged dir discarded
+        except ConstraintViolation:
+            shutil.rmtree(tmp_target, ignore_errors=True)
+            raise
         # per-VERSION schema sidecar: committed atomically with the
         # data and carried forward like other metadata, so a failed
         # concurrent commit or schema evolution can never corrupt
@@ -840,7 +862,11 @@ class VersionedParquetTable:
         if base is _UNSET_BASE:
             base = old_version
         if op != "compact":  # layout-only rewrite of validated data
-            self._enforce_constraints(touched_df, base)
+            touched_df, _check_constraints = self._constraint_observation(
+                touched_df, base
+            )
+        else:
+            _check_constraints = lambda: None  # noqa: E731
         old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
@@ -852,6 +878,11 @@ class VersionedParquetTable:
                 .partitionBy(*self.partition_by)
                 .save(tmp_target)
             )
+        try:  # BEFORE hard-linking untouched partitions or the flip
+            _check_constraints()
+        except ConstraintViolation:
+            shutil.rmtree(tmp_target, ignore_errors=True)
+            raise
         for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
             if values in touched:
                 continue
