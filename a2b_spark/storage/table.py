@@ -173,6 +173,41 @@ class VersionedParquetTable:
             d for d in os.listdir(self.path) if d.startswith("v_") and d <= cur
         )
 
+    def earliest_streamable_version(self) -> int:
+        """Oldest starting OFFSET a brand-new CDF stream can begin
+        from without hitting a vacuumed gap — the operational question
+        both stream consumers otherwise answer only by raising. Valid
+        as the appends source's ``startingversion`` option and as
+        ``TableChangesStream``'s ``start_version``.
+
+        A stream starting at offset ``k`` delivers commits
+        ``k+1 .. current``; each needs its own version dir retained
+        AND its predecessor's (the diff base / hardlink-identity
+        source) — except version 1, which diffs against the empty
+        table by construction. So on a table whose oldest retained
+        commit is ``r``, the answer is ``0`` when ``r <= 1`` (full
+        history retained) and ``r`` otherwise.
+
+        Retention/checkpoint contract: ``vacuum`` keeps the last
+        ``retention`` commits, so a live stream's stored offset must
+        never fall more than ``retention - 1`` commits behind the
+        writer — size ``retention`` to cover the consumer's longest
+        expected downtime, or restart from a fresh checkpoint at this
+        offset (accepting that the vacuumed prefix is re-delivered as
+        part of no diff at all — it is simply absent)."""
+        nums = sorted(self._parse_version_number(v) for v in self.versions())
+        if not nums:
+            return 0
+        # vacuum trims oldest-first so the retained set is contiguous,
+        # but a hand-pruned dir could leave an interior gap: the
+        # earliest safe start is then the first version AFTER the
+        # last gap (its predecessor must be retained too).
+        lo = nums[0]
+        for a, b in zip(nums, nums[1:]):
+            if b != a + 1:
+                lo = b
+        return 0 if lo <= 1 else lo
+
     def _version_schema(self, v: str):
         """The version's authoritative schema from its ``_SCHEMA``
         sidecar (table-root sidecar as pre-round-5 back-compat), or

@@ -495,3 +495,32 @@ def test_appends_stream_empty_table_raises_clearly(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         spark.readStream.format("a2b_table_appends").option("path", p).load()
     assert "no committed versions" in str(ei.value)
+
+
+def test_earliest_streamable_version_contract(spark, tmp_path):
+    """earliest_streamable_version() answers 'where can a NEW stream
+    start?': 0 while full history is retained; after vacuum trims the
+    prefix, the oldest retained commit (whose successor's diff can
+    still be derived). Both consumers accept that offset and raise
+    one notch earlier — the API and the raise must agree exactly."""
+    from a2b_spark.storage.cdf import TableChangesStream
+
+    t = VersionedParquetTable(str(tmp_path / "es"), key_cols=("k",), retention=3)
+    assert t.earliest_streamable_version() == 0  # fresh table
+
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert t.earliest_streamable_version() == 0  # full history retained
+    for i in range(2, 7):  # commits 2..6; retention=3 keeps 4,5,6
+        t.merge(spark.createDataFrame([(i, "x")], "k long, v string"))
+    nums = sorted(int(v[2:]) for v in t.versions())
+    assert nums == [4, 5, 6]
+    es = t.earliest_streamable_version()
+    assert es == 4
+
+    # TableChangesStream: starting at es works, one earlier raises
+    ok = TableChangesStream(t, spark, str(tmp_path / "ck_ok"), start_version=es)
+    delivered = ok.process_available(lambda df, v: df.count())
+    assert delivered == [5, 6]
+    bad = TableChangesStream(t, spark, str(tmp_path / "ck_bad"), start_version=es - 1)
+    with pytest.raises(ValueError, match="vacuumed"):
+        bad.process_available(lambda df, v: df.count())
