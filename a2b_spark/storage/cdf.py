@@ -49,7 +49,7 @@ from a2b_spark.storage.table import (
 )
 
 # commit ops that change layout/metadata, not logical row content
-_LAYOUT_ONLY_OPS = {"compact", "add_constraint", "drop_constraint"}
+_LAYOUT_ONLY_OPS = {"compact", "add_constraint", "drop_constraint", "drop_columns"}
 _APPEND_OPS = {"append", "overwrite"}
 
 

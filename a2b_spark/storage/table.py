@@ -46,6 +46,10 @@ CURRENT = "_CURRENT"
 SCHEMA = "_SCHEMA"
 COMMIT_INFO = "_COMMIT_INFO"
 CONSTRAINTS = "_CONSTRAINTS"
+# column names dropped by drop_columns() whose PHYSICAL data may still
+# live in hardlinked files of this version — re-introducing such a name
+# must force a full rewrite or the stale physical values would resurface
+DROPPED = "_DROPPED"
 
 
 class ConstraintViolation(ValueError):
@@ -661,6 +665,98 @@ class VersionedParquetTable:
             },
         )
 
+    # ------------------------------------------------- schema evolution
+    def drop_columns(self, spark: SparkSession, *cols: str) -> None:
+        """DROP COLUMN (Delta ``ALTER TABLE … DROP COLUMN`` parity):
+        a METADATA-ONLY commit — data files hardlink the current
+        version, only the ``_SCHEMA`` sidecar shrinks, and every read
+        projects the surviving columns (parquet/JSON readers ignore
+        extra physical columns under an explicit schema). O(file
+        count), zero data rewritten — the shape that survives 100 TB.
+
+        The dropped names are recorded in a ``_DROPPED`` tombstone
+        sidecar: their physical bytes still live in the hardlinked
+        files, so a later write RE-INTRODUCING such a name escalates
+        to a full rewrite (merge/append handle this) — otherwise old
+        partitions would resurface the pre-drop values under the new
+        column. Any full-rewrite commit clears the tombstones.
+
+        Guards: key and partition columns cannot be dropped (they are
+        identity/structure, not payload); a CHECK constraint that
+        still references a dropped column must be dropped first (the
+        constraint set is validated against the shrunken schema);
+        at least one column must survive. CDF treats the commit as
+        layout-only (no row changed); ``restore`` to a pre-drop
+        version brings the column back — sidecars roll back with the
+        data."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        dropped = list(dict.fromkeys(cols))
+        if not dropped:
+            raise ValueError("drop_columns: no columns given")
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"cannot drop columns at {self.path}: commit data first "
+                "(schema is versioned metadata)"
+            )
+        schema = self._version_schema(cur)
+        if schema is None:
+            schema = self.read(spark, version=cur).schema
+        names = {f.name for f in schema.fields}
+        missing = [c for c in dropped if c not in names]
+        if missing:
+            raise ValueError(f"no such column(s) {missing} at {self.path}")
+        protected = [
+            c
+            for c in dropped
+            if c in set(self.key_cols) or c in set(self.partition_by or ())
+        ]
+        if protected:
+            raise ValueError(
+                f"cannot drop key/partition column(s) {protected} at "
+                f"{self.path} (identity/structure, not payload)"
+            )
+        survivors = [f for f in schema.fields if f.name not in set(dropped)]
+        if not survivors:
+            raise ValueError(f"cannot drop every column of {self.path}")
+        new_schema = T.StructType(survivors)
+        empty = spark.createDataFrame([], new_schema)
+        for c in self.constraints(cur):
+            try:
+                empty.filter(F.expr(c["expr"])).schema  # forces analysis
+            except Exception as exc:  # AnalysisException: unresolved ref
+                raise ValueError(
+                    f"CHECK constraint {c['name']!r} ({c['expr']}) still "
+                    f"references a dropped column; drop the constraint "
+                    f"first"
+                ) from exc
+        tombs = sorted(self._dropped_tombstones(cur) | set(dropped))
+        self._hardlink_commit(
+            cur,
+            op="drop_columns",
+            base=cur,
+            replace_files={
+                SCHEMA: _json.dumps(new_schema.jsonValue()),
+                DROPPED: _json.dumps(tombs),
+            },
+        )
+
+    def _dropped_tombstones(self, version: Optional[str]) -> set[str]:
+        """Column names dropped at-or-before ``version`` whose physical
+        data may survive in hardlinked files (see :meth:`drop_columns`)."""
+        import json as _json
+
+        if version is None:
+            return set()
+        p = os.path.join(self.path, version, DROPPED)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(_json.load(f))
+
     def _constraint_observation(self, df: DataFrame, base: Optional[str]):
         """Single-pass CHECK enforcement (Delta's design): attach ONE
         ``Observation`` whose per-constraint violation counts are
@@ -756,6 +852,11 @@ class VersionedParquetTable:
                 f.write(content)
         self._write_stats_sidecar(tmp_target, base)
         self._carry_forward_metadata(tmp_target, base)  # base resolved above
+        # a full rewrite wrote every data file fresh: no hardlinked
+        # pre-drop bytes survive, so drop-column tombstones clear here
+        dropped_marker = os.path.join(tmp_target, DROPPED)
+        if os.path.exists(dropped_marker):
+            os.remove(dropped_marker)
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
 
@@ -768,9 +869,16 @@ class VersionedParquetTable:
             self.overwrite(batch, op="merge", base=None)
             return
         current = self.read(spark, version=base)  # pinned snapshot
-        if self.partition_by:
+        if self.partition_by and not (
+            self._dropped_tombstones(base) & set(batch.columns)
+        ):
             self._merge_partitioned(spark, current, batch, base)
         else:
+            # unpartitioned — or the batch RE-INTRODUCES a dropped
+            # column: untouched hardlinked partitions still hold the
+            # pre-drop physical values, so a full rewrite (which the
+            # overwrite path is) must replace them before the name is
+            # live again; the rewrite clears the tombstone
             self.overwrite(
                 merge_dataframes(current, batch, self.key_cols), op="merge", base=base
             )
@@ -801,7 +909,9 @@ class VersionedParquetTable:
                 e = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
                 cond = e if cond is None else (cond & e)
             batch = b.join(c, on=cond, how="left_anti")
-        if self.partition_by:
+        if self.partition_by and not (
+            self._dropped_tombstones(base) & set(batch.columns)
+        ):
             touched = self._touched_partitions(batch)
             if not touched:
                 return
@@ -811,6 +921,8 @@ class VersionedParquetTable:
             )
             self._commit_touched(appended, touched, op="append", base=base)
             return
+        # unpartitioned — or re-introducing a dropped column (see
+        # merge(): hardlinked partitions would resurface stale values)
         self.overwrite(
             current.unionByName(batch, allowMissingColumns=True), op="append", base=base
         )
@@ -896,6 +1008,16 @@ class VersionedParquetTable:
         old_version = self.current_version()
         if base is _UNSET_BASE:
             base = old_version
+        stale = self._dropped_tombstones(old_version) & set(touched_df.columns)
+        if stale:
+            # unreachable via merge/append (they escalate to a full
+            # rewrite) — insurance for future call sites: hardlinking
+            # untouched partitions would resurface pre-drop values
+            raise ValueError(
+                f"column(s) {sorted(stale)} were dropped and their physical "
+                f"data survives in hardlinked files at {self.path}; "
+                "re-introduce them via a full rewrite (overwrite/merge)"
+            )
         if op != "compact":  # layout-only rewrite of validated data
             touched_df, _check_constraints = self._constraint_observation(
                 touched_df, base

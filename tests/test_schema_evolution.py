@@ -123,3 +123,189 @@ def test_appends_stream_null_fills_pre_evolution_commits(spark, tmp_path):
         (d["k"], d["epoch"], d["x"], d["y"], d["_commit_version"]) for d in rows
     }
     assert got == {(1, 0, 1.0, None, 1), (2, 1, 2.0, "new", 2)}
+
+
+# --------------------------------------------------------- DROP COLUMN
+
+
+def test_drop_column_metadata_only_unpartitioned(spark, tmp_path):
+    """drop_columns is a metadata-only commit: every data file of the
+    new version hardlinks the old one (zero bytes rewritten — the
+    100 TB shape), reads project the survivors, time travel to the
+    pre-drop version still sees the column, and restore brings it
+    back with its values."""
+    t = VersionedParquetTable(str(tmp_path / "d"), key_cols=("k",), retention=10)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, w double"
+        )
+    )
+    pre = t.current_version()
+    t.drop_columns(spark, "w")
+    assert t.history()[-1]["op"] == "drop_columns"
+    cur = t.read(spark)
+    assert set(cur.columns) == {"k", "v"}
+    assert {(r.k, r.v) for r in cur.collect()} == {(1, "a"), (2, "b")}
+    # zero data rewritten: every data file of the new version is a
+    # hardlink of the pre-drop version's
+    vdir = os.path.join(t.path, t.current_version())
+    links = [
+        os.stat(os.path.join(vdir, f)).st_nlink
+        for f in os.listdir(vdir)
+        if not f.startswith(("_", "."))
+    ]
+    assert links and all(n > 1 for n in links)
+    # time travel: the pre-drop version reads under ITS OWN schema
+    old = t.read(spark, version=pre)
+    assert set(old.columns) == {"k", "v", "w"}
+    # restore: the column and its values come back
+    t.restore(pre)
+    back = t.read(spark)
+    assert {(r.k, r.w) for r in back.collect()} == {(1, 10.0), (2, 20.0)}
+
+
+def test_drop_column_guards(spark, tmp_path):
+    t = VersionedParquetTable(
+        str(tmp_path / "g"),
+        key_cols=("k",),
+        partition_by=("p",),
+        retention=10,
+    )
+    with pytest.raises(ValueError, match="commit data first"):
+        t.drop_columns(spark, "x")
+    t.overwrite(spark.createDataFrame([(1, 0, 1.0)], "k long, p int, x double"))
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_columns(spark, "nope")
+    with pytest.raises(ValueError, match="key/partition"):
+        t.drop_columns(spark, "k")
+    with pytest.raises(ValueError, match="key/partition"):
+        t.drop_columns(spark, "p")
+    with pytest.raises(ValueError, match="no columns given"):
+        t.drop_columns(spark)
+    # a CHECK constraint still referencing the column blocks the drop
+    t.add_constraint(spark, "x_pos", "x > 0")
+    with pytest.raises(ValueError, match="drop the constraint first"):
+        t.drop_columns(spark, "x")
+    t.drop_constraint("x_pos")
+    t.drop_columns(spark, "x")
+    assert set(t.read(spark).columns) == {"k", "p"}
+    # dropping every remaining payload column leaves key+partition: a
+    # further drop of nothing-left raises via the guards above; also
+    # cannot drop ALL columns on an unpartitioned keyless-ish table
+    t2 = VersionedParquetTable(str(tmp_path / "g2"), key_cols=(), retention=10)
+    t2.overwrite(spark.createDataFrame([(1,)], "a long"))
+    with pytest.raises(ValueError, match="every column"):
+        t2.drop_columns(spark, "a")
+
+
+def test_drop_column_partitioned_and_readd_full_rewrite(spark, tmp_path):
+    """Partitioned drop is metadata-only; RE-INTRODUCING the dropped
+    name via merge escalates to a full rewrite so hardlinked old
+    partitions cannot resurface the pre-drop physical values, and the
+    tombstone clears (later merges take the touched-partition path
+    again)."""
+    t = VersionedParquetTable(
+        str(tmp_path / "r"),
+        key_cols=("k",),
+        partition_by=("p",),
+        retention=10,
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, 10.0), (2, 1, 20.0)], "k long, p int, x double"
+        )
+    )
+    t.drop_columns(spark, "x")
+    assert set(t.read(spark).columns) == {"k", "p"}
+    assert t._dropped_tombstones(t.current_version()) == {"x"}
+
+    # re-add x: old rows must read NULL (not the stale 10.0/20.0)
+    t.merge(spark.createDataFrame([(3, 0, 30.0)], "k long, p int, x double"))
+    got = {(r.k, r.p, r.x) for r in t.read(spark).collect()}
+    assert got == {(1, 0, None), (2, 1, None), (3, 0, 30.0)}
+    assert t._dropped_tombstones(t.current_version()) == set()
+    # tombstone cleared -> partitioned merge takes the hardlink path
+    t.merge(spark.createDataFrame([(4, 1, 40.0)], "k long, p int, x double"))
+    vdir = os.path.join(t.path, t.current_version(), "p=0")
+    links = [
+        os.stat(os.path.join(vdir, f)).st_nlink
+        for f in os.listdir(vdir)
+        if not f.startswith(("_", "."))
+    ]
+    assert links and all(n > 1 for n in links)  # p=0 untouched, linked
+    got2 = {(r.k, r.x) for r in t.read(spark).collect()}
+    assert got2 == {(1, None), (2, None), (3, 30.0), (4, 40.0)}
+
+
+def test_drop_column_readd_via_append_partitioned(spark, tmp_path):
+    t = VersionedParquetTable(
+        str(tmp_path / "ap"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(spark.createDataFrame([(1, 0, 1.0)], "k long, epoch int, x double"))
+    t.drop_columns(spark, "x")
+    t.append(spark.createDataFrame([(2, 1, 2.0)], "k long, epoch int, x double"))
+    got = {(r.k, r.epoch, r.x) for r in t.read(spark).collect()}
+    assert got == {(1, 0, None), (2, 1, 2.0)}
+
+
+def test_cdf_across_drop_boundary(spark, tmp_path):
+    """The drop commit itself is layout-only to CDF (no row changed);
+    diffs before and after the boundary work, and with_rows spanning
+    it null-fills the dropped column for pre-drop after-images."""
+    from a2b_spark.storage.cdf import TableChangesStream
+
+    t = VersionedParquetTable(str(tmp_path / "cd"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], "k long, v string, w double"))
+    t.merge(spark.createDataFrame([(2, "b", 2.0)], "k long, v string, w double"))
+    t.drop_columns(spark, "w")
+    t.merge(spark.createDataFrame([(3, "c")], "k long, v string"))
+
+    d = table_changes(t, spark)  # full retained range
+    got = {(r.k, r.change, r._commit_version) for r in d.collect()}
+    assert got == {(2, "insert", 2), (3, "insert", 4)}  # commit 3 = drop, silent
+
+    rows = {
+        (r.k, r._commit_version): (r.v, r.w)
+        for r in table_changes(t, spark, with_rows=True).collect()
+    }
+    assert rows[(2, 2)] == ("b", 2.0)  # pre-drop after-image keeps w
+    assert rows[(3, 4)] == ("c", None)  # post-drop null-fills
+
+    # streaming twin: drop commit advances the offset without a diff
+    s = TableChangesStream(t, spark, str(tmp_path / "ck"))
+    seen = {}
+    delivered = s.process_available(
+        lambda df, v: seen.__setitem__(v, {r.k for r in df.collect()})
+    )
+    assert delivered == [1, 2, 4]
+    assert seen[4] == {3}
+
+
+def test_appends_stream_skips_drop_commit(spark, tmp_path):
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "as"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.append(spark.createDataFrame([(1, 0, 1.0)], "k long, epoch int, x double"))
+    t.drop_columns(spark, "x")
+    t.append(spark.createDataFrame([(2, 1, 9.9)], "k long, epoch int, x double") \
+        .select("k", "epoch"))
+    r = _AppendsStreamReader({"path": t.path})
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 3}):
+        for b in r.read(p):
+            rows.extend(b.to_pylist())
+    # post-drop schema: commit 1's file physically holds x but the
+    # stream projects the current (dropped) schema
+    assert {tuple(sorted(d)) for d in rows} == {("_commit_version", "epoch", "k")}
+    got = {(d["k"], d["_commit_version"]) for d in rows}
+    assert got == {(1, 1), (2, 3)}
