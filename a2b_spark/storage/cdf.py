@@ -40,16 +40,19 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from a2b_spark.storage.diff import attach_after_image as _attach_after_image
 from a2b_spark.storage.diff import snapshot_diff
 from a2b_spark.storage.table import (
+    CDF_DIR,
     COMMIT_INFO,
+    LAYOUT_ONLY_OPS,
     SCHEMA,
     VersionedParquetTable,
     _unescape_hive,
 )
 
 # commit ops that change layout/metadata, not logical row content
-_LAYOUT_ONLY_OPS = {"compact", "add_constraint", "drop_constraint", "drop_columns"}
+_LAYOUT_ONLY_OPS = LAYOUT_ONLY_OPS
 _APPEND_OPS = {"append", "overwrite"}
 
 
@@ -118,30 +121,6 @@ def _align_to(before: DataFrame, after: DataFrame) -> DataFrame:
     return before
 
 
-def _attach_after_image(d: DataFrame, after: DataFrame, key_cols) -> DataFrame:
-    """Left-join the after-image payload onto a keyed diff. NULL-SAFE
-    key match, mirroring snapshot_diff: the storage layer's key
-    semantics allow a NULL key tuple, and a plain ``on=keys`` join
-    would strip such a row's after-image. The diff already carries the
-    reserved ``change`` / ``_commit_version`` columns — a table whose
-    DATA columns reuse those names would yield ambiguous duplicate
-    output columns, so raise loudly instead (round-8 advice)."""
-    keys = list(key_cols)
-    reserved = {"change", "_commit_version"} & set(after.columns)
-    if reserved:
-        raise ValueError(
-            "table data columns collide with reserved CDF output columns "
-            f"{sorted(reserved)}; rename them before requesting with_rows=True"
-        )
-    a = after.select(
-        *[F.col(k).alias(f"__ra_{k}") for k in keys],
-        *[c for c in after.columns if c not in set(keys)],
-    )
-    cond = None
-    for k in keys:
-        e = F.col(k).eqNullSafe(F.col(f"__ra_{k}"))
-        cond = e if cond is None else (cond & e)
-    return d.join(a, cond, "left").drop(*[f"__ra_{k}" for k in keys])
 
 
 class TableChangesStream:
@@ -266,7 +245,9 @@ def _commit_op(vdir: str) -> Optional[str]:
 
 def _data_files_with_ino(vdir: str) -> dict[str, int]:
     out = {}
-    for root, _dirs, files in os.walk(vdir):
+    for root, dirs, files in os.walk(vdir):
+        # prune metadata dirs (_cdf) but never partition dirs (__epoch=0)
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
         for fn in files:
             if fn.startswith(("_", ".")):
                 continue
@@ -297,13 +278,92 @@ try:  # pyspark >= 4: python data source API
     )
 
     class _FilePartition(InputPartition):
-        def __init__(self, path: str, commit_version: int, part_values: dict):
+        def __init__(
+            self,
+            path: str,
+            commit_version: int,
+            part_values: dict,
+            const_cols: Optional[dict] = None,
+        ):
             self.path = path
             self.commit_version = commit_version
             # hive-style {col: unescaped string value} parsed from the
             # file's directory segments — partitionBy stores partition
             # values ONLY in dir names, never in the files themselves
             self.part_values = part_values
+            # planner-fixed constant string columns (e.g. the changes
+            # source synthesizing change='insert' for an initial load)
+            self.const_cols = const_cols or {}
+
+    def _file_record_batches(partition: _FilePartition, return_type, tz: str):
+        """Vectorized file read shared by both streaming sources:
+        yields ``pyarrow.RecordBatch``es cast to the exact Arrow
+        schema Spark expects — never per-row Python tuples (the worker
+        passes RecordBatches straight through, so this path is the
+        streaming feed's throughput floor). Columns absent from the
+        file resolve, in order: ``_commit_version`` (plan constant),
+        ``const_cols`` (plan constants), hive-style directory-segment
+        values (``col=value``), NULL fill."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(return_type)
+        pf = pq.ParquetFile(partition.path)
+        present = set(pf.schema_arrow.names)
+        # pre-resolve each output field to (source, typed constant)
+        consts: dict[str, object] = {}
+        for field in arrow_schema:
+            if field.name == "_commit_version":
+                consts[field.name] = pa.scalar(
+                    partition.commit_version, type=field.type
+                )
+            elif field.name not in present:
+                raw = partition.const_cols.get(
+                    field.name, partition.part_values.get(field.name)
+                )
+                if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                    consts[field.name] = None  # null fill
+                elif (
+                    pa.types.is_timestamp(field.type)
+                    and field.type.tz is not None
+                ):
+                    # arrow refuses to cast a zone-less timestamp
+                    # STRING straight to a tz-aware type: parse
+                    # naive, stamp the WRITER-session zone on
+                    # (option "timezone", default UTC), then
+                    # convert to the field's zone
+                    naive = pc.cast(
+                        pa.scalar(raw), pa.timestamp(field.type.unit)
+                    )
+                    zoned = pc.assume_timezone(naive, tz)
+                    consts[field.name] = (
+                        zoned
+                        if zoned.type == field.type
+                        else pc.cast(zoned, field.type)
+                    )
+                else:
+                    consts[field.name] = pc.cast(pa.scalar(raw), field.type)
+        read_cols = [f.name for f in arrow_schema if f.name in present]
+        for chunk in pf.iter_batches(batch_size=1 << 16, columns=read_cols):
+            n = chunk.num_rows
+            arrays = []
+            for field in arrow_schema:
+                if field.name in present:
+                    col = chunk.column(field.name)
+                    arrays.append(
+                        col if col.type == field.type else col.cast(field.type)
+                    )
+                else:
+                    c = consts[field.name]
+                    arrays.append(
+                        pa.nulls(n, type=field.type)
+                        if c is None
+                        else pa.repeat(c, n)
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
 
     class _AppendsStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -427,75 +487,10 @@ try:  # pyspark >= 4: python data source API
             return parts
 
         def read(self, partition: _FilePartition):
-            """Vectorized: yields ``pyarrow.RecordBatch``es cast to the
-            exact Arrow schema Spark expects — never per-row Python
-            tuples (the worker passes RecordBatches straight through,
-            so this path is the streaming feed's throughput floor).
-            Partition-column values come from the hive-style directory
-            segments (``col=value``) parsed at planning time and are
-            materialized as constant Arrow arrays."""
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-
-            from pyspark.sql.pandas.types import to_arrow_schema
-
-            arrow_schema = to_arrow_schema(self._return_type)
-            pf = pq.ParquetFile(partition.path)
-            present = set(pf.schema_arrow.names)
-            # pre-resolve each output field to (source, typed constant)
-            consts: dict[str, object] = {}
-            for field in arrow_schema:
-                if field.name == "_commit_version":
-                    consts[field.name] = pa.scalar(
-                        partition.commit_version, type=field.type
-                    )
-                elif field.name not in present:
-                    raw = partition.part_values.get(field.name)
-                    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
-                        consts[field.name] = None  # null fill
-                    elif (
-                        pa.types.is_timestamp(field.type)
-                        and field.type.tz is not None
-                    ):
-                        # arrow refuses to cast a zone-less timestamp
-                        # STRING straight to a tz-aware type: parse
-                        # naive, stamp the WRITER-session zone on
-                        # (option "timezone", default UTC), then
-                        # convert to the field's zone
-                        naive = pc.cast(
-                            pa.scalar(raw), pa.timestamp(field.type.unit)
-                        )
-                        zoned = pc.assume_timezone(naive, self._tz)
-                        consts[field.name] = (
-                            zoned
-                            if zoned.type == field.type
-                            else pc.cast(zoned, field.type)
-                        )
-                    else:
-                        consts[field.name] = pc.cast(
-                            pa.scalar(raw), field.type
-                        )
-            read_cols = [f.name for f in arrow_schema if f.name in present]
-            for chunk in pf.iter_batches(batch_size=1 << 16, columns=read_cols):
-                n = chunk.num_rows
-                arrays = []
-                for field in arrow_schema:
-                    if field.name in present:
-                        col = chunk.column(field.name)
-                        arrays.append(
-                            col
-                            if col.type == field.type
-                            else col.cast(field.type)
-                        )
-                    else:
-                        c = consts[field.name]
-                        arrays.append(
-                            pa.nulls(n, type=field.type)
-                            if c is None
-                            else pa.repeat(c, n)
-                        )
-                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+            """See :func:`_file_record_batches` (shared vectorized
+            path); partition-column values come from the hive-style
+            directory segments parsed at planning time."""
+            return _file_record_batches(partition, self._return_type, self._tz)
 
         def commit(self, end: dict) -> None:
             pass
@@ -529,5 +524,146 @@ try:  # pyspark >= 4: python data source API
         def streamReader(self, schema):
             return _AppendsStreamReader(self.options)
 
+    def _changes_return_type(path: str):
+        """Current logical schema + ``change`` + ``_commit_version`` —
+        the streaming twin of ``table_changes(with_rows=True)``."""
+        from pyspark.sql import types as T
+
+        t = VersionedParquetTable(path, key_cols=())
+        cur = t.current_version()
+        if cur is None:
+            raise ValueError(f"no committed versions at {path}")
+        with open(os.path.join(path, cur, SCHEMA)) as f:
+            base = T.StructType.fromJson(json.load(f))
+        clash = {"change", "_commit_version"} & {f.name for f in base.fields}
+        if clash:
+            raise ValueError(
+                f"table data columns {sorted(clash)} collide with reserved "
+                "CDF output columns; rename them before streaming changes"
+            )
+        return T.StructType(
+            base.fields
+            + [
+                T.StructField("change", T.StringType()),
+                T.StructField("_commit_version", T.IntegerType()),
+            ]
+        )
+
+    class _ChangesStreamReader(DataSourceStreamReader):
+        """Planner for ``a2b_table_changes``: offsets are commit
+        version numbers; each commit in ``(start, end]`` contributes
+        one InputPartition per CHANGE FILE written at commit time
+        (``_cdf/`` — see ``VersionedParquetTable.enable_cdf``), so the
+        read distributes like any file source and NO diff is derived
+        at stream time. The initial commit (version 1) has no
+        predecessor by construction: its DATA files stream directly as
+        ``change='insert'`` — an initial load costs zero extra bytes
+        (this also covers shallow clones, whose v1 hardlinks the
+        source). Layout-only commits are skipped; a content commit
+        WITHOUT change files (written before CDF was enabled) raises
+        rather than silently dropping its rows; vacuumed gaps raise
+        like the appends source."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("a2b_table_changes requires option 'path'")
+            self._tz = options.get("timezone", "UTC")
+            self.table = VersionedParquetTable(self.path, key_cols=())
+            start = options.get("startingversion")
+            self._initial = int(start) if start is not None else 0
+            self._return_type = _changes_return_type(self.path)
+
+        def initialOffset(self) -> dict:
+            return {"version": self._initial}
+
+        def latestOffset(self) -> dict:
+            n = self.table.current_version_number()
+            return {"version": int(n or 0)}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["version"]), int(end["version"])
+            if hi <= lo:
+                return []
+            retained = {
+                VersionedParquetTable._parse_version_number(v): v
+                for v in self.table.versions()
+            }
+            missing = [n for n in range(lo + 1, hi + 1) if n not in retained]
+            if missing:
+                raise ValueError(
+                    f"commits {missing} at {self.path} were vacuumed past "
+                    "the retention window; restart the stream from a fresh "
+                    "checkpoint (or raise the table's retention)"
+                )
+            parts: list[_FilePartition] = []
+            for n in range(lo + 1, hi + 1):
+                vdir = os.path.join(self.path, retained[n])
+                op = _commit_op(vdir)
+                if op in _LAYOUT_ONLY_OPS:
+                    continue
+                cdf_dir = os.path.join(vdir, CDF_DIR)
+                if os.path.isdir(cdf_dir):
+                    for fn in sorted(os.listdir(cdf_dir)):
+                        if fn.startswith(("_", ".")):
+                            continue
+                        parts.append(
+                            _FilePartition(os.path.join(cdf_dir, fn), n, {})
+                        )
+                    continue
+                if n == 1:
+                    # initial load: every row is an insert — stream the
+                    # data files themselves, no change files needed
+                    for rel in sorted(_data_files_with_ino(vdir)):
+                        p = os.path.join(vdir, rel)
+                        pvals = {}
+                        for seg in os.path.dirname(rel).split(os.sep):
+                            if "=" in seg:
+                                c, val = seg.split("=", 1)
+                                pvals[_unescape_hive(c)] = _unescape_hive(val)
+                        parts.append(
+                            _FilePartition(
+                                p, n, pvals, const_cols={"change": "insert"}
+                            )
+                        )
+                    continue
+                raise ValueError(
+                    f"commit {retained[n]} at {self.path} has no change "
+                    "files (CDF was not enabled when it was written); "
+                    "start the stream at a later offset or rewrite history "
+                    "with enable_cdf() in effect"
+                )
+            return parts
+
+        def read(self, partition: _FilePartition):
+            return _file_record_batches(partition, self._return_type, self._tz)
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class TableChangesDataSource(DataSource):
+        """``readStream.format("a2b_table_changes").option("path", …)``
+        — Structured-Streaming CDC over a REWRITING VersionedParquetTable
+        (merge / delete / restore), Delta CDF's streaming read. Requires
+        the table's change data feed (``enable_cdf()``); each
+        micro-batch delivers the after-image rows + ``change`` ∈
+        {insert, update, delete} + ``_commit_version``, read straight
+        from the change files staged at commit time. Register once per
+        session: ``spark.dataSource.register(TableChangesDataSource)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "a2b_table_changes"
+
+        def schema(self):
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("a2b_table_changes requires option 'path'")
+            return _changes_return_type(path)
+
+        def streamReader(self, schema):
+            return _ChangesStreamReader(self.options)
+
 except ImportError:  # pragma: no cover - pyspark < 4 fallback
     VersionAppendsDataSource = None  # type: ignore[assignment]
+    TableChangesDataSource = None  # type: ignore[assignment]

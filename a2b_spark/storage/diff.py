@@ -126,3 +126,108 @@ def version_diff(
     before = table.read(spark, version=v_from)
     after = table.read(spark, version=v_to)
     return snapshot_diff(before, after, table.key_cols, compare_cols)
+
+
+def attach_after_image(d: DataFrame, after: DataFrame, key_cols) -> DataFrame:
+    """Left-join the after-image payload onto a keyed diff. NULL-SAFE
+    key match, mirroring snapshot_diff: the storage layer's key
+    semantics allow a NULL key tuple, and a plain ``on=keys`` join
+    would strip such a row's after-image. The diff already carries the
+    reserved ``change`` / ``_commit_version`` columns — a table whose
+    DATA columns reuse those names would yield ambiguous duplicate
+    output columns, so raise loudly instead (round-8 advice)."""
+    keys = list(key_cols)
+    reserved = {"change", "_commit_version"} & set(after.columns)
+    if reserved:
+        raise ValueError(
+            "table data columns collide with reserved CDF output columns "
+            f"{sorted(reserved)}; rename them before requesting row payloads"
+        )
+    a = after.select(
+        *[F.col(k).alias(f"__ra_{k}") for k in keys],
+        *[c for c in after.columns if c not in set(keys)],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"__ra_{k}"))
+        cond = e if cond is None else (cond & e)
+    return d.join(a, cond, "left").drop(*[f"__ra_{k}" for k in keys])
+
+
+def keyed_changes(
+    before: DataFrame, after: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """:func:`snapshot_diff` with after-image payload — the generic
+    change-data frame written at commit time when a table has CDF
+    enabled. ``before`` is aligned to ``after``'s columns (add-column
+    evolution) and vice versa is unnecessary: a column only in
+    ``before`` was dropped and by contract is no longer compared.
+    Deletes carry NULL payloads. One full-outer join; output bounded
+    by the commit's churn."""
+    keys = list(key_cols)
+    missing = [
+        f for f in after.schema.fields if f.name not in set(before.columns)
+    ]
+    for f in missing:
+        before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+    d = snapshot_diff(before, after, keys)
+    return attach_after_image(d, after, keys)
+
+
+def merge_changes(
+    existing: DataFrame, batch: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """The change-data rows of ``merge_dataframes(existing, batch,
+    keys)`` computed in ONE batch-sized left join (instead of a
+    table-sized diff of the merged output): a batch row is an
+    ``insert`` when its key is absent from ``existing``, an
+    ``update`` when present and any batch column differs (null-safe;
+    a column the batch adds counts as differing when non-null —
+    exactly what :func:`snapshot_diff` reports over align-to-after
+    frames), and unchanged rows are dropped. After-images match the
+    merged row: batch values for batch columns, existing-only columns
+    pass through (NULL for inserts). Pytest pins equivalence to
+    ``keyed_changes(existing, merged)``."""
+    key_set = set(keys)
+    reserved = {"change", "_commit_version"} & (
+        set(existing.columns) | set(batch.columns)
+    )
+    if reserved:
+        raise ValueError(
+            "table data columns collide with reserved CDF output columns "
+            f"{sorted(reserved)}; rename them before enabling CDF"
+        )
+    e_payload = [c for c in existing.columns if c not in key_set]
+    b_payload = [c for c in batch.columns if c not in key_set]
+    e_only = [c for c in e_payload if c not in set(batch.columns)]
+    e = existing.select(
+        *[F.col(k).alias(f"__me_{k}") for k in keys],
+        *[F.col(c).alias(f"__me_{c}") for c in e_payload],
+        F.lit(True).alias("__me_present"),
+    )
+    b = batch.alias("b")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"__me_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = b.join(e, cond, "left")
+    diff_cond = F.lit(False)
+    for c in b_payload:
+        if c in set(existing.columns):
+            diff_cond = diff_cond | ~F.col(f"b.{c}").eqNullSafe(F.col(f"__me_{c}"))
+        else:  # batch-added column: existing side is NULL by alignment
+            diff_cond = diff_cond | F.col(f"b.{c}").isNotNull()
+    change = (
+        F.when(F.col("__me_present").isNull(), F.lit("insert"))
+        .when(diff_cond, F.lit("update"))
+    )
+    out_cols = (
+        [F.col(f"b.{k}").alias(k) for k in keys]
+        + [F.col(f"b.{c}").alias(c) for c in b_payload]
+        + [F.col(f"__me_{c}").alias(c) for c in e_only]
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*out_cols, "change")
+    )

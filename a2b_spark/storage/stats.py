@@ -192,7 +192,9 @@ def collect_parquet_file_stats(path: str) -> dict:
 
 def _data_files(version_dir: str) -> list[str]:
     out = []
-    for root, _dirs, files in os.walk(version_dir):
+    for root, dirs, files in os.walk(version_dir):
+        # prune metadata dirs (_cdf) but never partition dirs (__epoch=0)
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
         for fn in files:
             if fn.startswith(("_", ".")):
                 continue

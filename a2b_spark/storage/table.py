@@ -50,6 +50,20 @@ CONSTRAINTS = "_CONSTRAINTS"
 # live in hardlinked files of this version — re-introducing such a name
 # must force a full rewrite or the stale physical values would resurface
 DROPPED = "_DROPPED"
+# CDF (change data feed) versioned property marker + per-commit change
+# files (Delta's delta.enableChangeDataFeed design: changes are WRITTEN
+# at commit time so streams read files instead of re-deriving diffs)
+CDF_ENABLED = "_CDF_ENABLED"
+CDF_DIR = "_cdf"
+# ops whose commits change layout/metadata but no row content
+LAYOUT_ONLY_OPS = {
+    "compact",
+    "add_constraint",
+    "drop_constraint",
+    "drop_columns",
+    "enable_cdf",
+    "disable_cdf",
+}
 
 
 class ConstraintViolation(ValueError):
@@ -212,6 +226,19 @@ class VersionedParquetTable:
                 lo = b
         return 0 if lo <= 1 else lo
 
+    @staticmethod
+    def _has_data_files(vdir: str) -> bool:
+        """True when the version dir holds any DATA file — ``_``/``.``
+        prefixed files AND directories (``_cdf``) are metadata."""
+        for root, dirs, files in os.walk(vdir):
+            dirs[:] = [
+                d for d in dirs
+                if "=" in d or not d.startswith(("_", "."))
+            ]
+            if any(not fn.startswith(("_", ".")) for fn in files):
+                return True
+        return False
+
     def _version_schema(self, v: str):
         """The version's authoritative schema from its ``_SCHEMA``
         sidecar (table-root sidecar as pre-round-5 back-compat), or
@@ -243,11 +270,7 @@ class VersionedParquetTable:
                 f"available: {self.versions()}"
             )
         vdir = os.path.join(self.path, v)
-        if not any(
-            not fn.startswith(("_", "."))
-            for _, _, files in os.walk(vdir)
-            for fn in files
-        ):
+        if not self._has_data_files(vdir):
             # a fully-deleted table: Spark writes NO data files for an
             # empty (especially partitioned) frame, so the version is
             # readable only through its schema sidecar
@@ -490,7 +513,7 @@ class VersionedParquetTable:
             out.append({"version": v, **info})
         return out
 
-    def restore(self, version: str) -> None:
+    def restore(self, version: str, spark: Optional[SparkSession] = None) -> None:
         """Commit a RETAINED historical version's content as the NEW
         current version (Delta ``RESTORE TABLE ... TO VERSION``): undo
         that doesn't rewrite history — the bad commits stay retained
@@ -515,7 +538,24 @@ class VersionedParquetTable:
         base = self.current_version()
         if version == base:
             return  # restoring the live version is a no-op
-        self._hardlink_commit(version, op="restore", base=base)
+        cdf = None
+        if self.cdf_enabled(base):
+            # the restore commit's change rows are the INVERSE of what
+            # it undoes: a keyed diff current → restored snapshot
+            if spark is None:
+                raise ValueError(
+                    f"restore on CDF-enabled table {self.path} needs the "
+                    "spark session to derive the inverse change rows: "
+                    "restore(version, spark)"
+                )
+            from a2b_spark.storage.diff import keyed_changes
+
+            cdf = keyed_changes(
+                self.read(spark, version=base),
+                self.read(spark, version=version),
+                self.key_cols,
+            )
+        self._hardlink_commit(version, op="restore", base=base, cdf_df=cdf)
 
     def clone(self, dest_path: str) -> "VersionedParquetTable":
         """SHALLOW CLONE (Delta analogue): a NEW independent table at
@@ -550,6 +590,7 @@ class VersionedParquetTable:
         base: Optional[str],
         replace_files: Optional[dict] = None,
         src_root: Optional[str] = None,
+        cdf_df: Optional[DataFrame] = None,
     ) -> None:
         """Commit a new version whose DATA files hardlink
         ``src_version``'s (metadata-only cost) and whose sidecars copy
@@ -557,13 +598,23 @@ class VersionedParquetTable:
         content or None-to-omit}) — the machinery behind restore,
         constraint metadata commits, and shallow clone
         (``src_root`` points at the SOURCE table for cross-table
-        linking)."""
+        linking). ``cdf_df``: change rows of THIS commit (restore's
+        inverse diff); the source's own ``_cdf`` dir is never carried
+        over — change files describe one commit, not its data."""
         replace = dict(replace_files or {})
         src_dir = os.path.join(src_root or self.path, src_version)
         new_version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         os.makedirs(tmp_target)
-        for root, _dirs, files in os.walk(src_dir):
+        for root, dirs, files in os.walk(src_dir):
+            # never descend into per-commit metadata dirs (_cdf): their
+            # contents are commit-scoped, not table content — but a
+            # partition dir may legitimately start with "_" (__epoch=0),
+            # so "contains =" wins over the underscore rule
+            dirs[:] = [
+                d for d in dirs
+                if "=" in d or not d.startswith(("_", "."))
+            ]
             rel_root = os.path.relpath(root, src_dir)
             dst_root = (
                 tmp_target
@@ -584,6 +635,7 @@ class VersionedParquetTable:
             if content is not None:
                 with open(os.path.join(tmp_target, fn), "w") as f:
                     f.write(content)
+        self._write_cdf(tmp_target, cdf_df)
         with open(os.path.join(tmp_target, COMMIT_INFO), "w") as f:
             f.write(self._commit_info(op))
         self._claim_version_dir(tmp_target, new_version)
@@ -744,6 +796,83 @@ class VersionedParquetTable:
             },
         )
 
+    # ------------------------------------------------- change data feed
+    def enable_cdf(self) -> None:
+        """Turn on the CHANGE DATA FEED (Delta
+        ``delta.enableChangeDataFeed`` parity): from the NEXT content
+        commit on, every write also stages its keyed change rows
+        (after-image + ``change``) as parquet under the version's
+        ``_cdf/`` dir, atomically with the data. Streams
+        (``readStream.format("a2b_table_changes")``) then read those
+        files directly — no join at read time, each commit streamed N
+        times for the cost of one churn-sized write. The property is
+        VERSIONED metadata: it rolls back with restore and copies with
+        clone; commits from before enablement have no change files
+        (a stream must start at-or-after the enabling commit)."""
+        if not self.key_cols:
+            raise ValueError(
+                "CDF requires key columns (changes are keyed diffs); "
+                f"table {self.path} has none"
+            )
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"cannot enable CDF at {self.path}: commit data first "
+                "(the property is versioned metadata)"
+            )
+        if self.cdf_enabled(cur):
+            return
+        self._hardlink_commit(
+            cur, op="enable_cdf", base=cur, replace_files={CDF_ENABLED: "1"}
+        )
+
+    def disable_cdf(self) -> None:
+        cur = self.current_version()
+        if cur is None or not self.cdf_enabled(cur):
+            return
+        self._hardlink_commit(
+            cur, op="disable_cdf", base=cur, replace_files={CDF_ENABLED: None}
+        )
+
+    def cdf_enabled(self, version: Optional[str] = None) -> bool:
+        v = version or self.current_version()
+        return v is not None and os.path.exists(
+            os.path.join(self.path, v, CDF_ENABLED)
+        )
+
+    def _write_cdf(self, tmp_target: str, cdf_df: Optional[DataFrame]) -> None:
+        """Stage a commit's change rows under ``<staging>/_cdf/`` —
+        the underscore prefix keeps Spark's directory reads and every
+        internal data-file walker away from them. Unpartitioned write:
+        partition columns of the table are ordinary payload columns
+        here (change files are consumed by commit, not by key)."""
+        if cdf_df is None:
+            return
+        with _stats_friendly_timestamps(cdf_df.sparkSession):
+            (
+                cdf_df.write.mode("overwrite")
+                .format("parquet")
+                .save(os.path.join(tmp_target, CDF_DIR))
+            )
+
+    def _fallback_cdf(
+        self, new_df: DataFrame, base: Optional[str], op: str,
+        touched: Optional[set] = None,
+    ) -> Optional[DataFrame]:
+        """Change rows for a content commit whose caller did not build
+        them explicitly (overwrite/delete/restore/rollup paths): one
+        keyed diff of the new content against the base snapshot —
+        limited to the touched partitions when given (a partitioned
+        commit can only change rows there)."""
+        if base is None or op in LAYOUT_ONLY_OPS or not self.cdf_enabled(base):
+            return None
+        from a2b_spark.storage.diff import keyed_changes
+
+        before = self.read(new_df.sparkSession, version=base)
+        if touched is not None:
+            before = before.filter(self._partition_filter(touched))
+        return keyed_changes(before, new_df, self.key_cols)
+
     def _dropped_tombstones(self, version: Optional[str]) -> set[str]:
         """Column names dropped at-or-before ``version`` whose physical
         data may survive in hardlinked files (see :meth:`drop_columns`)."""
@@ -803,6 +932,7 @@ class VersionedParquetTable:
         extra_files: Optional[dict] = None,
         op: str = "overwrite",
         base=_UNSET_BASE,
+        cdf_df: Optional[DataFrame] = None,
     ) -> None:
         """``extra_files``: {filename: text} written into the NEW
         version directory BEFORE the commit flip — metadata that must
@@ -811,13 +941,18 @@ class VersionedParquetTable:
         ``op`` labels the commit in :meth:`history`. ``base``: the
         version this write's CONTENT derived from (read-modify-write
         callers pass their snapshot version so the optimistic check
-        covers the whole read-to-commit span, not just the write)."""
+        covers the whole read-to-commit span, not just the write).
+        ``cdf_df``: this commit's change rows when the caller already
+        derived them cheaply (merge/append); on a CDF-enabled table
+        they default to a keyed diff against the base snapshot."""
         if base is _UNSET_BASE:
             base = self.current_version()
         if op != "compact":  # layout-only rewrite of validated data
             df, _check_constraints = self._constraint_observation(df, base)
         else:
             _check_constraints = lambda: None  # noqa: E731
+        if cdf_df is None:
+            cdf_df = self._fallback_cdf(df, base, op)
         version = self._next_version()
         os.makedirs(self.path, exist_ok=True)
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
@@ -833,6 +968,7 @@ class VersionedParquetTable:
         except ConstraintViolation:
             shutil.rmtree(tmp_target, ignore_errors=True)
             raise
+        self._write_cdf(tmp_target, cdf_df)
         # per-VERSION schema sidecar: committed atomically with the
         # data and carried forward like other metadata, so a failed
         # concurrent commit or schema evolution can never corrupt
@@ -869,10 +1005,17 @@ class VersionedParquetTable:
             self.overwrite(batch, op="merge", base=None)
             return
         current = self.read(spark, version=base)  # pinned snapshot
+        cdf = None
+        if self.cdf_enabled(base):
+            # batch-sized change join (NOT a table-sized diff of the
+            # merged output — see diff.merge_changes)
+            from a2b_spark.storage.diff import merge_changes
+
+            cdf = merge_changes(current, batch, self.key_cols)
         if self.partition_by and not (
             self._dropped_tombstones(base) & set(batch.columns)
         ):
-            self._merge_partitioned(spark, current, batch, base)
+            self._merge_partitioned(spark, current, batch, base, cdf_df=cdf)
         else:
             # unpartitioned — or the batch RE-INTRODUCES a dropped
             # column: untouched hardlinked partitions still hold the
@@ -880,7 +1023,10 @@ class VersionedParquetTable:
             # overwrite path is) must replace them before the name is
             # live again; the rewrite clears the tombstone
             self.overwrite(
-                merge_dataframes(current, batch, self.key_cols), op="merge", base=base
+                merge_dataframes(current, batch, self.key_cols),
+                op="merge",
+                base=base,
+                cdf_df=cdf,
             )
 
     def append(self, batch: DataFrame, dedupe_keys: Sequence[str] | None = None) -> None:
@@ -909,6 +1055,10 @@ class VersionedParquetTable:
                 e = F.col(f"b.{k}").eqNullSafe(F.col(f"e.{k}"))
                 cond = e if cond is None else (cond & e)
             batch = b.join(c, on=cond, how="left_anti")
+        cdf = None
+        if self.cdf_enabled(base):
+            # insert-only commit: the change rows ARE the batch
+            cdf = batch.withColumn("change", F.lit("insert"))
         if self.partition_by and not (
             self._dropped_tombstones(base) & set(batch.columns)
         ):
@@ -919,12 +1069,17 @@ class VersionedParquetTable:
                 current.filter(self._partition_filter(touched))
                 .unionByName(batch, allowMissingColumns=True)
             )
-            self._commit_touched(appended, touched, op="append", base=base)
+            self._commit_touched(
+                appended, touched, op="append", base=base, cdf_df=cdf
+            )
             return
         # unpartitioned — or re-introducing a dropped column (see
         # merge(): hardlinked partitions would resurface stale values)
         self.overwrite(
-            current.unionByName(batch, allowMissingColumns=True), op="append", base=base
+            current.unionByName(batch, allowMissingColumns=True),
+            op="append",
+            base=base,
+            cdf_df=cdf,
         )
 
     def delete_keys(self, keys_df: DataFrame) -> None:
@@ -999,6 +1154,7 @@ class VersionedParquetTable:
         op: str = "merge",
         base=_UNSET_BASE,
         extra_files: Optional[dict] = None,
+        cdf_df: Optional[DataFrame] = None,
     ) -> None:
         """Write a new version containing ``touched_df`` (the new
         contents of the touched partitions) and hard-link every
@@ -1024,6 +1180,10 @@ class VersionedParquetTable:
             )
         else:
             _check_constraints = lambda: None  # noqa: E731
+        if cdf_df is None:
+            # a partitioned commit can only change rows in its touched
+            # partitions — the fallback diff is bounded accordingly
+            cdf_df = self._fallback_cdf(touched_df, base, op, touched=touched)
         old_dir = os.path.join(self.path, old_version)
         version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
@@ -1040,6 +1200,7 @@ class VersionedParquetTable:
         except ConstraintViolation:
             shutil.rmtree(tmp_target, ignore_errors=True)
             raise
+        self._write_cdf(tmp_target, cdf_df)
         for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
             if values in touched:
                 continue
@@ -1085,7 +1246,8 @@ class VersionedParquetTable:
         )
 
     def _merge_partitioned(
-        self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None
+        self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None,
+        cdf_df: Optional[DataFrame] = None,
     ) -> None:
         touched = self._touched_partitions(batch)
         if not self.partitions_derived_from_keys:
@@ -1097,7 +1259,9 @@ class VersionedParquetTable:
         merged_touched = merge_dataframes(
             current.filter(self._partition_filter(touched)), batch, self.key_cols
         )
-        self._commit_touched(merged_touched, touched, op="merge", base=base)
+        self._commit_touched(
+            merged_touched, touched, op="merge", base=base, cdf_df=cdf_df
+        )
 
     # ----------------------------------------------------------- compact
     def compact(
