@@ -35,13 +35,14 @@ from a2b_spark.queries import (
     round7,
     round7b,
     round9,
+    round9b,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 for mod in (relational, pipeline, analytic, curation, reports, round7, round7b,
-            round9):
+            round9, round9b):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1004,6 +1004,15 @@ class VersionedParquetTable:
         if base is None:
             self.overwrite(batch, op="merge", base=None)
             return
+        tombstone_clash = bool(
+            self._dropped_tombstones(base) & set(batch.columns)
+        )
+        if (
+            not self.partition_by
+            and not tombstone_clash
+            and self._try_merge_file_pruned(spark, batch, base)
+        ):
+            return
         current = self.read(spark, version=base)  # pinned snapshot
         cdf = None
         if self.cdf_enabled(base):
@@ -1012,9 +1021,7 @@ class VersionedParquetTable:
             from a2b_spark.storage.diff import merge_changes
 
             cdf = merge_changes(current, batch, self.key_cols)
-        if self.partition_by and not (
-            self._dropped_tombstones(base) & set(batch.columns)
-        ):
+        if self.partition_by and not tombstone_clash:
             self._merge_partitioned(spark, current, batch, base, cdf_df=cdf)
         else:
             # unpartitioned — or the batch RE-INTRODUCES a dropped
@@ -1262,6 +1269,179 @@ class VersionedParquetTable:
         self._commit_touched(
             merged_touched, touched, op="merge", base=base, cdf_df=cdf_df
         )
+
+    # the key types whose batch min/max can be compared against file
+    # stats without cross-timezone/truncation subtleties
+    _PRUNABLE_KEY_TYPES = (
+        "byte", "short", "int", "integer", "long", "bigint",
+        "string", "date", "float", "double",
+    )
+
+    def _try_merge_file_pruned(self, spark: SparkSession, batch, base) -> bool:
+        """Delta-style MERGE file pruning on an UNPARTITIONED parquet
+        table: files whose ``_STATS`` key range excludes every batch
+        key cannot hold a matched row — they HARD-LINK into the new
+        version unchanged, and only the possibly-matching files are
+        read, merged with the batch, and rewritten. A small-batch
+        merge into a large key-clustered table (compact(cluster_by=
+        key)) then costs O(batch + touched files), not a full-table
+        rewrite — the partition-level touched commit, at file
+        granularity.
+
+        Returns False (caller runs the full-rewrite path) when the
+        sidecar is missing, the first key's type is outside the
+        stats-comparable set, the batch holds NULL first-keys (NULL
+        never falls in a [min,max] band, but NULL-keyed rows DO merge
+        under eqNullSafe), or pruning keeps every file anyway."""
+        if self.fmt != "parquet" or base is None:
+            return False
+        from a2b_spark.storage import stats as _stats
+
+        vdir = os.path.join(self.path, base)
+        k = self.key_cols[0]
+        if k not in batch.columns:
+            return False
+        ktype = dict(batch.dtypes).get(k)
+        if ktype not in self._PRUNABLE_KEY_TYPES:
+            return False
+        # the DISTINCT batch keys, driver-bounded: per-file matching
+        # needs the key SET — a [min,max] band is useless the moment a
+        # batch mixes low-key updates with a high-key insert (the band
+        # then spans the whole table). 64k scalar keys is a few MB.
+        cap = 1 << 16
+        # cheap one-pass pre-check first: a bulk-load-sized batch must
+        # not pay a distinct shuffle just to discover it exceeds the cap
+        unbandable = F.col(k).isNull()
+        if ktype in ("float", "double"):
+            # NaN sorts above every value yet parquet stats ignore it;
+            # NULL keys merge via eqNullSafe but never fall in a band
+            unbandable = unbandable | F.isnan(F.col(k))
+        pre = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(unbandable.cast("long")).alias("bad"),
+        ).first()
+        if not pre["n"] or pre["bad"] or pre["n"] > 4 * cap:
+            return False
+        keys = [
+            r[0] for r in batch.select(k).distinct().limit(cap + 1).collect()
+        ]
+        if not keys or len(keys) > cap:
+            return False
+        kept_rels = self._files_matching_keys(vdir, k, sorted(keys))
+        if kept_rels is None:
+            return False
+        all_rels = _stats._data_files(vdir)
+        if len(kept_rels) >= len(all_rels):
+            return False  # nothing skippable — plain path, same cost
+        kept_abs = [os.path.join(vdir, rel) for rel in sorted(kept_rels)]
+        schema = self._version_schema(base)
+        if kept_abs:
+            reader = (
+                spark.read.format(self.fmt)
+                .options(**_FORMAT_OPTIONS[self.fmt])
+                .option("basePath", vdir)
+            )
+            if schema is not None:
+                reader = reader.schema(schema)
+            current_touched = reader.load(kept_abs)
+        else:  # pure-insert batch: every existing file is untouched
+            if schema is None:
+                schema = self.read(spark, version=base).schema
+            current_touched = spark.createDataFrame([], schema)
+        merged = merge_dataframes(current_touched, batch, self.key_cols)
+        cdf = None
+        if self.cdf_enabled(base):
+            from a2b_spark.storage.diff import merge_changes
+
+            # matched rows live ONLY in kept files (the pruning
+            # contract), so the touched subset yields identical changes
+            cdf = merge_changes(current_touched, batch, self.key_cols)
+        keep_rels = [rel for rel in all_rels if rel not in kept_rels]
+        self._commit_linked_files(
+            merged, keep_rels, op="merge", base=base, cdf_df=cdf
+        )
+        return True
+
+    @staticmethod
+    def _files_matching_keys(vdir: str, key: str, keys_sorted: list):
+        """Relative data-file paths whose ``_STATS`` [min,max] band for
+        ``key`` contains at least one of ``keys_sorted`` — files with
+        missing/unusable stats are always kept (may-match). Returns
+        None when the sidecar lacks the key column entirely (no
+        pruning possible). One bisect per file entry."""
+        from bisect import bisect_left
+
+        from a2b_spark.storage import stats as _stats
+
+        tbl = _stats.load_stats_arrow(vdir)
+        if tbl is None:
+            return None
+        spec = _stats._stat_col_specs(tbl.schema.names).get(key)
+        if spec is None:
+            return None
+        rels = tbl.column("rel").to_pylist()
+        mins = tbl.column(spec["min"]).to_pylist()
+        maxs = tbl.column(spec["max"]).to_pylist()
+        kept = set()
+        for rel, mn, mx in zip(rels, mins, maxs):
+            if mn is None or mx is None:
+                kept.add(rel)  # no usable stats: may match
+                continue
+            try:
+                i = bisect_left(keys_sorted, mn)
+            except TypeError:
+                return None  # incomparable key/stat types: no pruning
+            if i < len(keys_sorted) and keys_sorted[i] <= mx:
+                kept.add(rel)
+        return kept
+
+    def _commit_linked_files(
+        self,
+        df: DataFrame,
+        keep_rels,
+        op: str,
+        base: str,
+        cdf_df: Optional[DataFrame] = None,
+    ) -> None:
+        """File-granular sibling of :meth:`_commit_touched` for
+        UNPARTITIONED tables: write ``df`` as this commit's new files
+        and hard-link every ``keep_rels`` data file from ``base``
+        (metadata-only). Constraint observation rides the staging
+        write; stats entries for linked files reuse the base sidecar
+        by inode."""
+        df, _check_constraints = self._constraint_observation(df, base)
+        old_dir = os.path.join(self.path, base)
+        version = self._next_version()
+        tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        with _stats_friendly_timestamps(df.sparkSession):
+            (
+                df.write.mode("overwrite")
+                .format(self.fmt)
+                .options(**_FORMAT_OPTIONS[self.fmt])
+                .save(tmp_target)
+            )
+        try:  # BEFORE hard-linking untouched files or the flip
+            _check_constraints()
+        except ConstraintViolation:
+            shutil.rmtree(tmp_target, ignore_errors=True)
+            raise
+        self._write_cdf(tmp_target, cdf_df)
+        for rel in keep_rels:
+            dst = os.path.join(tmp_target, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(os.path.join(old_dir, rel), dst)
+        import json as _json
+
+        for fn, content in {
+            SCHEMA: _json.dumps(df.schema.jsonValue()),
+            COMMIT_INFO: self._commit_info(op),
+        }.items():
+            with open(os.path.join(tmp_target, fn), "w") as f:
+                f.write(content)
+        self._write_stats_sidecar(tmp_target, base)
+        self._carry_forward_metadata(tmp_target, base)
+        self._claim_version_dir(tmp_target, version)
+        self._commit(version, base=base)
 
     # ----------------------------------------------------------- compact
     def compact(

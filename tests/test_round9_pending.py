@@ -7,15 +7,18 @@ this keeps the per-query pytest signal either way."""
 
 import pytest
 
-from a2b_spark.queries import round9
+from a2b_spark.queries import round9, round9b
 from tools.check_oracle import compare, make_duckdb_con, type_gate
 
+_ALL_Q = {**round9.QUERIES, **round9b.QUERIES}
+_ALL_O = {**round9.ORACLES, **round9b.ORACLES}
 
-@pytest.mark.parametrize("name", sorted(round9.QUERIES))
+
+@pytest.mark.parametrize("name", sorted(_ALL_Q))
 def test_pending_query_matches_oracle(spark, sf_dir, name):
-    sdf = round9.QUERIES[name](spark, sf_dir)
+    sdf = _ALL_Q[name](spark, sf_dir)
     con = make_duckdb_con(sf_dir)
-    oracle = con.sql(round9.ORACLES[name])
+    oracle = con.sql(_ALL_O[name])
     arrow = oracle.arrow()
     problems = type_gate(sdf.schema, arrow.schema)
     assert not problems, problems
@@ -24,10 +27,10 @@ def test_pending_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_tranche_registered():
-    """Round 9 wired round9 into queries/__init__.py; never-green
-    queries must occupy the front of the 50-cap window."""
+    """Round 9 wired round9 + round9b into queries/__init__.py;
+    never-green queries must occupy the front of the 50-cap window."""
     from a2b_spark import queries
 
-    assert set(round9.QUERIES) <= set(queries.QUERIES)
-    head = list(queries.QUERIES)[: len(round9.QUERIES)]
-    assert set(head) == set(round9.QUERIES)
+    assert set(_ALL_Q) <= set(queries.QUERIES)
+    head = list(queries.QUERIES)[: len(_ALL_Q)]
+    assert set(head) == set(_ALL_Q)

@@ -812,3 +812,91 @@ def test_corrupt_sidecar_warns_and_disables_pruning(tmp_path):
         _w.simplefilter("always")
         assert load_stats_arrow(str(tmp_path)) is None
     assert any("pruning disabled" in str(r.message) for r in rec)
+
+
+def test_merge_file_pruning_links_unmatched_files(spark, tmp_path):
+    """Delta-style MERGE file pruning: a small-batch merge into a
+    key-clustered unpartitioned table rewrites ONLY the files whose
+    key range may hold matches — every other file hard-links (zero
+    bytes), and the result is row-identical to a full-rewrite merge
+    on a twin table."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    batch = [(5, "UP5"), (7, "UP7"), (2500, "NEW")]  # narrow band + insert
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame(rows, "k long, v string"))
+    t.compact(spark, target_file_bytes=4 << 10, min_files=1, cluster_by=["k"])
+    pre_dir = os.path.join(t.path, t.current_version())
+    n_files = len([f for f in os.listdir(pre_dir) if not f.startswith(("_", "."))])
+    assert n_files >= 4  # clustered into several key-ranged files
+
+    twin = VersionedParquetTable(str(tmp_path / "w"), key_cols=("k",), retention=10)
+    twin.overwrite(spark.createDataFrame(rows, "k long, v string"))
+
+    b = spark.createDataFrame(batch, "k long, v string")
+    t.merge(b)
+    twin.merge(b)
+    assert _rows(t.read(spark)) == _rows(twin.read(spark))
+
+    vdir = os.path.join(t.path, t.current_version())
+    files = [f for f in os.listdir(vdir) if not f.startswith(("_", "."))]
+    linked = [f for f in files if os.stat(os.path.join(vdir, f)).st_nlink > 1]
+    fresh = [f for f in files if os.stat(os.path.join(vdir, f)).st_nlink == 1]
+    # most clustered files cannot hold keys 5/7/2500: they hard-link
+    assert len(linked) >= n_files - 3
+    assert fresh  # the touched band was rewritten
+    # stats sidecar stays consistent: pruned reads still exact
+    got = _rows(t.read_pruned(spark, [("k", "between", (0, 10))]))
+    want = _rows(t.read(spark).filter(F.col("k").between(0, 10)))
+    assert got == want
+
+
+def test_merge_file_pruning_null_key_falls_back_correct(spark, tmp_path):
+    """A batch holding a NULL key must take the full path (NULL never
+    falls in a [min,max] band but DOES merge under eqNullSafe) — and
+    either way the merged content is exact."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "n"), key_cols=("k",), retention=10)
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "nul")], "k long, v string"
+        )
+    )
+    t.compact(spark, target_file_bytes=1 << 10, min_files=1, cluster_by=["k"])
+    t.merge(spark.createDataFrame([(None, "NUL2"), (9, "i")], "k long, v string"))
+    got = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (None, "NUL2"), (9, "i")}
+
+
+def test_merge_file_pruning_cdf_and_constraints_ride_along(spark, tmp_path):
+    """The pruned-merge commit stages change files from the touched
+    subset (identical to the full diff) and still enforces CHECK
+    constraints on the written rows."""
+    from a2b_spark.storage.cdf import table_changes
+    from a2b_spark.storage.table import ConstraintViolation, VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "c"), key_cols=("k",), retention=10)
+    t.overwrite(
+        spark.createDataFrame([(i, float(i)) for i in range(200)], "k long, x double")
+    )
+    t.compact(spark, target_file_bytes=1 << 10, min_files=1, cluster_by=["k"])
+    t.enable_cdf()
+    t.add_constraint(spark, "x_nonneg", "x >= 0")
+    t.merge(spark.createDataFrame([(3, 333.0), (500, 5.0)], "k long, x double"))
+    vdir = os.path.join(t.path, t.current_version())
+    assert os.path.isdir(os.path.join(vdir, "_cdf"))
+    d = {
+        (r.k, r.change)
+        for r in table_changes(
+            t, spark, from_version=t.versions()[-2], to_version=t.versions()[-1]
+        ).collect()
+    }
+    assert d == {(3, "update"), (500, "insert")}
+    pre = t.current_version()
+    with pytest.raises(ConstraintViolation, match="x_nonneg"):
+        t.merge(spark.createDataFrame([(4, -1.0)], "k long, x double"))
+    assert t.current_version() == pre
+    assert not [f for f in os.listdir(t.path) if f.startswith(".tmp-")]
