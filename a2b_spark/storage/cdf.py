@@ -270,6 +270,53 @@ def _new_files(prev_dir: Optional[str], cur_dir: str) -> list[str]:
     )
 
 
+def _sidecar_rels(vdir: str) -> Optional[set]:
+    """The version's data-file relative paths from its ``_STATS``
+    sidecar (one small columnar read) — None when no sidecar exists."""
+    from a2b_spark.storage import stats as _stats
+
+    tbl = _stats.load_stats_arrow(vdir)
+    return None if tbl is None else set(tbl.column("rel").to_pylist())
+
+
+def _new_rels(
+    prev_dir: Optional[str], cur_dir: str, _cache: Optional[dict] = None
+) -> tuple[list, set]:
+    """(new relative paths of cur vs prev, prev's leaf-dir set) —
+    planning primitive of the appends source. The sidecar path makes a
+    C-commit drain O(C · sidecar) instead of O(C · accumulated
+    partition dirs): every version dir holds ALL partitions of history
+    (hardlinked), so per-commit os.walks are quadratic in commit count
+    — the round-9 storage trajectory probe measured 31.8× wall at 8×
+    commits before this. Append-only contract makes rel-path set diff
+    ≡ inode diff (fresh partitions, unique part-file names); versions
+    without a sidecar fall back to the exact inode walk."""
+    def _rels(d):
+        # a windowed drain reads each version's sidecar twice (as cur
+        # of n, then prev of n+1) — the one-entry cache halves that
+        if _cache is not None and _cache.get("dir") == d:
+            return _cache["rels"]
+        r = _sidecar_rels(d)
+        if _cache is not None:
+            _cache["dir"], _cache["rels"] = d, r
+        return r
+
+    # prev first, cur last: the cache then holds CUR when the next
+    # iteration asks for it as its prev
+    prev_rels = _rels(prev_dir) if prev_dir else set()
+    cur_rels = _rels(cur_dir)
+    if cur_rels is None or prev_rels is None:
+        cur = _data_files_with_ino(cur_dir)
+        prev = _data_files_with_ino(prev_dir) if prev_dir else {}
+        prev_inos = set(prev.values())
+        new = sorted(rel for rel, ino in cur.items() if ino not in prev_inos)
+        prev_leaves = {os.path.dirname(rel) for rel in prev}
+        return new, prev_leaves
+    return sorted(cur_rels - prev_rels), {
+        os.path.dirname(rel) for rel in prev_rels
+    }
+
+
 try:  # pyspark >= 4: python data source API
     from pyspark.sql.datasource import (
         DataSource,
@@ -416,6 +463,7 @@ try:  # pyspark >= 4: python data source API
                     "checkpoint (or raise the table's retention)"
                 )
             parts: list[_FilePartition] = []
+            cache: dict = {}  # consecutive commits share a sidecar read
             for n in range(lo + 1, hi + 1):
                 vdir = os.path.join(self.path, retained[n])
                 op = _commit_op(vdir)
@@ -446,7 +494,7 @@ try:  # pyspark >= 4: python data source API
                         "files cannot be derived — restart the stream from "
                         "a fresh checkpoint (or raise the table's retention)"
                     )
-                new = _new_files(prev_dir, vdir)
+                new_rels, prev_leaves = _new_rels(prev_dir, vdir, _cache=cache)
                 if prev_dir is not None:
                     # "new rows == new files" holds only when appends
                     # land in FRESH partitions (the epoch-partitioned
@@ -454,14 +502,10 @@ try:  # pyspark >= 4: python data source API
                     # partition — or any commit on an UNPARTITIONED
                     # table — rewrites old rows into the new files and
                     # would double-read them
-                    prev_leaves = {
-                        os.path.dirname(rel)
-                        for rel in _data_files_with_ino(prev_dir)
-                    }
                     stale = [
-                        p
-                        for p in new
-                        if os.path.dirname(os.path.relpath(p, vdir)) in prev_leaves
+                        rel
+                        for rel in new_rels
+                        if os.path.dirname(rel) in prev_leaves
                     ]
                     if stale:
                         raise ValueError(
@@ -472,7 +516,8 @@ try:  # pyspark >= 4: python data source API
                             "pattern); use storage.cdf.table_changes for "
                             "keyed diffs over rewriting tables"
                         )
-                for p in new:
+                for rel in new_rels:
+                    p = os.path.join(vdir, rel)
                     pvals = {}
                     for seg in os.path.dirname(
                         os.path.relpath(p, vdir)

@@ -180,9 +180,170 @@ def build_scaled(spark, mult: int) -> str:
     return out_dir
 
 
+def storage_probes(spark) -> dict:
+    """Round-9 brief item: the dedup spine has measured alphas — the
+    lakehouse paths get the same treatment. Times (a) stats-sidecar
+    prune PLANNING at 10k/100k file entries (the 100 TB file-count
+    regime, driver-side), (b) the appends-stream drain (planning +
+    vectorized pyarrow read, no Spark jobs) over 24- vs 192-commit
+    windows of one epoch-partitioned history, (c) the changes-source
+    drain over 12- vs 96-commit CDF histories, and (d)
+    TableChangesStream's per-commit diff cost over 10- vs 40-commit
+    windows (one Spark join per commit — the per-commit figure must
+    stay flat). Each entry reports the size ratio and the time ratio;
+    linear paths show time_ratio ≈ size_ratio, flat per-item costs
+    show per_item ratios ≈ 1."""
+    import shutil as _sh
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from a2b_spark.storage import stats as _stats
+    from a2b_spark.storage.cdf import (
+        TableChangesStream,
+        _AppendsStreamReader,
+        _ChangesStreamReader,
+    )
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    out: dict = {}
+
+    # (a) prune planning vs sidecar size — pure driver cost
+    for n in (10_000, 100_000):
+        stats = {
+            "version": _stats.STATS_FORMAT_VERSION,
+            "files": {
+                f"part-{i:07d}.parquet": {
+                    "rows": 1000,
+                    "cols": {
+                        "k": {
+                            "t": "i",
+                            "min": i * 1000,
+                            "max": i * 1000 + 999,
+                            "nulls": 0,
+                        }
+                    },
+                }
+                for i in range(n)
+            },
+        }
+        d = tempfile.mkdtemp(prefix="a2b_stats_probe_")
+        _stats.write_stats(d, stats)
+        best = math.inf
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            tbl = _stats.load_stats_arrow(d)
+            preds = _stats.normalize_predicates(
+                [("k", "between", (n * 500, n * 500 + 10_000))]
+            )
+            dropped = _stats.pruned_out_rels(tbl, preds)
+            best = min(best, _time.perf_counter() - t0)
+        _sh.rmtree(d, ignore_errors=True)
+        out[f"stats_prune_plan_{n}_files"] = {
+            "sec": round(best, 4),
+            "kept": n - len(dropped),
+        }
+
+    # (b) appends drain: one 192-commit epoch history, windowed drains
+    ap_dir = tempfile.mkdtemp(prefix="a2b_appends_probe_")
+    _sh.rmtree(ap_dir)
+    t = VersionedParquetTable(
+        ap_dir,
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=300,
+    )
+    one = spark.createDataFrame([(i, 0, float(i)) for i in range(64)],
+                                "k long, epoch int, x double")
+    for e in range(192):
+        t.append(one.withColumn("epoch", F.lit(e).cast("int")))
+    r = _AppendsStreamReader({"path": ap_dir})
+
+    def _drain_appends(hi: int) -> float:
+        best = math.inf
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            rows = 0
+            for p in r.partitions({"version": 0}, {"version": hi}):
+                for b in r.read(p):
+                    rows += b.num_rows
+            assert rows == 64 * hi
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    lo_s, hi_s = _drain_appends(24), _drain_appends(192)
+    out["appends_drain"] = {
+        "sec_24_commits": round(lo_s, 4),
+        "sec_192_commits": round(hi_s, 4),
+        "time_ratio_vs_8x_commits": round(hi_s / lo_s, 2),
+    }
+
+    # (c) changes-source drain over a CDF merge history
+    cd_dir = tempfile.mkdtemp(prefix="a2b_changes_probe_")
+    _sh.rmtree(cd_dir)
+    tc = VersionedParquetTable(cd_dir, key_cols=("k",), retention=300)
+    tc.overwrite(one.select("k", "x"))
+    tc.enable_cdf()
+    for i in range(96):
+        # +0.5 keeps the update a REAL change (x starts at float(k))
+        tc.merge(
+            spark.createDataFrame([(i % 64, i + 0.5), (1000 + i, 1.0)],
+                                  "k long, x double")
+        )
+    rc = _ChangesStreamReader({"path": cd_dir})
+
+    def _drain_changes(hi: int) -> float:
+        best = math.inf
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            rows = 0
+            for p in rc.partitions({"version": 2}, {"version": hi + 2}):
+                for b in rc.read(p):
+                    rows += b.num_rows
+            assert rows == 2 * hi
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    lo_c, hi_c = _drain_changes(12), _drain_changes(96)
+    out["changes_source_drain"] = {
+        "sec_12_commits": round(lo_c, 4),
+        "sec_96_commits": round(hi_c, 4),
+        "time_ratio_vs_8x_commits": round(hi_c / lo_c, 2),
+    }
+
+    # (d) TableChangesStream: one snapshot_diff JOB per commit — the
+    # per-commit cost is the scale figure (commits are processed one
+    # at a time; total is trivially linear in the window)
+    ck = tempfile.mkdtemp(prefix="a2b_tcs_ck_")
+    s = TableChangesStream(tc, spark, ck, start_version=2)
+    seen = []
+    t0 = _time.perf_counter()
+    s.process_available(lambda df, v: seen.append(df.count()))
+    full_dt = _time.perf_counter() - t0
+    _sh.rmtree(ck, ignore_errors=True)
+    per_commit = full_dt / max(1, len(seen))
+    out["table_changes_stream"] = {
+        "commits": len(seen),
+        "sec_total": round(full_dt, 2),
+        "sec_per_commit_diff": round(per_commit, 3),
+    }
+    _sh.rmtree(ap_dir, ignore_errors=True)
+    _sh.rmtree(cd_dir, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--storage",
+        action="store_true",
+        help="run ONLY the lakehouse storage probes (stats-prune "
+        "planning, appends/changes stream drains, TableChangesStream "
+        "per-commit cost) and merge them into the out file",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
     ap.add_argument(
         "--only",
@@ -193,6 +354,20 @@ def main() -> int:
         "without the full ~35-min resweep",
     )
     args = ap.parse_args()
+    if args.storage:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_storage")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["storage"] = storage_probes(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"storage": doc["storage"]}))
+        return 0
     sweep = QUERIES if args.only is None else args.only
     unknown = set(sweep) - set(QUERIES)
     if unknown:
