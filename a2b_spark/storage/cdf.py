@@ -40,6 +40,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from a2b_spark.storage.diff import align_to_after as _align_to
 from a2b_spark.storage.diff import attach_after_image as _attach_after_image
 from a2b_spark.storage.diff import snapshot_diff
 from a2b_spark.storage.table import (
@@ -89,6 +90,8 @@ def table_changes(
     out = None
     for i in range(lo + 1, hi + 1):
         prev_v, cur_v = versions[i - 1], versions[i]
+        if _commit_op(os.path.join(table.path, cur_v)) in _LAYOUT_ONLY_OPS:
+            continue  # provably empty diff: skip the table-sized join
         before = table.read(spark, version=prev_v)
         after = table.read(spark, version=cur_v)
         before = _align_to(before, after)
@@ -107,18 +110,6 @@ def table_changes(
     return out
 
 
-def _align_to(before: DataFrame, after: DataFrame) -> DataFrame:
-    """Project ``before`` to include every column of ``after``
-    (missing columns null-fill) — the same widening read() gives old
-    files after an ADD-COLUMN evolution. Without it, snapshot_diff
-    compares only SHARED columns and a commit that merely POPULATES
-    the new column reports no change at all: the CDF would silently
-    never deliver the evolved column's values for keys whose old
-    columns didn't move."""
-    missing = [f for f in after.schema.fields if f.name not in set(before.columns)]
-    for f in missing:
-        before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return before
 
 
 
@@ -245,9 +236,10 @@ def _commit_op(vdir: str) -> Optional[str]:
 
 def _data_files_with_ino(vdir: str) -> dict[str, int]:
     out = {}
+    from a2b_spark.storage.stats import keep_data_dir
+
     for root, dirs, files in os.walk(vdir):
-        # prune metadata dirs (_cdf) but never partition dirs (__epoch=0)
-        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        dirs[:] = [d for d in dirs if keep_data_dir(d)]
         for fn in files:
             if fn.startswith(("_", ".")):
                 continue
@@ -268,6 +260,34 @@ def _new_files(prev_dir: Optional[str], cur_dir: str) -> list[str]:
         for rel, ino in cur.items()
         if ino not in prev_inos
     )
+
+
+def _current_table_schema(path: str):
+    """The table's CURRENT logical schema via the one sidecar resolver
+    (``_version_schema`` — handles the pre-round-5 table-root sidecar
+    too; a bare per-version open crashed on legacy tables)."""
+    t = VersionedParquetTable(path, key_cols=())
+    cur = t.current_version()
+    if cur is None:
+        raise ValueError(f"no committed versions at {path}")
+    schema = t._version_schema(cur)
+    if schema is None:
+        raise ValueError(f"no _SCHEMA sidecar for {cur!r} at {path}")
+    return schema
+
+
+def _parse_part_values(rel: str) -> dict:
+    """Hive-style {col: unescaped value} from a data file's RELATIVE
+    path segments (``col=value``). Both the column NAME and the value
+    are hive-escaped on disk — an escaped key would never match
+    field.name and the column would silently null-fill (round-8 bug);
+    this is the one parser both streaming sources plan with."""
+    pvals: dict = {}
+    for seg in os.path.dirname(rel).split(os.sep):
+        if "=" in seg:
+            col, val = seg.split("=", 1)
+            pvals[_unescape_hive(col)] = _unescape_hive(val)
+    return pvals
 
 
 def _sidecar_rels(vdir: str) -> Optional[set]:
@@ -427,15 +447,9 @@ try:  # pyspark >= 4: python data source API
             self.table = VersionedParquetTable(self.path, key_cols=())
             start = options.get("startingversion")
             self._initial = int(start) if start is not None else 0
-            cur = self.table.current_version()
-            if cur is None:
-                # mirror DataSource.schema()'s guard: without it the
-                # os.path.join below raises an opaque TypeError
-                raise ValueError(f"no committed versions at {self.path!r}")
-            with open(os.path.join(self.path, cur, SCHEMA)) as f:
-                from pyspark.sql import types as T
+            from pyspark.sql import types as T
 
-                base = T.StructType.fromJson(json.load(f))
+            base = _current_table_schema(self.path)
             self._return_type = T.StructType(
                 base.fields + [T.StructField("_commit_version", T.IntegerType())]
             )
@@ -469,12 +483,21 @@ try:  # pyspark >= 4: python data source API
                 op = _commit_op(vdir)
                 if op in _LAYOUT_ONLY_OPS:
                     continue
-                if op is not None and op not in _APPEND_OPS:
+                if op is not None and (
+                    op not in _APPEND_OPS
+                    or (op == "overwrite" and n > 1)
+                ):
+                    # 'overwrite' is append-shaped ONLY as the initial
+                    # load: a later overwrite REPLACES the table — its
+                    # files may all land in fresh partitions (passing
+                    # the stale-partition check) while silently
+                    # deleting every previous row the stream already
+                    # emitted; the sink would diverge with no error
                     raise ValueError(
                         f"commit {retained[n]} has op {op!r}: the appends "
-                        "stream supports append-only tables (merge/delete "
-                        "rewrite old rows into new files); use "
-                        "storage.cdf.table_changes for keyed diffs"
+                        "stream supports append-only tables (merge/delete/"
+                        "non-initial overwrite rewrite or drop old rows); "
+                        "use storage.cdf.table_changes for keyed diffs"
                     )
                 prev_dir = (
                     os.path.join(self.path, retained[n - 1])
@@ -517,18 +540,11 @@ try:  # pyspark >= 4: python data source API
                             "keyed diffs over rewriting tables"
                         )
                 for rel in new_rels:
-                    p = os.path.join(vdir, rel)
-                    pvals = {}
-                    for seg in os.path.dirname(
-                        os.path.relpath(p, vdir)
-                    ).split(os.sep):
-                        if "=" in seg:
-                            c, val = seg.split("=", 1)
-                            # the column NAME is hive-escaped too — an
-                            # escaped key would never match field.name
-                            # and the column would silently null-fill
-                            pvals[_unescape_hive(c)] = _unescape_hive(val)
-                    parts.append(_FilePartition(p, n, pvals))
+                    parts.append(
+                        _FilePartition(
+                            os.path.join(vdir, rel), n, _parse_part_values(rel)
+                        )
+                    )
             return parts
 
         def read(self, partition: _FilePartition):
@@ -556,12 +572,7 @@ try:  # pyspark >= 4: python data source API
             path = self.options.get("path")
             if not path:
                 raise ValueError("a2b_table_appends requires option 'path'")
-            t = VersionedParquetTable(path, key_cols=())
-            cur = t.current_version()
-            if cur is None:
-                raise ValueError(f"no committed versions at {path}")
-            with open(os.path.join(path, cur, SCHEMA)) as f:
-                base = T.StructType.fromJson(json.load(f))
+            base = _current_table_schema(path)
             return T.StructType(
                 base.fields + [T.StructField("_commit_version", T.IntegerType())]
             )
@@ -574,12 +585,7 @@ try:  # pyspark >= 4: python data source API
         the streaming twin of ``table_changes(with_rows=True)``."""
         from pyspark.sql import types as T
 
-        t = VersionedParquetTable(path, key_cols=())
-        cur = t.current_version()
-        if cur is None:
-            raise ValueError(f"no committed versions at {path}")
-        with open(os.path.join(path, cur, SCHEMA)) as f:
-            base = T.StructType.fromJson(json.load(f))
+        base = _current_table_schema(path)
         clash = {"change", "_commit_version"} & {f.name for f in base.fields}
         if clash:
             raise ValueError(
@@ -660,15 +666,12 @@ try:  # pyspark >= 4: python data source API
                     # initial load: every row is an insert — stream the
                     # data files themselves, no change files needed
                     for rel in sorted(_data_files_with_ino(vdir)):
-                        p = os.path.join(vdir, rel)
-                        pvals = {}
-                        for seg in os.path.dirname(rel).split(os.sep):
-                            if "=" in seg:
-                                c, val = seg.split("=", 1)
-                                pvals[_unescape_hive(c)] = _unescape_hive(val)
                         parts.append(
                             _FilePartition(
-                                p, n, pvals, const_cols={"change": "insert"}
+                                os.path.join(vdir, rel),
+                                n,
+                                _parse_part_values(rel),
+                                const_cols={"change": "insert"},
                             )
                         )
                     continue

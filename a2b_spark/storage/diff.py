@@ -154,6 +154,21 @@ def attach_after_image(d: DataFrame, after: DataFrame, key_cols) -> DataFrame:
     return d.join(a, cond, "left").drop(*[f"__ra_{k}" for k in keys])
 
 
+def align_to_after(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Project ``before`` to include every column of ``after``
+    (missing columns null-fill) — the same widening read() gives old
+    files after an ADD-COLUMN evolution. Without it, snapshot_diff
+    compares only SHARED columns and a commit that merely POPULATES
+    the new column reports no change at all: the CDF would silently
+    never deliver the evolved column's values for keys whose old
+    columns didn't move. THE one alignment rule — batch table_changes,
+    the streaming twin, and commit-time change derivation all use it."""
+    missing = [f for f in after.schema.fields if f.name not in set(before.columns)]
+    for f in missing:
+        before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return before
+
+
 def keyed_changes(
     before: DataFrame, after: DataFrame, key_cols: Sequence[str]
 ) -> DataFrame:
@@ -165,12 +180,7 @@ def keyed_changes(
     Deletes carry NULL payloads. One full-outer join; output bounded
     by the commit's churn."""
     keys = list(key_cols)
-    missing = [
-        f for f in after.schema.fields if f.name not in set(before.columns)
-    ]
-    for f in missing:
-        before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
-    d = snapshot_diff(before, after, keys)
+    d = snapshot_diff(align_to_after(before, after), after, keys)
     return attach_after_image(d, after, keys)
 
 

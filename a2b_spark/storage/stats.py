@@ -128,6 +128,47 @@ def _coerce_literal(value: Any, tag: str) -> Any:
     return value
 
 
+def _date_safe_pred(op: str, value: Any, tag: str):
+    """Rewrite a predicate whose literal is a DATETIME (or datetime
+    string) but whose column is a DATE into the equivalent safe date
+    predicate. Spark promotes the date column to timestamp, so plain
+    truncation over-prunes ``<``: ``d < D+t`` (t > 0) matches rows
+    with ``d = D`` — the round-8 float-vs-int truncation bug's date
+    twin. ``<`` with a non-midnight time becomes ``<= D``; every other
+    op truncates safely (``>=``/``=`` merely widen). tz-AWARE datetime
+    literals additionally depend on the session zone the stats don't
+    know — returns ``(None, None)``: an unusable bound, skip the
+    predicate (keep all files)."""
+    if tag != "d":
+        return op, value
+
+    def conv(v, o):
+        if isinstance(v, str):
+            try:
+                _dt.date.fromisoformat(v)
+                return o, v  # plain date string: truncation-free
+            except ValueError:
+                try:
+                    v = _dt.datetime.fromisoformat(v)
+                except ValueError:
+                    return o, v  # not a datetime either: _lit will raise
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                return None, None
+            if o == "<" and v.time() != _dt.time():
+                return "<=", v.date()
+            return o, v.date()
+        return o, v
+
+    if op == "between":
+        o1, lo = conv(value[0], ">=")
+        o2, hi = conv(value[1], "<=")
+        if o1 is None or o2 is None:
+            return None, None
+        return "between", (lo, hi)
+    return conv(value, op)
+
+
 def collect_parquet_file_stats(path: str) -> dict:
     """Footer-only stats for ONE parquet file:
     {"rows": n, "cols": {name: {"t": tag, "min": v|None, "max": v|None,
@@ -190,11 +231,21 @@ def collect_parquet_file_stats(path: str) -> dict:
     return {"rows": md.num_rows, "cols": cols}
 
 
+def keep_data_dir(name: str) -> bool:
+    """True when a directory may hold DATA files. Metadata dirs
+    (``_cdf``) are ``_``/``.``-prefixed and pruned — but a hive
+    PARTITION dir may legitimately start with ``_`` too (``__epoch=0``),
+    so "contains =" wins over the underscore rule. THE one predicate —
+    every version-dir walker (stats harvest, reads, hardlink commits,
+    appends planning) must agree or files silently flip between data
+    and metadata."""
+    return "=" in name or not name.startswith(("_", "."))
+
+
 def _data_files(version_dir: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(version_dir):
-        # prune metadata dirs (_cdf) but never partition dirs (__epoch=0)
-        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        dirs[:] = [d for d in dirs if keep_data_dir(d)]
         for fn in files:
             if fn.startswith(("_", ".")):
                 continue
@@ -446,6 +497,9 @@ def prune_fail_mask(tbl, predicates: Sequence[tuple]):
         if sp is None:
             continue  # no stats for this column -> can't prune on it
         tag = sp["t"]
+        op, value = _date_safe_pred(op, value, tag)
+        if op is None:
+            continue  # unusable bound (tz-aware datetime on a date col)
         mn, mx = tbl.column(sp["min"]), tbl.column(sp["max"])
         nl = tbl.column(sp["nulls"])
         if tag == "i":
@@ -708,6 +762,9 @@ def file_may_match(entry: dict, predicates: Sequence[tuple]) -> bool:
         if c is None:
             continue  # no stats for this column -> can't prune on it
         tag = c["t"]
+        op, value = _date_safe_pred(op, value, tag)
+        if op is None:
+            continue  # unusable bound (tz-aware datetime on a date col)
         # every supported op compares against non-null values; a file
         # whose column is entirely null cannot satisfy any of them
         if (

@@ -230,11 +230,10 @@ class VersionedParquetTable:
     def _has_data_files(vdir: str) -> bool:
         """True when the version dir holds any DATA file — ``_``/``.``
         prefixed files AND directories (``_cdf``) are metadata."""
+        from a2b_spark.storage.stats import keep_data_dir
+
         for root, dirs, files in os.walk(vdir):
-            dirs[:] = [
-                d for d in dirs
-                if "=" in d or not d.startswith(("_", "."))
-            ]
+            dirs[:] = [d for d in dirs if keep_data_dir(d)]
             if any(not fn.startswith(("_", ".")) for fn in files):
                 return True
         return False
@@ -539,7 +538,13 @@ class VersionedParquetTable:
         if version == base:
             return  # restoring the live version is a no-op
         cdf = None
-        if self.cdf_enabled(base):
+        # the NEW version inherits the RESTORED version's _CDF_ENABLED
+        # sidecar (not the base's) — gate on that, or a CDF-enabled
+        # restore commit would carry no change files and permanently
+        # wedge any stream crossing it (round-9 review finding). If
+        # the restore rolls the flag OFF, streams stop there like any
+        # disable — the property is versioned metadata by design.
+        if self.cdf_enabled(version):
             # the restore commit's change rows are the INVERSE of what
             # it undoes: a keyed diff current → restored snapshot
             if spark is None:
@@ -607,14 +612,11 @@ class VersionedParquetTable:
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
         os.makedirs(tmp_target)
         for root, dirs, files in os.walk(src_dir):
-            # never descend into per-commit metadata dirs (_cdf): their
-            # contents are commit-scoped, not table content — but a
-            # partition dir may legitimately start with "_" (__epoch=0),
-            # so "contains =" wins over the underscore rule
-            dirs[:] = [
-                d for d in dirs
-                if "=" in d or not d.startswith(("_", "."))
-            ]
+            # never descend into per-commit metadata dirs (_cdf):
+            # their contents are commit-scoped, not table content
+            from a2b_spark.storage.stats import keep_data_dir
+
+            dirs[:] = [d for d in dirs if keep_data_dir(d)]
             rel_root = os.path.relpath(root, src_dir)
             dst_root = (
                 tmp_target
@@ -1637,8 +1639,14 @@ class VersionedParquetTable:
         (newer than the marker) must not occupy a retention slot —
         otherwise it would silently push committed time-travel history,
         or at keep=1 the live version itself, out of the window. Orphan
-        dirs newer than ``_CURRENT`` are deleted unconditionally; the
+        dirs newer than ``_CURRENT`` are deleted only after the same
+        grace period as staging dirs — a CONCURRENT writer sits between
+        ``_claim_version_dir`` and the marker flip for a moment, and an
+        ungraced vacuum there would delete the dir the marker is about
+        to point at, bricking the table (round-9 review finding). The
         live version is always preserved."""
+        import time as _time
+
         keep = self.retention if keep is None else keep
         if not os.path.isdir(self.path):
             return
@@ -1650,8 +1658,17 @@ class VersionedParquetTable:
             # deleting here would turn a recoverable state (rewrite the
             # marker by hand) into permanent data loss. No-op.
             return
+        cutoff = _time.time() - 3600
         committed = [d for d in all_dirs if d <= cur]
-        orphans = [d for d in all_dirs if d > cur]
+        orphans = []
+        for d in all_dirs:
+            if d <= cur:
+                continue
+            try:
+                if os.path.getmtime(os.path.join(self.path, d)) < cutoff:
+                    orphans.append(d)  # crashed writer's leftover
+            except OSError:
+                pass  # vanished mid-scan (the writer just claimed it)
         doomed = committed[:-keep] if keep else committed
         for d in doomed + orphans:
             if d == cur:

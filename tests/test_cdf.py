@@ -524,3 +524,33 @@ def test_earliest_streamable_version_contract(spark, tmp_path):
     bad = TableChangesStream(t, spark, str(tmp_path / "ck_bad"), start_version=es - 1)
     with pytest.raises(ValueError, match="vacuumed"):
         bad.process_available(lambda df, v: df.count())
+
+
+def test_appends_stream_rejects_non_initial_overwrite(spark, tmp_path):
+    """Round-9 review finding: a LATER overwrite replaces the table;
+    its files can all land in fresh partitions (passing the
+    stale-partition check) while silently deleting every previously
+    streamed row — the reader must raise, accepting 'overwrite' only
+    as the initial load."""
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    t = VersionedParquetTable(
+        str(tmp_path / "ow"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=10,
+    )
+    t.overwrite(spark.createDataFrame([(1, 0, 1.0)], "k long, epoch int, x double"))
+    t.append(spark.createDataFrame([(2, 1, 2.0)], "k long, epoch int, x double"))
+    # the replacement: only epoch=99 survives — rows 1/2 are GONE
+    t.overwrite(spark.createDataFrame([(9, 99, 9.0)], "k long, epoch int, x double"))
+    r = _AppendsStreamReader({"path": t.path})
+    with pytest.raises(ValueError, match="overwrite"):
+        r.partitions({"version": 0}, {"version": 3})
+    # the initial-load overwrite (commit 1) stays legal
+    rows = []
+    for p in r.partitions({"version": 0}, {"version": 2}):
+        for b in r.read(p):
+            rows.extend(b.to_pylist())
+    assert {(d["k"], d["_commit_version"]) for d in rows} == {(1, 1), (2, 2)}

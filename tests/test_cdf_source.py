@@ -293,3 +293,30 @@ def _drain_cols(spark, t, ck, out, cols):
         .awaitTermination(120)
     )
     return {tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect()}
+
+
+def test_restore_cdf_gate_follows_restored_versions_flag(spark, tmp_path):
+    """Round-9 review finding: the restore commit inherits the
+    RESTORED version's _CDF_ENABLED sidecar, so the change-file gate
+    must follow THAT flag, not the base's — otherwise a CDF-enabled
+    restore commit ships no change files and wedges every stream
+    crossing it."""
+    t = VersionedParquetTable(str(tmp_path / "rg"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))  # v1
+    t.enable_cdf()                                                      # v2
+    t.merge(spark.createDataFrame([(2, "b")], "k long, v string"))      # v3
+    t.disable_cdf()                                                     # v4
+    t.merge(spark.createDataFrame([(3, "c")], "k long, v string"))      # v5
+    enabled_v = t.versions()[2]  # v3: flag ON
+    # restoring to a CDF-ON version: change rows required -> needs spark
+    with pytest.raises(ValueError, match="needs the"):
+        t.restore(enabled_v)
+    t.restore(enabled_v, spark)                                         # v6
+    assert t.cdf_enabled()
+    vdir = os.path.join(t.path, t.current_version())
+    assert os.path.isdir(os.path.join(vdir, CDF_DIR))  # inverse diff staged
+    # restoring to a CDF-OFF version needs no session and stages nothing
+    t.restore(t.versions()[0])                                          # v7
+    assert not t.cdf_enabled()
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.isdir(os.path.join(vdir, CDF_DIR))

@@ -900,3 +900,42 @@ def test_merge_file_pruning_cdf_and_constraints_ride_along(spark, tmp_path):
         t.merge(spark.createDataFrame([(4, -1.0)], "k long, x double"))
     assert t.current_version() == pre
     assert not [f for f in os.listdir(t.path) if f.startswith(".tmp-")]
+
+
+def test_datetime_literal_on_date_column_never_over_prunes(spark, tmp_path):
+    """Round-9 review finding: a DATETIME literal on a DATE column
+    truncated to .date(), so 'd < 2020-01-02 12:00' pruned a file
+    holding d = 2020-01-02 — which Spark's promoted-to-timestamp
+    filter MATCHES (midnight < noon). The rewrite must keep it; exact
+    results via read_pruned either way; tz-aware literals are unusable
+    bounds (keep everything)."""
+    import datetime as dt
+
+    from a2b_spark.storage.stats import (
+        file_may_match,
+        normalize_predicates,
+    )
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    entry = {
+        "rows": 5,
+        "cols": {"d": {"t": "d", "min": "2020-01-02", "max": "2020-01-05", "nulls": 0}},
+    }
+    noon = dt.datetime(2020, 1, 2, 12, 0)
+    # '<' noon must KEEP the file (d = 2020-01-02 matches in Spark)
+    assert file_may_match(entry, normalize_predicates([("d", "<", noon)]))
+    # midnight keeps the strict semantics: min >= bound -> prune
+    mid = dt.datetime(2020, 1, 2)
+    assert not file_may_match(entry, normalize_predicates([("d", "<", mid)]))
+    # tz-aware literal: unusable bound, file kept
+    aware = noon.replace(tzinfo=dt.timezone.utc)
+    assert file_may_match(entry, normalize_predicates([("d", "<", aware)]))
+
+    # end-to-end: pruned read == plain filtered read
+    t = VersionedParquetTable(str(tmp_path / "d"), key_cols=("k",), retention=5)
+    rows = [(i, dt.date(2020, 1, 1) + dt.timedelta(days=i)) for i in range(10)]
+    t.overwrite(spark.createDataFrame(rows, "k long, d date"))
+    t.compact(spark, target_file_bytes=1 << 10, min_files=1, cluster_by=["d"])
+    got = _rows(t.read_pruned(spark, [("d", "<", noon)]))
+    want = _rows(t.read(spark).filter(F.col("d") < F.lit(noon)))
+    assert got == want and got

@@ -131,20 +131,33 @@ def test_vacuum_ignores_orphan_dirs(spark, table):
     """A crashed writer's orphan dir (newer than _CURRENT, never
     committed) must not occupy a retention slot: with keep=1 vacuum
     must keep the LIVE version, not count the orphan toward `keep` and
-    delete committed history. Orphans themselves are swept."""
+    delete committed history. STALE orphans are swept; a FRESH one may
+    be a concurrent writer between claim and marker flip — vacuum must
+    leave it alone or it would delete the dir _CURRENT is about to
+    point at (round-9 review finding)."""
+    import shutil
+    import time
+
     table.merge(
         spark.createDataFrame([(0, "p0", "CHANGED")], "id int, p string, v string")
     )
     live = table.current_version()
-    # simulate a mid-commit crash: a version dir newer than _CURRENT
+    # simulate a mid-commit crash LONG AGO: stale orphan, swept
     orphan = os.path.join(table.path, "v_99999999999999_zz")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-half-written.parquet"), "w") as f:
         f.write("garbage")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    # and a writer claiming RIGHT NOW: fresh orphan, preserved
+    claimed = os.path.join(table.path, "v_99999999999999_aa")
+    os.makedirs(claimed)
     table.vacuum(keep=1)
     assert table.versions() == [live]
-    assert not os.path.isdir(orphan), "orphan dir must be swept"
+    assert not os.path.isdir(orphan), "stale orphan dir must be swept"
+    assert os.path.isdir(claimed), "in-flight claimed dir must survive"
     assert table.read(spark).count() == 40
+    shutil.rmtree(claimed)
 
 
 def test_vacuum_noop_without_current_marker(spark, table):
