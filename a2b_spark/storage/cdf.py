@@ -447,6 +447,9 @@ try:  # pyspark >= 4: python data source API
             self.table = VersionedParquetTable(self.path, key_cols=())
             start = options.get("startingversion")
             self._initial = int(start) if start is not None else 0
+            mc = options.get("maxcommitspertrigger")
+            self._max_commits = int(mc) if mc is not None else None
+            self._cursor: Optional[int] = None  # last planned end offset
             from pyspark.sql import types as T
 
             base = _current_table_schema(self.path)
@@ -458,11 +461,31 @@ try:  # pyspark >= 4: python data source API
             return {"version": self._initial}
 
         def latestOffset(self) -> dict:
-            n = self.table.current_version_number()
-            return {"version": int(n or 0)}
+            """Rate limiting (Delta maxFilesPerTrigger analogue): with
+            option maxCommitsPerTrigger=N a micro-batch advances at
+            most N commits past the last PLANNED/COMMITTED offset. The
+            Python DataSource API has no admission control (the engine
+            never tells the reader its restored offset before asking
+            for the latest one — latestOffset is argless and called
+            FIRST), so the first batch of every run is UNBOUNDED;
+            capping starts from the second batch. Capping the first
+            batch against `startingversion` instead would permanently
+            stall a restarted stream whose checkpoint sits past the
+            cap."""
+            return self._rate_limited_latest()
+
+        def _rate_limited_latest(self) -> dict:
+            n = int(self.table.current_version_number() or 0)
+            if self._max_commits is None or self._cursor is None:
+                return {"version": n}
+            return {"version": min(n, self._cursor + self._max_commits)}
+
+        def commit(self, end: dict) -> None:
+            self._cursor = max(self._cursor or 0, int(end["version"]))
 
         def partitions(self, start: dict, end: dict):
             lo, hi = int(start["version"]), int(end["version"])
+            self._cursor = max(self._cursor or 0, hi)
             if hi <= lo:
                 return []
             retained = {
@@ -553,9 +576,6 @@ try:  # pyspark >= 4: python data source API
             directory segments parsed at planning time."""
             return _file_record_batches(partition, self._return_type, self._tz)
 
-        def commit(self, end: dict) -> None:
-            pass
-
     class VersionAppendsDataSource(DataSource):
         """``readStream.format("a2b_table_appends").option("path", …)``
         — streams each commit's appended rows with a
@@ -623,17 +643,31 @@ try:  # pyspark >= 4: python data source API
             self.table = VersionedParquetTable(self.path, key_cols=())
             start = options.get("startingversion")
             self._initial = int(start) if start is not None else 0
+            mc = options.get("maxcommitspertrigger")
+            self._max_commits = int(mc) if mc is not None else None
+            self._cursor: Optional[int] = None
             self._return_type = _changes_return_type(self.path)
 
         def initialOffset(self) -> dict:
             return {"version": self._initial}
 
         def latestOffset(self) -> dict:
-            n = self.table.current_version_number()
-            return {"version": int(n or 0)}
+            """See _AppendsStreamReader.latestOffset: same
+            maxCommitsPerTrigger rate-limit contract."""
+            return self._rate_limited_latest()
+
+        def _rate_limited_latest(self) -> dict:
+            n = int(self.table.current_version_number() or 0)
+            if self._max_commits is None or self._cursor is None:
+                return {"version": n}
+            return {"version": min(n, self._cursor + self._max_commits)}
+
+        def commit(self, end: dict) -> None:
+            self._cursor = max(self._cursor or 0, int(end["version"]))
 
         def partitions(self, start: dict, end: dict):
             lo, hi = int(start["version"]), int(end["version"])
+            self._cursor = max(self._cursor or 0, hi)
             if hi <= lo:
                 return []
             retained = {
@@ -685,9 +719,6 @@ try:  # pyspark >= 4: python data source API
 
         def read(self, partition: _FilePartition):
             return _file_record_batches(partition, self._return_type, self._tz)
-
-        def commit(self, end: dict) -> None:
-            pass
 
     class TableChangesDataSource(DataSource):
         """``readStream.format("a2b_table_changes").option("path", …)``

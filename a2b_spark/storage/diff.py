@@ -156,16 +156,21 @@ def attach_after_image(d: DataFrame, after: DataFrame, key_cols) -> DataFrame:
 
 def align_to_after(before: DataFrame, after: DataFrame) -> DataFrame:
     """Project ``before`` to include every column of ``after``
-    (missing columns null-fill) — the same widening read() gives old
-    files after an ADD-COLUMN evolution. Without it, snapshot_diff
+    (missing columns null-fill, narrower types upcast) — the same
+    widening read() gives old files after an ADD-COLUMN or
+    TYPE-WIDENING evolution. Without the null-fill, snapshot_diff
     compares only SHARED columns and a commit that merely POPULATES
-    the new column reports no change at all: the CDF would silently
-    never deliver the evolved column's values for keys whose old
-    columns didn't move. THE one alignment rule — batch table_changes,
-    the streaming twin, and commit-time change derivation all use it."""
-    missing = [f for f in after.schema.fields if f.name not in set(before.columns)]
-    for f in missing:
-        before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+    the new column reports no change at all; without the cast, the
+    payload-struct comparison across a widen boundary fails to resolve
+    (struct<int> vs struct<bigint>). THE one alignment rule — batch
+    table_changes, the streaming twin, and commit-time change
+    derivation all use it."""
+    have = {f.name: f.dataType for f in before.schema.fields}
+    for f in after.schema.fields:
+        if f.name not in have:
+            before = before.withColumn(f.name, F.lit(None).cast(f.dataType))
+        elif have[f.name] != f.dataType:
+            before = before.withColumn(f.name, F.col(f.name).cast(f.dataType))
     return before
 
 

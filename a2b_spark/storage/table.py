@@ -61,8 +61,20 @@ LAYOUT_ONLY_OPS = {
     "add_constraint",
     "drop_constraint",
     "drop_columns",
+    "widen_column",
     "enable_cdf",
     "disable_cdf",
+}
+
+# Delta-style TYPE WIDENING pairs whose parquet files Spark 4 reads
+# directly under the wider schema (vectorized-reader upcast) — the
+# widen commit can therefore be metadata-only, zero files rewritten
+_WIDEN_OK = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+    ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
 }
 
 
@@ -796,6 +808,56 @@ class VersionedParquetTable:
                 SCHEMA: _json.dumps(new_schema.jsonValue()),
                 DROPPED: _json.dumps(tombs),
             },
+        )
+
+    def widen_column(self, spark: SparkSession, col: str, new_type: str) -> None:
+        """TYPE WIDENING (Delta ``ALTER TABLE … TYPE`` parity): a
+        METADATA-ONLY commit — data files hardlink, only the
+        ``_SCHEMA`` sidecar's field type widens, and every read
+        upcasts the old physical values in the parquet reader (Spark 4
+        reads int32 under bigint/double natively). Only the safe pairs
+        in ``_WIDEN_OK`` are allowed; anything lossy (long→int,
+        double→float, string↔numeric) raises. Time travel still reads
+        each version under ITS OWN type; CDF treats the commit as
+        layout-only (no row changed)."""
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"cannot widen columns at {self.path}: commit data first "
+                "(schema is versioned metadata)"
+            )
+        schema = self._version_schema(cur)
+        if schema is None:
+            schema = self.read(spark, version=cur).schema
+        names = {f.name: f for f in schema.fields}
+        if col not in names:
+            raise ValueError(f"no such column {col!r} at {self.path}")
+        target = T._parse_datatype_string(new_type)
+        old_s = names[col].dataType.simpleString()
+        new_s = target.simpleString()
+        if old_s == new_s:
+            return  # already that type: no-op
+        if (old_s, new_s) not in _WIDEN_OK:
+            raise ValueError(
+                f"cannot widen {col!r} {old_s} -> {new_s}: only the safe "
+                f"upcasts {sorted(_WIDEN_OK)} are metadata-only"
+            )
+        new_schema = T.StructType(
+            [
+                T.StructField(f.name, target if f.name == col else f.dataType,
+                              f.nullable, f.metadata)
+                for f in schema.fields
+            ]
+        )
+        self._hardlink_commit(
+            cur,
+            op="widen_column",
+            base=cur,
+            replace_files={SCHEMA: _json.dumps(new_schema.jsonValue())},
         )
 
     # ------------------------------------------------- change data feed

@@ -320,3 +320,40 @@ def test_restore_cdf_gate_follows_restored_versions_flag(spark, tmp_path):
     assert not t.cdf_enabled()
     vdir = os.path.join(t.path, t.current_version())
     assert not os.path.isdir(os.path.join(vdir, CDF_DIR))
+
+
+def test_max_commits_per_trigger_rate_limits(spark, tmp_path):
+    """maxCommitsPerTrigger=2, driven through the engine's exact call
+    sequence (latestOffset FIRST, then initialOffset, then
+    partitions): the first batch of a run is unbounded (the argless
+    latestOffset cannot know a restored checkpoint — capping it would
+    stall restarts), every later batch advances at most 2 commits,
+    and commit() also moves the cursor so a progressing stream never
+    re-caps below its own position."""
+    from a2b_spark.storage.cdf import _ChangesStreamReader
+
+    t = VersionedParquetTable(str(tmp_path / "rl"), key_cols=("k",), retention=20)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))  # v1
+    t.enable_cdf()                                                      # v2
+    for i in range(2, 6):                                               # v3..v6
+        t.merge(spark.createDataFrame([(i, "x")], "k long, v string"))
+
+    r = _ChangesStreamReader({"path": t.path, "maxcommitspertrigger": "2"})
+    first = r.latestOffset()           # engine asks latest FIRST
+    assert first == {"version": 6}     # run-opening batch: unbounded
+    assert r.initialOffset() == {"version": 0}
+    parts = r.partitions({"version": 0}, first)
+    assert parts  # v1 inserts + 4 merge diffs planned
+
+    for i in range(6, 12):                                              # v7..v12
+        t.merge(spark.createDataFrame([(i, "x")], "k long, v string"))
+    nxt = r.latestOffset()
+    assert nxt == {"version": 8}       # capped: 6 + 2
+    r.partitions(first, nxt)
+    assert r.latestOffset() == {"version": 10}
+    r.commit({"version": 10})          # engine commits without planning
+    assert r.latestOffset() == {"version": 12}
+    # uncapped reader drains everything at once
+    r2 = _ChangesStreamReader({"path": t.path})
+    r2.initialOffset()
+    assert r2.latestOffset() == {"version": 12}

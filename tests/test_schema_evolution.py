@@ -309,3 +309,75 @@ def test_appends_stream_skips_drop_commit(spark, tmp_path):
     assert {tuple(sorted(d)) for d in rows} == {("_commit_version", "epoch", "k")}
     got = {(d["k"], d["_commit_version"]) for d in rows}
     assert got == {(1, 1), (2, 3)}
+
+
+# -------------------------------------------------------- TYPE WIDENING
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """widen_column is metadata-only: every data file hardlinks, reads
+    upcast the old int32 pages under the bigint schema, time travel
+    keeps the narrow type, and unsafe pairs raise."""
+    t = VersionedParquetTable(str(tmp_path / "w"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, 10, 1.5), (2, 20, 2.5)],
+                                      "k long, n int, f float"))
+    pre = t.current_version()
+    t.widen_column(spark, "n", "bigint")
+    t.widen_column(spark, "f", "double")
+    assert t.history()[-1]["op"] == "widen_column"
+    vdir = os.path.join(t.path, t.current_version())
+    links = [
+        os.stat(os.path.join(vdir, fn)).st_nlink
+        for fn in os.listdir(vdir)
+        if not fn.startswith(("_", "."))
+    ]
+    assert links and all(n > 1 for n in links)  # zero files rewritten
+    cur = t.read(spark)
+    assert dict(cur.dtypes)["n"] == "bigint"
+    assert dict(cur.dtypes)["f"] == "double"
+    assert {(r.k, r.n, r.f) for r in cur.collect()} == {(1, 10, 1.5), (2, 20, 2.5)}
+    # time travel: pre-widen version keeps ITS OWN narrow types
+    old = t.read(spark, version=pre)
+    assert dict(old.dtypes)["n"] == "int"
+    # guards
+    with pytest.raises(ValueError, match="no such column"):
+        t.widen_column(spark, "nope", "bigint")
+    with pytest.raises(ValueError, match="only the safe"):
+        t.widen_column(spark, "n", "int")  # bigint -> int narrows
+    with pytest.raises(ValueError, match="only the safe"):
+        t.widen_column(spark, "k", "string")
+    t.widen_column(spark, "n", "bigint")  # same type: silent no-op
+
+
+def test_widen_then_merge_and_cdf_across_boundary(spark, tmp_path):
+    """After a widen, merges keep hardlinking old narrow files
+    (partitioned touched path), pruned reads bind long predicates
+    against the old int stats, and table_changes crosses the boundary
+    (narrow before-frame upcast by align_to_after)."""
+    from a2b_spark.storage.cdf import table_changes
+
+    t = VersionedParquetTable(
+        str(tmp_path / "wm"),
+        key_cols=("k",),
+        partition_by=("p",),
+        retention=10,
+    )
+    t.overwrite(spark.createDataFrame([(1, 0, 10), (2, 1, 20)],
+                                      "k long, p int, n int"))
+    t.widen_column(spark, "n", "bigint")
+    t.merge(spark.createDataFrame([(3, 0, 2_000_000_000_000)],
+                                  "k long, p int, n bigint"))
+    got = {(r.k, r.n) for r in t.read(spark).collect()}
+    assert got == {(1, 10), (2, 20), (3, 2_000_000_000_000)}
+    # p=1 untouched by the merge: still hardlinked narrow files
+    vdir = os.path.join(t.path, t.current_version(), "p=1")
+    links = [
+        os.stat(os.path.join(vdir, fn)).st_nlink
+        for fn in os.listdir(vdir)
+        if not fn.startswith(("_", "."))
+    ]
+    assert links and all(n > 1 for n in links)
+    # version_diff across the widen boundary (narrow vs wide frames)
+    d = {(r.k, r.change, r._commit_version)
+         for r in table_changes(t, spark).collect()}
+    assert d == {(3, "insert", 3)}  # widen commit itself is silent
