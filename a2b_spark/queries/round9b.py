@@ -266,3 +266,70 @@ ORACLES = {
     "q149_changes_stream_rollup": O_Q149,
     "q150_drop_column_walk": O_Q150,
 }
+
+
+# --------------------------------------------------------------- Q151
+def q151_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality suite over customer, computed in ONE
+    aggregation pass (operators/expectations.py) — completeness,
+    uniqueness, value bounds, set membership, a custom row predicate,
+    and a size gate; the oracle recomputes every metric in SQL, so the
+    driver hash certifies both the metrics and the pass/fail logic."""
+    from a2b_spark.operators.expectations import ExpectationSuite
+
+    c = _t(spark, sf_dir, "customer")
+    rep = (
+        ExpectationSuite()
+        .completeness("c_name", min_ratio=1.0)
+        .uniqueness("c_custkey", min_ratio=1.0)
+        .min_value("c_acctbal", -1000.0)
+        .max_value("c_acctbal", 10000.0)
+        .in_set(
+            "c_mktsegment",
+            ["BUILDING", "MACHINERY", "AUTOMOBILE"],
+            min_ratio=0.4,
+        )
+        .satisfies(
+            "name_prefixed",
+            F.substring(F.col("c_name"), 1, 9) == F.lit("Customer#"),
+            min_ratio=1.0,
+        )
+        .size_between(10, 10_000_000)
+        .run(c)
+    )
+    return rep.orderBy("expectation", "column")
+
+
+O_Q151 = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN c_name IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS nn,
+         CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) AS d,
+         CAST(MIN(c_acctbal) AS DOUBLE) AS mn,
+         CAST(MAX(c_acctbal) AS DOUBLE) AS mx,
+         CAST(SUM(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE')
+                       THEN 1 ELSE 0 END) AS DOUBLE) AS seg,
+         CAST(SUM(CASE WHEN substr(c_name, 1, 9) = 'Customer#' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS ph
+  FROM customer
+)
+SELECT * FROM (
+  SELECT 'completeness' AS expectation, 'c_name' AS "column",
+         nn / n AS metric, CAST(1.0 AS DOUBLE) AS threshold, nn / n >= 1.0 AS passed FROM m
+  UNION ALL
+  SELECT 'in_set', 'c_mktsegment', seg / n, CAST(0.4 AS DOUBLE), seg / n >= 0.4 FROM m
+  UNION ALL
+  SELECT 'max_value', 'c_acctbal', mx, CAST(10000.0 AS DOUBLE), mx <= 10000.0 FROM m
+  UNION ALL
+  SELECT 'min_value', 'c_acctbal', mn, CAST(-1000.0 AS DOUBLE), mn >= -1000.0 FROM m
+  UNION ALL
+  SELECT 'satisfies', 'name_prefixed', ph / n, CAST(1.0 AS DOUBLE), ph / n >= 1.0 FROM m
+  UNION ALL
+  SELECT 'size_between', '*', n, CAST(10.0 AS DOUBLE), n >= 10 AND n <= 10000000 FROM m
+  UNION ALL
+  SELECT 'uniqueness', 'c_custkey', d / n, CAST(1.0 AS DOUBLE), d / n >= 1.0 FROM m
+) ORDER BY expectation, "column"
+"""
+
+QUERIES["q151_expectations_report"] = q151_expectations_report
+ORACLES["q151_expectations_report"] = O_Q151
