@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 
 class ExpectationSuite:
     def __init__(self, approx: bool = False):
-        # (kind, column, threshold, agg_builder, metric_from_row)
+        # (kind, column, threshold, agg_exprs, metric_from_row,
+        #  passed_fn or None-for-default)
         self._checks: list = []
         self._approx = approx
 
@@ -65,6 +66,7 @@ class ExpectationSuite:
                     if not row["__n"]
                     else (row[f"__e{i}_ok"] or 0) / row["__n"]
                 ),
+                None,
             )
         )
         return self
@@ -93,6 +95,7 @@ class ExpectationSuite:
                 lambda row, i=i: (
                     None if not row["__n"] else (row[f"__e{i}_d"] or 0) / row["__n"]
                 ),
+                None,
             )
         )
         return self
@@ -110,6 +113,7 @@ class ExpectationSuite:
                 lambda row, i=i: (
                     None if row[f"__e{i}_m"] is None else float(row[f"__e{i}_m"])
                 ),
+                None,
             )
         )
         return self
@@ -126,6 +130,7 @@ class ExpectationSuite:
                 lambda row, i=i: (
                     None if row[f"__e{i}_m"] is None else float(row[f"__e{i}_m"])
                 ),
+                lambda metric, bound=float(bound): metric <= bound,
             )
         )
         return self
@@ -148,7 +153,9 @@ class ExpectationSuite:
         return self._ratio("satisfies", name, cond, min_ratio)
 
     def size_between(self, lo: int, hi: Optional[int] = None):
-        """Row count within [lo, hi] (metric = count)."""
+        """Row count within [lo, hi] (metric = count; the report's
+        threshold column carries lo — hi rides the check itself, so
+        multiple size checks never interfere)."""
         self._checks.append(
             (
                 "size_between",
@@ -156,9 +163,11 @@ class ExpectationSuite:
                 float(lo),
                 [],
                 lambda row: float(row["__n"]),
+                lambda metric, lo=float(lo), hi=hi: (
+                    metric >= lo and (hi is None or metric <= hi)
+                ),
             )
         )
-        self._size_hi = hi  # noqa: attribute checked in run()
         return self
 
     # ------------------------------------------------------------- run
@@ -168,19 +177,16 @@ class ExpectationSuite:
         if not self._checks:
             raise ValueError("empty expectation suite")
         aggs = [F.count(F.lit(1)).alias("__n")]
-        for _, _, _, a, _ in self._checks:
+        for _, _, _, a, _, _ in self._checks:
             aggs.extend(a)
         row = df.agg(*aggs).first()  # 1-row bounded pull by design
         out = []
-        for kind, col, threshold, _, metric_fn in self._checks:
+        for kind, col, threshold, _, metric_fn, passed_fn in self._checks:
             metric = metric_fn(row)
             if metric is None:
                 passed = False  # empty input / all-NULL: can't certify
-            elif kind == "max_value":
-                passed = metric <= threshold
-            elif kind == "size_between":
-                hi = getattr(self, "_size_hi", None)
-                passed = metric >= threshold and (hi is None or metric <= hi)
+            elif passed_fn is not None:
+                passed = passed_fn(metric)
             else:  # ratios and min_value: measured >= threshold
                 passed = metric >= threshold
             out.append(

@@ -57,7 +57,7 @@ def _batch_oracle(t, spark):
 
 def _drain(spark, t, ck, out):
     spark.dataSource.register(TableChangesDataSource)
-    (
+    finished = (
         spark.readStream.format("a2b_table_changes")
         .option("path", t.path)
         .load()
@@ -66,8 +66,10 @@ def _drain(spark, t, ck, out):
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
+        .awaitTermination(300)
     )
+    if not finished:
+        raise TimeoutError("a2b_table_changes availableNow stream exceeded 300s")
     return {
         (r.k, r.change, r.v, r._commit_version)
         for r in spark.read.parquet(out).collect()
@@ -95,7 +97,7 @@ def test_changes_source_partitioned_touched_commits(spark, tmp_path):
     t = _history(spark, tmp_path, name="p", partition_by=("p",))
     spark.dataSource.register(TableChangesDataSource)
     out = str(tmp_path / "outp")
-    (
+    finished = (
         spark.readStream.format("a2b_table_changes")
         .option("path", t.path)
         .load()
@@ -104,8 +106,10 @@ def test_changes_source_partitioned_touched_commits(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckp"))
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
+        .awaitTermination(300)
     )
+    if not finished:
+        raise TimeoutError("stream exceeded 300s")
     got = {
         (r.k, r.p, r.change, r.v, r._commit_version)
         for r in spark.read.parquet(out).collect()
@@ -281,7 +285,7 @@ def test_underscore_partition_dirs_survive_walker_pruning(spark, tmp_path):
 
 def _drain_cols(spark, t, ck, out, cols):
     spark.dataSource.register(TableChangesDataSource)
-    (
+    finished = (
         spark.readStream.format("a2b_table_changes")
         .option("path", t.path)
         .load()
@@ -290,8 +294,10 @@ def _drain_cols(spark, t, ck, out, cols):
         .option("checkpointLocation", ck)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
+        .awaitTermination(300)
     )
+    if not finished:
+        raise TimeoutError("a2b_table_changes availableNow stream exceeded 300s")
     return {tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect()}
 
 

@@ -78,3 +78,12 @@ def test_single_pass_and_edge_semantics(spark):
 
     with pytest.raises(ValueError, match="empty"):
         ExpectationSuite().run(df)
+
+
+def test_two_size_checks_do_not_interfere(spark):
+    """Round-9 review finding: the hi bound rode suite-level state, so
+    a second size_between silently clobbered the first's upper bound."""
+    df = spark.createDataFrame([(i,) for i in range(75)], "k long")
+    rep = ExpectationSuite().size_between(10, 50).size_between(10, 1000).run(df)
+    rows = [r.passed for r in rep.collect()]
+    assert rows == [False, True]  # 75 > 50 fails; 75 <= 1000 passes

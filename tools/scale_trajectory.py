@@ -183,16 +183,17 @@ def build_scaled(spark, mult: int) -> str:
 def storage_probes(spark) -> dict:
     """Round-9 brief item: the dedup spine has measured alphas — the
     lakehouse paths get the same treatment. Times (a) stats-sidecar
-    prune PLANNING at 10k/100k file entries (the 100 TB file-count
-    regime, driver-side), (b) the appends-stream drain (planning +
-    vectorized pyarrow read, no Spark jobs) over 24- vs 192-commit
-    windows of one epoch-partitioned history, (c) the changes-source
-    drain over 12- vs 96-commit CDF histories, and (d)
-    TableChangesStream's per-commit diff cost over 10- vs 40-commit
-    windows (one Spark join per commit — the per-commit figure must
-    stay flat). Each entry reports the size ratio and the time ratio;
-    linear paths show time_ratio ≈ size_ratio, flat per-item costs
-    show per_item ratios ≈ 1."""
+    prune PLANNING at 10k/100k entries via the PRODUCTION path
+    (load + keep_files — not the introspection helper that
+    materializes every dropped rel), (b) the appends-stream drain
+    (planning + vectorized pyarrow read, no Spark jobs) over 24- vs
+    192-commit windows of one epoch-partitioned history, (c) the
+    changes-source drain over the EARLY 24 vs the LATE 72 commits of
+    one 96-commit CDF history, and (d) TableChangesStream's
+    per-commit diff cost over the same early/late windows (one Spark
+    join per commit — the early-vs-late per-commit ratio must stay
+    ≈ 1; a ratio growing with commit index would betray an
+    O(history) per-diff cost)."""
     import shutil as _sh
     import tempfile
     import time as _time
@@ -230,19 +231,21 @@ def storage_probes(spark) -> dict:
         }
         d = tempfile.mkdtemp(prefix="a2b_stats_probe_")
         _stats.write_stats(d, stats)
+        all_files = [f"part-{i:07d}.parquet" for i in range(n)]
         best = math.inf
+        kept = []
         for _ in range(3):
             t0 = _time.perf_counter()
             tbl = _stats.load_stats_arrow(d)
             preds = _stats.normalize_predicates(
                 [("k", "between", (n * 500, n * 500 + 10_000))]
             )
-            dropped = _stats.pruned_out_rels(tbl, preds)
+            kept = _stats.keep_files(tbl, all_files, preds)
             best = min(best, _time.perf_counter() - t0)
         _sh.rmtree(d, ignore_errors=True)
         out[f"stats_prune_plan_{n}_files"] = {
             "sec": round(best, 4),
-            "kept": n - len(dropped),
+            "kept": len(kept),
         }
 
     # (b) appends drain: one 192-commit epoch history, windowed drains
@@ -280,55 +283,70 @@ def storage_probes(spark) -> dict:
         "time_ratio_vs_8x_commits": round(hi_s / lo_s, 2),
     }
 
-    # (c) changes-source drain over a CDF merge history
+    # (c)+(d) EARLY vs LATE windows of one growing CDF history: build
+    # 24 merges, measure both consumers, extend to 96, measure the
+    # late-72 continuation — a per-commit cost that grows with commit
+    # index shows up as late/early per-commit ratio > 1
     cd_dir = tempfile.mkdtemp(prefix="a2b_changes_probe_")
     _sh.rmtree(cd_dir)
     tc = VersionedParquetTable(cd_dir, key_cols=("k",), retention=300)
     tc.overwrite(one.select("k", "x"))
     tc.enable_cdf()
-    for i in range(96):
-        # +0.5 keeps the update a REAL change (x starts at float(k))
-        tc.merge(
-            spark.createDataFrame([(i % 64, i + 0.5), (1000 + i, 1.0)],
-                                  "k long, x double")
-        )
+
+    def _merge_upto(n_from: int, n_to: int) -> None:
+        for i in range(n_from, n_to):
+            # +0.5 keeps the update a REAL change (x starts at float(k))
+            tc.merge(
+                spark.createDataFrame([(i % 64, i + 0.5), (1000 + i, 1.0)],
+                                      "k long, x double")
+            )
+
     rc = _ChangesStreamReader({"path": cd_dir})
 
-    def _drain_changes(hi: int) -> float:
+    def _drain_changes(lo_v: int, hi_v: int, want_rows: int) -> float:
         best = math.inf
         for _ in range(3):
             t0 = _time.perf_counter()
             rows = 0
-            for p in rc.partitions({"version": 2}, {"version": hi + 2}):
+            for p in rc.partitions({"version": lo_v}, {"version": hi_v}):
                 for b in rc.read(p):
                     rows += b.num_rows
-            assert rows == 2 * hi
+            assert rows == want_rows
             best = min(best, _time.perf_counter() - t0)
         return best
 
-    lo_c, hi_c = _drain_changes(12), _drain_changes(96)
-    out["changes_source_drain"] = {
-        "sec_12_commits": round(lo_c, 4),
-        "sec_96_commits": round(hi_c, 4),
-        "time_ratio_vs_8x_commits": round(hi_c / lo_c, 2),
-    }
-
-    # (d) TableChangesStream: one snapshot_diff JOB per commit — the
-    # per-commit cost is the scale figure (commits are processed one
-    # at a time; total is trivially linear in the window)
     ck = tempfile.mkdtemp(prefix="a2b_tcs_ck_")
     s = TableChangesStream(tc, spark, ck, start_version=2)
-    seen = []
-    t0 = _time.perf_counter()
-    s.process_available(lambda df, v: seen.append(df.count()))
-    full_dt = _time.perf_counter() - t0
-    _sh.rmtree(ck, ignore_errors=True)
-    per_commit = full_dt / max(1, len(seen))
-    out["table_changes_stream"] = {
-        "commits": len(seen),
-        "sec_total": round(full_dt, 2),
-        "sec_per_commit_diff": round(per_commit, 3),
+
+    def _stream_drain() -> tuple[float, int]:
+        seen = []
+        t0 = _time.perf_counter()
+        s.process_available(lambda df, v: seen.append(df.count()))
+        return _time.perf_counter() - t0, len(seen)
+
+    _merge_upto(0, 24)          # commits v3..v26
+    early_c = _drain_changes(2, 26, 2 * 24)
+    early_s, early_n = _stream_drain()
+    _merge_upto(24, 96)         # commits v27..v98
+    late_c = _drain_changes(26, 98, 2 * 72)
+    late_s, late_n = _stream_drain()
+
+    out["changes_source_drain"] = {
+        "sec_early_24_commits": round(early_c, 4),
+        "sec_late_72_commits": round(late_c, 4),
+        "per_commit_late_vs_early": round(
+            (late_c / 72) / (early_c / 24), 2
+        ),
     }
+    out["table_changes_stream"] = {
+        "sec_per_commit_early": round(early_s / max(1, early_n), 3),
+        "sec_per_commit_late": round(late_s / max(1, late_n), 3),
+        "per_commit_late_vs_early": round(
+            (late_s / max(1, late_n)) / (early_s / max(1, early_n)), 2
+        ),
+        "commits": early_n + late_n,
+    }
+    _sh.rmtree(ck, ignore_errors=True)
     _sh.rmtree(ap_dir, ignore_errors=True)
     _sh.rmtree(cd_dir, ignore_errors=True)
     return out
