@@ -1159,31 +1159,80 @@ class VersionedParquetTable:
         semantics). On a partitioned table only the partitions that
         actually HOLD matching rows are rewritten (derived from the
         current data, so callers need not — and cannot wrongly —
-        supply partition values); the rest hard-link."""
+        supply partition values); the rest hard-link. On an
+        UNPARTITIONED key-clustered table the same ``_STATS``
+        file-pruning as merge applies: files that cannot hold any
+        deleted key hard-link unchanged. With CDF enabled the change
+        rows come from one batch-sized SEMI join (the deleted rows
+        with NULL payloads), not a table-sized diff."""
         base = self.current_version()
         if base is None:
             return
         current = self.read(keys_df.sparkSession, version=base)
 
-        def _remaining(cur: DataFrame) -> DataFrame:
-            c = cur.alias("c")
-            k = keys_df.select(*self.key_cols).distinct().alias("k")
+        def _key_cond(c_alias: str, k_alias: str):
             cond = None
             for col in self.key_cols:
-                e = F.col(f"c.{col}").eqNullSafe(F.col(f"k.{col}"))
+                e = F.col(f"{c_alias}.{col}").eqNullSafe(F.col(f"{k_alias}.{col}"))
                 cond = e if cond is None else (cond & e)
-            return c.join(k, cond, "left_anti")
+            return cond
+
+        keys = keys_df.select(*self.key_cols).distinct()
+
+        def _remaining(cur: DataFrame) -> DataFrame:
+            return cur.alias("c").join(
+                keys.alias("k"), _key_cond("c", "k"), "left_anti"
+            )
+
+        def _delete_cdf(cur: DataFrame) -> Optional[DataFrame]:
+            if not self.cdf_enabled(base):
+                return None
+            # after-image of a delete is NULL payload (table_changes
+            # contract); one semi join bounded by the key batch
+            deleted = cur.alias("c").join(
+                keys.alias("k"), _key_cond("c", "k"), "left_semi"
+            )
+            payload = [c for c in cur.columns if c not in set(self.key_cols)]
+            return deleted.select(
+                *self.key_cols,
+                *[
+                    F.lit(None).cast(cur.schema[c].dataType).alias(c)
+                    for c in payload
+                ],
+                F.lit("delete").alias("change"),
+            )
 
         if self.partition_by:
             touched = self._key_match_partitions(current, keys_df)
             if not touched:
                 return
-            remaining_touched = _remaining(
-                current.filter(self._partition_filter(touched))
+            scoped = current.filter(self._partition_filter(touched))
+            self._commit_touched(
+                _remaining(scoped),
+                touched,
+                op="delete",
+                base=base,
+                cdf_df=_delete_cdf(scoped),
             )
-            self._commit_touched(remaining_touched, touched, op="delete", base=base)
             return
-        self.overwrite(_remaining(current), op="delete", base=base)
+        kept_info = self._prunable_key_files(keys, base)
+        if kept_info is not None:
+            kept_abs, keep_rels, schema = kept_info
+            scoped = self._read_files(
+                keys_df.sparkSession, base, kept_abs, schema
+            )
+            self._commit_linked_files(
+                _remaining(scoped),
+                keep_rels,
+                op="delete",
+                base=base,
+                cdf_df=_delete_cdf(scoped),
+            )
+            return
+        self.overwrite(
+            _remaining(current), op="delete", base=base,
+            cdf_df=_delete_cdf(current),
+        )
 
     # ------------------------------------------------- partitioned merge
     def _touched_partitions(self, df: DataFrame) -> set[tuple]:
@@ -1357,61 +1406,11 @@ class VersionedParquetTable:
         stats-comparable set, the batch holds NULL first-keys (NULL
         never falls in a [min,max] band, but NULL-keyed rows DO merge
         under eqNullSafe), or pruning keeps every file anyway."""
-        if self.fmt != "parquet" or base is None:
+        info = self._prunable_key_files(batch, base)
+        if info is None:
             return False
-        from a2b_spark.storage import stats as _stats
-
-        vdir = os.path.join(self.path, base)
-        k = self.key_cols[0]
-        if k not in batch.columns:
-            return False
-        ktype = dict(batch.dtypes).get(k)
-        if ktype not in self._PRUNABLE_KEY_TYPES:
-            return False
-        # the DISTINCT batch keys, driver-bounded: per-file matching
-        # needs the key SET — a [min,max] band is useless the moment a
-        # batch mixes low-key updates with a high-key insert (the band
-        # then spans the whole table). 64k scalar keys is a few MB.
-        cap = 1 << 16
-        # cheap one-pass pre-check first: a bulk-load-sized batch must
-        # not pay a distinct shuffle just to discover it exceeds the cap
-        unbandable = F.col(k).isNull()
-        if ktype in ("float", "double"):
-            # NaN sorts above every value yet parquet stats ignore it;
-            # NULL keys merge via eqNullSafe but never fall in a band
-            unbandable = unbandable | F.isnan(F.col(k))
-        pre = batch.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(unbandable.cast("long")).alias("bad"),
-        ).first()
-        if not pre["n"] or pre["bad"] or pre["n"] > 4 * cap:
-            return False
-        keys = [
-            r[0] for r in batch.select(k).distinct().limit(cap + 1).collect()
-        ]
-        if not keys or len(keys) > cap:
-            return False
-        kept_rels = self._files_matching_keys(vdir, k, sorted(keys))
-        if kept_rels is None:
-            return False
-        all_rels = _stats._data_files(vdir)
-        if len(kept_rels) >= len(all_rels):
-            return False  # nothing skippable — plain path, same cost
-        kept_abs = [os.path.join(vdir, rel) for rel in sorted(kept_rels)]
-        schema = self._version_schema(base)
-        if kept_abs:
-            reader = (
-                spark.read.format(self.fmt)
-                .options(**_FORMAT_OPTIONS[self.fmt])
-                .option("basePath", vdir)
-            )
-            if schema is not None:
-                reader = reader.schema(schema)
-            current_touched = reader.load(kept_abs)
-        else:  # pure-insert batch: every existing file is untouched
-            if schema is None:
-                schema = self.read(spark, version=base).schema
-            current_touched = spark.createDataFrame([], schema)
+        kept_abs, keep_rels, schema = info
+        current_touched = self._read_files(spark, base, kept_abs, schema)
         merged = merge_dataframes(current_touched, batch, self.key_cols)
         cdf = None
         if self.cdf_enabled(base):
@@ -1420,11 +1419,80 @@ class VersionedParquetTable:
             # matched rows live ONLY in kept files (the pruning
             # contract), so the touched subset yields identical changes
             cdf = merge_changes(current_touched, batch, self.key_cols)
-        keep_rels = [rel for rel in all_rels if rel not in kept_rels]
         self._commit_linked_files(
             merged, keep_rels, op="merge", base=base, cdf_df=cdf
         )
         return True
+
+    def _prunable_key_files(self, keyed_df: DataFrame, base: Optional[str]):
+        """The shared planning step of file-pruned merge/delete:
+        collect the DISTINCT (driver-bounded) first-key values of
+        ``keyed_df`` and match them against the ``_STATS`` per-file
+        bands. Returns ``(kept_abs_paths, keep_rel_paths,
+        sidecar_schema)`` or None when pruning is inapplicable (no
+        sidecar / unprunable key type / NULL or NaN keys / key set
+        over the 64k cap / nothing skippable)."""
+        if self.fmt != "parquet" or base is None:
+            return None
+        from a2b_spark.storage import stats as _stats
+
+        vdir = os.path.join(self.path, base)
+        k = self.key_cols[0]
+        if k not in keyed_df.columns:
+            return None
+        ktype = dict(keyed_df.dtypes).get(k)
+        if ktype not in self._PRUNABLE_KEY_TYPES:
+            return None
+        # per-file matching needs the key SET — a [min,max] band is
+        # useless the moment a batch mixes low-key updates with a
+        # high-key insert (the band then spans the whole table). 64k
+        # scalar keys is a few MB driver-side.
+        cap = 1 << 16
+        # cheap one-pass pre-check first: a bulk-load-sized batch must
+        # not pay a distinct shuffle just to discover it exceeds the cap
+        unbandable = F.col(k).isNull()
+        if ktype in ("float", "double"):
+            # NaN sorts above every value yet parquet stats ignore it;
+            # NULL keys merge via eqNullSafe but never fall in a band
+            unbandable = unbandable | F.isnan(F.col(k))
+        pre = keyed_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(unbandable.cast("long")).alias("bad"),
+        ).first()
+        if not pre["n"] or pre["bad"] or pre["n"] > 4 * cap:
+            return None
+        keys = [
+            r[0] for r in keyed_df.select(k).distinct().limit(cap + 1).collect()
+        ]
+        if not keys or len(keys) > cap:
+            return None
+        kept_rels = self._files_matching_keys(vdir, k, sorted(keys))
+        if kept_rels is None:
+            return None
+        all_rels = _stats._data_files(vdir)
+        if len(kept_rels) >= len(all_rels):
+            return None  # nothing skippable — plain path, same cost
+        kept_abs = [os.path.join(vdir, rel) for rel in sorted(kept_rels)]
+        keep_rels = [rel for rel in all_rels if rel not in kept_rels]
+        return kept_abs, keep_rels, self._version_schema(base)
+
+    def _read_files(self, spark: SparkSession, base: str, abs_paths, schema):
+        """Read exactly ``abs_paths`` of version ``base`` under the
+        sidecar schema (empty typed frame when no file matched — a
+        pure-insert batch)."""
+        vdir = os.path.join(self.path, base)
+        if not abs_paths:
+            if schema is None:
+                schema = self.read(spark, version=base).schema
+            return spark.createDataFrame([], schema)
+        reader = (
+            spark.read.format(self.fmt)
+            .options(**_FORMAT_OPTIONS[self.fmt])
+            .option("basePath", vdir)
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load(abs_paths)
 
     @staticmethod
     def _files_matching_keys(vdir: str, key: str, keys_sorted: list):

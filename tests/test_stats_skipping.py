@@ -939,3 +939,35 @@ def test_datetime_literal_on_date_column_never_over_prunes(spark, tmp_path):
     got = _rows(t.read_pruned(spark, [("d", "<", noon)]))
     want = _rows(t.read(spark).filter(F.col("d") < F.lit(noon)))
     assert got == want and got
+
+
+def test_delete_file_pruning_links_unmatched_files(spark, tmp_path):
+    """delete_keys on a key-clustered unpartitioned table: files that
+    cannot hold any deleted key hard-link; content matches a full-path
+    twin; CDF delete rows come from the semi join (NULL payload)."""
+    from a2b_spark.storage.cdf import table_changes
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    t = VersionedParquetTable(str(tmp_path / "dl"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame(rows, "k long, v string"))
+    t.compact(spark, target_file_bytes=4 << 10, min_files=1, cluster_by=["k"])
+    t.enable_cdf()
+    n_files = len(
+        [f for f in os.listdir(os.path.join(t.path, t.current_version()))
+         if not f.startswith(("_", "."))]
+    )
+    assert n_files >= 4
+    # low-band keys only: most clustered files untouched
+    t.delete_keys(spark.createDataFrame([(3,), (7,), (11,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    files = [f for f in os.listdir(vdir) if not f.startswith(("_", "."))]
+    linked = [f for f in files if os.stat(os.path.join(vdir, f)).st_nlink > 1]
+    assert linked and len(linked) >= n_files - 2
+    assert t.read(spark).count() == 1997
+    assert t.read(spark).filter(F.col("k").isin(3, 7, 11)).count() == 0
+    # semi-join CDF: exactly the three deletes, NULL payload
+    d = table_changes(t, spark, from_version=t.versions()[-2],
+                      to_version=t.versions()[-1], with_rows=True)
+    got = {(r.k, r.change, r.v) for r in d.collect()}
+    assert got == {(3, "delete", None), (7, "delete", None), (11, "delete", None)}
