@@ -246,3 +246,14 @@ def merge_changes(
         .filter(F.col("change").isNotNull())
         .select(*out_cols, "change")
     )
+
+
+def null_safe_key_cond(keys: Sequence[str], left_alias: str, right_alias: str):
+    """Fold the NULL-safE key-tuple match over ``keys`` across two
+    frame aliases — THE key-match contract of merge/delete/append
+    (NULL == NULL matches; a plain on=keys join would not)."""
+    cond = None
+    for k in keys:
+        e = F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+        cond = e if cond is None else (cond & e)
+    return cond

@@ -77,6 +77,9 @@ _WIDEN_OK = {
     ("tinyint", "double"), ("smallint", "double"), ("int", "double"),
 }
 
+# df.dtypes speaks simpleString names ('tinyint'/'smallint'/'int'/
+# 'bigint') — NOT the type-class names ('byte'/'short'/'integer'/'long')
+
 
 class ConstraintViolation(ValueError):
     """A write batch (or, for add_constraint, the existing table)
@@ -1168,29 +1171,49 @@ class VersionedParquetTable:
         base = self.current_version()
         if base is None:
             return
+        from a2b_spark.storage.diff import null_safe_key_cond
+
         current = self.read(keys_df.sparkSession, version=base)
-
-        def _key_cond(c_alias: str, k_alias: str):
-            cond = None
-            for col in self.key_cols:
-                e = F.col(f"{c_alias}.{col}").eqNullSafe(F.col(f"{k_alias}.{col}"))
-                cond = e if cond is None else (cond & e)
-            return cond
-
-        keys = keys_df.select(*self.key_cols).distinct()
+        # PIN the key set once (eager localCheckpoint, the repo's
+        # fan-out-frame discipline): delete consults it from up to 4
+        # independent actions (partition/file pruning, the anti join,
+        # the CDF semi join) — a non-deterministic keys_df re-evaluated
+        # per action would hard-link files by key set A while deleting
+        # set B and recording set C
+        keys = (
+            keys_df.select(*self.key_cols).distinct().localCheckpoint(eager=True)
+        )
 
         def _remaining(cur: DataFrame) -> DataFrame:
             return cur.alias("c").join(
-                keys.alias("k"), _key_cond("c", "k"), "left_anti"
+                keys.alias("k"),
+                null_safe_key_cond(self.key_cols, "c", "k"),
+                "left_anti",
             )
 
         def _delete_cdf(cur: DataFrame) -> Optional[DataFrame]:
             if not self.cdf_enabled(base):
                 return None
-            # after-image of a delete is NULL payload (table_changes
-            # contract); one semi join bounded by the key batch
-            deleted = cur.alias("c").join(
-                keys.alias("k"), _key_cond("c", "k"), "left_semi"
+            reserved = {"change", "_commit_version"} & set(cur.columns)
+            if reserved:
+                raise ValueError(
+                    "table data columns collide with reserved CDF output "
+                    f"columns {sorted(reserved)}; rename them before "
+                    "enabling CDF"
+                )
+            # KEY-level delete rows (the keyed-diff contract of batch
+            # table_changes — a duplicate-keyed physical layout must
+            # still emit one row per key) with NULL payloads; one semi
+            # join bounded by the key batch
+            deleted = (
+                cur.alias("c")
+                .join(
+                    keys.alias("k"),
+                    null_safe_key_cond(self.key_cols, "c", "k"),
+                    "left_semi",
+                )
+                .select(*self.key_cols)
+                .distinct()
             )
             payload = [c for c in cur.columns if c not in set(self.key_cols)]
             return deleted.select(
@@ -1203,7 +1226,7 @@ class VersionedParquetTable:
             )
 
         if self.partition_by:
-            touched = self._key_match_partitions(current, keys_df)
+            touched = self._key_match_partitions(current, keys)
             if not touched:
                 return
             scoped = current.filter(self._partition_filter(touched))
@@ -1386,7 +1409,7 @@ class VersionedParquetTable:
     # the key types whose batch min/max can be compared against file
     # stats without cross-timezone/truncation subtleties
     _PRUNABLE_KEY_TYPES = (
-        "byte", "short", "int", "integer", "long", "bigint",
+        "tinyint", "smallint", "int", "bigint",
         "string", "date", "float", "double",
     )
 

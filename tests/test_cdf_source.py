@@ -363,3 +363,20 @@ def test_max_commits_per_trigger_rate_limits(spark, tmp_path):
     r2 = _ChangesStreamReader({"path": t.path})
     r2.initialOffset()
     assert r2.latestOffset() == {"version": 12}
+
+
+def test_delete_cdc_is_key_level_on_duplicate_rows(spark, tmp_path):
+    """append() without dedupe can stack duplicate-keyed rows; a
+    delete's change files must still carry ONE row per key (the keyed
+    diff contract batch table_changes reports), not one per physical
+    row — pinned by reading the staged _cdf files directly."""
+    t = VersionedParquetTable(str(tmp_path / "dup"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.enable_cdf()
+    t.append(spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string"))
+    assert t.read(spark).filter("k = 1").count() == 2  # duplicate key
+    t.delete_keys(spark.createDataFrame([(1,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    rows = spark.read.parquet(os.path.join(vdir, CDF_DIR)).collect()
+    assert [(r.k, r.change, r.v) for r in rows] == [(1, "delete", None)]
+    assert t.read(spark).count() == 1  # both physical k=1 rows gone

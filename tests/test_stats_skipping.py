@@ -966,8 +966,13 @@ def test_delete_file_pruning_links_unmatched_files(spark, tmp_path):
     assert linked and len(linked) >= n_files - 2
     assert t.read(spark).count() == 1997
     assert t.read(spark).filter(F.col("k").isin(3, 7, 11)).count() == 0
-    # semi-join CDF: exactly the three deletes, NULL payload
+    # semi-join CDF: exactly the three deletes, NULL payload — read
+    # from the WRITTEN change files (batch table_changes recomputes
+    # diffs and would pass even if the _cdf staging were wrong)
+    cdf_files = spark.read.parquet(os.path.join(vdir, "_cdf"))
+    got = {(r.k, r.change, r.v) for r in cdf_files.collect()}
+    assert got == {(3, "delete", None), (7, "delete", None), (11, "delete", None)}
+    # and the batch walk agrees
     d = table_changes(t, spark, from_version=t.versions()[-2],
                       to_version=t.versions()[-1], with_rows=True)
-    got = {(r.k, r.change, r.v) for r in d.collect()}
-    assert got == {(3, "delete", None), (7, "delete", None), (11, "delete", None)}
+    assert {(r.k, r.change, r.v) for r in d.collect()} == got
