@@ -107,6 +107,16 @@ def table_changes(
         # unionByName raises NUM_COLUMNS_MISMATCH on exactly the
         # cross-evolution ranges _align_to exists for)
         out = d if out is None else out.unionByName(d, allowMissingColumns=True)
+    if out is None:
+        # the whole range was layout-only commits (compact/constraint/
+        # evolution metadata): an EMPTY frame with the contract schema,
+        # never None — callers chain .filter()/.show()
+        after = table.read(spark, version=to_version).limit(0)
+        out = snapshot_diff(after, after, table.key_cols).withColumn(
+            "_commit_version", F.lit(0).cast("int")
+        )
+        if with_rows:
+            out = _attach_after_image(out, after, table.key_cols)
     return out
 
 

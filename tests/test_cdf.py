@@ -554,3 +554,19 @@ def test_appends_stream_rejects_non_initial_overwrite(spark, tmp_path):
         for b in r.read(p):
             rows.extend(b.to_pylist())
     assert {(d["k"], d["_commit_version"]) for d in rows} == {(1, 1), (2, 2)}
+
+
+def test_table_changes_layout_only_range_returns_empty_frame(spark, tmp_path):
+    """A range holding only layout-only commits (constraints, schema
+    metadata) yields an EMPTY frame with the contract schema — never
+    None (callers chain .filter()/.count())."""
+    t = VersionedParquetTable(str(tmp_path / "lo"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, 1.0)], "k long, x double"))
+    t.add_constraint(spark, "x_pos", "x > 0")
+    t.drop_constraint("x_pos")
+    d = table_changes(t, spark)  # commits 2..3 are all layout-only
+    assert d is not None
+    assert d.count() == 0
+    assert set(d.columns) == {"k", "change", "_commit_version"}
+    dw = table_changes(t, spark, with_rows=True)
+    assert dw.count() == 0 and "x" in dw.columns
