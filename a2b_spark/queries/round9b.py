@@ -333,3 +333,77 @@ SELECT * FROM (
 
 QUERIES["q151_expectations_report"] = q151_expectations_report
 ORACLES["q151_expectations_report"] = O_Q151
+
+
+# --------------------------------------------------------------- Q152
+def q152_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation diagnostics for data mixing: per ingestion-
+    order decile, the fraction of each document's DISTINCT word
+    3-grams never seen in any earlier document (gram first-occurrence
+    via one MIN aggregate; no window, no collect). A flattening curve
+    says new data stops contributing novel n-grams — the standard
+    go/no-go signal for continuing a crawl. Two shuffles total: gram
+    first-seen agg + the gram-keyed join back (reused exchange)."""
+    from a2b_spark.operators.dedup import doc_word_ngrams
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = d.agg(F.max("doc_id")).first()[0] + 1
+    dg = doc_word_ngrams(d, "text", "doc_id", "doc_id", 3)
+    fs = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        dg.join(fs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("new_g"),
+            F.count(F.lit(1)).alias("tot_g"),
+        )
+    )
+    return (
+        per.withColumn("bucket", F.expr(f"CAST(doc_id * 10 DIV {hi} AS INT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("new_g").cast("long").alias("new_grams"),
+            F.sum("tot_g").cast("long").alias("total_grams"),
+            (F.sum("new_g") / F.sum("tot_g")).alias("novelty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_Q152 = """
+WITH hi AS (SELECT MAX(doc_id) + 1 AS h FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id,
+           CASE WHEN len(l) >= 3
+                THEN list_distinct(list_transform(
+                       range(1, len(l) - 1),
+                       i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))
+                ELSE [array_to_string(l, ' ')] END AS gs
+    FROM toks) s, UNNEST(s.gs) AS t(g)
+  WHERE length(g) > 0
+),
+fs AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+per AS (
+  SELECT grams.doc_id,
+         SUM(CASE WHEN fs.first_doc = grams.doc_id THEN 1 ELSE 0 END) AS new_g,
+         COUNT(*) AS tot_g
+  FROM grams JOIN fs USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT CAST(doc_id * 10 // h AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(new_g) AS BIGINT) AS new_grams,
+       CAST(SUM(tot_g) AS BIGINT) AS total_grams,
+       CAST(SUM(new_g) AS DOUBLE) / CAST(SUM(tot_g) AS DOUBLE) AS novelty
+FROM per, hi
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+QUERIES["q152_ngram_novelty_curve"] = q152_ngram_novelty_curve
+ORACLES["q152_ngram_novelty_curve"] = O_Q152
