@@ -67,6 +67,9 @@ QUERIES = [
     # operator's contract (fixed benchmark ⇒ linear in corpus —
     # nearest_in_set is one broadcast + one map pass by construction).
     "q138_zipf_slope",
+    # round 9: gram first-seen agg + gram-keyed join back — expected
+    # ≈ the q114 source-overlap family (same gram-keyed shuffles)
+    "q152_ngram_novelty_curve",
 ]
 
 
