@@ -976,3 +976,38 @@ def test_delete_file_pruning_links_unmatched_files(spark, tmp_path):
     d = table_changes(t, spark, from_version=t.versions()[-2],
                       to_version=t.versions()[-1], with_rows=True)
     assert {(r.k, r.change, r.v) for r in d.collect()} == got
+
+
+def test_merge_file_pruning_with_added_column(spark, tmp_path):
+    """File-pruned merge × ADD-COLUMN evolution: the widened batch
+    merges into a clustered table, untouched files hard-link WITHOUT
+    the new column physically — the evolved sidecar schema must
+    null-fill their rows while touched rows carry the batch values."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    t = VersionedParquetTable(str(tmp_path / "ev"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame(rows, "k long, v string"))
+    t.compact(spark, target_file_bytes=4 << 10, min_files=1, cluster_by=["k"])
+    n_files = len(
+        [f for f in os.listdir(os.path.join(t.path, t.current_version()))
+         if not f.startswith(("_", "."))]
+    )
+    assert n_files >= 4
+    # widened batch in a narrow key band
+    t.merge(
+        spark.createDataFrame(
+            [(5, "V5", 1.5), (9, "V9", 9.9)], "k long, v string, w double"
+        )
+    )
+    vdir = os.path.join(t.path, t.current_version())
+    files = [f for f in os.listdir(vdir) if not f.startswith(("_", "."))]
+    linked = [f for f in files if os.stat(os.path.join(vdir, f)).st_nlink > 1]
+    assert linked and len(linked) >= n_files - 2  # pruning engaged
+    cur = t.read(spark)
+    assert set(cur.columns) == {"k", "v", "w"}
+    got = {(r.k, r.v, r.w) for r in cur.filter(F.col("k").isin(5, 9, 100)).collect()}
+    assert got == {(5, "V5", 1.5), (9, "V9", 9.9), (100, "v100", None)}
+    assert cur.count() == 2000
+    # evolved-column predicate over hardlinked (column-less) files
+    assert cur.filter(F.col("w").isNull()).count() == 1998
