@@ -1011,3 +1011,26 @@ def test_merge_file_pruning_with_added_column(spark, tmp_path):
     assert cur.count() == 2000
     # evolved-column predicate over hardlinked (column-less) files
     assert cur.filter(F.col("w").isNull()).count() == 1998
+
+
+def test_merge_file_pruning_blocked_by_drop_tombstone(spark, tmp_path):
+    """Re-introducing a DROPPED column must take the FULL rewrite even
+    on a clustered (otherwise prunable) table — hard-linking files
+    that physically hold the pre-drop values would resurface them."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    rows = [(i, f"v{i}", float(i)) for i in range(2000)]
+    t = VersionedParquetTable(str(tmp_path / "tb"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame(rows, "k long, v string, w double"))
+    t.compact(spark, target_file_bytes=4 << 10, min_files=1, cluster_by=["k"])
+    t.drop_columns(spark, "w")
+    # batch re-adds w with a narrow key band: pruning would engage if
+    # the tombstone guard were missing
+    t.merge(spark.createDataFrame([(5, "V5", 55.5)], "k long, v string, w double"))
+    vdir = os.path.join(t.path, t.current_version())
+    files = [f for f in os.listdir(vdir) if not f.startswith(("_", "."))]
+    linked = [f for f in files if os.stat(os.path.join(vdir, f)).st_nlink > 1]
+    assert not linked  # full rewrite: nothing hard-linked
+    got = {(r.k, r.w) for r in t.read(spark).filter(F.col("k").isin(5, 100)).collect()}
+    assert got == {(5, 55.5), (100, None)}  # no pre-drop value resurfaces
+    assert t._dropped_tombstones(t.current_version()) == set()
