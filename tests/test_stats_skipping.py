@@ -1034,3 +1034,32 @@ def test_merge_file_pruning_blocked_by_drop_tombstone(spark, tmp_path):
     got = {(r.k, r.w) for r in t.read(spark).filter(F.col("k").isin(5, 100)).collect()}
     assert got == {(5, 55.5), (100, None)}  # no pre-drop value resurfaces
     assert t._dropped_tombstones(t.current_version()) == set()
+
+
+def test_merge_file_pruning_after_key_widening(spark, tmp_path):
+    """widen_column(key, bigint) then a bigint-keyed batch: the old
+    int32 file stats must still prune (python int comparison is
+    width-agnostic) and hardlinked narrow files read upcast."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    t = VersionedParquetTable(str(tmp_path / "wk"), key_cols=("k",), retention=10)
+    t.overwrite(
+        spark.createDataFrame(rows, "k int, v string")
+    )
+    t.compact(spark, target_file_bytes=4 << 10, min_files=1, cluster_by=["k"])
+    n_files = len(
+        [f for f in os.listdir(os.path.join(t.path, t.current_version()))
+         if not f.startswith(("_", "."))]
+    )
+    assert n_files >= 4
+    t.widen_column(spark, "k", "bigint")
+    t.merge(spark.createDataFrame([(7, "V7")], "k long, v string"))
+    vdir = os.path.join(t.path, t.current_version())
+    files = [f for f in os.listdir(vdir) if not f.startswith(("_", "."))]
+    linked = [f for f in files if os.stat(os.path.join(vdir, f)).st_nlink > 1]
+    assert linked and len(linked) >= n_files - 1
+    cur = t.read(spark)
+    assert dict(cur.dtypes)["k"] == "bigint"
+    assert {r.v for r in cur.filter("k = 7").collect()} == {"V7"}
+    assert cur.count() == 2000
