@@ -448,7 +448,19 @@ def load_stats_arrow(version_dir: str):
     if not shape_ok:
         warnings.warn(f"corrupt v1 _STATS sidecar {p!r}; pruning disabled")
         return None
-    return stats_to_arrow(s)
+    try:
+        return stats_to_arrow(s)
+    except (ValueError, TypeError) as exc:
+        # shape-valid sidecar with corrupt VALUES — a non-ISO ts/date
+        # min/max (ValueError in _decode) or mistyped scalars
+        # (pyarrow.ArrowInvalid, a ValueError subclass, from pa.array).
+        # A foreign/truncated writer must degrade, not crash every
+        # read_pruned/merge/delete on the table; genuine logic bugs in
+        # our own paths (KeyError/AttributeError) stay loud.
+        warnings.warn(
+            f"corrupt v1 _STATS sidecar {p!r} ({exc}); pruning disabled"
+        )
+        return None
 
 
 def load_stats(version_dir: str) -> Optional[dict]:

@@ -554,12 +554,19 @@ class VersionedParquetTable:
             return  # restoring the live version is a no-op
         cdf = None
         # the NEW version inherits the RESTORED version's _CDF_ENABLED
-        # sidecar (not the base's) — gate on that, or a CDF-enabled
-        # restore commit would carry no change files and permanently
-        # wedge any stream crossing it (round-9 review finding). If
-        # the restore rolls the flag OFF, streams stop there like any
-        # disable — the property is versioned metadata by design.
-        if self.cdf_enabled(version):
+        # sidecar (not the base's), but change files are written when
+        # EITHER side had CDF on: gating on the restored flag alone
+        # would leave a flag-ON restore commit without change files
+        # (permanently wedging any stream crossing it — round-9 review
+        # finding), while gating only on it leaves a flag-OFF restore
+        # FROM a CDF-enabled base unreadable mid-stream: unlike a
+        # disable_cdf commit (layout-only, skipped), restore is a
+        # content commit, so a crossing stream would raise "no change
+        # files" instead of draining the inverse diff first. With both
+        # gates, a stream crossing a flag-off restore consumes the
+        # inverse diff, then errors on the NEXT content commit exactly
+        # like any post-disable content commit.
+        if self.cdf_enabled(version) or self.cdf_enabled(base):
             # the restore commit's change rows are the INVERSE of what
             # it undoes: a keyed diff current → restored snapshot
             if spark is None:
@@ -1074,6 +1081,18 @@ class VersionedParquetTable:
         tombstone_clash = bool(
             self._dropped_tombstones(base) & set(batch.columns)
         )
+        # PIN the batch once (eager localCheckpoint, the repo's
+        # fan-out-frame discipline, like delete_keys pins its key set):
+        # merge consults it from up to 4 independent actions — the
+        # _prunable_key_files pre-check/distinct collects, the touched-
+        # partition collects, the staged data write, and the CDF
+        # change-file write. A non-deterministic batch (sampled/rand
+        # lineage) re-evaluated per action could prune files by key set
+        # A, commit data for set B, and record change rows for set C.
+        # Skipped only when exactly one action will consult it (the
+        # unpartitioned tombstone-clash full rewrite without CDF).
+        if self.partition_by or not tombstone_clash or self.cdf_enabled(base):
+            batch = batch.localCheckpoint(eager=True)
         if (
             not self.partition_by
             and not tombstone_clash
@@ -1120,6 +1139,12 @@ class VersionedParquetTable:
         if base is None:
             self.overwrite(batch, op="append", base=None)
             return
+        # PIN the batch once when more than one action will consult it
+        # (touched-partition collect, duplicate-key CDC guard, CDF
+        # change-file write, the data write itself) — see merge() for
+        # the non-deterministic-lineage divergence this prevents.
+        if self.partition_by or self.cdf_enabled(base):
+            batch = batch.localCheckpoint(eager=True)
         current = self.read(batch.sparkSession, version=base)
         if dedupe_keys:
             c = current.alias("e")
@@ -1131,6 +1156,33 @@ class VersionedParquetTable:
             batch = b.join(c, on=cond, how="left_anti")
         cdf = None
         if self.cdf_enabled(base):
+            if self.key_cols and not dedupe_keys:
+                # append stamps every change row 'insert'; a batch key
+                # that ALREADY exists would make the two CDC surfaces
+                # disagree (batch table_changes' keyed diff reports
+                # 'update' — or nothing — for it) AND leave the table
+                # duplicate-keyed. Fresh-key appends stay cheap (one
+                # batch-sized semi join); a clashing key fails loudly.
+                from a2b_spark.storage.diff import null_safe_key_cond
+
+                clash = (
+                    batch.alias("b")
+                    .join(
+                        current.alias("c"),
+                        null_safe_key_cond(self.key_cols, "b", "c"),
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise ValueError(
+                        f"append on CDF-enabled keyed table {self.path}: "
+                        "batch contains a key that already exists, so the "
+                        "'insert' change rows would contradict the keyed "
+                        "diff. Pass dedupe_keys= to skip existing keys, or "
+                        "use merge() to update them"
+                    )
             # insert-only commit: the change rows ARE the batch
             cdf = batch.withColumn("change", F.lit("insert"))
         if self.partition_by and not (

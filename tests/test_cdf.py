@@ -570,3 +570,63 @@ def test_table_changes_layout_only_range_returns_empty_frame(spark, tmp_path):
     assert set(d.columns) == {"k", "change", "_commit_version"}
     dw = table_changes(t, spark, with_rows=True)
     assert dw.count() == 0 and "x" in dw.columns
+
+
+def test_restore_across_cdf_disable_boundary_writes_changes(spark, tmp_path):
+    """REGRESSION (round-10 advice): restoring TO a pre-enablement
+    version FROM a CDF-enabled base is a CONTENT commit a running
+    changes stream will cross — unlike a disable_cdf commit (layout
+    -only, skipped), so it must carry the inverse-diff change files
+    (gate on EITHER side's flag) rather than arrive bare and wedge the
+    stream with 'no change files'."""
+    from a2b_spark.storage import cdf as cdf_mod
+    from a2b_spark.storage.table import CDF_DIR
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v1 = t.current_version()
+    t.enable_cdf()
+    t.merge(spark.createDataFrame([(1, "A"), (3, "c")], "k long, v string"))
+    # crossing the flag boundary still needs spark for the inverse diff
+    with pytest.raises(ValueError, match="needs the"):
+        t.restore(v1)
+    t.restore(v1, spark)
+    assert not t.cdf_enabled()  # flag rolled back with the metadata
+    cdf_dir = os.path.join(t.path, t.current_version(), CDF_DIR)
+    assert os.path.isdir(cdf_dir)
+    inverse = {
+        (r.k, r.change) for r in spark.read.parquet(cdf_dir).collect()
+    }
+    assert inverse == {(1, "update"), (3, "delete")}
+    # a stream planner crossing the whole history must not raise
+    r = cdf_mod._ChangesStreamReader({"path": t.path})
+    hi = int(r.latestOffset()["version"])
+    parts = r.partitions({"version": 0}, {"version": hi})
+    assert any(p.path.startswith(cdf_dir) for p in parts)
+
+
+def test_cdf_append_duplicate_key_raises_without_dedupe(spark, tmp_path):
+    """REGRESSION (round-10 advice): with CDF on, append stamps every
+    change row 'insert' — a batch key that already exists would make
+    the change files contradict the keyed diff (which reports
+    'update'), so it must fail loudly unless dedupe_keys skips it."""
+    from a2b_spark.storage.table import CDF_DIR
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.enable_cdf()
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))  # fresh: fine
+    with pytest.raises(ValueError, match="already exists"):
+        t.append(spark.createDataFrame([(2, "B")], "k long, v string"))
+    # dedupe_keys skips the clash; only the genuinely-fresh row is
+    # committed AND recorded
+    t.append(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+        dedupe_keys=("k",),
+    )
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+    cdf_dir = os.path.join(t.path, t.current_version(), CDF_DIR)
+    got = {(r.k, r.change) for r in spark.read.parquet(cdf_dir).collect()}
+    assert got == {(3, "insert")}

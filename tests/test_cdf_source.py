@@ -321,9 +321,18 @@ def test_restore_cdf_gate_follows_restored_versions_flag(spark, tmp_path):
     assert t.cdf_enabled()
     vdir = os.path.join(t.path, t.current_version())
     assert os.path.isdir(os.path.join(vdir, CDF_DIR))  # inverse diff staged
-    # restoring to a CDF-OFF version needs no session and stages nothing
-    t.restore(t.versions()[0])                                          # v7
+    # restoring to a CDF-OFF version FROM a CDF-ON base still crosses
+    # any running stream with a CONTENT commit (unlike the layout-only
+    # disable_cdf): the inverse diff ships (round-10 advice) and the
+    # flag rolls back with the metadata
+    with pytest.raises(ValueError, match="needs the"):
+        t.restore(t.versions()[0])
+    t.restore(t.versions()[0], spark)                                   # v7
     assert not t.cdf_enabled()
+    vdir = os.path.join(t.path, t.current_version())
+    assert os.path.isdir(os.path.join(vdir, CDF_DIR))
+    # both sides OFF: no session needed, nothing staged
+    t.restore(t.versions()[4])                                          # v8
     vdir = os.path.join(t.path, t.current_version())
     assert not os.path.isdir(os.path.join(vdir, CDF_DIR))
 

@@ -1063,3 +1063,37 @@ def test_merge_file_pruning_after_key_widening(spark, tmp_path):
     assert dict(cur.dtypes)["k"] == "bigint"
     assert {r.v for r in cur.filter("k = 7").collect()} == {"V7"}
     assert cur.count() == 2000
+
+
+def test_v1_sidecar_corrupt_values_degrade_not_raise(tmp_path):
+    """REGRESSION (round-10 advice): a structurally-valid v1 sidecar
+    whose VALUES are corrupt — non-ISO ts/date min/max (ValueError in
+    _decode) or mistyped scalars (pyarrow ArrowInvalid from pa.array)
+    — must disable pruning with a warning, not crash every
+    read_pruned/merge/delete on the table."""
+    import json as _json
+
+    from a2b_spark.storage.stats import (
+        STATS_FILE,
+        STATS_FORMAT_VERSION,
+        load_stats_arrow,
+    )
+
+    def _write(d, cols):
+        os.makedirs(d, exist_ok=True)
+        stats = {
+            "version": STATS_FORMAT_VERSION,
+            "files": {"a.parquet": {"rows": 5, "cols": cols}},
+        }
+        with open(os.path.join(d, STATS_FILE), "w") as f:
+            _json.dump(stats, f)
+
+    d1 = str(tmp_path / "bad_ts")
+    _write(d1, {"x": {"t": "ts", "min": "not-a-timestamp", "max": "nope", "nulls": 0}})
+    with pytest.warns(UserWarning, match="pruning disabled"):
+        assert load_stats_arrow(d1) is None
+
+    d2 = str(tmp_path / "bad_int")
+    _write(d2, {"x": {"t": "i", "min": "abc", "max": 9, "nulls": 0}})
+    with pytest.warns(UserWarning, match="pruning disabled"):
+        assert load_stats_arrow(d2) is None

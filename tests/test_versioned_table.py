@@ -832,3 +832,69 @@ def test_constraint_enforcement_is_single_pass(spark, tmp_path):
     assert not [d for d in os.listdir(t2.path) if d.startswith(".tmp-")]
     t2.merge(spark.createDataFrame([(2, 0, 9.0)], "k long, p int, x double"))
     assert {r.k for r in t2.read(spark).collect()} == {1, 2}
+
+
+def _mutating_batch(spark, counter_path, base_key=100):
+    """A batch whose rows CHANGE on every evaluation (a file counter
+    bumps per pass) — models sampled/rand/repartitionByRange lineage.
+    One partition, so one evaluation = one bump."""
+
+    def gen(it):
+        import pandas as pd
+
+        for _ in it:
+            pass
+        n = 0
+        if os.path.exists(counter_path):
+            with open(counter_path) as f:
+                n = int(f.read())
+        with open(counter_path, "w") as f:
+            f.write(str(n + 1))
+        yield pd.DataFrame({"k": [base_key + 10 * n], "v": [f"eval{n}"]})
+
+    seed = spark.createDataFrame([(1,)], "x int").repartition(1)
+    return seed.mapInPandas(gen, "k long, v string")
+
+
+def test_merge_pins_nondeterministic_batch(spark, tmp_path):
+    """REGRESSION (round-10 advice): merge consults the batch from up
+    to 4 independent actions (prune collects, data write, CDF write).
+    Un-pinned, a non-deterministic batch could prune files by key set
+    A, commit data for set B, and record change rows for set C — the
+    eager localCheckpoint at the top of merge() must make every
+    action see ONE evaluation."""
+    counter = str(tmp_path / "evals")
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=10)
+    t.overwrite(
+        spark.createDataFrame([(i, "base") for i in range(8)], "k long, v string")
+    )
+    t.enable_cdf()
+    t.merge(_mutating_batch(spark, counter))
+    with open(counter) as f:
+        assert int(f.read()) == 1  # evaluated exactly once
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert (100, "eval0") in rows and len(rows) == 9
+    from a2b_spark.storage.table import CDF_DIR
+
+    cdf_dir = os.path.join(t.path, t.current_version(), CDF_DIR)
+    got = {(r.k, r.change) for r in spark.read.parquet(cdf_dir).collect()}
+    assert got == {(100, "insert")}  # change rows match the data commit
+
+
+def test_append_pins_nondeterministic_batch(spark, tmp_path):
+    """Same divergence class for append: the duplicate-key guard, the
+    CDF change rows and the data write must all see one evaluation."""
+    counter = str(tmp_path / "evals")
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=10)
+    t.overwrite(spark.createDataFrame([(1, "base")], "k long, v string"))
+    t.enable_cdf()
+    t.append(_mutating_batch(spark, counter, base_key=200))
+    with open(counter) as f:
+        assert int(f.read()) == 1
+    rows = {(r.k, r.v) for r in t.read(spark).collect()}
+    assert rows == {(1, "base"), (200, "eval0")}
+    from a2b_spark.storage.table import CDF_DIR
+
+    cdf_dir = os.path.join(t.path, t.current_version(), CDF_DIR)
+    got = {(r.k, r.v) for r in spark.read.parquet(cdf_dir).collect()}
+    assert got == {(200, "eval0")}
