@@ -787,7 +787,7 @@ def q111_fuzzy_key_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("p_partkey").alias("pk"))
     )
-    return edit_distance_pairs(keys, "key", "pk", max_dist=1)
+    return edit_distance_pairs(keys, "key", "pk", max_dist=1, same_length=True)
 
 
 O_Q111 = """

@@ -928,7 +928,7 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
     df = spark.createDataFrame(vals, "id long, v string")
     got = {
         (r["id_a"], r["id_b"], r["dist"])
-        for r in edit_distance_pairs(df, "v", "id", 1).collect()
+        for r in edit_distance_pairs(df, "v", "id", 1, same_length=True).collect()
     }
     import itertools
 
@@ -950,6 +950,65 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
         if len(a) == len(b) and lev(a, b) <= 1
     }
     assert got == want, (got ^ want)
+
+
+def test_edit_distance_pairs_general_k_matches_bruteforce(spark):
+    """General-k PassJoin (round-10): TRUE edit distance at k=1..3 —
+    the multi-match-aware substring windows must lose no pair and the
+    thresholded verify admit no extra, across length changes, empty
+    strings, and strings shorter than k+1 (zero-length segments).
+    Dense corpus: binary alphabet, lengths 0..10, exhaustive brute
+    force as the spec."""
+    import itertools
+    import random
+
+    from a2b_spark.operators.editjoin import edit_distance_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(7)
+    vals = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 10))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(vals, "id long, v string")
+    for k in (1, 2, 3):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "v", "id", k).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(vals, 2)
+            if lev(a, b) <= k
+        }
+        assert got == want, (k, len(got - want), len(want - got))
+    # same_length restriction composes with the general scheme
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "v", "id", 2, same_length=True).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(vals, 2)
+        if len(a) == len(b) and lev(a, b) <= 2
+    }
+    assert got == want
+    # beyond the supported window: loud, not silent degradation
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="max_dist"):
+        edit_distance_pairs(df, "v", "id", 4)
 
 
 def test_table_profile_counts_and_canon(spark):
