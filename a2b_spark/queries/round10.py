@@ -12,10 +12,13 @@ operators.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from a2b_spark.queries.relational import _t
+from a2b_spark.queries.relational import _t, dsum
+from a2b_spark.queries.round7 import _scratch_path
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -55,3 +58,97 @@ WHERE levenshtein(a.key, b.key) <= 2
 
 QUERIES["q153_fuzzy_key_pairs_k2"] = q153_fuzzy_key_pairs_k2
 ORACLES["q153_fuzzy_key_pairs_k2"] = O_Q153
+
+
+# --------------------------------------------------------------- Q154
+def q154_deletion_vector_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS end-to-end (storage/table.py DV_DIR): orders
+    land key-clustered, every 101st order is deleted via the vector
+    path — the in-query check raises unless the delete commit
+    hardlinked EVERY data file (zero rewritten, zero added) and staged
+    a ``_dv/`` tombstone list — then a merge RE-INTRODUCES the lowest
+    deleted key with a synthetic repricing, which must surface exactly
+    once and leave the vector. The per-priority rollup of the final
+    table hash-matches the oracle's recomputation over raw orders, so
+    the driver certifies no row was lost, resurrected, or doubled by
+    the metadata-sized delete."""
+    from a2b_spark.storage.table import DV_DIR, VersionedParquetTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch_path(sf_dir, "q154")
+    t = VersionedParquetTable(
+        path, key_cols=["o_orderkey"], retention=5, deletion_vectors=True
+    )
+    t.overwrite(o)
+    vdir0 = os.path.join(path, t.current_version())
+    nbytes = sum(os.path.getsize(p) for p in _data_files(vdir0))
+    t.compact(
+        spark,
+        target_file_bytes=max(2 << 10, nbytes // 8),
+        min_files=1,
+        cluster_by=["o_orderkey"],
+    )
+    pre = _data_files(os.path.join(path, t.current_version()))
+    t.delete_keys(o.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey"))
+    vdir = os.path.join(path, t.current_version())
+    post = _data_files(vdir)
+    if [os.path.basename(p) for p in pre] != [os.path.basename(p) for p in post]:
+        raise RuntimeError("q154: the DV delete rewrote or added data files")
+    if not all(os.stat(p).st_nlink > 1 for p in post):
+        raise RuntimeError("q154: a data file of the DV delete is not hardlinked")
+    if not os.path.isdir(os.path.join(vdir, DV_DIR)):
+        raise RuntimeError("q154: the DV delete staged no tombstone vector")
+    reborn = (
+        o.filter(F.col("o_orderkey") % 101 == 0)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(reborn, "0-REBORN", 9999.99)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+    )
+    final = t.read(spark)
+    if final.filter(F.col("o_orderkey") == reborn).count() != 1:
+        raise RuntimeError("q154: re-introduced key not exactly-once")
+    return (
+        final.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "total_price", 2),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _data_files(vdir: str) -> list:
+    out = []
+    for root, dirs, files in os.walk(vdir):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f) for f in files if not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+O_Q154 = """
+WITH eff AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT '0-REBORN', 9999.99
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM eff
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["q154_deletion_vector_walk"] = q154_deletion_vector_walk
+ORACLES["q154_deletion_vector_walk"] = O_Q154

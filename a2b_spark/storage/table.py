@@ -55,6 +55,17 @@ DROPPED = "_DROPPED"
 # at commit time so streams read files instead of re-deriving diffs)
 CDF_ENABLED = "_CDF_ENABLED"
 CDF_DIR = "_cdf"
+# DELETION VECTORS (Delta DV analogue, key-list form): a version's
+# ``_dv/`` parquet holds the key tuples logically deleted from its
+# still-hardlinked data files; every read anti-joins it (broadcast —
+# the set is capped). A small delete then commits METADATA-SIZED: all
+# data files hardlink, only the key list is written. Any full rewrite
+# (overwrite/compact/unpartitioned append) physically purges and
+# clears the vector; a pruned merge re-introducing a tombstoned key
+# rewrites that key's stats-matching files and drops it from the
+# carried vector.
+DV_DIR = "_dv"
+DV_MAX_KEYS = 1 << 16  # beyond this, fall back to the rewrite path
 # ops whose commits change layout/metadata but no row content
 LAYOUT_ONLY_OPS = {
     "compact",
@@ -143,6 +154,7 @@ class VersionedParquetTable:
         retention: int = 3,
         fmt: str = "parquet",
         partitions_derived_from_keys: bool = False,
+        deletion_vectors: bool = False,
     ):
         """``partitions_derived_from_keys``: caller's promise that every
         partition column is a PURE FUNCTION of the key columns (e.g. a
@@ -150,7 +162,15 @@ class VersionedParquetTable:
         partitions, and merge may skip the current-table key-location
         scan that otherwise guards against stale-row duplication —
         restoring strictly O(touched) merges for bucket-partitioned
-        stores (streaming history tables)."""
+        stores (streaming history tables).
+
+        ``deletion_vectors``: WRITE-side opt-in (Delta DV analogue) —
+        small deletes on an UNPARTITIONED parquet table commit as a
+        metadata-sized tombstone key list instead of rewriting any
+        data file (see the ``DV_DIR`` note). Read-side application is
+        unconditional: any handle reading a version that carries a
+        ``_dv/`` vector applies it, flag or not — correctness lives in
+        the data, not the handle."""
         if fmt not in _FORMAT_OPTIONS:
             raise ValueError(f"unsupported table format {fmt!r}")
         self.path = path
@@ -159,6 +179,7 @@ class VersionedParquetTable:
         self.retention = retention
         self.fmt = fmt
         self.partitions_derived_from_keys = partitions_derived_from_keys
+        self.deletion_vectors = deletion_vectors
 
     # ------------------------------------------------------------- reads
     @staticmethod
@@ -304,7 +325,42 @@ class VersionedParquetTable:
         schema = self._version_schema(v)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.load(os.path.join(self.path, v))
+        return self._apply_dv(spark, reader.load(vdir), vdir)
+
+    # -------------------------------------------------- deletion vectors
+    def _dv_df(self, spark: SparkSession, version: str) -> Optional[DataFrame]:
+        """The version's deletion-vector key list (None when it carries
+        none), cast to the version's CURRENT key types so a vector
+        written before a type widening still matches."""
+        d = os.path.join(self.path, version, DV_DIR)
+        if not os.path.isdir(d) or not self.key_cols:
+            return None
+        dv = spark.read.parquet(d)
+        schema = self._version_schema(version)
+        if schema is not None:
+            dv = dv.select(
+                *[
+                    F.col(k).cast(schema[k].dataType).alias(k)
+                    for k in self.key_cols
+                ]
+            )
+        return dv
+
+    def _apply_dv(self, spark: SparkSession, df: DataFrame, vdir: str) -> DataFrame:
+        """Anti-join the version's deletion vector onto a data read —
+        a BROADCAST anti join (the vector is capped at DV_MAX_KEYS), so
+        applying it costs one map-side pass, never a shuffle."""
+        version = os.path.basename(vdir)
+        dv = self._dv_df(spark, version)
+        if dv is None:
+            return df
+        from a2b_spark.storage.diff import null_safe_key_cond
+
+        return df.alias("__data").join(
+            F.broadcast(dv.alias("__dv")),
+            null_safe_key_cond(self.key_cols, "__data", "__dv"),
+            "left_anti",
+        )
 
     # ----------------------------------------------------- file skipping
     def _write_stats_sidecar(self, tmp_target: str, base: Optional[str]) -> None:
@@ -400,7 +456,7 @@ class VersionedParquetTable:
         # null-fill the new column instead of steering footer inference
         if sidecar_schema is not None:
             reader = reader.schema(sidecar_schema)
-        return reader.load(kept).filter(cond)
+        return self._apply_dv(spark, reader.load(kept).filter(cond), vdir)
 
     # ------------------------------------------------------------ writes
     def _next_version(self) -> str:
@@ -659,6 +715,13 @@ class VersionedParquetTable:
             if content is not None:
                 with open(os.path.join(tmp_target, fn), "w") as f:
                     f.write(content)
+        # the deletion vector is SNAPSHOT state (unlike _cdf, which is
+        # commit-scoped): the hardlinked data files still hold the
+        # tombstoned bytes, so restore/clone/constraint commits must
+        # carry the source version's vector or those rows resurrect
+        dv_src = os.path.join(src_dir, DV_DIR)
+        if os.path.isdir(dv_src):
+            shutil.copytree(dv_src, os.path.join(tmp_target, DV_DIR))
         self._write_cdf(tmp_target, cdf_df)
         with open(os.path.join(tmp_target, COMMIT_INFO), "w") as f:
             f.write(self._commit_info(op))
@@ -1290,6 +1353,11 @@ class VersionedParquetTable:
                 cdf_df=_delete_cdf(scoped),
             )
             return
+        if self.deletion_vectors and self.fmt == "parquet":
+            if self._try_delete_dv(
+                keys_df.sparkSession, current, keys, base, _delete_cdf
+            ):
+                return
         kept_info = self._prunable_key_files(keys, base)
         if kept_info is not None:
             kept_abs, keep_rels, schema = kept_info
@@ -1494,8 +1562,78 @@ class VersionedParquetTable:
             # matched rows live ONLY in kept files (the pruning
             # contract), so the touched subset yields identical changes
             cdf = merge_changes(current_touched, batch, self.key_cols)
+        dv_new = None
+        dv = self._dv_df(spark, base)
+        if dv is not None:
+            # a merged key that was DV-tombstoned is RE-INTRODUCED by
+            # this commit: its stats-matching files (the only places
+            # its stale bytes live) are being rewritten DV-filtered
+            # right here, so the key leaves the vector — otherwise the
+            # fresh row would stay hidden at read
+            from a2b_spark.storage.diff import null_safe_key_cond
+
+            dv_new = dv.alias("__dv").join(
+                batch.select(*self.key_cols).alias("__b"),
+                null_safe_key_cond(self.key_cols, "__dv", "__b"),
+                "left_anti",
+            )
         self._commit_linked_files(
-            merged, keep_rels, op="merge", base=base, cdf_df=cdf
+            merged, keep_rels, op="merge", base=base, cdf_df=cdf, dv_df=dv_new
+        )
+        return True
+
+    def _try_delete_dv(
+        self, spark: SparkSession, current: DataFrame, keys: DataFrame,
+        base: str, delete_cdf_fn,
+    ) -> bool:
+        """DELETION-VECTOR delete on an UNPARTITIONED parquet table:
+        commit = every data file HARDLINKED + the tombstone key list
+        unioned into ``_dv/`` — zero data files rewritten, metadata-
+        sized regardless of how large the touched files are (the step
+        past file-granular pruning, which still rewrites a whole file
+        to drop one row). Falls back (returns False) when the combined
+        vector would exceed DV_MAX_KEYS — the rewrite path then purges
+        physically. No-op deletes (no live key matched) return True
+        without a commit, like the partitioned path.
+
+        ``current`` is the DV-FILTERED snapshot, so re-deleting an
+        already-tombstoned key never bloats the vector, and the CDF
+        change rows (key-level, NULL payload — same contract as every
+        delete path) fire only for genuinely live rows."""
+        from a2b_spark.storage import stats as _stats
+        from a2b_spark.storage.diff import null_safe_key_cond
+
+        deleted = (
+            current.alias("c")
+            .join(
+                keys.alias("k"),
+                null_safe_key_cond(self.key_cols, "c", "k"),
+                "left_semi",
+            )
+            .select(*self.key_cols)
+            .distinct()
+        )
+        n_new = deleted.limit(DV_MAX_KEYS + 1).count()
+        if n_new == 0:
+            return True  # nothing live matched: no commit
+        old_dv = self._dv_df(spark, base)
+        n_old = old_dv.count() if old_dv is not None else 0
+        if n_old + n_new > DV_MAX_KEYS:
+            return False  # vector would outgrow its broadcast budget
+        # disjoint by construction (current is DV-filtered), so a
+        # plain union IS the new distinct vector
+        dv_new = (
+            old_dv.unionByName(deleted) if old_dv is not None else deleted
+        )
+        vdir = os.path.join(self.path, base)
+        keep_rels = _stats._data_files(vdir)
+        self._commit_linked_files(
+            None,  # no new rows: hardlinks + vector only
+            keep_rels,
+            op="delete",
+            base=base,
+            cdf_df=delete_cdf_fn(current),
+            dv_df=dv_new,
         )
         return True
 
@@ -1554,7 +1692,10 @@ class VersionedParquetTable:
     def _read_files(self, spark: SparkSession, base: str, abs_paths, schema):
         """Read exactly ``abs_paths`` of version ``base`` under the
         sidecar schema (empty typed frame when no file matched — a
-        pure-insert batch)."""
+        pure-insert batch). The version's deletion vector applies here
+        too: these reads feed REWRITES (pruned merge/delete), and an
+        unfiltered read would physically resurrect tombstoned rows
+        into the new files."""
         vdir = os.path.join(self.path, base)
         if not abs_paths:
             if schema is None:
@@ -1567,7 +1708,7 @@ class VersionedParquetTable:
         )
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.load(abs_paths)
+        return self._apply_dv(spark, reader.load(abs_paths), vdir)
 
     @staticmethod
     def _files_matching_keys(vdir: str, key: str, keys_sorted: list):
@@ -1604,34 +1745,46 @@ class VersionedParquetTable:
 
     def _commit_linked_files(
         self,
-        df: DataFrame,
+        df: Optional[DataFrame],
         keep_rels,
         op: str,
         base: str,
         cdf_df: Optional[DataFrame] = None,
+        dv_df: Optional[DataFrame] = None,
     ) -> None:
         """File-granular sibling of :meth:`_commit_touched` for
         UNPARTITIONED tables: write ``df`` as this commit's new files
         and hard-link every ``keep_rels`` data file from ``base``
         (metadata-only). Constraint observation rides the staging
         write; stats entries for linked files reuse the base sidecar
-        by inode."""
-        df, _check_constraints = self._constraint_observation(df, base)
+        by inode. ``dv_df``: this commit's deletion vector — None
+        CARRIES the base's vector unchanged (the hardlinked files
+        still hold the tombstoned bytes); a DataFrame REPLACES it
+        (written when non-empty, cleared when empty). ``df=None``: a
+        NO-NEW-ROWS commit (a deletion-vector delete) — every data
+        file hardlinks, nothing is staged through Spark (whose writer
+        emits a schema-preserving empty part file even for an empty
+        frame), constraints trivially hold, and the schema sidecar
+        carries forward from the base."""
         old_dir = os.path.join(self.path, base)
         version = self._next_version()
         tmp_target = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
-        with _stats_friendly_timestamps(df.sparkSession):
-            (
-                df.write.mode("overwrite")
-                .format(self.fmt)
-                .options(**_FORMAT_OPTIONS[self.fmt])
-                .save(tmp_target)
-            )
-        try:  # BEFORE hard-linking untouched files or the flip
-            _check_constraints()
-        except ConstraintViolation:
-            shutil.rmtree(tmp_target, ignore_errors=True)
-            raise
+        if df is None:
+            os.makedirs(tmp_target)
+        else:
+            df, _check_constraints = self._constraint_observation(df, base)
+            with _stats_friendly_timestamps(df.sparkSession):
+                (
+                    df.write.mode("overwrite")
+                    .format(self.fmt)
+                    .options(**_FORMAT_OPTIONS[self.fmt])
+                    .save(tmp_target)
+                )
+            try:  # BEFORE hard-linking untouched files or the flip
+                _check_constraints()
+            except ConstraintViolation:
+                shutil.rmtree(tmp_target, ignore_errors=True)
+                raise
         self._write_cdf(tmp_target, cdf_df)
         for rel in keep_rels:
             dst = os.path.join(tmp_target, rel)
@@ -1639,18 +1792,34 @@ class VersionedParquetTable:
             os.link(os.path.join(old_dir, rel), dst)
         import json as _json
 
-        for fn, content in {
-            SCHEMA: _json.dumps(df.schema.jsonValue()),
-            COMMIT_INFO: self._commit_info(op),
-        }.items():
+        contents = {COMMIT_INFO: self._commit_info(op)}
+        if df is not None:
+            contents[SCHEMA] = _json.dumps(df.schema.jsonValue())
+        for fn, content in contents.items():
             with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
         self._write_stats_sidecar(tmp_target, base)
         self._carry_forward_metadata(tmp_target, base)
+        self._stage_dv(tmp_target, base, dv_df)
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
 
-    # ----------------------------------------------------------- compact
+    def _stage_dv(
+        self, tmp_target: str, base: Optional[str], dv_df: Optional[DataFrame]
+    ) -> None:
+        """Stage this commit's deletion vector: ``dv_df=None`` carries
+        the base version's ``_dv/`` (small file copy); a DataFrame
+        replaces it — written as one parquet file when non-empty,
+        nothing (vector cleared) when empty."""
+        dst = os.path.join(tmp_target, DV_DIR)
+        if dv_df is None:
+            src = os.path.join(self.path, base or "", DV_DIR)
+            if base and os.path.isdir(src):
+                shutil.copytree(src, dst)
+            return
+        if dv_df.isEmpty():
+            return
+        dv_df.coalesce(1).write.parquet(dst)
     def compact(
         self,
         spark: SparkSession,

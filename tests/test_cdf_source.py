@@ -375,15 +375,17 @@ def test_max_commits_per_trigger_rate_limits(spark, tmp_path):
 
 
 def test_delete_cdc_is_key_level_on_duplicate_rows(spark, tmp_path):
-    """append() without dedupe can stack duplicate-keyed rows; a
-    delete's change files must still carry ONE row per key (the keyed
-    diff contract batch table_changes reports), not one per physical
-    row — pinned by reading the staged _cdf files directly."""
+    """append() without dedupe can stack duplicate-keyed rows (while
+    CDF is off — with it on, the round-10 clash guard rejects exactly
+    this); a later delete's change files must still carry ONE row per
+    key (the keyed diff contract batch table_changes reports), not one
+    per physical row — pinned by reading the staged _cdf files
+    directly."""
     t = VersionedParquetTable(str(tmp_path / "dup"), key_cols=("k",), retention=10)
     t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
-    t.enable_cdf()
     t.append(spark.createDataFrame([(1, "b"), (2, "c")], "k long, v string"))
     assert t.read(spark).filter("k = 1").count() == 2  # duplicate key
+    t.enable_cdf()
     t.delete_keys(spark.createDataFrame([(1,)], "k long"))
     vdir = os.path.join(t.path, t.current_version())
     rows = spark.read.parquet(os.path.join(vdir, CDF_DIR)).collect()

@@ -1,0 +1,173 @@
+"""Deletion vectors (Delta DV analogue, key-list form): small deletes
+on an unpartitioned parquet table commit as a metadata-sized tombstone
+list under ``_dv/`` — every data file hardlinks, reads apply the
+vector as a broadcast anti join, full rewrites purge and clear it."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from a2b_spark.storage.table import DV_DIR, VersionedParquetTable
+from a2b_spark.storage import table as table_mod
+
+
+def _data_files(vdir):
+    out = []
+    for root, dirs, files in os.walk(vdir):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def _dv_table(spark, tmp_path, n=40, retention=10):
+    t = VersionedParquetTable(
+        str(tmp_path / "t"), key_cols=("k",), retention=retention,
+        deletion_vectors=True,
+    )
+    t.overwrite(
+        spark.createDataFrame([(i, f"v{i}") for i in range(n)], "k long, v string")
+    )
+    return t
+
+
+def test_dv_delete_rewrites_zero_files(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    base = t.current_version()
+    base_files = {os.path.basename(p) for p in _data_files(os.path.join(t.path, base))}
+    t.delete_keys(spark.createDataFrame([(3,), (7,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    files = _data_files(vdir)
+    # EVERY data file hardlinked, none rewritten, none added
+    assert {os.path.basename(p) for p in files} == base_files
+    assert all(os.stat(p).st_nlink > 1 for p in files)
+    assert os.path.isdir(os.path.join(vdir, DV_DIR))
+    got = {r.k for r in t.read(spark).collect()}
+    assert got == set(range(40)) - {3, 7}
+    # time travel still sees the pre-delete rows
+    assert {r.k for r in t.read(spark, version=base).collect()} == set(range(40))
+    # second DV delete unions the vector
+    t.delete_keys(spark.createDataFrame([(8,)], "k long"))
+    assert {r.k for r in t.read(spark).collect()} == set(range(40)) - {3, 7, 8}
+    # re-deleting tombstoned keys is a no-op: no new commit
+    pre = t.current_version()
+    t.delete_keys(spark.createDataFrame([(3,), (8,)], "k long"))
+    assert t.current_version() == pre
+
+
+def test_dv_read_pruned_applies_vector(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.compact(spark, target_file_bytes=2 << 10, min_files=1, cluster_by=["k"])
+    t.delete_keys(spark.createDataFrame([(5,)], "k long"))
+    got = {r.k for r in t.read_pruned(spark, [("k", "<=", 10)]).collect()}
+    assert got == set(range(11)) - {5}
+
+
+def test_dv_merge_reintroduces_tombstoned_key(spark, tmp_path):
+    """A merge whose batch holds a tombstoned key must (a) surface the
+    NEW row at read, exactly once, and (b) drop the key from the
+    carried vector — its stale bytes were rewritten DV-filtered."""
+    t = _dv_table(spark, tmp_path)
+    # key-clustered so the pruned merge path runs
+    t.compact(spark, target_file_bytes=2 << 10, min_files=1, cluster_by=["k"])
+    t.delete_keys(spark.createDataFrame([(3,), (30,)], "k long"))
+    t.merge(spark.createDataFrame([(3, "REBORN")], "k long, v string"))
+    rows = t.read(spark).filter(F.col("k").isin(3, 30)).collect()
+    assert [(r.k, r.v) for r in rows] == [(3, "REBORN")]
+    dv = spark.read.parquet(
+        os.path.join(t.path, t.current_version(), DV_DIR)
+    )
+    assert {r.k for r in dv.collect()} == {30}  # 3 left the vector
+    assert t.read(spark).count() == 39  # 40 - deleted 30, 3 reborn
+
+
+def test_dv_full_rewrite_purges_and_clears(spark, tmp_path):
+    t = _dv_table(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(1,), (2,)], "k long"))
+    t.compact(spark, target_file_bytes=1 << 30, min_files=1, cluster_by=["k"])
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.isdir(os.path.join(vdir, DV_DIR))
+    # physically purged: the raw files no longer hold the keys
+    raw = spark.read.parquet(*_data_files(vdir))
+    assert {r.k for r in raw.collect()} == set(range(40)) - {1, 2}
+
+
+def test_dv_append_full_rewrite_clears(spark, tmp_path):
+    t = _dv_table(spark, tmp_path, n=10)
+    t.delete_keys(spark.createDataFrame([(4,)], "k long"))
+    t.append(spark.createDataFrame([(100, "new")], "k long, v string"))
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.isdir(os.path.join(vdir, DV_DIR))
+    assert {r.k for r in t.read(spark).collect()} == (set(range(10)) - {4}) | {100}
+
+
+def test_dv_cap_falls_back_to_rewrite(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(table_mod, "DV_MAX_KEYS", 4)
+    t = _dv_table(spark, tmp_path, n=30)
+    t.delete_keys(spark.createDataFrame([(i,) for i in range(6)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    # over the cap: the rewrite path ran, no vector written
+    assert not os.path.isdir(os.path.join(vdir, DV_DIR))
+    assert {r.k for r in t.read(spark).collect()} == set(range(6, 30))
+    # under the cap: vector path
+    t.delete_keys(spark.createDataFrame([(7,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    assert os.path.isdir(os.path.join(vdir, DV_DIR))
+    assert {r.k for r in t.read(spark).collect()} == set(range(6, 30)) - {7}
+
+
+def test_dv_cdf_and_table_changes_agree(spark, tmp_path):
+    from a2b_spark.storage.cdf import table_changes
+    from a2b_spark.storage.table import CDF_DIR
+
+    t = _dv_table(spark, tmp_path, n=12)
+    t.enable_cdf()
+    t.delete_keys(spark.createDataFrame([(2,), (9,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    cdf_rows = spark.read.parquet(os.path.join(vdir, CDF_DIR))
+    assert {(r.k, r.change, r.v) for r in cdf_rows.collect()} == {
+        (2, "delete", None), (9, "delete", None)
+    }
+    vs = t.versions()
+    diff = table_changes(t, spark, from_version=vs[-2])
+    assert {(r.k, r.change) for r in diff.collect()} == {
+        (2, "delete"), (9, "delete")
+    }
+
+
+def test_dv_restore_and_clone_carry_vector(spark, tmp_path):
+    t = _dv_table(spark, tmp_path, n=8)
+    t.delete_keys(spark.createDataFrame([(0,)], "k long"))
+    dv_version = t.current_version()
+    t.delete_keys(spark.createDataFrame([(1,)], "k long"))
+    # clone carries the live vector
+    c = t.clone(str(tmp_path / "clone"))
+    assert {r.k for r in c.read(spark).collect()} == set(range(2, 8))
+    # restore back to the one-tombstone version
+    t.restore(dv_version)
+    assert {r.k for r in t.read(spark).collect()} == set(range(1, 8))
+    # constraint metadata commits carry it too
+    t.add_constraint(spark, "k_nonneg", "k >= 0")
+    assert {r.k for r in t.read(spark).collect()} == set(range(1, 8))
+
+
+def test_dv_noop_outside_scope(spark, tmp_path):
+    """Partitioned tables never take the DV path (partition-granular
+    commits already bound their rewrite), flag or not."""
+    t = VersionedParquetTable(
+        str(tmp_path / "p"), key_cols=("k",), partition_by=("p",),
+        retention=10, deletion_vectors=True,
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 2, f"v{i}") for i in range(10)], "k long, p int, v string"
+        )
+    )
+    t.delete_keys(spark.createDataFrame([(4,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.isdir(os.path.join(vdir, DV_DIR))
+    assert {r.k for r in t.read(spark).collect()} == set(range(10)) - {4}
