@@ -2005,8 +2005,23 @@ class VersionedParquetTable:
         }
 
     # ------------------------------------------------------------ vacuum
-    def vacuum(self, keep: int | None = None) -> None:
+    def vacuum(self, keep: int | None = None, older_than=None) -> None:
         """Trim committed history to the newest ``keep`` versions.
+
+        ``older_than`` (a ``datetime.timedelta`` or seconds) switches
+        to TIME-BASED retention — the operational contract a CDC
+        consumer needs (examples/lakehouse_cdc.py: a count-based window
+        silently vacuums commits an availableNow stream with lag has
+        not read yet; "newer than the consumer's longest downtime"
+        is statable, "fewer than N commits behind" is not): only
+        committed versions whose COMMIT TIMESTAMP (``_COMMIT_INFO``;
+        dir mtime for pre-feature versions, unknown age keeps) is
+        older than the cutoff are trimmed. ``keep`` then defaults to 1
+        (purely time-based; pass both for the intersection — a version
+        survives if EITHER guard holds). The automatic per-commit
+        vacuum stays count-based (``self.retention``); tables serving
+        lagging consumers should set ``retention`` high and run
+        ``vacuum(older_than=...)`` on their own schedule.
 
         Counts only COMMITTED versions (the same ``d <= _CURRENT`` rule
         as :meth:`versions`): a crashed/mid-commit writer's orphan dir
@@ -2021,7 +2036,8 @@ class VersionedParquetTable:
         live version is always preserved."""
         import time as _time
 
-        keep = self.retention if keep is None else keep
+        if keep is None:
+            keep = 1 if older_than is not None else self.retention
         if not os.path.isdir(self.path):
             return
         cur = self.current_version()
@@ -2044,6 +2060,19 @@ class VersionedParquetTable:
             except OSError:
                 pass  # vanished mid-scan (the writer just claimed it)
         doomed = committed[:-keep] if keep else committed
+        if older_than is not None:
+            seconds = (
+                older_than.total_seconds()
+                if hasattr(older_than, "total_seconds")
+                else float(older_than)
+            )
+            ts_cutoff = _time.time() - seconds
+            doomed = [
+                d
+                for d in doomed
+                if (age := self._commit_ts_epoch(d)) is not None
+                and age < ts_cutoff
+            ]
         for d in doomed + orphans:
             if d == cur:
                 continue
@@ -2064,6 +2093,27 @@ class VersionedParquetTable:
                         shutil.rmtree(p, ignore_errors=True)
                 except OSError:
                     pass
+
+    def _commit_ts_epoch(self, version: str) -> Optional[float]:
+        """A version's commit time as an epoch float — from its
+        ``_COMMIT_INFO`` timestamp, falling back to dir mtime for
+        pre-commit-info versions; None (= unknown age, never vacuum by
+        time) when both are unreadable."""
+        import datetime as _dt
+        import json as _json
+
+        info = os.path.join(self.path, version, COMMIT_INFO)
+        try:
+            with open(info) as f:
+                ts = _json.loads(f.read()).get("ts")
+            if ts:
+                return _dt.datetime.fromisoformat(ts).timestamp()
+        except (OSError, ValueError):
+            pass
+        try:
+            return os.path.getmtime(os.path.join(self.path, version))
+        except OSError:
+            return None
 
 
 def _unescape_hive(s: str) -> str:

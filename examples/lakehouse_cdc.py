@@ -33,7 +33,11 @@ def main() -> None:
     # 1. a versioned keyed table with a CHECK constraint and CDF on
     # retention must cover the CDC consumer's lag (see
     # earliest_streamable_version's contract) — the default 3 would
-    # vacuum the initial commits before the stream reads them
+    # vacuum the initial commits before the stream reads them. When
+    # the lag is statable as TIME rather than commit count, set the
+    # count retention high and run t.vacuum(older_than=
+    # timedelta(hours=...)) on a schedule instead — commits inside the
+    # window then survive any burst of writes.
     t = VersionedParquetTable(
         f"{OUT}/customers", key_cols=("c_custkey",), retention=20
     )

@@ -898,3 +898,84 @@ def test_append_pins_nondeterministic_batch(spark, tmp_path):
     cdf_dir = os.path.join(t.path, t.current_version(), CDF_DIR)
     got = {(r.k, r.v) for r in spark.read.parquet(cdf_dir).collect()}
     assert got == {(200, "eval0")}
+
+
+def _backdate(t, version, hours):
+    """Rewrite a version's _COMMIT_INFO timestamp `hours` into the past."""
+    import datetime as dt
+    import json as _json
+
+    from a2b_spark.storage.table import COMMIT_INFO
+
+    p = os.path.join(t.path, version, COMMIT_INFO)
+    with open(p) as f:
+        info = _json.loads(f.read())
+    info["ts"] = (
+        dt.datetime.now(dt.timezone.utc) - dt.timedelta(hours=hours)
+    ).isoformat()
+    with open(p, "w") as f:
+        f.write(_json.dumps(info))
+
+
+def test_vacuum_older_than_time_based_retention(spark, tmp_path):
+    """vacuum(older_than=...) trims by COMMIT TIMESTAMP: fresh history
+    survives regardless of count, backdated versions go, keep= is the
+    floor, and the live version is untouchable."""
+    import datetime as dt
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=20)
+    t.overwrite(spark.createDataFrame([(0, "a")], "k long, v string"))
+    for i in range(1, 6):
+        t.merge(spark.createDataFrame([(i, "x")], "k long, v string"))
+    assert len(t.versions()) == 6
+    # everything is fresh: a pure time-based vacuum keeps all of it
+    t.vacuum(older_than=dt.timedelta(hours=1))
+    assert len(t.versions()) == 6
+    # backdate the first three commits past the cutoff
+    for v in t.versions()[:3]:
+        _backdate(t, v, hours=2)
+    t.vacuum(older_than=dt.timedelta(hours=1))
+    assert len(t.versions()) == 3  # exactly the backdated ones trimmed
+    # keep= floors time-based trimming
+    for v in t.versions():
+        _backdate(t, v, hours=2)
+    t.vacuum(keep=2, older_than=dt.timedelta(hours=1))
+    assert len(t.versions()) == 2
+    # older_than=0 with the default keep floor of 1: live version only
+    t.vacuum(older_than=0)
+    assert t.versions() == [t.current_version()]
+    assert {r.k for r in t.read(spark).collect()} == set(range(6))
+
+
+def test_vacuum_older_than_covers_cdc_lag(spark, tmp_path):
+    """The examples/lakehouse_cdc.py hazard: count-based retention
+    vacuums commits a LAGGING CDC consumer has not read. Sized as
+    'older than the consumer's longest downtime', time-based retention
+    keeps every commit inside the lag window no matter how many land —
+    the whole history stays streamable."""
+    import datetime as dt
+
+    from a2b_spark.storage.cdf import table_changes
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=50)
+    t.overwrite(spark.createDataFrame([(0, "a")], "k long, v string"))
+    t.enable_cdf()
+    for i in range(1, 8):  # a burst of 7 commits while the consumer is down
+        t.merge(spark.createDataFrame([(i, "x")], "k long, v string"))
+    t.vacuum(older_than=dt.timedelta(hours=1))
+    # nothing trimmed: the lag window covers the burst, so a consumer
+    # restarting from scratch still reads the full history
+    assert t.earliest_streamable_version() == 0
+    changes = table_changes(t, spark)
+    assert changes.count() == 7  # every post-enablement commit intact
+    # once the burst AGES past the window it may go; the stream floor
+    # moves accordingly and the retained suffix stays readable
+    for v in t.versions()[:4]:
+        _backdate(t, v, hours=3)
+    t.vacuum(older_than=dt.timedelta(hours=1))
+    lo = t.earliest_streamable_version()
+    assert lo > 0
+    suffix = table_changes(
+        t, spark, from_version=f"v_{lo:010d}"
+    )
+    assert suffix.count() == len(t.versions()) - 1
