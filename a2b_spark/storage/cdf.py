@@ -309,6 +309,35 @@ def _sidecar_rels(vdir: str) -> Optional[set]:
     return None if tbl is None else set(tbl.column("rel").to_pylist())
 
 
+def _added_rels(vdir: str) -> Optional[list]:
+    """The commit's own record of its freshly-written data files (the
+    ``_ADDED`` sidecar, present since round 10) — None on older
+    histories or unreadable files, where the planner falls back to the
+    full per-version map diff of :func:`_new_rels`."""
+    import json as _json
+
+    from a2b_spark.storage.table import ADDED
+
+    try:
+        with open(os.path.join(vdir, ADDED)) as f:
+            v = _json.load(f)
+    except (OSError, ValueError):
+        return None
+    if not isinstance(v, list) or not all(isinstance(r, str) for r in v):
+        return None
+    return sorted(v)
+
+
+def _leaf_dirs(vdir: str) -> Optional[set]:
+    """Leaf data directories of a version (from its ``_STATS`` file
+    map; inode walk fallback) — the one O(version size) read that
+    seeds the appends planner's RUNNING leaf set at window start."""
+    rels = _sidecar_rels(vdir)
+    if rels is None:
+        rels = set(_data_files_with_ino(vdir))
+    return {os.path.dirname(r) for r in rels}
+
+
 def _new_rels(
     prev_dir: Optional[str], cur_dir: str, _cache: Optional[dict] = None
 ) -> tuple[list, set]:
@@ -511,6 +540,12 @@ try:  # pyspark >= 4: python data source API
                 )
             parts: list[_FilePartition] = []
             cache: dict = {}  # consecutive commits share a sidecar read
+            # running leaf-dir set of the last processed version (the
+            # append-only contract makes it monotone: files never
+            # leave, compact keeps the leaf set) — seeded lazily from
+            # ONE predecessor file-map read, advanced per commit by
+            # its _ADDED dirs
+            leaves: Optional[set] = None
             for n in range(lo + 1, hi + 1):
                 vdir = os.path.join(self.path, retained[n])
                 op = _commit_op(vdir)
@@ -550,7 +585,23 @@ try:  # pyspark >= 4: python data source API
                         "files cannot be derived — restart the stream from "
                         "a fresh checkpoint (or raise the table's retention)"
                     )
-                new_rels, prev_leaves = _new_rels(prev_dir, vdir, _cache=cache)
+                added = _added_rels(vdir)
+                if added is not None:
+                    # fast path: the commit recorded its own new files
+                    # (_ADDED) — per-commit planning cost is O(new
+                    # files), and the stale-partition check runs
+                    # against a RUNNING leaf set seeded ONCE per window
+                    # (one predecessor file-map read), so a C-commit
+                    # drain is O(window start + total new files)
+                    # instead of O(C²) sidecar entries
+                    new_rels = added
+                    if leaves is None:
+                        leaves = _leaf_dirs(prev_dir) if prev_dir else set()
+                else:
+                    new_rels, prev_leaves = _new_rels(
+                        prev_dir, vdir, _cache=cache
+                    )
+                    leaves = set(prev_leaves)  # resync after a fallback
                 if prev_dir is not None:
                     # "new rows == new files" holds only when appends
                     # land in FRESH partitions (the epoch-partitioned
@@ -561,7 +612,7 @@ try:  # pyspark >= 4: python data source API
                     stale = [
                         rel
                         for rel in new_rels
-                        if os.path.dirname(rel) in prev_leaves
+                        if os.path.dirname(rel) in leaves
                     ]
                     if stale:
                         raise ValueError(
@@ -572,6 +623,8 @@ try:  # pyspark >= 4: python data source API
                             "pattern); use storage.cdf.table_changes for "
                             "keyed diffs over rewriting tables"
                         )
+                if leaves is not None:
+                    leaves |= {os.path.dirname(rel) for rel in new_rels}
                 for rel in new_rels:
                     parts.append(
                         _FilePartition(

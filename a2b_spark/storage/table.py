@@ -66,6 +66,13 @@ CDF_DIR = "_cdf"
 # carried vector.
 DV_DIR = "_dv"
 DV_MAX_KEYS = 1 << 16  # beyond this, fall back to the rewrite path
+# Per-commit list of the data files THIS commit freshly wrote (JSON,
+# relative paths) — recorded before any hardlink step, so it is
+# exactly the new bytes. The appends-stream planner reads it instead
+# of diffing two full per-version file maps: a C-commit drain then
+# costs O(total new files), not O(C²) sidecar entries (version n's
+# _STATS lists all n files of history).
+ADDED = "_ADDED"
 # ops whose commits change layout/metadata but no row content
 LAYOUT_ONLY_OPS = {
     "compact",
@@ -363,6 +370,17 @@ class VersionedParquetTable:
         )
 
     # ----------------------------------------------------- file skipping
+    def _write_added_sidecar(self, tmp_target: str) -> None:
+        """Record this commit's freshly-staged data files as the
+        ``ADDED`` JSON list — MUST run before the hardlink step of the
+        calling commit path (see the constant's note)."""
+        import json as _json
+
+        from a2b_spark.storage import stats as _stats
+
+        with open(os.path.join(tmp_target, ADDED), "w") as f:
+            f.write(_json.dumps(sorted(_stats._data_files(tmp_target))))
+
     def _write_stats_sidecar(self, tmp_target: str, base: Optional[str]) -> None:
         """Per-file min/max statistics (``_STATS``), parquet only —
         written into the staging dir so it commits atomically with the
@@ -534,7 +552,8 @@ class VersionedParquetTable:
             dst = os.path.join(target, fn)
             if (
                 fn.startswith("_")
-                and fn != STATS_FILE  # per-version file map, never inherited
+                # per-version file maps, never inherited
+                and fn not in (STATS_FILE, ADDED)
                 and os.path.isfile(src)
                 and not os.path.exists(dst)
             ):
@@ -705,7 +724,9 @@ class VersionedParquetTable:
             for fn in files:
                 src = os.path.join(root, fn)
                 dst = os.path.join(dst_root, fn)
-                if fn == COMMIT_INFO or (rel_root == "." and fn in replace):
+                if fn == COMMIT_INFO or fn == ADDED or (
+                    rel_root == "." and fn in replace
+                ):
                     continue  # replaced (or re-labelled) below
                 if fn.startswith(("_", ".")):
                     shutil.copyfile(src, dst)  # sidecars: small, own copy
@@ -723,6 +744,8 @@ class VersionedParquetTable:
         if os.path.isdir(dv_src):
             shutil.copytree(dv_src, os.path.join(tmp_target, DV_DIR))
         self._write_cdf(tmp_target, cdf_df)
+        with open(os.path.join(tmp_target, ADDED), "w") as f:
+            f.write("[]")  # every data file hardlinks: no new bytes
         with open(os.path.join(tmp_target, COMMIT_INFO), "w") as f:
             f.write(self._commit_info(op))
         self._claim_version_dir(tmp_target, new_version)
@@ -1123,6 +1146,7 @@ class VersionedParquetTable:
         }.items():
             with open(os.path.join(tmp_target, fn), "w") as f:
                 f.write(content)
+        self._write_added_sidecar(tmp_target)  # full rewrite: all fresh
         self._write_stats_sidecar(tmp_target, base)
         self._carry_forward_metadata(tmp_target, base)  # base resolved above
         # a full rewrite wrote every data file fresh: no hardlinked
@@ -1464,6 +1488,7 @@ class VersionedParquetTable:
             shutil.rmtree(tmp_target, ignore_errors=True)
             raise
         self._write_cdf(tmp_target, cdf_df)
+        self._write_added_sidecar(tmp_target)  # before the hardlinks
         for leaf, values in _leaf_partitions(old_dir, len(self.partition_by)):
             if values in touched:
                 continue
@@ -1786,6 +1811,7 @@ class VersionedParquetTable:
                 shutil.rmtree(tmp_target, ignore_errors=True)
                 raise
         self._write_cdf(tmp_target, cdf_df)
+        self._write_added_sidecar(tmp_target)  # before the hardlinks
         for rel in keep_rels:
             dst = os.path.join(tmp_target, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -630,3 +630,64 @@ def test_cdf_append_duplicate_key_raises_without_dedupe(spark, tmp_path):
     cdf_dir = os.path.join(t.path, t.current_version(), CDF_DIR)
     got = {(r.k, r.change) for r in spark.read.parquet(cdf_dir).collect()}
     assert got == {(3, "insert")}
+
+
+def test_appends_planner_added_sidecar_and_fallback_agree(spark, tmp_path):
+    """Round-10 planner: commits record their freshly-written files in
+    an _ADDED sidecar so a C-commit drain is O(total new files), not
+    O(C²) sidecar entries. Pre-round-10 histories lack the sidecar —
+    the planner must fall back to the full-map diff per commit and
+    produce the SAME partitions, including MIXED histories (some
+    commits with _ADDED, some without) and the stale-partition check
+    across the fallback/fast-path seam."""
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+    from a2b_spark.storage.table import ADDED
+
+    t = VersionedParquetTable(
+        str(tmp_path / "a"),
+        key_cols=("k",),
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=20,
+    )
+    for e in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(10 * e + i, e, float(i)) for i in range(4)],
+                "k long, epoch int, x double",
+            )
+        )
+    # every content commit carries its own _ADDED record
+    for v in t.versions():
+        assert os.path.exists(os.path.join(t.path, v, ADDED))
+
+    def _drain():
+        r = _AppendsStreamReader({"path": t.path})
+        rows = []
+        for p in r.partitions({"version": 0}, {"version": 6}):
+            for b in r.read(p):
+                rows.extend(
+                    (d["k"], d["epoch"], d["_commit_version"])
+                    for d in b.to_pylist()
+                )
+        return sorted(rows)
+
+    fast = _drain()
+    assert len(fast) == 24
+    # strip a MIDDLE commit's sidecar: fallback for it, fast around it
+    os.remove(os.path.join(t.path, t.versions()[3], ADDED))
+    assert _drain() == fast
+    # strip all: the pre-round-10 history shape
+    for v in t.versions():
+        p = os.path.join(t.path, v, ADDED)
+        if os.path.exists(p):
+            os.remove(p)
+    assert _drain() == fast
+    # the stale-partition contract survives the fast path: an append
+    # into an EXISTING epoch must still raise
+    t.append(
+        spark.createDataFrame([(999, 2, 9.9)], "k long, epoch int, x double")
+    )
+    r = _AppendsStreamReader({"path": t.path})
+    with pytest.raises(ValueError, match="FRESH partitions"):
+        r.partitions({"version": 0}, {"version": 7})

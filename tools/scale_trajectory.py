@@ -213,8 +213,9 @@ def storage_probes(spark) -> dict:
 
     out: dict = {}
 
-    # (a) prune planning vs sidecar size — pure driver cost
-    for n in (10_000, 100_000):
+    # (a) prune planning vs sidecar size — pure driver cost; the
+    # 10k→100k→1M decades give the planning alpha at a 100× file count
+    for n in (10_000, 100_000, 1_000_000):
         stats = {
             "version": _stats.STATS_FORMAT_VERSION,
             "files": {
@@ -352,7 +353,186 @@ def storage_probes(spark) -> dict:
     _sh.rmtree(ck, ignore_errors=True)
     _sh.rmtree(ap_dir, ignore_errors=True)
     _sh.rmtree(cd_dir, ignore_errors=True)
+
+    # (e)+(f) 100× commit histories, FABRICATED driver-side (2400 real
+    # Spark commits would take an hour and measure the writer, not the
+    # reader): every artifact the planners consume is production-shaped
+    # — real parquet data/change files (hardlinked template), per-
+    # version _COMMIT_INFO/_ADDED/_STATS/_SCHEMA. Windows at 24/240/
+    # 2400 commits give the drain alpha across two decades; the
+    # _ADDED-based planner should hold time_ratio ≈ commit ratio
+    # (linear), where the pre-round-10 full-map diff was quadratic in
+    # sidecar entries.
+    out["appends_drain_100x"] = _appends_drain_100x(_time, _sh)
+    out["changes_drain_100x"] = _changes_drain_100x(_time, _sh)
     return out
+
+
+def _fab_schema_json() -> str:
+    from pyspark.sql import types as T
+
+    return json.dumps(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("x", T.DoubleType()),
+                T.StructField("epoch", T.IntegerType()),
+            ]
+        ).jsonValue()
+    )
+
+
+def _fabricate_appends_history(root: str, commits: int, rows: int = 64) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from a2b_spark.storage import stats as _stats
+
+    os.makedirs(root)
+    tpl = os.path.join(root, ".template.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": list(range(rows)), "x": [float(i) for i in range(rows)]}
+        ),
+        tpl,
+    )
+    schema_json = _fab_schema_json()
+    files_map: dict = {}
+    info = json.dumps({"op": "append", "ts": "2026-01-01T00:00:00+00:00"})
+    v1info = json.dumps({"op": "overwrite", "ts": "2026-01-01T00:00:00+00:00"})
+    for n in range(1, commits + 1):
+        vdir = os.path.join(root, f"v_{n:010d}")
+        rel = f"epoch={n - 1}/part-00000.parquet"
+        os.makedirs(os.path.join(vdir, f"epoch={n - 1}"))
+        os.link(tpl, os.path.join(vdir, rel))
+        files_map[rel] = {"rows": rows, "cols": {}}
+        _stats.write_stats(
+            vdir, {"version": _stats.STATS_FORMAT_VERSION, "files": dict(files_map)}
+        )
+        with open(os.path.join(vdir, "_ADDED"), "w") as f:
+            f.write(json.dumps([rel]))
+        with open(os.path.join(vdir, "_SCHEMA"), "w") as f:
+            f.write(schema_json)
+        with open(os.path.join(vdir, "_COMMIT_INFO"), "w") as f:
+            f.write(v1info if n == 1 else info)
+    with open(os.path.join(root, "_CURRENT"), "w") as f:
+        f.write(f"v_{commits:010d}")
+
+
+def _appends_drain_100x(_time, _sh) -> dict:
+    import tempfile
+
+    from a2b_spark.storage.cdf import _AppendsStreamReader
+
+    root = tempfile.mkdtemp(prefix="a2b_appends_100x_")
+    _sh.rmtree(root)
+    t0 = _time.perf_counter()
+    _fabricate_appends_history(root, 2400)
+    build = _time.perf_counter() - t0
+    r = _AppendsStreamReader({"path": root})
+
+    def _drain(hi: int, repeats: int) -> float:
+        best = math.inf
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            rows = 0
+            for p in r.partitions({"version": 0}, {"version": hi}):
+                for b in r.read(p):
+                    rows += b.num_rows
+            assert rows == 64 * hi
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    s24, s240, s2400 = _drain(24, 3), _drain(240, 3), _drain(2400, 2)
+    _sh.rmtree(root, ignore_errors=True)
+    return {
+        "build_sec": round(build, 2),
+        "sec_24": round(s24, 4),
+        "sec_240": round(s240, 4),
+        "sec_2400": round(s2400, 4),
+        "ratio_10x": round(s240 / s24, 2),
+        "ratio_100x": round(s2400 / s24, 2),
+        "alpha_top_decade": round(math.log(s2400 / s240) / math.log(10), 3),
+    }
+
+
+def _changes_drain_100x(_time, _sh) -> dict:
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from a2b_spark.storage.cdf import _ChangesStreamReader
+
+    root = tempfile.mkdtemp(prefix="a2b_changes_100x_")
+    _sh.rmtree(root)
+    os.makedirs(root)
+    data_tpl = os.path.join(root, ".data.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(64)), "x": [float(i) for i in range(64)]}),
+        data_tpl,
+    )
+    cdf_tpl = os.path.join(root, ".cdf.parquet")
+    pq.write_table(
+        pa.table({"k": [0, 1], "x": [1.0, 2.0], "change": ["update", "insert"]}),
+        cdf_tpl,
+    )
+    from pyspark.sql import types as T
+
+    schema_json = json.dumps(
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("x", T.DoubleType())]
+        ).jsonValue()
+    )
+    commits = 2400
+    t0 = _time.perf_counter()
+    for n in range(1, commits + 1):
+        vdir = os.path.join(root, f"v_{n:010d}")
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "_SCHEMA"), "w") as f:
+            f.write(schema_json)
+        with open(os.path.join(vdir, "_COMMIT_INFO"), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "op": "overwrite" if n == 1 else "merge",
+                        "ts": "2026-01-01T00:00:00+00:00",
+                    }
+                )
+            )
+        if n == 1:
+            os.link(data_tpl, os.path.join(vdir, "part-00000.parquet"))
+        else:
+            os.makedirs(os.path.join(vdir, "_cdf"))
+            os.link(cdf_tpl, os.path.join(vdir, "_cdf", "part-00000.parquet"))
+    with open(os.path.join(root, "_CURRENT"), "w") as f:
+        f.write(f"v_{commits:010d}")
+    build = _time.perf_counter() - t0
+    r = _ChangesStreamReader({"path": root})
+
+    def _drain(hi: int, repeats: int) -> float:
+        best = math.inf
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            rows = 0
+            for p in r.partitions({"version": 0}, {"version": hi}):
+                for b in r.read(p):
+                    rows += b.num_rows
+            assert rows == 64 + 2 * (hi - 1)
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    s24, s240, s2400 = _drain(24, 3), _drain(240, 3), _drain(2400, 2)
+    _sh.rmtree(root, ignore_errors=True)
+    return {
+        "build_sec": round(build, 2),
+        "sec_24": round(s24, 4),
+        "sec_240": round(s240, 4),
+        "sec_2400": round(s2400, 4),
+        "ratio_10x": round(s240 / s24, 2),
+        "ratio_100x": round(s2400 / s24, 2),
+        "alpha_top_decade": round(math.log(s2400 / s240) / math.log(10), 3),
+    }
 
 
 def main() -> int:
