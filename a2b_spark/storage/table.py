@@ -76,6 +76,7 @@ ADDED = "_ADDED"
 # ops whose commits change layout/metadata but no row content
 LAYOUT_ONLY_OPS = {
     "compact",
+    "purge",  # deletion-vector purge: identical row content
     "add_constraint",
     "drop_constraint",
     "drop_columns",
@@ -1661,6 +1662,54 @@ class VersionedParquetTable:
             dv_df=dv_new,
         )
         return True
+
+    def purge_deleted(self, spark: SparkSession) -> dict:
+        """Physically remove the deletion vector's tombstoned rows —
+        the DV maintenance op (Delta's REORG TABLE ... APPLY (PURGE)):
+        rewrite ONLY the files whose ``_STATS`` key band can hold a
+        tombstoned key (DV-filtered read, like any pruned rewrite),
+        hardlink every other file, and clear the vector. A layout-only
+        commit: row content is identical before and after (CDF
+        consumers skip it), but the table stops paying the per-read
+        anti join and vacuum can eventually reclaim the tombstoned
+        bytes. Falls back to rewriting all files when the sidecar
+        cannot band-match (no stats / unprunable key type). Returns
+        {"files_rewritten", "files_linked", "purged_keys"}."""
+        base = self.current_version()
+        out = {"files_rewritten": 0, "files_linked": 0, "purged_keys": 0}
+        if base is None:
+            return out
+        dv = self._dv_df(spark, base)
+        if dv is None:
+            return out
+        from a2b_spark.storage import stats as _stats
+
+        n_keys = dv.count()
+        vdir = os.path.join(self.path, base)
+        all_rels = _stats._data_files(vdir)
+        info = self._prunable_key_files(dv, base)
+        if info is not None:
+            kept_abs, keep_rels, schema = info
+        else:
+            # band-matching unavailable: every file may hold a
+            # tombstoned row — rewrite them all (a plain compact-sized
+            # cost, still clearing the vector)
+            kept_abs = [os.path.join(vdir, r) for r in all_rels]
+            keep_rels = []
+            schema = self._version_schema(base)
+        rewritten = self._read_files(spark, base, kept_abs, schema)  # DV-filtered
+        self._commit_linked_files(
+            rewritten if kept_abs else None,
+            keep_rels,
+            op="purge",
+            base=base,
+            dv_df=dv.limit(0),  # explicit clear, never carry
+        )
+        return {
+            "files_rewritten": len(kept_abs),
+            "files_linked": len(keep_rels),
+            "purged_keys": n_keys,
+        }
 
     def _prunable_key_files(self, keyed_df: DataFrame, base: Optional[str]):
         """The shared planning step of file-pruned merge/delete:

@@ -171,3 +171,40 @@ def test_dv_noop_outside_scope(spark, tmp_path):
     vdir = os.path.join(t.path, t.current_version())
     assert not os.path.isdir(os.path.join(vdir, DV_DIR))
     assert {r.k for r in t.read(spark).collect()} == set(range(10)) - {4}
+
+
+def test_dv_purge_rewrites_only_matching_files(spark, tmp_path):
+    """purge_deleted (REORG APPLY PURGE analogue): rewrite ONLY the
+    stats-matched files holding tombstoned rows, hardlink the rest,
+    clear the vector; a layout-only commit both CDC surfaces skip."""
+    from a2b_spark.storage.cdf import table_changes
+
+    t = _dv_table(spark, tmp_path)
+    t.compact(spark, target_file_bytes=2 << 10, min_files=1, cluster_by=["k"])
+    t.enable_cdf()
+    t.delete_keys(spark.createDataFrame([(3,), (4,)], "k long"))
+    pre_version = t.current_version()
+    stats = t.purge_deleted(spark)
+    assert stats["purged_keys"] == 2
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_linked"] >= 1  # band-matching really pruned
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.isdir(os.path.join(vdir, DV_DIR))
+    linked = [p for p in _data_files(vdir) if os.stat(p).st_nlink > 1]
+    assert len(linked) == stats["files_linked"]
+    # physically purged, logically identical
+    raw = spark.read.parquet(*_data_files(vdir))
+    assert {r.k for r in raw.collect()} == set(range(40)) - {3, 4}
+    assert {r.k for r in t.read(spark).collect()} == set(range(40)) - {3, 4}
+    # time travel to the DV version still applies its vector
+    assert {r.k for r in t.read(spark, version=pre_version).collect()} == (
+        set(range(40)) - {3, 4}
+    )
+    # CDC: the purge commit is layout-only — the range's only changes
+    # are the delete's
+    diff = table_changes(t, spark, from_version=t.versions()[-3])
+    assert {(r.k, r.change) for r in diff.collect()} == {
+        (3, "delete"), (4, "delete")
+    }
+    # idempotent: no vector, no-op
+    assert t.purge_deleted(spark)["purged_keys"] == 0

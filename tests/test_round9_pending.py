@@ -27,10 +27,15 @@ def test_pending_query_matches_oracle(spark, sf_dir, name):
 
 
 def test_tranche_registered():
-    """Round 9 wired round9 + round9b into queries/__init__.py;
-    never-green queries must occupy the front of the 50-cap window."""
+    """Round 9 wired round9 + round9b into queries/__init__.py; until
+    the tranche reaches two driver-green rounds it must stay inside
+    the harness's 50-entry window (fewest-green-first ordering —
+    newer zero-green registrations may precede it)."""
     from a2b_spark import queries
 
     assert set(_ALL_Q) <= set(queries.QUERIES)
-    head = list(queries.QUERIES)[: len(_ALL_Q)]
-    assert set(head) == set(_ALL_Q)
+    window = set(list(queries.QUERIES)[:50])
+    under_confirmed = {
+        q for q in _ALL_Q if queries._coverage().get(q, 0) < 2
+    }
+    assert under_confirmed <= window
