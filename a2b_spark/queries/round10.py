@@ -125,13 +125,13 @@ def q154_deletion_vector_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _data_files(vdir: str) -> list:
-    out = []
-    for root, dirs, files in os.walk(vdir):
-        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
-        out.extend(
-            os.path.join(root, f) for f in files if not f.startswith(("_", "."))
-        )
-    return sorted(out)
+    """Absolute data-file paths via the storage layer's ONE canonical
+    walker predicate (stats._data_files) — a hand-rolled filter here
+    would silently diverge the in-query file-identity checks from the
+    layer's own notion of data files."""
+    from a2b_spark.storage import stats as _stats
+
+    return sorted(os.path.join(vdir, r) for r in _stats._data_files(vdir))
 
 
 O_Q154 = """

@@ -1249,14 +1249,30 @@ class VersionedParquetTable:
                 # that ALREADY exists would make the two CDC surfaces
                 # disagree (batch table_changes' keyed diff reports
                 # 'update' — or nothing — for it) AND leave the table
-                # duplicate-keyed. Fresh-key appends stay cheap (one
-                # batch-sized semi join); a clashing key fails loudly.
+                # duplicate-keyed. A clashing key fails loudly; the
+                # probe side is BOUNDED so fresh-key appends (the
+                # streaming-ingest hot path) never pay a whole-table
+                # key scan: on an unpartitioned clustered table only
+                # the files whose _STATS key band overlaps the batch
+                # are probed, and with key-derived partitions only the
+                # batch's own partitions can hold a clash.
                 from a2b_spark.storage.diff import null_safe_key_cond
 
+                probe = current
+                if not self.partition_by:
+                    info = self._prunable_key_files(batch, base)
+                    if info is not None:
+                        kept_abs, _, schema = info
+                        probe = self._read_files(
+                            batch.sparkSession, base, kept_abs, schema
+                        )
+                elif self.partitions_derived_from_keys:
+                    touched = self._touched_partitions(batch)
+                    probe = current.filter(self._partition_filter(touched))
                 clash = (
                     batch.alias("b")
                     .join(
-                        current.alias("c"),
+                        probe.alias("c"),
                         null_safe_key_cond(self.key_cols, "b", "c"),
                         "left_semi",
                     )
@@ -1379,9 +1395,7 @@ class VersionedParquetTable:
             )
             return
         if self.deletion_vectors and self.fmt == "parquet":
-            if self._try_delete_dv(
-                keys_df.sparkSession, current, keys, base, _delete_cdf
-            ):
+            if self._try_delete_dv(keys_df.sparkSession, current, keys, base):
                 return
         kept_info = self._prunable_key_files(keys, base)
         if kept_info is not None:
@@ -1610,7 +1624,7 @@ class VersionedParquetTable:
 
     def _try_delete_dv(
         self, spark: SparkSession, current: DataFrame, keys: DataFrame,
-        base: str, delete_cdf_fn,
+        base: str,
     ) -> bool:
         """DELETION-VECTOR delete on an UNPARTITIONED parquet table:
         commit = every data file HARDLINKED + the tombstone key list
@@ -1625,7 +1639,12 @@ class VersionedParquetTable:
         ``current`` is the DV-FILTERED snapshot, so re-deleting an
         already-tombstoned key never bloats the vector, and the CDF
         change rows (key-level, NULL payload — same contract as every
-        delete path) fire only for genuinely live rows."""
+        delete path) fire only for genuinely live rows. The matched
+        key set is PINNED once (capped at DV_MAX_KEYS+1 rows before
+        materialization) and every downstream consumer — the size
+        check, the vector union, the CDF rows — derives from the
+        pinned blocks: a 2-key delete on a billion-row table pays ONE
+        current-table key scan, not four."""
         from a2b_spark.storage import stats as _stats
         from a2b_spark.storage.diff import null_safe_key_cond
 
@@ -1638,8 +1657,10 @@ class VersionedParquetTable:
             )
             .select(*self.key_cols)
             .distinct()
+            .limit(DV_MAX_KEYS + 1)
+            .localCheckpoint(eager=True)
         )
-        n_new = deleted.limit(DV_MAX_KEYS + 1).count()
+        n_new = deleted.count()  # pinned blocks: no rescan
         if n_new == 0:
             return True  # nothing live matched: no commit
         old_dv = self._dv_df(spark, base)
@@ -1651,6 +1672,28 @@ class VersionedParquetTable:
         dv_new = (
             old_dv.unionByName(deleted) if old_dv is not None else deleted
         )
+        cdf = None
+        if self.cdf_enabled(base):
+            reserved = {"change", "_commit_version"} & set(current.columns)
+            if reserved:
+                raise ValueError(
+                    "table data columns collide with reserved CDF output "
+                    f"columns {sorted(reserved)}; rename them before "
+                    "enabling CDF"
+                )
+            # key-level delete rows straight from the pinned key set —
+            # no second semi join over the table
+            payload = [
+                c for c in current.columns if c not in set(self.key_cols)
+            ]
+            cdf = deleted.select(
+                *self.key_cols,
+                *[
+                    F.lit(None).cast(current.schema[c].dataType).alias(c)
+                    for c in payload
+                ],
+                F.lit("delete").alias("change"),
+            )
         vdir = os.path.join(self.path, base)
         keep_rels = _stats._data_files(vdir)
         self._commit_linked_files(
@@ -1658,7 +1701,7 @@ class VersionedParquetTable:
             keep_rels,
             op="delete",
             base=base,
-            cdf_df=delete_cdf_fn(current),
+            cdf_df=cdf,
             dv_df=dv_new,
         )
         return True
@@ -1846,7 +1889,10 @@ class VersionedParquetTable:
         if df is None:
             os.makedirs(tmp_target)
         else:
-            df, _check_constraints = self._constraint_observation(df, base)
+            if op == "purge":  # layout-only rewrite of validated data
+                _check_constraints = lambda: None  # noqa: E731
+            else:
+                df, _check_constraints = self._constraint_observation(df, base)
             with _stats_friendly_timestamps(df.sparkSession):
                 (
                     df.write.mode("overwrite")
@@ -2142,12 +2188,19 @@ class VersionedParquetTable:
                 else float(older_than)
             )
             ts_cutoff = _time.time() - seconds
-            doomed = [
-                d
-                for d in doomed
-                if (age := self._commit_ts_epoch(d)) is not None
-                and age < ts_cutoff
-            ]
+            # trim only the CONTIGUOUS oldest prefix: stop at the first
+            # version failing the age test (non-monotone commit
+            # timestamps — a clock step, an unreadable _COMMIT_INFO
+            # falling back to a fresh mtime — must never punch a hole
+            # in retained history, which would wedge every stream and
+            # table_changes range crossing it)
+            aged = []
+            for d in doomed:
+                age = self._commit_ts_epoch(d)
+                if age is None or age >= ts_cutoff:
+                    break
+                aged.append(d)
+            doomed = aged
         for d in doomed + orphans:
             if d == cur:
                 continue

@@ -979,3 +979,28 @@ def test_vacuum_older_than_covers_cdc_lag(spark, tmp_path):
         t, spark, from_version=f"v_{lo:010d}"
     )
     assert suffix.count() == len(t.versions()) - 1
+
+
+def test_vacuum_older_than_never_punches_holes(spark, tmp_path):
+    """Non-monotone commit timestamps (clock step, unreadable
+    _COMMIT_INFO falling back to a fresh mtime) must never produce a
+    GAP in retained history — time-based vacuum trims only the
+    contiguous oldest prefix, because a hole wedges every stream and
+    table_changes range crossing it."""
+    import datetime as dt
+
+    t = VersionedParquetTable(str(tmp_path / "t"), key_cols=("k",), retention=20)
+    t.overwrite(spark.createDataFrame([(0, "a")], "k long, v string"))
+    for i in range(1, 5):
+        t.merge(spark.createDataFrame([(i, "x")], "k long, v string"))
+    vs = t.versions()
+    # v1 and v3 look old, v2 looks FRESH (clock stepped back between)
+    _backdate(t, vs[0], hours=3)
+    _backdate(t, vs[2], hours=3)
+    t.vacuum(older_than=dt.timedelta(hours=1))
+    # only the contiguous old prefix (v1) goes; v3 survives because
+    # trimming it would orphan the fresh v2 behind it... (v2 fresh
+    # stops the scan before v3)
+    assert t.versions() == vs[1:]
+    nums = [int(v.split("_")[1]) for v in t.versions()]
+    assert nums == list(range(nums[0], nums[0] + len(nums)))  # contiguous
