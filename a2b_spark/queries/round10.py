@@ -152,3 +152,103 @@ ORDER BY o_orderpriority
 
 QUERIES["q154_deletion_vector_walk"] = q154_deletion_vector_walk
 ORACLES["q154_deletion_vector_walk"] = O_Q154
+
+
+# --------------------------------------------------------------- Q155
+def q155_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL AGGREGATE MAINTENANCE end-to-end (storage/ivm.py):
+    a customer snapshot lands with ``enable_cdf(preimages=True)``, a
+    per-segment rollup builds from the initial commit, then a churn
+    commit (reprice every 13th account +50, MOVE every 29th customer
+    to a synthetic segment, insert one new customer) and a delete of
+    every 41st customer refresh the rollup from CHANGE ROWS ONLY —
+    the signed fold Σ(+post −pre) — never re-scanning the source. The
+    in-query checks raise unless the refreshes were genuinely
+    incremental (bounded groups touched, marker advancing, a third
+    refresh a no-op); the final rollup must hash-match the oracle's
+    full GROUP BY recomputation of the effective state, certifying
+    inserts, group-moving updates, and deletes all folded exactly."""
+    from a2b_spark.storage.ivm import refresh_rollup
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    src = VersionedParquetTable(
+        _scratch_path(sf_dir, "q155src"), key_cols=["c_custkey"], retention=20
+    )
+    src.overwrite(c)
+    src.enable_cdf(preimages=True)
+    roll = VersionedParquetTable(
+        _scratch_path(sf_dir, "q155roll"),
+        key_cols=["c_mktsegment"],
+        retention=20,
+    )
+    r1 = refresh_rollup(roll, src, spark, ["c_mktsegment"], ["c_acctbal"])
+    hi = c.agg(F.max("c_custkey")).first()[0]
+    batch = (
+        c.filter(
+            (F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 29 == 0)
+        )
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + F.lit(50.0)
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 29 == 0, F.lit("0-MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(hi + 1, "0-MOVED", 123.45)],
+                "c_custkey long, c_mktsegment string, c_acctbal double",
+            )
+        )
+    )
+    src.merge(batch)
+    src.delete_keys(
+        c.filter(F.col("c_custkey") % 41 == 0).select("c_custkey")
+    )
+    r2 = refresh_rollup(roll, src, spark, ["c_mktsegment"], ["c_acctbal"])
+    if r2["to_version"] <= r1["to_version"] or r2["groups_touched"] == 0:
+        raise RuntimeError(f"q155: second refresh not incremental: {r2}")
+    r3 = refresh_rollup(roll, src, spark, ["c_mktsegment"], ["c_acctbal"])
+    if r3["groups_touched"] != 0:
+        raise RuntimeError(f"q155: third refresh should be a no-op: {r3}")
+    return (
+        roll.read(spark)
+        .select(
+            "c_mktsegment",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("c_acctbal").cast("double").alias("sum_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+O_Q155 = """
+WITH eff AS (
+  SELECT CASE WHEN c_custkey % 29 = 0 THEN '0-MOVED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 50.0
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 41 <> 0
+  UNION ALL
+  SELECT '0-MOVED', 123.45
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+FROM eff
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES["q155_incremental_rollup_refresh"] = q155_incremental_rollup_refresh
+ORACLES["q155_incremental_rollup_refresh"] = O_Q155

@@ -175,7 +175,8 @@ def align_to_after(before: DataFrame, after: DataFrame) -> DataFrame:
 
 
 def keyed_changes(
-    before: DataFrame, after: DataFrame, key_cols: Sequence[str]
+    before: DataFrame, after: DataFrame, key_cols: Sequence[str],
+    preimages: bool = False,
 ) -> DataFrame:
     """:func:`snapshot_diff` with after-image payload — the generic
     change-data frame written at commit time when a table has CDF
@@ -183,14 +184,35 @@ def keyed_changes(
     evolution) and vice versa is unnecessary: a column only in
     ``before`` was dropped and by contract is no longer compared.
     Deletes carry NULL payloads. One full-outer join; output bounded
-    by the commit's churn."""
+    by the commit's churn.
+
+    ``preimages=True`` (``enable_cdf(preimages=True)`` tables): each
+    update ALSO emits an ``update_preimage`` row carrying the OLD
+    values, and deletes carry their full pre-image payload instead of
+    NULL — the shape incremental aggregate maintenance needs to
+    DECREMENT (storage/ivm.py): the signed fold Σ(+post −pre) over a
+    commit range reproduces any SUM/COUNT delta without re-scanning
+    the table."""
     keys = list(key_cols)
-    d = snapshot_diff(align_to_after(before, after), after, keys)
-    return attach_after_image(d, after, keys)
+    aligned = align_to_after(before, after)
+    d = snapshot_diff(aligned, after, keys)
+    post = attach_after_image(d, after, keys)
+    if not preimages:
+        return post
+    pre = attach_after_image(
+        d.filter(F.col("change").isin("update", "delete")), aligned, keys
+    ).withColumn(
+        "change",
+        F.when(F.col("change") == "update", F.lit("update_preimage")).otherwise(
+            F.lit("delete")
+        ),
+    )
+    return post.filter(F.col("change") != "delete").unionByName(pre)
 
 
 def merge_changes(
-    existing: DataFrame, batch: DataFrame, keys: Sequence[str]
+    existing: DataFrame, batch: DataFrame, keys: Sequence[str],
+    preimages: bool = False,
 ) -> DataFrame:
     """The change-data rows of ``merge_dataframes(existing, batch,
     keys)`` computed in ONE batch-sized left join (instead of a
@@ -202,7 +224,12 @@ def merge_changes(
     frames), and unchanged rows are dropped. After-images match the
     merged row: batch values for batch columns, existing-only columns
     pass through (NULL for inserts). Pytest pins equivalence to
-    ``keyed_changes(existing, merged)``."""
+    ``keyed_changes(existing, merged)``.
+
+    ``preimages=True``: each update additionally emits an
+    ``update_preimage`` row with the OLD values (already present on
+    the join's existing side — zero extra joins); see
+    :func:`keyed_changes` for the contract."""
     key_set = set(keys)
     reserved = {"change", "_commit_version"} & (
         set(existing.columns) | set(batch.columns)
@@ -241,11 +268,32 @@ def merge_changes(
         + [F.col(f"b.{c}").alias(c) for c in b_payload]
         + [F.col(f"__me_{c}").alias(c) for c in e_only]
     )
-    return (
-        j.withColumn("change", change)
-        .filter(F.col("change").isNotNull())
-        .select(*out_cols, "change")
+    classified = j.withColumn("change", change).filter(
+        F.col("change").isNotNull()
     )
+    post = classified.select(*out_cols, "change")
+    if not preimages:
+        return post
+    existing_cols = set(existing.columns)
+    pre_cols = (
+        [F.col(f"b.{k}").alias(k) for k in keys]
+        + [
+            (
+                F.col(f"__me_{c}")
+                if c in existing_cols
+                # batch-added column: NULL before this merge, typed
+                # from the batch side
+                else F.lit(None).cast(batch.schema[c].dataType)
+            ).alias(c)
+            for c in b_payload
+        ]
+        + [F.col(f"__me_{c}").alias(c) for c in e_only]
+    )
+    pre = (
+        classified.filter(F.col("change") == "update")
+        .select(*pre_cols, F.lit("update_preimage").alias("change"))
+    )
+    return post.unionByName(pre)
 
 
 def null_safe_key_cond(keys: Sequence[str], left_alias: str, right_alias: str):

@@ -657,6 +657,8 @@ class VersionedParquetTable:
                 self.read(spark, version=base),
                 self.read(spark, version=version),
                 self.key_cols,
+                preimages=self.cdf_preimages(base)
+                or self.cdf_preimages(version),
             )
         self._hardlink_commit(version, op="restore", base=base, cdf_df=cdf)
 
@@ -958,12 +960,16 @@ class VersionedParquetTable:
         )
 
     # ------------------------------------------------- change data feed
-    def enable_cdf(self) -> None:
+    def enable_cdf(self, preimages: bool = False) -> None:
         """Turn on the CHANGE DATA FEED (Delta
         ``delta.enableChangeDataFeed`` parity): from the NEXT content
         commit on, every write also stages its keyed change rows
         (after-image + ``change``) as parquet under the version's
-        ``_cdf/`` dir, atomically with the data. Streams
+        ``_cdf/`` dir, atomically with the data. ``preimages=True``
+        additionally records old values (``update_preimage`` rows;
+        deletes carry full payloads) so downstream aggregates can
+        DECREMENT — see :meth:`cdf_preimages`; it assumes unique keys
+        (the keyed-table contract). Streams
         (``readStream.format("a2b_table_changes")``) then read those
         files directly — no join at read time, each commit streamed N
         times for the cost of one churn-sized write. The property is
@@ -982,10 +988,34 @@ class VersionedParquetTable:
                 "(the property is versioned metadata)"
             )
         if self.cdf_enabled(cur):
+            if preimages and not self.cdf_preimages(cur):
+                raise ValueError(
+                    f"CDF already enabled WITHOUT preimages at {self.path}; "
+                    "disable_cdf() first (mixing change-row shapes across "
+                    "commits would corrupt signed folds over a range)"
+                )
             return
         self._hardlink_commit(
-            cur, op="enable_cdf", base=cur, replace_files={CDF_ENABLED: "1"}
+            cur,
+            op="enable_cdf",
+            base=cur,
+            replace_files={CDF_ENABLED: "pre" if preimages else "1"},
         )
+
+    def cdf_preimages(self, version: Optional[str] = None) -> bool:
+        """True when the version's CDF records PRE-IMAGES: updates
+        emit an extra ``update_preimage`` row and deletes carry their
+        full old payload — the contract incremental aggregate
+        maintenance (storage/ivm.py) folds over."""
+        v = version or self.current_version()
+        if v is None:
+            return False
+        p = os.path.join(self.path, v, CDF_ENABLED)
+        try:
+            with open(p) as f:
+                return f.read().strip() == "pre"
+        except OSError:
+            return False
 
     def disable_cdf(self) -> None:
         cur = self.current_version()
@@ -1032,7 +1062,10 @@ class VersionedParquetTable:
         before = self.read(new_df.sparkSession, version=base)
         if touched is not None:
             before = before.filter(self._partition_filter(touched))
-        return keyed_changes(before, new_df, self.key_cols)
+        return keyed_changes(
+            before, new_df, self.key_cols,
+            preimages=self.cdf_preimages(base),
+        )
 
     def _dropped_tombstones(self, version: Optional[str]) -> set[str]:
         """Column names dropped at-or-before ``version`` whose physical
@@ -1194,7 +1227,10 @@ class VersionedParquetTable:
             # merged output — see diff.merge_changes)
             from a2b_spark.storage.diff import merge_changes
 
-            cdf = merge_changes(current, batch, self.key_cols)
+            cdf = merge_changes(
+                current, batch, self.key_cols,
+                preimages=self.cdf_preimages(base),
+            )
         if self.partition_by and not tombstone_clash:
             self._merge_partitioned(spark, current, batch, base, cdf_df=cdf)
         else:
@@ -1357,20 +1393,21 @@ class VersionedParquetTable:
                     f"columns {sorted(reserved)}; rename them before "
                     "enabling CDF"
                 )
+            matched = cur.alias("c").join(
+                keys.alias("k"),
+                null_safe_key_cond(self.key_cols, "c", "k"),
+                "left_semi",
+            )
+            if self.cdf_preimages(base):
+                # pre-image contract: deletes carry their full old
+                # payload so signed folds can decrement (unique keys
+                # assumed — the keyed-table contract)
+                return matched.withColumn("change", F.lit("delete"))
             # KEY-level delete rows (the keyed-diff contract of batch
             # table_changes — a duplicate-keyed physical layout must
             # still emit one row per key) with NULL payloads; one semi
             # join bounded by the key batch
-            deleted = (
-                cur.alias("c")
-                .join(
-                    keys.alias("k"),
-                    null_safe_key_cond(self.key_cols, "c", "k"),
-                    "left_semi",
-                )
-                .select(*self.key_cols)
-                .distinct()
-            )
+            deleted = matched.select(*self.key_cols).distinct()
             payload = [c for c in cur.columns if c not in set(self.key_cols)]
             return deleted.select(
                 *self.key_cols,
@@ -1601,7 +1638,10 @@ class VersionedParquetTable:
 
             # matched rows live ONLY in kept files (the pruning
             # contract), so the touched subset yields identical changes
-            cdf = merge_changes(current_touched, batch, self.key_cols)
+            cdf = merge_changes(
+                current_touched, batch, self.key_cols,
+                preimages=self.cdf_preimages(base),
+            )
         dv_new = None
         dv = self._dv_df(spark, base)
         if dv is not None:
@@ -1648,21 +1688,25 @@ class VersionedParquetTable:
         from a2b_spark.storage import stats as _stats
         from a2b_spark.storage.diff import null_safe_key_cond
 
-        deleted = (
+        # pin the matched FULL rows (capped before materialization):
+        # vector keys, the size check, and the CDF rows (pre-image
+        # payloads when enabled) all derive from the pinned blocks
+        matched = (
             current.alias("c")
             .join(
                 keys.alias("k"),
                 null_safe_key_cond(self.key_cols, "c", "k"),
                 "left_semi",
             )
-            .select(*self.key_cols)
-            .distinct()
             .limit(DV_MAX_KEYS + 1)
             .localCheckpoint(eager=True)
         )
-        n_new = deleted.count()  # pinned blocks: no rescan
+        deleted = matched.select(*self.key_cols).distinct()
+        n_new = deleted.count()  # pinned blocks: no table rescan
         if n_new == 0:
             return True  # nothing live matched: no commit
+        if matched.count() > DV_MAX_KEYS:
+            return False  # cap hit before the limit: set size unknown
         old_dv = self._dv_df(spark, base)
         n_old = old_dv.count() if old_dv is not None else 0
         if n_old + n_new > DV_MAX_KEYS:
@@ -1681,19 +1725,22 @@ class VersionedParquetTable:
                     f"columns {sorted(reserved)}; rename them before "
                     "enabling CDF"
                 )
-            # key-level delete rows straight from the pinned key set —
-            # no second semi join over the table
-            payload = [
-                c for c in current.columns if c not in set(self.key_cols)
-            ]
-            cdf = deleted.select(
-                *self.key_cols,
-                *[
-                    F.lit(None).cast(current.schema[c].dataType).alias(c)
-                    for c in payload
-                ],
-                F.lit("delete").alias("change"),
-            )
+            if self.cdf_preimages(base):
+                cdf = matched.withColumn("change", F.lit("delete"))
+            else:
+                # key-level NULL-payload delete rows straight from the
+                # pinned set — no second semi join over the table
+                payload = [
+                    c for c in current.columns if c not in set(self.key_cols)
+                ]
+                cdf = deleted.select(
+                    *self.key_cols,
+                    *[
+                        F.lit(None).cast(current.schema[c].dataType).alias(c)
+                        for c in payload
+                    ],
+                    F.lit("delete").alias("change"),
+                )
         vdir = os.path.join(self.path, base)
         keep_rels = _stats._data_files(vdir)
         self._commit_linked_files(
