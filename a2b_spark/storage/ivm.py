@@ -185,6 +185,16 @@ def refresh_rollup(
             f"rollup key_cols {rollup.key_cols} must equal group_cols "
             f"{tuple(group_cols)}"
         )
+    cur = rollup.current_version()
+    if cur is not None and os.path.exists(
+        os.path.join(rollup.path, cur, "_LAST_BATCH")
+    ):
+        raise ValueError(
+            f"rollup {rollup.path} is STREAM-maintained (streaming fold "
+            "marker present); the two maintenance surfaces track "
+            "different progress markers and mixing them double-counts — "
+            "pick one"
+        )
     applied = _read_applied(rollup)
     changes, to = change_rows(source, spark, applied)
     if changes is None:

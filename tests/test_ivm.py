@@ -170,3 +170,86 @@ def test_rollup_delta_rejects_unknown_change(spark):
     )
     with pytest.raises(Exception, match="unknown change type"):
         rollup_delta(df, ["g"], ["x"]).collect()
+
+
+def test_streaming_ivm_matches_batch_twin_and_replays(spark, tmp_path):
+    """The continuous fold over the changes stream must land the SAME
+    rollup as the batch refresh / full recompute, and a restarted
+    stream (same checkpoint) must not double-count."""
+    from a2b_spark.streaming.ivm import run_incremental_rollup_stream
+
+    src = VersionedParquetTable(str(tmp_path / "src"), key_cols=("k",), retention=20)
+    src.overwrite(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", float(i)) for i in range(12)],
+            "k long, g string, x double",
+        )
+    )
+    src.enable_cdf(preimages=True)
+    src.merge(
+        spark.createDataFrame(
+            [(0, "g1", 100.0), (50, "g0", 7.5)], "k long, g string, x double"
+        )
+    )
+    src.delete_keys(spark.createDataFrame([(4,)], "k long"))
+    roll = VersionedParquetTable(str(tmp_path / "roll"), key_cols=("g",), retention=20)
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = run_incremental_rollup_stream(
+            spark, src, roll, ["g"], ["x"], ck, trigger_available_now=True
+        )
+        q.awaitTermination(120)
+
+    run()
+    want = sorted(
+        (r.g, r.n_rows, float(r.x))
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("x"),
+        )
+        .collect()
+    )
+    got = sorted((r.g, r.n_rows, float(r.x)) for r in roll.read(spark).collect())
+    assert got == want
+    # replay: same checkpoint, no new commits -> unchanged
+    run()
+    got2 = sorted((r.g, r.n_rows, float(r.x)) for r in roll.read(spark).collect())
+    assert got2 == want
+    # new commits drain incrementally on the next trigger
+    src.delete_keys(spark.createDataFrame([(i,) for i in range(12) if i % 3 == 2], "k long"))
+    run()
+    want3 = sorted(
+        (r.g, r.n_rows, float(r.x))
+        for r in src.read(spark)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("x").cast("decimal(28,6)")).alias("x"),
+        )
+        .collect()
+    )
+    got3 = sorted((r.g, r.n_rows, float(r.x)) for r in roll.read(spark).collect())
+    assert got3 == want3
+    assert "g2" not in {g for g, _, _ in got3}  # emptied group removed
+    # the batch surface refuses a stream-maintained rollup
+    with pytest.raises(ValueError, match="STREAM-maintained"):
+        refresh_rollup(roll, src, spark, ["g"], ["x"])
+
+
+def test_streaming_ivm_rejects_batch_maintained_rollup(spark, tmp_path):
+    from a2b_spark.streaming.ivm import run_incremental_rollup_stream
+
+    src = VersionedParquetTable(str(tmp_path / "s"), key_cols=("k",), retention=10)
+    src.overwrite(
+        spark.createDataFrame([(1, "g", 1.0)], "k long, g string, x double")
+    )
+    src.enable_cdf(preimages=True)
+    roll = VersionedParquetTable(str(tmp_path / "r"), key_cols=("g",), retention=10)
+    refresh_rollup(roll, src, spark, ["g"], ["x"])
+    with pytest.raises(ValueError, match="BATCH-maintained"):
+        run_incremental_rollup_stream(
+            spark, src, roll, ["g"], ["x"], str(tmp_path / "ck")
+        )
