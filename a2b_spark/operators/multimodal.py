@@ -119,9 +119,14 @@ def decode_media(
       distributed plumbing with no codec libs.
     - ``"png"``: REAL decode for PNG payloads via the stdlib-only
       codec in operators/png.py (zlib + scanline unfiltering).
+    - ``"jpeg"``: REAL decode for baseline JPEG via the stdlib+numpy
+      codec in operators/jpeg.py (Huffman + dequant + IDCT + YCbCr).
+    - ``"auto"``: per-payload magic-byte sniff between the two real
+      codecs; any other format raises.
     - ``"real"``: the seam for PIL/ffmpeg (arbitrary formats) —
       NotImplementedError here because codec libs are not in this
-      container; the message points PNG payloads at ``"png"``.
+      container; the message points PNG/JPEG payloads at the real
+      stdlib codecs.
     - a CALLABLE ``bytes -> (width, height, channels, features)``:
       dependency injection of an actual codec. The callable is
       cloudpickled to the executors with the kernel, so it must be
@@ -145,11 +150,35 @@ def decode_media(
         from a2b_spark.operators.png import png_decoder
 
         kernel = lambda payload: png_decoder(payload, n_features)  # noqa: E731
+    elif decoder == "jpeg":
+        # REAL decode for baseline JPEG (stdlib+numpy Huffman/IDCT
+        # codec, operators/jpeg.py); progressive/arithmetic raise
+        from a2b_spark.operators.jpeg import jpeg_decoder
+
+        kernel = lambda payload: jpeg_decoder(payload, n_features)  # noqa: E731
+    elif decoder == "auto":
+        # sniff per payload: PNG / baseline JPEG decode for real,
+        # anything else raises (the seam's loud-error contract)
+        from a2b_spark.operators.jpeg import jpeg_decoder
+        from a2b_spark.operators.png import png_decoder
+
+        def kernel(payload: bytes):
+            if payload[:3] == b"\xff\xd8\xff":
+                return jpeg_decoder(payload, n_features)
+            if payload[:4] == b"\x89PNG":
+                return png_decoder(payload, n_features)
+            raise ValueError(
+                f"decoder='auto' supports PNG and baseline JPEG; payload "
+                f"starts {bytes(payload[:4])!r} — inject a codec callable "
+                "for other formats"
+            )
+
     elif decoder == "real":
         raise NotImplementedError(
             "general media decode needs codec libraries (PIL/ffmpeg) not "
-            "present in this environment; PNG payloads decode for real via "
-            "decoder='png' (stdlib zlib codec, operators/png.py); for other "
+            "present in this environment; PNG and baseline JPEG payloads "
+            "decode for real via decoder='png' / 'jpeg' / 'auto' (stdlib "
+            "codecs, operators/png.py + operators/jpeg.py); for other "
             "formats pass a decoder callable (bytes -> (w, h, c, features)), "
             "or use decoder='fake' for plumbing tests"
         )
@@ -221,14 +250,18 @@ def resize_media(
         from a2b_spark.operators.png import png_resizer
 
         kernel = png_resizer
+    elif resizer == "jpeg":
+        from a2b_spark.operators.jpeg import jpeg_resizer
+
+        kernel = jpeg_resizer
     elif resizer == "real":
         raise NotImplementedError(
             "general resize needs codec libraries (PIL) not present in this "
-            "environment; PNG payloads resize for real via resizer='png' "
-            "(stdlib codec, nearest-neighbor, operators/png.py); for other "
-            "formats pass a resizer callable ((payload, w, h) -> "
-            "(in_w, in_h, channels, out_payload)), or use resizer='fake' "
-            "for plumbing tests"
+            "environment; PNG and baseline JPEG payloads resize for real via "
+            "resizer='png' / 'jpeg' (stdlib codecs, nearest-neighbor, "
+            "operators/png.py + operators/jpeg.py); for other formats pass "
+            "a resizer callable ((payload, w, h) -> (in_w, in_h, channels, "
+            "out_payload)), or use resizer='fake' for plumbing tests"
         )
     else:
         raise ValueError(f"unknown resizer {resizer!r}")

@@ -252,3 +252,93 @@ ORDER BY c_mktsegment
 
 QUERIES["q155_incremental_rollup_refresh"] = q155_incremental_rollup_refresh
 ORACLES["q155_incremental_rollup_refresh"] = O_Q155
+
+
+# --------------------------------------------------------------- Q156
+def q156_jpeg_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib baseline JPEG codec certified under the driver hash
+    (the JPEG twin of q146's PNG rollup): each document (doc_id < 500)
+    synthesizes a REAL solid-color JPEG at quality 100 with
+    rule-derived dimensions (w = 4 + id%13, h = 3 + id%7, gray for
+    even ids, RGB for odd — JPEG has no 2-channel) and a rule-derived
+    coding envelope (4:2:0 subsampling for id%4==3, restart interval 2
+    for id%8>=6), then decode_media(decoder='jpeg') parses the actual
+    bitstream back on the executors. Solid blocks carry only the
+    integral DC coefficient and q100 quantizers are all 1, so the
+    decode is BIT-EXACT (pytest-pinned in test_jpeg_codec.py) — the
+    per-channel mean feature equals exactly round((id%256)/255, 6) and
+    the oracle recomputes the whole rollup from the construction rule.
+    Dimension sums certify the marker/SOF parse across subsampling
+    layouts; the feature sum certifies the Huffman -> dequant -> IDCT
+    -> color-convert -> upsample pixel path (a one-bit desync anywhere
+    diverges the hash)."""
+    from a2b_spark.operators.multimodal import decode_media
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from a2b_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 13, 3 + d % 7
+                c = 1 if d % 2 == 0 else 3
+                img = np.full((h, w, c), d % 256, np.uint8)
+                payloads.append(
+                    bytearray(
+                        encode_jpeg(
+                            img,
+                            quality=100,
+                            subsampling="4:2:0" if c == 3 and d % 4 == 3 else "4:4:4",
+                            restart_interval=2 if d % 8 >= 6 else 0,
+                        )
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    dec = decode_media(media, "payload", "media_id", decoder="jpeg")
+    return (
+        dec.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum(F.col("width") * F.col("height")).cast("long").alias("sum_pixels"),
+            F.sum(
+                F.element_at(F.col("features"), 1).cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("sum_mean_feature"),
+        )
+        .orderBy("channels")
+    )
+
+
+O_Q156 = """
+SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(4 + doc_id % 13) AS BIGINT) AS sum_width,
+       CAST(SUM(3 + doc_id % 7) AS BIGINT) AS sum_height,
+       CAST(SUM((4 + doc_id % 13) * (3 + doc_id % 7)) AS BIGINT) AS sum_pixels,
+       CAST(SUM(CAST(ROUND(CAST(doc_id % 256 AS DOUBLE) / 255, 6)
+                     AS DECIMAL(12,6))) AS DOUBLE) AS sum_mean_feature
+FROM documents
+WHERE doc_id < 500
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES["q156_jpeg_decode_rollup"] = q156_jpeg_decode_rollup
+ORACLES["q156_jpeg_decode_rollup"] = O_Q156
