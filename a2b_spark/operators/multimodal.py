@@ -345,3 +345,153 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return _nonnull(df, id_col, bin_col).mapInPandas(split_batches, schema=out_schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        # DoubleType (images use float32): the audio features include
+        # exact integral counts (zero crossings) and dyadic-rational
+        # amplitudes the oracle recomputes — float32 would destroy them
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_audio_decode(payload: bytes, n_features: int = 4):
+    """Deterministic stand-in for an audio codec (plumbing tests)."""
+    h = hashlib.sha256(payload).digest()
+    sr = 8000 * (1 + h[0] % 6)
+    ch = 1 + h[1] % 2
+    n = 256 + int.from_bytes(h[2:4], "big") % 4096
+    feats = [round(b / 255.0, 6) for b in h[4 : 4 + n_features]]
+    return sr, ch, n, feats
+
+
+def decode_audio(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    decoder: "str | Callable[[bytes], tuple]" = "fake",
+    n_features: int = 4,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Audio twin of :func:`decode_media`: decode + featurize audio
+    payloads via Arrow-batched mapInPandas → (media_id, sample_rate,
+    channels, n_samples, features).
+
+    ``decoder``: ``"fake"`` (deterministic plumbing stand-in),
+    ``"wav"`` (REAL RIFF/PCM decode, stdlib codec in operators/wav.py
+    — features are [duration_s, rms, zero_crossings, peak] over the
+    mono mixdown), ``"real"`` (the torchaudio/ffmpeg seam —
+    NotImplementedError in this container), or a CALLABLE
+    ``bytes -> (sample_rate, channels, n_samples, features)``
+    (cloudpickled to executors; import libs inside the body).
+
+    Same memory bound as decode_media: output accumulates at most
+    ``batch_rows`` rows per yield inside the kernel."""
+    if callable(decoder):
+        kernel = decoder
+    elif decoder == "fake":
+        kernel = lambda p: _fake_audio_decode(p, n_features)  # noqa: E731
+    elif decoder == "wav":
+        from a2b_spark.operators.wav import wav_decoder
+
+        kernel = lambda p: wav_decoder(p, n_features)  # noqa: E731
+    elif decoder == "real":
+        raise NotImplementedError(
+            "general audio decode needs codec libraries (torchaudio/ffmpeg) "
+            "not present in this environment; RIFF/PCM WAV payloads decode "
+            "for real via decoder='wav' (stdlib codec, operators/wav.py); "
+            "for other formats pass a decoder callable "
+            "(bytes -> (sample_rate, channels, n_samples, features)), or "
+            "use decoder='fake' for plumbing tests"
+        )
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    def decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[bin_col]):
+                    sr, ch, n, feats = kernel(bytes(payload))
+                    rows.append(
+                        (int(mid), int(sr), int(ch), int(n), [float(x) for x in feats])
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id",
+                        "sample_rate",
+                        "channels",
+                        "n_samples",
+                        "features",
+                    ],
+                )
+
+    return _nonnull(df, id_col, bin_col).mapInPandas(
+        decode_batches, schema=AUDIO_SCHEMA
+    )
+
+
+def audio_windows(
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    window: int,
+    hop: int,
+    decoder: "str | Callable[[bytes, int, int], list]" = "wav",
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Fixed-size analysis windows over audio payloads (the audio twin
+    of sample_frames): one row per (media_id, window_idx) with
+    start_sample, rms, peak over the mono mixdown. Partial tail
+    windows are dropped (their stats aren't comparable to full ones).
+
+    ``decoder="wav"`` is the real stdlib codec; a CALLABLE
+    ``(payload, window, hop) -> [(idx, start, rms, peak), ...]``
+    injects any other format."""
+    if callable(decoder):
+        kernel = decoder
+    elif decoder == "wav":
+        from a2b_spark.operators.wav import wav_window_kernel
+
+        kernel = wav_window_kernel
+    else:
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("window_idx", T.IntegerType()),
+            T.StructField("start_sample", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+        ]
+    )
+
+    def window_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            for s in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[s : s + batch_rows]
+                rows = []
+                for mid, payload in zip(chunk[id_col], chunk[bin_col]):
+                    for idx, start, rms, peak in kernel(bytes(payload), window, hop):
+                        rows.append((int(mid), int(idx), int(start), rms, peak))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "window_idx", "start_sample", "rms", "peak"],
+                )
+
+    return _nonnull(df, id_col, bin_col).mapInPandas(
+        window_batches, schema=out_schema
+    )

@@ -1,6 +1,10 @@
 """Round-10 tranche: driver-grade oracle coverage of the round-10
 operators.
 
+- q156-q158: the real stdlib codecs (baseline JPEG, RIFF/PCM WAV)
+  under the driver hash — rule-derived payloads whose decoded pixels/
+  samples have exact closed forms (q100 solid JPEG blocks, square-wave
+  audio).
 - q153: GENERAL-k PassJoin edit-distance join (operators/editjoin.py)
   — fuzzy catalog-key pairs at levenshtein ≤ 2 with TRUE edit
   distance (length changes count; over half the qualifying pairs at
@@ -342,3 +346,158 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["q156_jpeg_decode_rollup"] = q156_jpeg_decode_rollup
 ORACLES["q156_jpeg_decode_rollup"] = O_Q156
+
+
+# --------------------------------------------------------------- Q157
+def q157_wav_decode_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib WAV codec certified under the driver hash (the audio
+    twin of q146/q156): each document (doc_id < 500) synthesizes a
+    REAL RIFF/PCM-16 square-wave clip with rule-derived parameters
+    (n = 64 + id%97 samples at 8 kHz, amplitude a = 1 + id%997,
+    half-period h = 1 + id%4, mono for even ids / identical-channel
+    stereo for odd), and decode_audio(decoder='wav') parses the actual
+    bytes back on the executors. Square waves have closed forms the
+    oracle recomputes exactly: every |sample| is a, so rms = a/32768
+    (dyadic — exact in float64 AND in the DoubleType feature column);
+    sign flips once per half-period boundary, so zero_crossings =
+    (n-1) // h; duration n/8000 terminates within 6 decimals
+    (1/8000 = 0.000125). Multiplying rms back by 32768 recovers the
+    integer amplitude, making every aggregate an exact BIGINT/DECIMAL
+    — one corrupted sample anywhere diverges the hash."""
+    from a2b_spark.operators.multimodal import decode_audio
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from a2b_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, h, a = 64 + d % 97, 1 + d % 4, 1 + d % 997
+                i = np.arange(n)
+                mono = np.where((i // h) % 2 == 0, a, -a).astype(np.int16)
+                pcm = np.repeat(mono[:, None], 1 + d % 2, axis=1)
+                payloads.append(bytearray(encode_wav(pcm, 8000)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    dec = decode_audio(media, "payload", "media_id", decoder="wav")
+    return (
+        dec.groupBy("channels")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("sample_rate").cast("long").alias("sum_rate"),
+            F.sum("n_samples").cast("long").alias("sum_samples"),
+            F.sum(F.element_at("features", 2) * F.lit(32768.0))
+            .cast("long")
+            .alias("sum_amplitude"),
+            F.sum(F.element_at("features", 3)).cast("long").alias("sum_crossings"),
+            F.sum(F.element_at("features", 1).cast("decimal(12,6)"))
+            .cast("double")
+            .alias("sum_duration_s"),
+        )
+        .orderBy("channels")
+    )
+
+
+O_Q157 = """
+WITH clip AS (
+  SELECT CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+         64 + doc_id % 97 AS n,
+         1 + doc_id % 4 AS h,
+         1 + doc_id % 997 AS a
+  FROM documents WHERE doc_id < 500)
+SELECT channels,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(COUNT(*) * 8000 AS BIGINT) AS sum_rate,
+       CAST(SUM(n) AS BIGINT) AS sum_samples,
+       CAST(SUM(a) AS BIGINT) AS sum_amplitude,
+       CAST(SUM((n - 1) // h) AS BIGINT) AS sum_crossings,
+       CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) / 8000, 6) AS DECIMAL(12,6)))
+            AS DOUBLE) AS sum_duration_s
+FROM clip GROUP BY channels ORDER BY channels
+"""
+
+
+QUERIES["q157_wav_decode_rollup"] = q157_wav_decode_rollup
+ORACLES["q157_wav_decode_rollup"] = O_Q157
+
+
+# --------------------------------------------------------------- Q158
+def q158_audio_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size audio analysis windows (audio_windows, the audio
+    twin of frame sampling) certified under the driver hash: the same
+    rule-derived square-wave clips as q157, segmented into 32-sample
+    windows at hop 16. The oracle recomputes the window combinatorics
+    in closed form — k = (n-32)//16 + 1 windows per clip, start
+    offsets an arithmetic series summing to 8k(k-1), and every
+    window's rms is exactly a/32768 regardless of phase because every
+    |sample| equals a — so window COUNT, PLACEMENT, and CONTENT are
+    all hash-checked."""
+    from a2b_spark.operators.multimodal import audio_windows
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from a2b_spark.operators.wav import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, h, a = 64 + d % 97, 1 + d % 4, 1 + d % 997
+                i = np.arange(n)
+                mono = np.where((i // h) % 2 == 0, a, -a).astype(np.int16)
+                payloads.append(bytearray(encode_wav(mono[:, None], 8000)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    win = audio_windows(media, "payload", "media_id", window=32, hop=16)
+    grp = (F.col("media_id") % 5).cast("integer").alias("clip_group")
+    return (
+        win.groupBy(grp)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("start_sample").cast("long").alias("sum_starts"),
+            F.sum(F.col("rms") * F.lit(32768.0)).cast("long").alias("sum_window_amp"),
+        )
+        .orderBy("clip_group")
+    )
+
+
+O_Q158 = """
+WITH clip AS (
+  SELECT CAST(doc_id % 5 AS INTEGER) AS clip_group,
+         (64 + doc_id % 97 - 32) // 16 + 1 AS k,
+         1 + doc_id % 997 AS a
+  FROM documents WHERE doc_id < 500)
+SELECT clip_group,
+       CAST(SUM(k) AS BIGINT) AS n_windows,
+       CAST(SUM(8 * k * (k - 1)) AS BIGINT) AS sum_starts,
+       CAST(SUM(k * a) AS BIGINT) AS sum_window_amp
+FROM clip GROUP BY clip_group ORDER BY clip_group
+"""
+
+
+QUERIES["q158_audio_window_rollup"] = q158_audio_window_rollup
+ORACLES["q158_audio_window_rollup"] = O_Q158
