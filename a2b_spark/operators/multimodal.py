@@ -8,15 +8,17 @@ feature-extraction runs as Arrow-batched ``mapInPandas`` so each
 Python batch amortizes interpreter cost and memory stays bounded by
 (batch size × payload size), not partition size.
 
-The actual pixel/sample decode requires codec libraries (PIL, ffmpeg,
-torchaudio) that are NOT in this container — ``decode_media`` is
-therefore STUBBED: with ``decoder="fake"`` it produces a deterministic
-synthetic decode (hash-derived), with ``decoder="real"`` it raises
+All three modalities have REAL stdlib codecs for their most common
+uncompressed/baseline formats — PNG + baseline JPEG images
+(operators/png.py, operators/jpeg.py), RIFF/PCM WAV audio
+(operators/wav.py), MJPEG-AVI video (operators/video.py) — certified
+under the driver hash by q146/q156-q159. Formats beyond those need
+codec libraries (PIL, ffmpeg, torchaudio) that are NOT in this
+container: ``decoder="fake"`` produces a deterministic synthetic
+decode (hash-derived) for plumbing tests, ``decoder="real"`` raises
 NotImplementedError at the import site, and passing a CALLABLE injects
 an actual codec without editing this module (the callable rides to the
-executors via cloudpickle; import codec libs inside its body). The
-Spark-side contract — schemas, batch iteration, partition sizing,
-output shape — is real and tested, including the injection path.
+executors via cloudpickle; import codec libs inside its body).
 """
 
 from __future__ import annotations
@@ -317,12 +319,45 @@ def resize_media(
 
 
 def sample_frames(
-    df: DataFrame, bin_col: str, id_col: str, every_n: int = 10, max_frames: int = 8
+    df: DataFrame,
+    bin_col: str,
+    id_col: str,
+    every_n: int = 10,
+    max_frames: int = 8,
+    splitter: "str | Callable[[bytes, int, int], list]" = "fake",
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits one row per
-    sampled frame (media_id, frame_no, frame binary). The splitter is
-    the same deterministic fake (slices of the payload) — a real
-    ffmpeg-backed splitter drops into the same mapInPandas shape."""
+    """Frame-sampling for video payloads: emits one row per sampled
+    frame (media_id, frame_no, frame binary).
+
+    ``splitter`` selects the container kernel:
+
+    - ``"fake"`` (default): deterministic payload slices — the
+      distributed plumbing with no container parse.
+    - ``"mjpeg_avi"``: REAL frame extraction from MJPEG AVI containers
+      (stdlib RIFF walk, operators/video.py) — every ``every_n``-th
+      frame as a standalone baseline-JPEG payload, composable with
+      ``decode_media(decoder="jpeg")`` on the exploded rows; non-MJPG
+      codecs raise (ffmpeg formats go through the callable seam).
+    - a CALLABLE ``(payload, every_n, max_frames) ->
+      [(frame_no, frame_bytes)]``: dependency injection of a real
+      demuxer (cloudpickled; import its libs inside the body)."""
+    if callable(splitter):
+        kernel = splitter
+    elif splitter == "mjpeg_avi":
+        from a2b_spark.operators.video import mjpeg_avi_splitter
+
+        kernel = mjpeg_avi_splitter
+    elif splitter == "fake":
+
+        def kernel(b: bytes, every: int, cap: int):
+            n = max(1, len(b) // max(every, 1))
+            return [
+                (i, b[i * every : (i + 1) * every]) for i in range(min(n, cap))
+            ]
+
+    else:
+        raise ValueError(f"unknown splitter {splitter!r}")
+
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -337,11 +372,8 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[bin_col]):
-                b = bytes(payload)
-                n = max(1, len(b) // max(every_n, 1))
-                for i in range(min(n, max_frames)):
-                    lo = i * every_n
-                    rows.append((int(mid), i, b[lo : lo + every_n]))
+                for fno, frame in kernel(bytes(payload), every_n, max_frames):
+                    rows.append((int(mid), int(fno), bytes(frame)))
             yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
 
     return _nonnull(df, id_col, bin_col).mapInPandas(split_batches, schema=out_schema)

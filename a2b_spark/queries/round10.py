@@ -501,3 +501,92 @@ FROM clip GROUP BY clip_group ORDER BY clip_group
 
 QUERIES["q158_audio_window_rollup"] = q158_audio_window_rollup
 ORACLES["q158_audio_window_rollup"] = O_Q158
+
+
+# --------------------------------------------------------------- Q159
+def q159_video_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video leg certified under the driver hash, completing the
+    image/audio/video triple (q156 JPEG, q157/q158 WAV): each document
+    (doc_id < 500) synthesizes a REAL MJPEG-AVI clip — n = 2 + id%5
+    solid frames of rule-derived dims (w = 8 + id%9, h = 8 + id%7),
+    frame f carrying value (id + 17f) % 256 at JPEG quality 100 —
+    then the pipeline a curation job actually runs: sample_frames
+    (every 2nd frame, max 2, REAL RIFF container walk) explodes frame
+    payloads, decode_media(decoder='jpeg') decodes each sampled frame,
+    and the rollup groups by ORIGINAL frame number. The oracle
+    recomputes the sampling combinatorics (frame 0 always; frame 2
+    iff n >= 3 ⇔ id%5 >= 1) and the exact per-frame mean — so frame
+    SELECTION, container PLACEMENT, and pixel CONTENT are all under
+    the value hash."""
+    from a2b_spark.operators.multimodal import decode_media, sample_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from a2b_spark.operators.video import encode_mjpeg_avi
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, w, h = 2 + d % 5, 8 + d % 9, 8 + d % 7
+                clip = [
+                    np.full((h, w, 3), (d + 17 * f) % 256, np.uint8)
+                    for f in range(n)
+                ]
+                payloads.append(bytearray(encode_mjpeg_avi(clip, fps=12, quality=100)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    frames = sample_frames(
+        media, "payload", "media_id", every_n=2, max_frames=2, splitter="mjpeg_avi"
+    )
+    # composite id keeps frame provenance through the decode (f < 10)
+    fid = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_no")).alias("fid"), "frame"
+    )
+    dec = decode_media(fid, "frame", "fid", decoder="jpeg")
+    return (
+        dec.groupBy((F.col("media_id") % 10).cast("integer").alias("frame_no"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum(
+                F.element_at(F.col("features"), 1).cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("sum_mean_feature"),
+        )
+        .orderBy("frame_no")
+    )
+
+
+O_Q159 = """
+WITH clip AS (
+  SELECT doc_id AS d, 2 + doc_id % 5 AS n FROM documents WHERE doc_id < 500),
+sampled AS (
+  SELECT d, 0 AS fno FROM clip
+  UNION ALL
+  SELECT d, 2 FROM clip WHERE n >= 3)
+SELECT CAST(fno AS INTEGER) AS frame_no,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(8 + d % 9) AS BIGINT) AS sum_width,
+       CAST(SUM(8 + d % 7) AS BIGINT) AS sum_height,
+       CAST(SUM(CAST(ROUND(CAST((d + 17 * fno) % 256 AS DOUBLE) / 255, 6)
+                     AS DECIMAL(12,6))) AS DOUBLE) AS sum_mean_feature
+FROM sampled GROUP BY fno ORDER BY frame_no
+"""
+
+
+QUERIES["q159_video_frame_rollup"] = q159_video_frame_rollup
+ORACLES["q159_video_frame_rollup"] = O_Q159
