@@ -123,7 +123,9 @@ def decode_media(
       codec in operators/png.py (zlib + scanline unfiltering).
     - ``"jpeg"``: REAL decode for baseline JPEG via the stdlib+numpy
       codec in operators/jpeg.py (Huffman + dequant + IDCT + YCbCr).
-    - ``"auto"``: per-payload magic-byte sniff between the two real
+    - ``"gif"``: REAL decode for GIF87a/89a via the stdlib LZW codec
+      in operators/gif.py (first frame; RGBA when transparent).
+    - ``"auto"``: per-payload magic-byte sniff between the three real
       codecs; any other format raises.
     - ``"real"``: the seam for PIL/ffmpeg (arbitrary formats) —
       NotImplementedError here because codec libs are not in this
@@ -158,9 +160,16 @@ def decode_media(
         from a2b_spark.operators.jpeg import jpeg_decoder
 
         kernel = lambda payload: jpeg_decoder(payload, n_features)  # noqa: E731
+    elif decoder == "gif":
+        # REAL decode for GIF87a/89a (stdlib LZW codec, operators/
+        # gif.py); first frame of animations, RGBA when transparent
+        from a2b_spark.operators.gif import gif_decoder
+
+        kernel = lambda payload: gif_decoder(payload, n_features)  # noqa: E731
     elif decoder == "auto":
-        # sniff per payload: PNG / baseline JPEG decode for real,
-        # anything else raises (the seam's loud-error contract)
+        # sniff per payload: PNG / baseline JPEG / GIF decode for
+        # real, anything else raises (the seam's loud-error contract)
+        from a2b_spark.operators.gif import gif_decoder
         from a2b_spark.operators.jpeg import jpeg_decoder
         from a2b_spark.operators.png import png_decoder
 
@@ -169,10 +178,12 @@ def decode_media(
                 return jpeg_decoder(payload, n_features)
             if payload[:4] == b"\x89PNG":
                 return png_decoder(payload, n_features)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                return gif_decoder(payload, n_features)
             raise ValueError(
-                f"decoder='auto' supports PNG and baseline JPEG; payload "
-                f"starts {bytes(payload[:4])!r} — inject a codec callable "
-                "for other formats"
+                f"decoder='auto' supports PNG, baseline JPEG, and GIF; "
+                f"payload starts {bytes(payload[:4])!r} — inject a codec "
+                "callable for other formats"
             )
 
     elif decoder == "real":
@@ -338,6 +349,9 @@ def sample_frames(
       frame as a standalone baseline-JPEG payload, composable with
       ``decode_media(decoder="jpeg")`` on the exploded rows; non-MJPG
       codecs raise (ffmpeg formats go through the callable seam).
+    - ``"gif"``: REAL frame extraction from animated GIFs (stdlib LZW
+      codec, operators/gif.py) — frames re-encoded as standalone PNG
+      payloads, composable with ``decode_media(decoder="png")``.
     - a CALLABLE ``(payload, every_n, max_frames) ->
       [(frame_no, frame_bytes)]``: dependency injection of a real
       demuxer (cloudpickled; import its libs inside the body)."""
@@ -347,6 +361,12 @@ def sample_frames(
         from a2b_spark.operators.video import mjpeg_avi_splitter
 
         kernel = mjpeg_avi_splitter
+    elif splitter == "gif":
+        # animated-GIF frames re-encoded as standalone PNGs (GIF
+        # frames are palette slices, not self-contained payloads)
+        from a2b_spark.operators.gif import gif_frame_splitter
+
+        kernel = gif_frame_splitter
     elif splitter == "fake":
 
         def kernel(b: bytes, every: int, cap: int):

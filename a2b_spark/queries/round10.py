@@ -590,3 +590,94 @@ FROM sampled GROUP BY fno ORDER BY frame_no
 
 QUERIES["q159_video_frame_rollup"] = q159_video_frame_rollup
 ORACLES["q159_video_frame_rollup"] = O_Q159
+
+
+# --------------------------------------------------------------- Q160
+def q160_gif_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stdlib GIF codec (the third real image format: LZW +
+    palette + interlace + animation) certified under the driver hash:
+    each document (doc_id < 500) synthesizes a REAL animated GIF89a —
+    n = 1 + id%6 solid frames of rule-derived dims (w = 5 + id%8,
+    h = 4 + id%6), frame f carrying value (id + 13f) % 256, interlaced
+    for id%3 == 0 — then sample_frames(splitter='gif') walks the LZW
+    stream for real and re-encodes every 3rd frame (max 2) as a
+    standalone PNG, which decode_media(decoder='auto') sniffs and
+    decodes. Palette GIF is LOSSLESS, so decode is bit-exact by
+    construction (arbitrary-pattern exactness pinned in
+    test_gif_codec.py); the oracle recomputes the sampling
+    combinatorics (frame 0 always; frame 3 iff n >= 4 ⇔ id%6 >= 3)
+    and the exact per-frame means. Two real codecs chain in one
+    pipeline: GIF frames out, PNG payloads in."""
+    from a2b_spark.operators.multimodal import decode_media, sample_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from a2b_spark.operators.gif import encode_gif
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n, w, h = 1 + d % 6, 5 + d % 8, 4 + d % 6
+                clip = [
+                    np.full((h, w, 3), (d + 13 * f) % 256, np.uint8)
+                    for f in range(n)
+                ]
+                payloads.append(
+                    bytearray(encode_gif(clip, interlace=(d % 3 == 0)))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    frames = sample_frames(
+        media, "payload", "media_id", every_n=3, max_frames=2, splitter="gif"
+    )
+    fid = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_no")).alias("fid"), "frame"
+    )
+    dec = decode_media(fid, "frame", "fid", decoder="auto")
+    return (
+        dec.groupBy((F.col("media_id") % 10).cast("integer").alias("frame_no"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum(
+                F.element_at(F.col("features"), 1).cast("decimal(12,6)")
+            )
+            .cast("double")
+            .alias("sum_mean_feature"),
+        )
+        .orderBy("frame_no")
+    )
+
+
+O_Q160 = """
+WITH clip AS (
+  SELECT doc_id AS d, 1 + doc_id % 6 AS n FROM documents WHERE doc_id < 500),
+sampled AS (
+  SELECT d, 0 AS fno FROM clip
+  UNION ALL
+  SELECT d, 3 FROM clip WHERE n >= 4)
+SELECT CAST(fno AS INTEGER) AS frame_no,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(5 + d % 8) AS BIGINT) AS sum_width,
+       CAST(SUM(4 + d % 6) AS BIGINT) AS sum_height,
+       CAST(SUM(CAST(ROUND(CAST((d + 13 * fno) % 256 AS DOUBLE) / 255, 6)
+                     AS DECIMAL(12,6))) AS DOUBLE) AS sum_mean_feature
+FROM sampled GROUP BY fno ORDER BY frame_no
+"""
+
+
+QUERIES["q160_gif_frame_rollup"] = q160_gif_frame_rollup
+ORACLES["q160_gif_frame_rollup"] = O_Q160
