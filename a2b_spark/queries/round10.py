@@ -681,3 +681,84 @@ FROM sampled GROUP BY fno ORDER BY frame_no
 
 QUERIES["q160_gif_frame_rollup"] = q160_gif_frame_rollup
 ORACLES["q160_gif_frame_rollup"] = O_Q160
+
+
+# --------------------------------------------------------------- Q161
+def q161_warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-ingest chain certified under the driver hash: each
+    document (doc_id < 500) synthesizes a WARC-shaped record — a
+    rule-derived HTML page (head with title+style, k = 1 + id%7
+    paragraphs 'tok{id}_{i} &amp; more', a script block) compressed as
+    one gzip member — then extract_web_text gunzips, parses, drops the
+    script/style/head subtrees, resolves the &amp; entity, and
+    collapses whitespace on the executors. The oracle recomputes the
+    visible text's EXACT length and token count from the generation
+    rule (never by parsing in SQL — the PORTING.md regex lesson):
+    text = 'Doc {id}' + k paragraphs 'tok{id}_{i} & more' joined by
+    single spaces, so n_chars = (4+L) + k*(13+L) with
+    L = len(str(id)), tokens = 2 + 3k. A parser that leaks script
+    text, misses an entity, or mis-collapses whitespace diverges the
+    hash; a gzip fault kills the rows entirely."""
+    from a2b_spark.functions.text import token_count
+    from a2b_spark.operators.web import extract_web_text
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+    )
+
+    def synth(batches):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                k = 1 + d % 7
+                paras = "\n".join(
+                    f"<p>tok{d}_{i} &amp; more</p>" for i in range(k)
+                )
+                html = (
+                    f"<html><head><title>T{d}</title>"
+                    "<style>p { color: red }</style></head>\n"
+                    f"<body><h1>Doc {d}</h1>\n{paras}\n"
+                    "<script>var hidden = 1;</script></body></html>"
+                )
+                payloads.append(
+                    bytearray(_gzip.compress(html.encode(), compresslevel=6))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    records = docs.mapInPandas(synth, "doc_id long, payload binary")
+    text = extract_web_text(records, "payload", "doc_id", gzipped=True)
+    return (
+        text.groupBy((F.col("doc_id") % 7 + 1).cast("integer").alias("n_paras"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("sum_tokens"),
+        )
+        .orderBy("n_paras")
+    )
+
+
+O_Q161 = """
+WITH doc AS (
+  SELECT CAST(1 + doc_id % 7 AS INTEGER) AS n_paras,
+         LENGTH(CAST(doc_id AS VARCHAR)) AS l
+  FROM documents WHERE doc_id < 500)
+SELECT n_paras,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(4 + l + n_paras * (13 + l)) AS BIGINT) AS sum_chars,
+       CAST(SUM(2 + 3 * n_paras) AS BIGINT) AS sum_tokens
+FROM doc GROUP BY n_paras ORDER BY n_paras
+"""
+
+
+QUERIES["q161_warc_text_extract"] = q161_warc_text_extract
+ORACLES["q161_warc_text_extract"] = O_Q161
