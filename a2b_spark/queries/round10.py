@@ -762,3 +762,63 @@ FROM doc GROUP BY n_paras ORDER BY n_paras
 
 QUERIES["q161_warc_text_extract"] = q161_warc_text_extract
 ORACLES["q161_warc_text_extract"] = O_Q161
+
+
+# --------------------------------------------------------------- Q162
+def q162_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply (operators/bpe.py) certified under the driver hash:
+    rule-derived text — each document (doc_id < 500) is the two-word
+    line 'ab'*k + ' ' + 'cd'*m with k = 1 + id%4, m = 1 + id%3, built
+    JVM-side with repeat() — encoded with the FIXED merge table
+    [(a,b), (ab,ab), (c,d), (cd,cd)]. The canonical greedy algorithm
+    has a closed form here: (a,b) fuses the k 'ab' pairs, then (ab,ab)
+    pairs them left-to-right into ceil(k/2) tokens (odd k leaves a
+    lone 'ab'), plus the </w> terminator — so n_tokens =
+    ceil(k/2) + ceil(m/2) + 2 exactly, which the oracle recomputes.
+    An apply that merged right-to-left, skipped overlap re-scan, or
+    dropped the terminator diverges the hash. (TRAINING is the
+    iterative non-SQL-expressible half; it is pinned merge-for-merge
+    against an independent reference in tests/test_bpe.py.)"""
+    from a2b_spark.operators.bpe import bpe_encode
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        .withColumn(
+            "text",
+            F.concat(
+                F.repeat(F.lit("ab"), (F.col("doc_id") % 4 + 1).cast("int")),
+                F.lit(" "),
+                F.repeat(F.lit("cd"), (F.col("doc_id") % 3 + 1).cast("int")),
+            ),
+        )
+    )
+    merges = [("a", "b"), ("ab", "ab"), ("c", "d"), ("cd", "cd")]
+    enc = bpe_encode(docs, "text", merges, "doc_id")
+    return (
+        enc.groupBy((F.col("doc_id") % 4 + 1).cast("integer").alias("rep_a"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(F.size("tokens")).cast("long").alias("sum_token_arr_len"),
+        )
+        .orderBy("rep_a")
+    )
+
+
+O_Q162 = """
+WITH doc AS (
+  SELECT CAST(1 + doc_id % 4 AS INTEGER) AS rep_a,
+         CEIL((1 + doc_id % 4) / 2.0) + CEIL((1 + doc_id % 3) / 2.0) + 2 AS nt
+  FROM documents WHERE doc_id < 500)
+SELECT rep_a,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+       CAST(SUM(nt) AS BIGINT) AS sum_token_arr_len
+FROM doc GROUP BY rep_a ORDER BY rep_a
+"""
+
+
+QUERIES["q162_bpe_encode_tokens"] = q162_bpe_encode_tokens
+ORACLES["q162_bpe_encode_tokens"] = O_Q162

@@ -640,3 +640,60 @@ def test_stream_stream_join_windowed(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == expect, (got, expect)
+
+
+def test_streaming_real_codec_decode(spark, tmp_path):
+    """The codec path under Structured Streaming: decode_media is a
+    stateless mapInPandas, so the SAME operator (real JPEG/PNG/GIF
+    codecs via decoder='auto') runs unchanged on a stream — payloads
+    arriving across micro-batches decode exactly like the batch twin."""
+    import numpy as np
+
+    from a2b_spark.operators.gif import encode_gif
+    from a2b_spark.operators.jpeg import encode_jpeg
+    from a2b_spark.operators.multimodal import decode_media
+    from a2b_spark.operators.png import encode_png
+
+    src_dir = str(tmp_path / "media_in")
+    os.makedirs(src_dir)
+    codecs = [
+        lambda img: encode_jpeg(img, quality=100),
+        encode_png,
+        encode_gif,
+    ]
+    expected = {}
+    for batch in (1, 2):
+        rows = []
+        for j in range(3):
+            i = (batch - 1) * 3 + j
+            val = (i * 53) % 256
+            img = np.full((4 + i, 5, 3), val, np.uint8)
+            rows.append((i, bytearray(codecs[i % 3](img))))
+            expected[i] = (5, 4 + i, round(val / 255, 6))
+        spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
+            1
+        ).write.parquet(f"{src_dir}/batch{batch}")
+
+    sdf = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/batch*")
+    )
+    dec = decode_media(sdf, "payload", "media_id", decoder="auto")
+    q = (
+        dec.writeStream.format("memory")
+        .queryName("media_dec_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_media"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r.media_id: r for r in spark.sql("SELECT * FROM media_dec_out").collect()}
+    assert len(out) == 6
+    for i, (w, h, mean) in expected.items():
+        r = out[i]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert abs(r.features[0] - mean) < 1e-6
