@@ -83,6 +83,44 @@ def gunzip_bytes(payload: bytes) -> bytes:
         raise ValueError(f"corrupt gzip member: {e}") from e
 
 
+def decompress_bytes(payload: bytes, codec: str = "auto") -> bytes:
+    """Stdlib decompression for the dump formats crawls actually ship
+    in: gzip (WARC/WET), bz2 (Wikipedia dumps), xz/lzma. ``"auto"``
+    sniffs the magic bytes; unknown magic or a corrupt stream raises
+    ValueError (the drop/fail policy upstream decides what that means
+    for the row)."""
+    payload = bytes(payload)
+    if codec == "auto":
+        if payload[:2] == b"\x1f\x8b":
+            codec = "gzip"
+        elif payload[:3] == b"BZh":
+            codec = "bz2"
+        elif payload[:6] == b"\xfd7zXZ\x00":
+            codec = "xz"
+        else:
+            raise ValueError(
+                f"unknown compression magic {payload[:4]!r} "
+                "(auto knows gzip/bz2/xz)"
+            )
+    if codec == "gzip":
+        return gunzip_bytes(payload)
+    if codec == "bz2":
+        import bz2
+
+        try:
+            return bz2.decompress(payload)
+        except (OSError, ValueError, EOFError) as e:
+            raise ValueError(f"corrupt bz2 stream: {e}") from e
+    if codec == "xz":
+        import lzma
+
+        try:
+            return lzma.decompress(payload)
+        except (lzma.LZMAError, EOFError) as e:
+            raise ValueError(f"corrupt xz stream: {e}") from e
+    raise ValueError(f"unknown codec {codec!r} (gzip/bz2/xz/auto)")
+
+
 def extract_web_text(
     df: DataFrame,
     payload_col: str,
@@ -93,8 +131,9 @@ def extract_web_text(
     batch_rows: int = 256,
 ) -> DataFrame:
     """The crawl-ingest map: (id, payload) → (doc_id, text, n_bytes,
-    n_chars). ``gzipped=True`` gunzips each payload first (WARC/WET
-    shape); bytes decode with ``encoding`` (errors='replace' — crawl
+    n_chars). ``gzipped=True`` decompresses each payload first
+    (magic-sniffed gzip/bz2/xz — WARC/WET members, Wikipedia bz2
+    dumps); bytes decode with ``encoding`` (errors='replace' — crawl
     charsets lie, and a hard failure on one page must not kill a
     100 TB job) and HTML reduces to visible text via html_to_text.
 
@@ -124,7 +163,7 @@ def extract_web_text(
                     try:
                         raw = bytes(payload)
                         if gzipped:
-                            raw = gunzip_bytes(raw)
+                            raw = decompress_bytes(raw, "auto")
                         text = html_to_text(raw.decode(encoding, errors="replace"))
                     except ValueError:
                         if on_error == "fail":

@@ -179,10 +179,18 @@ def test_jpeg_codec_end_to_end_spark(spark):
         w, h, c, out = decode_jpeg(bytes(r["payload"]))
         assert (w, h, c) == (4, 3, 3)
 
-    # auto on a non-image payload fails loudly on the executor
+    # auto on an unsupported format fails loudly on the executor
+    # (GIF now dispatches to the real codec — BMP does not)
     bad = spark.createDataFrame(
-        [(99, bytearray(b"GIF89a not supported"))],
+        [(99, bytearray(b"BM bitmap not supported"))],
         "media_id long, payload binary",
     )
     with pytest.raises(Exception, match="auto"):
         decode_media(bad, "payload", "media_id", decoder="auto").collect()
+    # GIF-prefixed garbage routes to the GIF codec and fails THERE
+    gifjunk = spark.createDataFrame(
+        [(98, bytearray(b"GIF89a but not really"))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="GIF"):
+        decode_media(gifjunk, "payload", "media_id", decoder="auto").collect()

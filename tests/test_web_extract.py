@@ -43,6 +43,29 @@ def test_gunzip_contract():
         gunzip_bytes(gzip.compress(b"payload")[:-3])
 
 
+def test_decompress_auto_sniffs_all_stdlib_codecs():
+    import bz2
+    import lzma
+
+    from a2b_spark.operators.web import decompress_bytes
+
+    for blob in (
+        gzip.compress(b"dump"),
+        bz2.compress(b"dump"),
+        lzma.compress(b"dump"),
+    ):
+        assert decompress_bytes(blob) == b"dump"
+    assert decompress_bytes(bz2.compress(b"x"), codec="bz2") == b"x"
+    with pytest.raises(ValueError, match="unknown compression magic"):
+        decompress_bytes(b"ZSTD\x28\xb5")
+    with pytest.raises(ValueError, match="corrupt bz2"):
+        decompress_bytes(bz2.compress(b"dump")[:-4])
+    with pytest.raises(ValueError, match="corrupt xz"):
+        decompress_bytes(lzma.compress(b"dump")[:-4])
+    with pytest.raises(ValueError, match="unknown codec"):
+        decompress_bytes(b"", codec="zstd")
+
+
 def test_extract_web_text_spark(spark):
     rows = []
     for i in range(12):
@@ -58,7 +81,7 @@ def test_extract_web_text_spark(spark):
         assert r["text"] == f"doc {r['doc_id']} & text"
         assert r["n_chars"] == len(r["text"])
 
-    with pytest.raises(Exception, match="not gzip"):
+    with pytest.raises(Exception, match="unknown compression magic"):
         extract_web_text(df, "payload", "doc_id", on_error="fail").collect()
     with pytest.raises(ValueError, match="unknown on_error"):
         extract_web_text(df, "payload", "doc_id", on_error="ignore")
