@@ -535,6 +535,66 @@ def _changes_drain_100x(_time, _sh) -> dict:
     }
 
 
+def bpe_probe(spark) -> dict:
+    """Scale trajectory for the BPE tokenizer (round-10 operator):
+    train cost per merge round is one aggregation over the DISTINCT-
+    word table, so the growth axis that matters is vocabulary, not
+    corpus rows — the token-disjoint 10× corpus grows vocab ~10×
+    (every token gets a copy suffix), the honest worst case. Encode
+    is a pure map and must track corpus size ~linearly."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.bpe import bpe_encode, bpe_train, _word_freqs
+
+    out: dict = {}
+    scales = [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("10x", build_scaled(spark, 10)),
+    ]
+    for label, d in scales:
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        vocab = _word_freqs(docs, "text").count()
+        t0 = _t.time()
+        merges = bpe_train(docs, "text", n_merges=15)
+        t_train = round(_t.time() - t0, 2)
+        t0 = _t.time()
+        n_tok = bpe_encode(docs, "text", merges, "doc_id").agg(
+            F.sum("n_tokens")
+        ).first()[0]
+        t_encode = round(_t.time() - t0, 2)
+        out[label] = {
+            "vocab": int(vocab),
+            "n_merges": len(merges),
+            "train_s": t_train,
+            "encode_s": t_encode,
+            "tokens": int(n_tok),
+        }
+    # growth ratios on the top decade (sf0.1 → 10×): vocab grows ~10×,
+    # so train per-round cost should grow sublinearly in CORPUS bytes
+    # (the corpus is scanned once; rounds see only the word table).
+    # Encode is normalized PER OUTPUT TOKEN: the token-disjoint corpus
+    # inflates token counts (suffixes lengthen every word and change
+    # the learned merges), so raw wall ratio over-counts the growth —
+    # per-token cost is the honest linearity measure for a pure map.
+    out["train_ratio_10x"] = round(out["10x"]["train_s"] / out["sf0.1"]["train_s"], 2)
+    out["encode_ratio_10x"] = round(
+        out["10x"]["encode_s"] / out["sf0.1"]["encode_s"], 2
+    )
+    out["encode_us_per_token"] = {
+        k: round(1e6 * out[k]["encode_s"] / out[k]["tokens"], 3)
+        for k in ("sf0.01", "sf0.1", "10x")
+    }
+    out["encode_per_token_ratio_10x"] = round(
+        out["encode_us_per_token"]["10x"] / out["encode_us_per_token"]["sf0.1"], 2
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -544,6 +604,13 @@ def main() -> int:
         help="run ONLY the lakehouse storage probes (stats-prune "
         "planning, appends/changes stream drains, TableChangesStream "
         "per-commit cost) and merge them into the out file",
+    )
+    ap.add_argument(
+        "--bpe",
+        action="store_true",
+        help="run ONLY the BPE tokenizer probe (train/encode growth "
+        "across sf0.01 / sf0.1 / token-disjoint 10x) and merge it "
+        "into the out file",
     )
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
     ap.add_argument(
@@ -555,6 +622,20 @@ def main() -> int:
         "without the full ~35-min resweep",
     )
     args = ap.parse_args()
+    if args.bpe:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_bpe")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["bpe"] = bpe_probe(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"bpe": doc["bpe"]}))
+        return 0
     if args.storage:
         from a2b_spark.session import get_spark
 
