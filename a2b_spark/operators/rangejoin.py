@@ -97,22 +97,26 @@ def range_join(
     return joined.drop("__bin")
 
 
+def _hash60(key_col: str, salt: str) -> Column:
+    """Salted top-60-bits-of-md5 as a non-negative long — the engine's
+    oracle-parity hash idiom (DuckDB twin:
+    ``CAST(('0x' || substring(md5(salt || key), 1, 15)) AS BIGINT)``),
+    shared by every sampling/sharding operator so their cuts and
+    orders are mutually consistent by construction."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def _bucket60(key_col: str, salt: str) -> Column:
-    """Salted 100-bucket assignment from the top 60 bits of md5 — the
-    engine's oracle-parity hash idiom, shared by every sampling
-    operator so their cuts are mutually consistent by construction."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")).cast("binary")),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    """100-bucket cut of :func:`_hash60`."""
+    return _hash60(key_col, salt) % 100
 
 
 def hash_sample(df: DataFrame, key_col: str, percent: int, salt: str = "") -> DataFrame:

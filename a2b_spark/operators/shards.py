@@ -1,0 +1,48 @@
+"""Deterministic global shuffle + shard assignment for training-data
+export — the step between curation and the trainer: examples must be
+(a) shuffled so consecutive records are decorrelated, (b) split into
+a fixed number of shards, and (c) REPRODUCIBLE — the same corpus,
+salt, and shard count must yield byte-identical shards on any
+cluster size, any engine, any partitioning (re-running an export
+after a node loss cannot silently reorder training data).
+
+The assignment is pure hashing, never `rand()`/`df.sample` (both
+partitioning-dependent): shard = top-60-bits-of-md5(salt, key) mod
+n_shards — the engine's oracle-parity hash idiom shared with the
+sampling operators — and the position WITHIN a shard orders by the
+same hash (key tiebreak). Scale shape: one shuffle keyed by shard and
+a per-shard local sort (`row_number` over the shard partition); there
+is NO global sort — at 100 TB pick n_shards large enough that a shard
+fits an executor's sort buffer (the usual 2-8 GiB shard convention),
+which also makes the output directly consumable as training files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from a2b_spark.operators.rangejoin import _hash60
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = ""
+) -> DataFrame:
+    """Add (shard, pos) to ``df``: shard ∈ [0, n_shards) by salted
+    md5 of ``key_col``, pos = 1-based rank inside the shard by the
+    same hash (ties — only possible on key collisions — break by the
+    key's string form). Deterministic across engines/runs/cluster
+    layouts; distinct keys required for a meaningful order."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _hash60(key_col, salt)
+    with_shard = df.withColumn("__h60", h).withColumn(
+        "shard", (F.col("__h60") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h60"), F.col(key_col).cast("string")
+    )
+    return (
+        with_shard.withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h60")
+    )

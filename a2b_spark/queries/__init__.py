@@ -37,13 +37,14 @@ from a2b_spark.queries import (
     round9,
     round9b,
     round10,
+    round10b,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 for mod in (relational, pipeline, analytic, curation, reports, round7, round7b,
-            round9, round9b, round10):
+            round9, round9b, round10, round10b):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1,0 +1,245 @@
+"""Round-10 third tranche: the curation operators a 100 TB training
+run still lacked — a true n-gram LM (stupid backoff) for
+CCNet-style perplexity filtering, deterministic shuffle-shard export,
+and NFC text canonicalization.
+
+Float discipline for the LM scores follows the registry convention:
+per-token log10 values are rounded to 6 decimals, cast to
+DECIMAL(18,6), summed exactly, and only the final mean converts to
+DOUBLE — both engines then divide identical exact operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from a2b_spark.operators.lm import LOG10_BACKOFF_04
+from a2b_spark.queries.relational import _t
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# --------------------------------------------------------------- Q163
+def q163_lm_perplexity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM, trained on the corpus and scored
+    over it (the CCNet shape: score each document against a reference
+    LM; here the reference IS the corpus, so every token resolves and
+    the cascade — not the OOV floor — is what the hash certifies).
+    Rolled up per (lang, source): documents, tokens, tokens that hit
+    a full-order gram, and the mean per-token log10 probability
+    (perplexity = 10**-avg_logp10).
+
+    Plan shape: train = one corpus scan + one (k, gram) hash agg +
+    one model-sized adjacent-order join; score = one explode (≤3 rows
+    per token) + ONE broadcast join against the model + two hash
+    aggs. No windows, no collect."""
+    from a2b_spark.operators.lm import ngram_lm_train, stupid_backoff_logp
+
+    d = _t(spark, sf_dir, "documents")
+    model = ngram_lm_train(d, "text", order=3)
+    per_doc = stupid_backoff_logp(
+        d,
+        model,
+        "doc_id",
+        "text",
+        order=3,
+        broadcast_model=True,
+        extra_cols=("lang", "source"),
+    )
+    # re-aggregate from the operator's EXACT decimal token sums —
+    # avg-of-avgs would reintroduce float-order sensitivity
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tok"),
+            F.sum("hits_full").cast("long").alias("full_hits"),
+            (F.sum("sum_logp10").cast("double") / F.sum("n_tok")).alias(
+                "avg_logp10"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_L04 = repr(LOG10_BACKOFF_04)
+
+O_Q163 = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM tok),
+seq AS (
+  SELECT doc_id, lang, source, pos, w,
+         lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+  FROM tok
+),
+g1 AS (SELECT w AS gram, COUNT(*) AS c FROM tok GROUP BY 1),
+g2 AS (SELECT p1 || ' ' || w AS gram, COUNT(*) AS c FROM seq
+       WHERE p1 IS NOT NULL GROUP BY 1),
+g3 AS (SELECT p2 || ' ' || p1 || ' ' || w AS gram, COUNT(*) AS c FROM seq
+       WHERE p2 IS NOT NULL GROUP BY 1),
+sc AS (
+  SELECT s.doc_id, s.lang, s.source, LEAST(3, s.pos) AS kmax,
+         t3.c AS c3, x3.c AS d3, t2.c AS c2, x2.c AS d2,
+         t1.c AS c1, n.n AS d1
+  FROM seq s
+  CROSS JOIN n
+  LEFT JOIN g3 t3 ON s.p2 IS NOT NULL
+       AND t3.gram = s.p2 || ' ' || s.p1 || ' ' || s.w
+  LEFT JOIN g2 x3 ON s.p2 IS NOT NULL AND x3.gram = s.p2 || ' ' || s.p1
+  LEFT JOIN g2 t2 ON s.p1 IS NOT NULL AND t2.gram = s.p1 || ' ' || s.w
+  LEFT JOIN g1 x2 ON s.p1 IS NOT NULL AND x2.gram = s.p1
+  LEFT JOIN g1 t1 ON t1.gram = s.w
+),
+ts AS (
+  SELECT doc_id, lang, source,
+    CAST(ROUND(CASE
+      WHEN c3 IS NOT NULL THEN log10(CAST(c3 AS DOUBLE) / d3)
+      WHEN c2 IS NOT NULL THEN (kmax - 2) * ({_L04})
+                               + log10(CAST(c2 AS DOUBLE) / d2)
+      ELSE (kmax - 1) * ({_L04}) + log10(CAST(c1 AS DOUBLE) / d1)
+    END, 6) AS DECIMAL(18,6)) AS lp,
+    CASE WHEN (kmax = 3 AND c3 IS NOT NULL)
+           OR (kmax = 2 AND c2 IS NOT NULL)
+           OR (kmax = 1 AND c1 IS NOT NULL) THEN 1 ELSE 0 END AS full_hit
+  FROM sc
+)
+SELECT lang, source,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_tok,
+       CAST(SUM(full_hit) AS BIGINT) AS full_hits,
+       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logp10
+FROM ts
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+QUERIES["q163_lm_perplexity_rollup"] = q163_lm_perplexity_rollup
+ORACLES["q163_lm_perplexity_rollup"] = O_Q163
+
+
+# --------------------------------------------------------------- Q164
+_N_SHARDS = 16
+_SHARD_SALT = "sh1"
+
+
+def q164_shuffle_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard export plan over documents: 16
+    shards by salted md5, per-shard positions by the same hash. The
+    output certifies BOTH halves of the contract with one bounded row
+    per shard — the bucket split (n_docs, exact char sum) and the
+    intra-shard ORDER (the doc_ids at positions 1-3; a single swapped
+    pair anywhere in a shard head diverges the hash). One shuffle
+    keyed by shard + per-shard local sort; no global sort at any SF."""
+    from a2b_spark.operators.shards import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = shuffle_shards(d, "doc_id", _N_SHARDS, salt=_SHARD_SALT)
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("head1"),
+            F.max(F.when(F.col("pos") == 2, F.col("doc_id"))).alias("head2"),
+            F.max(F.when(F.col("pos") == 3, F.col("doc_id"))).alias("head3"),
+        )
+        .orderBy("shard")
+    )
+
+
+O_Q164 = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substring(md5('{_SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars,
+         CAST(h60 % {_N_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY h60 % {_N_SHARDS}
+           ORDER BY h60, CAST(doc_id AS VARCHAR)
+         ) AS pos
+  FROM h
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MAX(CASE WHEN pos = 1 THEN doc_id END) AS head1,
+       MAX(CASE WHEN pos = 2 THEN doc_id END) AS head2,
+       MAX(CASE WHEN pos = 3 THEN doc_id END) AS head3
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+QUERIES["q164_shuffle_shard_export"] = q164_shuffle_shard_export
+ORACLES["q164_shuffle_shard_export"] = O_Q164
+
+
+# --------------------------------------------------------------- Q165
+def q165_nfc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization over adversarially decomposed
+    text: every document contributes its first word suffixed with a
+    decomposed 'é' (e + U+0301), a decomposed 'ü' (u + U+0308), and a
+    composed 'é' — NFC must compose the first two and keep the third,
+    shrinking each string by exactly 2 codepoints. Per-language
+    rollup: docs, summed codepoint lengths before/after, changed
+    count, and the lexicographic MIN of the normalized strings (a
+    string value through the driver hash, so a single mis-normalized
+    character anywhere diverges). Arrow-batched pandas UDF
+    (`functions/unicode.py`) — the sanctioned Python boundary; the
+    DuckDB twin is the built-in nfc_normalize."""
+    from a2b_spark.functions.unicode import nfc
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.split(F.col("text"), " ").getItem(0),
+        F.lit("e\u0301u\u0308\u00e9"),
+    )
+    staged = d.select(
+        "lang", raw.alias("raw"), nfc(raw).alias("norm")
+    )
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("raw")).cast("long").alias("sum_len_raw"),
+            F.sum(F.length("norm")).cast("long").alias("sum_len_nfc"),
+            F.sum((F.col("raw") != F.col("norm")).cast("int"))
+            .cast("long")
+            .alias("n_changed"),
+            F.min("norm").alias("min_nfc"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_Q165 = """
+WITH staged AS (
+  SELECT lang,
+         string_split(text, ' ')[1] || 'e' || chr(769) || 'u' || chr(776) || chr(233) AS raw
+  FROM documents
+),
+n AS (SELECT lang, raw, nfc_normalize(raw) AS norm FROM staged)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(length(raw)) AS BIGINT) AS sum_len_raw,
+       CAST(SUM(length(norm)) AS BIGINT) AS sum_len_nfc,
+       CAST(SUM(CASE WHEN raw <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       MIN(norm) AS min_nfc
+FROM n
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["q165_nfc_canonicalize"] = q165_nfc_canonicalize
+ORACLES["q165_nfc_canonicalize"] = O_Q165
