@@ -243,3 +243,62 @@ ORDER BY lang
 
 QUERIES["q165_nfc_canonicalize"] = q165_nfc_canonicalize
 ORACLES["q165_nfc_canonicalize"] = O_Q165
+
+
+# --------------------------------------------------------------- Q166
+_CLF_VOCAB = ["table", "stream", "merge", "window"]
+_CLF_W = ["0.75", "-0.5", "0.25", "-0.125"]
+_CLF_B = "-0.5"
+
+
+def q166_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (the fastText-filter shape:
+    GPT-3's WebText classifier, LLaMA's quality filter) with a frozen
+    model — z = w·counts + b over an explicit vocabulary, computed in
+    EXACT decimal arithmetic (no transcendentals), so both engines
+    produce identical scores; σ is monotone, so the keep-threshold
+    compares z directly. Per-source rollup: docs, docs above
+    threshold, exact mean score. TRAINING of the same model class is
+    certified separately (tests/test_classifier.py pins distributed
+    full-batch GD bit-for-bit against a numpy/Decimal reference —
+    gradient sums are exact decimals, so the trained weights are
+    partition-invariant). Featurization is pure codegen
+    (size∘filter per term): zero shuffles before the rollup."""
+    from a2b_spark.operators.classifier import bow_linear_score
+
+    d = _t(spark, sf_dir, "documents").select("source", "text")
+    scored = bow_linear_score(d, "text", _CLF_VOCAB, _CLF_W, _CLF_B)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("z") > 0).cast("int")).cast("long").alias("n_keep"),
+            (F.sum("z").cast("double") / F.count(F.lit(1))).alias("avg_z"),
+        )
+        .orderBy("source")
+    )
+
+
+_CLF_TERMS_SQL = " + ".join(
+    f"(CAST({w} AS DECIMAL(24,8)) * length(list_filter(string_split(text, ' '), x -> x = '{t}')))"
+    for w, t in zip(_CLF_W, _CLF_VOCAB)
+)
+
+O_Q166 = f"""
+WITH scored AS (
+  SELECT source,
+         CAST(CAST({_CLF_B} AS DECIMAL(24,8)) + {_CLF_TERMS_SQL}
+              AS DECIMAL(24,8)) AS z
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(z) AS DOUBLE) / COUNT(*) AS avg_z
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q166_quality_classifier_score"] = q166_quality_classifier_score
+ORACLES["q166_quality_classifier_score"] = O_Q166
