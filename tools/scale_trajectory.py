@@ -595,9 +595,74 @@ def bpe_probe(spark) -> dict:
     return out
 
 
+def lm_probe(spark) -> dict:
+    """Scale trajectory for the stupid-backoff n-gram LM (round-10
+    operator). Training is one corpus scan + one (k, gram) agg; the
+    token-disjoint 10× corpus is the WORST case for the model table
+    (every copy's grams are distinct, so the model grows ~10× with the
+    corpus — real corpora saturate). Scoring is measured on BOTH join
+    strategies: broadcast (vocab-bounded regime) and shuffle-hash (the
+    web-scale path where the model outgrows a broadcast); per-token µs
+    is the honest linearity measure for both."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.lm import ngram_lm_train, stupid_backoff_logp
+
+    out: dict = {}
+    scales = [
+        ("sf0.01", "/root/testdata/sf0.01"),
+        ("sf0.1", "/root/testdata/sf0.1"),
+        ("10x", build_scaled(spark, 10)),
+    ]
+    for label, d in scales:
+        docs = spark.read.parquet(f"{d}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        t0 = _t.time()
+        model = ngram_lm_train(docs, "text", order=3)
+        n_grams = model.count()  # checkpointed: count is metadata-cheap
+        t_train = round(_t.time() - t0, 2)
+        entry = {"model_grams": int(n_grams), "train_s": t_train}
+        for mode, bc in (("bcast", True), ("shuffle", False)):
+            t0 = _t.time()
+            n_tok = (
+                stupid_backoff_logp(
+                    docs, model, "doc_id", "text", 3, broadcast_model=bc
+                )
+                .agg(F.sum("n_tok"))
+                .first()[0]
+            )
+            entry[f"score_{mode}_s"] = round(_t.time() - t0, 2)
+            entry["tokens"] = int(n_tok)
+        out[label] = entry
+    for mode in ("bcast", "shuffle"):
+        out[f"score_{mode}_us_per_token"] = {
+            k: round(1e6 * out[k][f"score_{mode}_s"] / out[k]["tokens"], 3)
+            for k in ("sf0.01", "sf0.1", "10x")
+        }
+        out[f"score_{mode}_per_token_ratio_10x"] = round(
+            out[f"score_{mode}_us_per_token"]["10x"]
+            / out[f"score_{mode}_us_per_token"]["sf0.1"],
+            2,
+        )
+    out["train_ratio_10x"] = round(
+        out["10x"]["train_s"] / out["sf0.1"]["train_s"], 2
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--lm",
+        action="store_true",
+        help="run ONLY the n-gram LM probe (train/score growth across "
+        "sf0.01 / sf0.1 / token-disjoint 10x, broadcast AND "
+        "shuffle-join scoring) and merge it into the out file",
+    )
     ap.add_argument(
         "--storage",
         action="store_true",
@@ -622,6 +687,20 @@ def main() -> int:
         "without the full ~35-min resweep",
     )
     args = ap.parse_args()
+    if args.lm:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_lm")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["lm"] = lm_probe(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"lm": doc["lm"]}))
+        return 0
     if args.bpe:
         from a2b_spark.session import get_spark
 
