@@ -66,6 +66,12 @@ def bow_features(df: DataFrame, text_col: str, vocab: list[str]) -> DataFrame:
     if not vocab or len(set(vocab)) != len(vocab):
         raise ValueError("vocab must be non-empty and duplicate-free")
     keep = [c for c in df.columns if c != text_col]
+    clash = {f"__x{j}" for j in range(len(vocab))} & set(keep)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the reserved "
+            "feature columns; rename them first"
+        )
     return df.select(*keep, *_count_cols(text_col, vocab))
 
 
@@ -136,6 +142,11 @@ def bow_linear_score(
     Returns (frame_without_text, score_column) so callers compose."""
     if len(weights) != len(vocab):
         raise ValueError("one weight per vocab term required")
+    if "z" in df.columns and text_col != "z":
+        raise ValueError(
+            "input column 'z' collides with the reserved score column; "
+            "rename it first"
+        )
     dt = f"decimal(24,{WEIGHT_SCALE})"
 
     def dlit(x):

@@ -209,6 +209,15 @@ def stupid_backoff_logp(
     per-document rollup), shuffle-hash joins otherwise (web-scale
     models).
     """
+    reserved = (
+        {"n_tok", "n_oov", "hits_full", "sum_logp10", "avg_logp10"}
+        & ({id_col} | set(extra_cols))
+    )
+    if reserved:
+        raise ValueError(
+            f"id/extra columns {sorted(reserved)} collide with reserved "
+            "output columns; rename them first"
+        )
     toks = _tokens(text_col)
     sz = F.size(toks)
 

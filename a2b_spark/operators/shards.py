@@ -35,6 +35,12 @@ def shuffle_shards(
     layouts; distinct keys required for a meaningful order."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    clash = {"shard", "pos"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the reserved "
+            "shard/pos output columns; rename them first"
+        )
     h = _hash60(key_col, salt)
     with_shard = df.withColumn("__h60", h).withColumn(
         "shard", (F.col("__h60") % n_shards).cast("int")

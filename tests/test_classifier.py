@@ -124,3 +124,12 @@ def test_bad_inputs(spark, df):
         bow_logreg_train(
             df.filter("id < 0"), "text", "label", VOCAB, iters=1
         )
+
+
+def test_reserved_column_collisions(spark, df):
+    bad = df.withColumnRenamed("id", "__x0")
+    with pytest.raises(ValueError, match="reserved"):
+        bow_features(bad, "text", VOCAB)
+    badz = df.withColumnRenamed("id", "z")
+    with pytest.raises(ValueError, match="reserved"):
+        bow_linear_score(badz, "text", VOCAB, ["0.1"] * 4, "0")

@@ -152,3 +152,15 @@ def test_extra_cols_ride_through(spark):
     )
     got = {(r.id, r.lang) for r in s.collect()}
     assert got == {(1, "en"), (2, "fr")}
+
+
+def test_reserved_output_collision_raises(spark, docs_df):
+    m = ngram_lm_train(docs_df, "text", 2)
+    bad = docs_df.withColumnRenamed("id", "n_tok")
+    with pytest.raises(ValueError, match="reserved"):
+        stupid_backoff_logp(bad, m, "n_tok", "text", 2)
+    bad2 = docs_df.withColumn("avg_logp10", F.lit(1.0))
+    with pytest.raises(ValueError, match="reserved"):
+        stupid_backoff_logp(
+            bad2, m, "id", "text", 2, extra_cols=("avg_logp10",)
+        )

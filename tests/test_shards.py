@@ -68,3 +68,9 @@ def test_single_shard_total_order(spark, df):
 def test_rejects_bad_n_shards(df):
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_shards(df, "id", 0)
+
+
+def test_reserved_column_collision_raises(spark):
+    df = spark.createDataFrame([(1, 2)], "id int, shard int")
+    with pytest.raises(ValueError, match="reserved"):
+        shuffle_shards(df, "id", 4)
