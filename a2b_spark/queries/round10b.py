@@ -22,23 +22,29 @@ ORACLES: dict = {}
 
 
 # --------------------------------------------------------------- Q163
-def q163_lm_perplexity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stupid-backoff trigram LM, trained on the corpus and scored
-    over it (the CCNet shape: score each document against a reference
-    LM; here the reference IS the corpus, so every token resolves and
-    the cascade — not the OOV floor — is what the hash certifies).
-    Rolled up per (lang, source): documents, tokens, tokens that hit
-    a full-order gram, and the mean per-token log10 probability
-    (perplexity = 10**-avg_logp10).
+_LM_TRAIN_CAP = 500  # constant reference slice: sf0.001's whole corpus
 
-    Plan shape: train = one corpus scan + one (k, gram) hash agg +
-    one model-sized adjacent-order join; score = one explode (≤3 rows
-    per token) + ONE broadcast join against the model + two hash
-    aggs. No windows, no collect."""
+
+def q163_lm_perplexity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM in the exact CCNet configuration: a
+    FIXED reference model (trained on the constant doc_id < 500
+    slice — sf-invariant, like CCNet's Wikipedia LM) scores the whole
+    corpus, so training cost is constant in SF, scoring is one
+    SF-linear pass, and every cascade arm INCLUDING the OOV floor is
+    exercised for real. Rolled up per (lang, source): documents,
+    tokens, tokens that hit a full-order gram, and the mean per-token
+    log10 probability (perplexity = 10**-avg_logp10).
+
+    Plan shape: train = one bounded scan + one (k, gram) hash agg +
+    one model-sized adjacent-order join (both checkpointed — train
+    once, score forever); score = ONE corpus scan, a cascade of three
+    broadcast joins, one rollup shuffle. No windows, no collect."""
     from a2b_spark.operators.lm import ngram_lm_train, stupid_backoff_logp
 
     d = _t(spark, sf_dir, "documents")
-    model = ngram_lm_train(d, "text", order=3)
+    model = ngram_lm_train(
+        d.filter(F.col("doc_id") < _LM_TRAIN_CAP), "text", order=3
+    )
     per_doc = stupid_backoff_logp(
         d,
         model,
@@ -73,17 +79,24 @@ WITH tok AS (
          generate_subscripts(string_split(text, ' '), 1) AS pos
   FROM documents
 ),
-n AS (SELECT COUNT(*) AS n FROM tok),
+tok_train AS (SELECT * FROM tok WHERE doc_id < {_LM_TRAIN_CAP}),
+n AS (SELECT COUNT(*) AS n FROM tok_train),
+seq_t AS (
+  SELECT pos, w,
+         lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
+         lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
+  FROM tok_train
+),
 seq AS (
   SELECT doc_id, lang, source, pos, w,
          lag(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS p1,
          lag(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS p2
   FROM tok
 ),
-g1 AS (SELECT w AS gram, COUNT(*) AS c FROM tok GROUP BY 1),
-g2 AS (SELECT p1 || ' ' || w AS gram, COUNT(*) AS c FROM seq
+g1 AS (SELECT w AS gram, COUNT(*) AS c FROM tok_train GROUP BY 1),
+g2 AS (SELECT p1 || ' ' || w AS gram, COUNT(*) AS c FROM seq_t
        WHERE p1 IS NOT NULL GROUP BY 1),
-g3 AS (SELECT p2 || ' ' || p1 || ' ' || w AS gram, COUNT(*) AS c FROM seq
+g3 AS (SELECT p2 || ' ' || p1 || ' ' || w AS gram, COUNT(*) AS c FROM seq_t
        WHERE p2 IS NOT NULL GROUP BY 1),
 sc AS (
   SELECT s.doc_id, s.lang, s.source, LEAST(3, s.pos) AS kmax,
@@ -104,7 +117,9 @@ ts AS (
       WHEN c3 IS NOT NULL THEN log10(CAST(c3 AS DOUBLE) / d3)
       WHEN c2 IS NOT NULL THEN (kmax - 2) * ({_L04})
                                + log10(CAST(c2 AS DOUBLE) / d2)
-      ELSE (kmax - 1) * ({_L04}) + log10(CAST(c1 AS DOUBLE) / d1)
+      WHEN c1 IS NOT NULL THEN (kmax - 1) * ({_L04})
+                               + log10(CAST(c1 AS DOUBLE) / d1)
+      ELSE (kmax - 1) * ({_L04}) + log10(1.0 / CAST(d1 + 1 AS DOUBLE))
     END, 6) AS DECIMAL(18,6)) AS lp,
     CASE WHEN (kmax = 3 AND c3 IS NOT NULL)
            OR (kmax = 2 AND c2 IS NOT NULL)
