@@ -173,12 +173,17 @@ class VersionedParquetTable:
         stores (streaming history tables).
 
         ``deletion_vectors``: WRITE-side opt-in (Delta DV analogue) —
-        small deletes on an UNPARTITIONED parquet table commit as a
-        metadata-sized tombstone key list instead of rewriting any
-        data file (see the ``DV_DIR`` note). Read-side application is
-        unconditional: any handle reading a version that carries a
-        ``_dv/`` vector applies it, flag or not — correctness lives in
-        the data, not the handle."""
+        small deletes on a parquet table (partitioned or not) commit
+        as a metadata-sized tombstone key list instead of rewriting
+        any data file or partition (see the ``DV_DIR`` note).
+        Partitioned commits carry the vector; merge rewrites a
+        re-introduced key's stale partition and trims it; append of a
+        tombstoned key fails loudly (merge or purge first);
+        ``purge_deleted`` rewrites only the partitions that hold
+        tombstoned bytes. Read-side application is unconditional: any
+        handle reading a version that carries a ``_dv/`` vector
+        applies it, flag or not — correctness lives in the data, not
+        the handle."""
         if fmt not in _FORMAT_OPTIONS:
             raise ValueError(f"unsupported table format {fmt!r}")
         self.path = path
@@ -304,6 +309,20 @@ class VersionedParquetTable:
     def read(self, spark: SparkSession, version: Optional[str] = None) -> Optional[DataFrame]:
         """Read the live version, or a retained historical one (time
         travel) when ``version`` names an entry of ``versions()``."""
+        df = self._read_nodv(spark, version)
+        if df is None:
+            return None
+        v = version or self.current_version()
+        return self._apply_dv(spark, df, os.path.join(self.path, v))
+
+    def _read_nodv(
+        self, spark: SparkSession, version: Optional[str] = None
+    ) -> Optional[DataFrame]:
+        """:meth:`read` WITHOUT the deletion-vector anti join — the
+        PHYSICAL rows, tombstoned ones included. Internal: the
+        vector-maintenance paths (partitioned purge, merge
+        re-introduction) must locate where tombstoned bytes LIVE,
+        which the filtered read by definition cannot show."""
         v = version or self.current_version()
         if v is None:
             return None
@@ -333,7 +352,7 @@ class VersionedParquetTable:
         schema = self._version_schema(v)
         if schema is not None:
             reader = reader.schema(schema)
-        return self._apply_dv(spark, reader.load(vdir), vdir)
+        return reader.load(vdir)
 
     # -------------------------------------------------- deletion vectors
     def _dv_df(self, spark: SparkSession, version: str) -> Optional[DataFrame]:
@@ -1328,6 +1347,35 @@ class VersionedParquetTable:
         if self.partition_by and not (
             self._dropped_tombstones(base) & set(batch.columns)
         ):
+            dv = self._dv_df(batch.sparkSession, base)
+            if dv is not None and self.key_cols:
+                # a batch key that is DV-tombstoned would be HIDDEN by
+                # the carried vector the moment it lands (the stale
+                # physical row may live in a partition this append
+                # hardlinks, so the vector cannot simply drop the
+                # key). merge() handles re-introduction by rewriting
+                # the stale row's partition; append must not silently
+                # swallow the row. Bounded: the vector is <= 64k keys.
+                from a2b_spark.storage.diff import null_safe_key_cond
+
+                clash = (
+                    batch.alias("b")
+                    .join(
+                        F.broadcast(dv.alias("d")),
+                        null_safe_key_cond(self.key_cols, "b", "d"),
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if clash:
+                    raise ValueError(
+                        f"append on {self.path}: batch contains a key "
+                        "that is deletion-vector-tombstoned; the carried "
+                        "vector would hide the new row. Use merge() (it "
+                        "rewrites the stale partition and trims the "
+                        "vector) or purge_deleted() first"
+                    )
             touched = self._touched_partitions(batch)
             if not touched:
                 return
@@ -1418,11 +1466,23 @@ class VersionedParquetTable:
                 F.lit("delete").alias("change"),
             )
 
+        # deletion vectors first, partitioned or not: a small delete
+        # commits metadata-sized (every data file hardlinks — the
+        # loop preserves partition subdirs — and only the key list is
+        # written); the rewrite paths below are the cap-overflow
+        # fallback
+        if self.deletion_vectors and self.fmt == "parquet":
+            if self._try_delete_dv(keys_df.sparkSession, current, keys, base):
+                return
         if self.partition_by:
             touched = self._key_match_partitions(current, keys)
             if not touched:
                 return
             scoped = current.filter(self._partition_filter(touched))
+            # dv_df=None CARRIES any live vector: its keys in the
+            # rewritten partitions are staged out by the DV-filtered
+            # read (stale entries are no-op anti joins); keys in
+            # hardlinked partitions still need it
             self._commit_touched(
                 _remaining(scoped),
                 touched,
@@ -1431,9 +1491,6 @@ class VersionedParquetTable:
                 cdf_df=_delete_cdf(scoped),
             )
             return
-        if self.deletion_vectors and self.fmt == "parquet":
-            if self._try_delete_dv(keys_df.sparkSession, current, keys, base):
-                return
         kept_info = self._prunable_key_files(keys, base)
         if kept_info is not None:
             kept_abs, keep_rels, schema = kept_info
@@ -1494,12 +1551,20 @@ class VersionedParquetTable:
         base=_UNSET_BASE,
         extra_files: Optional[dict] = None,
         cdf_df: Optional[DataFrame] = None,
+        dv_df: Optional[DataFrame] = None,
     ) -> None:
         """Write a new version containing ``touched_df`` (the new
         contents of the touched partitions) and hard-link every
         untouched partition's files from the live version — a
         metadata-only copy, the local-FS analogue of Iceberg manifest
-        reuse. Cost: O(touched data + total file count)."""
+        reuse. Cost: O(touched data + total file count).
+
+        ``dv_df`` follows :meth:`_commit_linked_files`'s contract:
+        None CARRIES the hardlink source's deletion vector (untouched
+        partitions may still hold tombstoned bytes; rewritten
+        partitions were staged from the DV-FILTERED read, so stale
+        vector entries for them are harmless no-op anti joins); a
+        DataFrame REPLACES it (empty = cleared)."""
         old_version = self.current_version()
         if base is _UNSET_BASE:
             base = old_version
@@ -1513,10 +1578,10 @@ class VersionedParquetTable:
                 f"data survives in hardlinked files at {self.path}; "
                 "re-introduce them via a full rewrite (overwrite/merge)"
             )
-        if op != "compact":  # layout-only rewrite of validated data
+        if op not in ("compact", "purge"):  # layout-only rewrites of
             touched_df, _check_constraints = self._constraint_observation(
                 touched_df, base
-            )
+            )  # ^ already-validated data skip re-validation
         else:
             _check_constraints = lambda: None  # noqa: E731
         if cdf_df is None:
@@ -1563,6 +1628,7 @@ class VersionedParquetTable:
         # against the dir the untouched partitions were linked FROM
         self._write_stats_sidecar(tmp_target, old_version)
         self._carry_forward_metadata(tmp_target, old_version)
+        self._stage_dv(tmp_target, old_version, dv_df)
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
 
@@ -1589,6 +1655,8 @@ class VersionedParquetTable:
         self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None,
         cdf_df: Optional[DataFrame] = None,
     ) -> None:
+        from a2b_spark.storage.diff import null_safe_key_cond
+
         touched = self._touched_partitions(batch)
         if not self.partitions_derived_from_keys:
             # keys may move between partitions: also rewrite wherever
@@ -1596,11 +1664,48 @@ class VersionedParquetTable:
             touched = touched | self._key_match_partitions(current, batch)
         if not touched:
             return
+        dv_new = None
+        dv = self._dv_df(spark, base)
+        if dv is not None:
+            # a merged key that was DV-tombstoned is RE-INTRODUCED:
+            # its stale PHYSICAL row is invisible to `current` (the
+            # DV-filtered read), so the key-match scan above cannot
+            # find its partition — locate it on the UNFILTERED read
+            # and force that partition into the rewrite set, else the
+            # commit would hardlink the stale bytes while dropping the
+            # key from the vector (resurrection + duplicate). With
+            # key-derived partitions the stale row's partition equals
+            # the batch row's and is already touched.
+            reintro = dv.alias("__dv").join(
+                batch.select(*self.key_cols).alias("__b"),
+                null_safe_key_cond(self.key_cols, "__dv", "__b"),
+                "left_semi",
+            )
+            if not self.partitions_derived_from_keys:
+                raw = self._read_nodv(spark, base)
+                touched = touched | self._touched_partitions(
+                    raw.alias("r")
+                    .join(
+                        F.broadcast(reintro.alias("k")),
+                        null_safe_key_cond(self.key_cols, "r", "k"),
+                        "left_semi",
+                    )
+                    .select(*self.partition_by)
+                )
+            # every re-introduced key's stale bytes now sit in a
+            # rewritten (DV-filtered) partition: trim it; other keys
+            # stay (their bytes remain hardlinked)
+            dv_new = dv.alias("__dv").join(
+                batch.select(*self.key_cols).alias("__b"),
+                null_safe_key_cond(self.key_cols, "__dv", "__b"),
+                "left_anti",
+            )
         merged_touched = merge_dataframes(
             current.filter(self._partition_filter(touched)), batch, self.key_cols
         )
         self._commit_touched(
-            merged_touched, touched, op="merge", base=base, cdf_df=cdf_df
+            merged_touched, touched, op="merge", base=base, cdf_df=cdf_df,
+            dv_df=dv_new,
         )
 
     # the key types whose batch min/max can be compared against file
@@ -1666,15 +1771,17 @@ class VersionedParquetTable:
         self, spark: SparkSession, current: DataFrame, keys: DataFrame,
         base: str,
     ) -> bool:
-        """DELETION-VECTOR delete on an UNPARTITIONED parquet table:
-        commit = every data file HARDLINKED + the tombstone key list
-        unioned into ``_dv/`` — zero data files rewritten, metadata-
-        sized regardless of how large the touched files are (the step
-        past file-granular pruning, which still rewrites a whole file
-        to drop one row). Falls back (returns False) when the combined
-        vector would exceed DV_MAX_KEYS — the rewrite path then purges
-        physically. No-op deletes (no live key matched) return True
-        without a commit, like the partitioned path.
+        """DELETION-VECTOR delete on a parquet table, partitioned or
+        not: commit = every data file HARDLINKED (the link loop
+        recreates partition subdirs) + the tombstone key list unioned
+        into ``_dv/`` — zero data files rewritten, metadata-sized
+        regardless of how large the touched files or partitions are
+        (the step past file-granular pruning, which still rewrites a
+        whole file to drop one row). Falls back (returns False) when
+        the combined vector would exceed DV_MAX_KEYS — the rewrite
+        paths then purge physically. No-op deletes (no live key
+        matched) return True without a commit, like the partitioned
+        path.
 
         ``current`` is the DV-FILTERED snapshot, so re-deleting an
         already-tombstoned key never bloats the vector, and the CDF
@@ -1757,14 +1864,16 @@ class VersionedParquetTable:
         """Physically remove the deletion vector's tombstoned rows —
         the DV maintenance op (Delta's REORG TABLE ... APPLY (PURGE)):
         rewrite ONLY the files whose ``_STATS`` key band can hold a
-        tombstoned key (DV-filtered read, like any pruned rewrite),
-        hardlink every other file, and clear the vector. A layout-only
-        commit: row content is identical before and after (CDF
-        consumers skip it), but the table stops paying the per-read
-        anti join and vacuum can eventually reclaim the tombstoned
-        bytes. Falls back to rewriting all files when the sidecar
-        cannot band-match (no stats / unprunable key type). Returns
-        {"files_rewritten", "files_linked", "purged_keys"}."""
+        tombstoned key (DV-filtered read, like any pruned rewrite) —
+        or, on a PARTITIONED table, only the partitions that
+        physically hold tombstoned rows — hardlink everything else,
+        and clear the vector. A layout-only commit: row content is
+        identical before and after (CDF consumers skip it), but the
+        table stops paying the per-read anti join and vacuum can
+        eventually reclaim the tombstoned bytes. Falls back to
+        rewriting all files when the sidecar cannot band-match (no
+        stats / unprunable key type). Returns {"files_rewritten",
+        "files_linked", "purged_keys"}."""
         base = self.current_version()
         out = {"files_rewritten": 0, "files_linked": 0, "purged_keys": 0}
         if base is None:
@@ -1777,6 +1886,60 @@ class VersionedParquetTable:
         n_keys = dv.count()
         vdir = os.path.join(self.path, base)
         all_rels = _stats._data_files(vdir)
+        if self.partition_by:
+            # PARTITION-granular purge: locate the partitions that
+            # physically hold tombstoned rows on the UNFILTERED read
+            # (the filtered read cannot see them), rewrite exactly
+            # those DV-filtered, hardlink the rest, clear the vector.
+            # _commit_linked_files is layout-unsafe here — its writer
+            # would stage root-level files into a hive-partitioned dir.
+            from a2b_spark.storage.diff import null_safe_key_cond
+
+            raw = self._read_nodv(spark, base)
+            touched = self._touched_partitions(
+                raw.alias("r")
+                .join(
+                    F.broadcast(dv.alias("d")),
+                    null_safe_key_cond(self.key_cols, "r", "d"),
+                    "left_semi",
+                )
+                .select(*self.partition_by)
+            )
+            if not touched:
+                # vector keys with no physical rows left (all their
+                # partitions were rewritten since): clear the vector
+                # with an all-hardlink commit (no writer involved)
+                self._commit_linked_files(
+                    None, all_rels, op="purge", base=base, dv_df=dv.limit(0)
+                )
+                return {
+                    "files_rewritten": 0,
+                    "files_linked": len(all_rels),
+                    "purged_keys": n_keys,
+                }
+            scoped = self.read(spark, version=base).filter(
+                self._partition_filter(touched)
+            )
+            untouched_leaves = [
+                os.path.relpath(leaf, vdir)
+                for leaf, values in _leaf_partitions(
+                    vdir, len(self.partition_by)
+                )
+                if values not in touched
+            ]
+            n_linked = sum(
+                1
+                for r in all_rels
+                if any(r.startswith(u + os.sep) for u in untouched_leaves)
+            )
+            self._commit_touched(
+                scoped, touched, op="purge", base=base, dv_df=dv.limit(0)
+            )
+            return {
+                "files_rewritten": len(all_rels) - n_linked,
+                "files_linked": n_linked,
+                "purged_keys": n_keys,
+            }
         info = self._prunable_key_files(dv, base)
         if info is not None:
             kept_abs, keep_rels, schema = info

@@ -156,11 +156,11 @@ def test_dv_restore_and_clone_carry_vector(spark, tmp_path):
 
 
 def test_dv_noop_outside_scope(spark, tmp_path):
-    """Partitioned tables never take the DV path (partition-granular
-    commits already bound their rewrite), flag or not."""
+    """A table WITHOUT the flag never takes the DV path — partitioned
+    or not — even when a delete would qualify."""
     t = VersionedParquetTable(
         str(tmp_path / "p"), key_cols=("k",), partition_by=("p",),
-        retention=10, deletion_vectors=True,
+        retention=10,  # deletion_vectors NOT set
     )
     t.overwrite(
         spark.createDataFrame(
@@ -208,3 +208,131 @@ def test_dv_purge_rewrites_only_matching_files(spark, tmp_path):
     }
     # idempotent: no vector, no-op
     assert t.purge_deleted(spark)["purged_keys"] == 0
+
+
+# ---------------------------------------------------- partitioned DVs
+def _dv_ptable(spark, tmp_path, n=40, derived=False, name="pt"):
+    t = VersionedParquetTable(
+        str(tmp_path / name), key_cols=("k",), partition_by=("p",),
+        retention=10, deletion_vectors=True,
+        partitions_derived_from_keys=derived,
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 4, f"v{i}") for i in range(n)], "k long, p int, v string"
+        )
+    )
+    return t
+
+
+def test_dv_partitioned_delete_rewrites_zero_files(spark, tmp_path):
+    """A small delete on a PARTITIONED table is metadata-sized too:
+    every data file hardlinks (partition subdirs preserved), only the
+    vector is written — no partition rewrite."""
+    t = _dv_ptable(spark, tmp_path)
+    base = t.current_version()
+    base_rels = {
+        os.path.relpath(p, os.path.join(t.path, base))
+        for p in _data_files(os.path.join(t.path, base))
+    }
+    t.delete_keys(spark.createDataFrame([(5,), (6,)], "k long"))
+    vdir = os.path.join(t.path, t.current_version())
+    files = _data_files(vdir)
+    assert {os.path.relpath(p, vdir) for p in files} == base_rels
+    assert all(os.stat(p).st_nlink > 1 for p in files)
+    assert os.path.isdir(os.path.join(vdir, DV_DIR))
+    assert {r.k for r in t.read(spark).collect()} == set(range(40)) - {5, 6}
+    assert {r.k for r in t.read(spark, version=base).collect()} == set(range(40))
+
+
+def test_dv_partitioned_carry_through_commits(spark, tmp_path):
+    """Later partitioned commits (merge/append/compact of OTHER keys)
+    must CARRY the vector — dropping it would resurrect tombstones in
+    hardlinked partitions."""
+    t = _dv_ptable(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(5,)], "k long"))
+    # merge a fresh key into a different partition
+    t.merge(spark.createDataFrame([(100, 0, "new")], "k long, p int, v string"))
+    assert 5 not in {r.k for r in t.read(spark).collect()}
+    # append fresh keys
+    t.append(spark.createDataFrame([(101, 1, "a")], "k long, p int, v string"))
+    got = {r.k for r in t.read(spark).collect()}
+    assert 5 not in got and {100, 101} <= got
+    # compact
+    t.compact(spark, target_file_bytes=1 << 20, min_files=1)
+    assert 5 not in {r.k for r in t.read(spark).collect()}
+
+
+@pytest.mark.parametrize("derived", [False, True])
+def test_dv_partitioned_merge_reintroduces_key(spark, tmp_path, derived):
+    """Merging a DV-tombstoned key back in must surface it EXACTLY
+    once (stale partition rewritten even though the filtered read
+    cannot see the stale row) and trim it from the vector."""
+    t = _dv_ptable(spark, tmp_path, derived=derived, name=f"pt{derived}")
+    t.delete_keys(spark.createDataFrame([(5,), (9,)], "k long"))
+    # re-introduce k=5 (its partition p=1 under i%4... 5%4=1) with the
+    # SAME partition value (required under derived=True)
+    t.merge(spark.createDataFrame([(5, 1, "back")], "k long, p int, v string"))
+    rows = [r for r in t.read(spark).collect() if r.k == 5]
+    assert len(rows) == 1 and rows[0].v == "back"
+    # 9 stays tombstoned; the raw bytes of 5 are gone from disk
+    got = {r.k for r in t.read(spark).collect()}
+    assert 9 not in got
+    raw = t._read_nodv(spark)
+    assert [r.v for r in raw.collect() if r.k == 5] == ["back"]
+
+
+def test_dv_partitioned_append_tombstoned_key_raises(spark, tmp_path):
+    t = _dv_ptable(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(5,)], "k long"))
+    with pytest.raises(ValueError, match="tombstoned"):
+        t.append(spark.createDataFrame([(5, 1, "x")], "k long, p int, v string"))
+    # fresh keys still append fine
+    t.append(spark.createDataFrame([(200, 2, "y")], "k long, p int, v string"))
+    assert 200 in {r.k for r in t.read(spark).collect()}
+
+
+def test_dv_partitioned_purge(spark, tmp_path):
+    """Partition-granular purge: only partitions holding tombstoned
+    bytes rewrite, the rest hardlink, the vector clears, row content
+    is unchanged (layout-only for both CDC surfaces)."""
+    t = _dv_ptable(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(4,), (8,)], "k long"))  # both p=0
+    before = {(r.k, r.v) for r in t.read(spark).collect()}
+    stats = t.purge_deleted(spark)
+    assert stats["purged_keys"] == 2
+    assert stats["files_linked"] > 0  # p=1..3 hardlinked
+    vdir = os.path.join(t.path, t.current_version())
+    assert not os.path.isdir(os.path.join(vdir, DV_DIR))
+    assert {(r.k, r.v) for r in t.read(spark).collect()} == before
+    # tombstoned bytes physically gone
+    raw = {r.k for r in t._read_nodv(spark).collect()}
+    assert 4 not in raw and 8 not in raw
+    # idempotent: second purge is a no-op (no vector)
+    pre = t.current_version()
+    assert t.purge_deleted(spark)["purged_keys"] == 0
+    assert t.current_version() == pre
+
+
+def test_dv_partitioned_restore_and_clone_carry_vector(spark, tmp_path):
+    t = _dv_ptable(spark, tmp_path)
+    t.delete_keys(spark.createDataFrame([(5,)], "k long"))
+    dv_version = t.current_version()
+    c = t.clone(str(tmp_path / "clone"))
+    assert 5 not in {r.k for r in c.read(spark).collect()}
+    t.merge(spark.createDataFrame([(5, 1, "back")], "k long, p int, v string"))
+    assert 5 in {r.k for r in t.read(spark).collect()}
+    t.restore(dv_version)
+    assert 5 not in {r.k for r in t.read(spark).collect()}
+
+
+def test_dv_partitioned_cdf_delete_rows(spark, tmp_path):
+    from a2b_spark.storage.cdf import table_changes
+
+    t = _dv_ptable(spark, tmp_path)
+    t.enable_cdf()
+    v0 = t.current_version()
+    t.delete_keys(spark.createDataFrame([(5,), (6,)], "k long"))
+    ch = table_changes(t, spark, from_version=v0)
+    got = {(r.k, r.change) for r in ch.collect()}
+    assert got == {(5, "delete"), (6, "delete")}
