@@ -317,3 +317,94 @@ ORDER BY source
 
 QUERIES["q166_quality_classifier_score"] = q166_quality_classifier_score
 ORACLES["q166_quality_classifier_score"] = O_Q166
+
+
+# --------------------------------------------------------------- Q167
+def q167_partitioned_dv_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION VECTORS on a PARTITIONED table (the round-10 extension
+    of q154's unpartitioned walk): orders land hive-partitioned by
+    priority, every 97th key is deleted via the vector path — the
+    in-query check raises unless the commit hardlinked EVERY data
+    file ACROSS the partition subdirs (zero partitions rewritten) —
+    then a merge RE-INTRODUCES the lowest deleted key into a
+    DIFFERENT partition than its stale bytes occupy, the case where
+    the filtered read cannot locate the stale row and the vector trim
+    alone would resurrect it; exactly-once survival of that key IS
+    the certificate the stale partition was force-rewritten. Final
+    per-priority rollup hash-matches the oracle recomputation."""
+    import os
+
+    from a2b_spark.queries.round10 import _data_files
+    from a2b_spark.storage.table import DV_DIR, VersionedParquetTable
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    from a2b_spark.queries.round7 import _scratch_path
+
+    path = _scratch_path(sf_dir, "q167")
+    t = VersionedParquetTable(
+        path,
+        key_cols=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+        retention=5,
+        deletion_vectors=True,
+    )
+    t.overwrite(o)
+    vdir_pre = os.path.join(path, t.current_version())
+    pre = _data_files(vdir_pre)
+    t.delete_keys(o.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"))
+    vdir = os.path.join(path, t.current_version())
+    post = _data_files(vdir)
+    pre_rel = [os.path.relpath(p, vdir_pre) for p in pre]
+    post_rel = [os.path.relpath(p, vdir) for p in post]
+    if pre_rel != post_rel:
+        raise RuntimeError("q167: the DV delete rewrote or added data files")
+    if not all(os.stat(p).st_nlink > 1 for p in post):
+        raise RuntimeError("q167: a partitioned data file is not hardlinked")
+    if not os.path.isdir(os.path.join(vdir, DV_DIR)):
+        raise RuntimeError("q167: no tombstone vector staged")
+    reborn = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .agg(F.min("o_orderkey"))
+        .first()[0]
+    )
+    # land the reborn key in a priority its stale bytes do NOT occupy
+    t.merge(
+        spark.createDataFrame(
+            [(reborn, "0-REBORN", 1234.56)],
+            "o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+    )
+    final = t.read(spark)
+    if final.filter(F.col("o_orderkey") == reborn).count() != 1:
+        raise RuntimeError("q167: re-introduced key not exactly-once")
+    return (
+        final.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_Q167 = """
+WITH eff AS (
+  SELECT o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT '0-REBORN', 1234.56
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM eff
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["q167_partitioned_dv_walk"] = q167_partitioned_dv_walk
+ORACLES["q167_partitioned_dv_walk"] = O_Q167
