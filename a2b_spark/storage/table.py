@@ -1795,11 +1795,17 @@ class VersionedParquetTable:
         from a2b_spark.storage import stats as _stats
         from a2b_spark.storage.diff import null_safe_key_cond
 
-        # pin the matched FULL rows (capped before materialization):
-        # vector keys, the size check, and the CDF rows (pre-image
-        # payloads when enabled) all derive from the pinned blocks
+        # pin the matched rows (capped before materialization): vector
+        # keys, the size check, and the CDF rows all derive from the
+        # pinned blocks. FULL rows are pinned only when CDF pre-images
+        # need the payloads — otherwise the scan projects the KEY
+        # COLUMNS alone, so on a wide table the whole delete reads a
+        # few key columns' pages, not the table (the difference
+        # between "metadata-sized" and "one full-width scan")
+        need_payload = self.cdf_enabled(base) and self.cdf_preimages(base)
+        pin_src = current if need_payload else current.select(*self.key_cols)
         matched = (
-            current.alias("c")
+            pin_src.alias("c")
             .join(
                 keys.alias("k"),
                 null_safe_key_cond(self.key_cols, "c", "k"),

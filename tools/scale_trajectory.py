@@ -595,6 +595,63 @@ def bpe_probe(spark) -> dict:
     return out
 
 
+def dv_partitioned_probe(spark) -> dict:
+    """Deletion-vector win on a PARTITIONED table: wall of a 5-key
+    delete via the vector path (hardlink every file + key list) vs the
+    partition-rewrite path on an identical table, across partition
+    counts. The vector wall must stay ~flat while the rewrite wall
+    tracks the touched partitions' bytes — the claim behind routing
+    partitioned deletes through the DV branch first."""
+    import shutil as _sh
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    def mk_rows(n_parts):
+        # ~600 MB logical: big enough that rewriting a partition
+        # costs real I/O — at toy sizes the DV path's fixed job
+        # overhead (pin + vector write + stats) exceeds a tiny
+        # rewrite and the probe would measure the wrong regime
+        return spark.range(1_500_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % n_parts).cast("int").alias("p"),
+            F.repeat(F.md5(F.col("id").cast("string")), 12).alias("payload"),
+        )
+
+    def timed_delete(n_parts, mode, flag, tag):
+        root = f"/tmp/a2b_dvprobe_{n_parts}_{mode}_{tag}"
+        _sh.rmtree(root, ignore_errors=True)
+        t = VersionedParquetTable(
+            root, key_cols=("k",), partition_by=("p",), retention=3,
+            deletion_vectors=flag,
+        )
+        t.overwrite(mk_rows(n_parts))
+        keys = spark.createDataFrame([(i * 101,) for i in range(5)], "k long")
+        t0 = _t.time()
+        t.delete_keys(keys)
+        dt = round(_t.time() - t0, 2)
+        _sh.rmtree(root, ignore_errors=True)
+        return dt
+
+    # warm-up: the session's first delete pays JIT/codegen — measured
+    # runs must not (the dv-first ordering otherwise penalizes dv)
+    for mode, flag in (("dv", True), ("rewrite", False)):
+        timed_delete(8, mode, flag, "warm")
+
+    out: dict = {}
+    for n_parts in (8, 64):
+        res: dict = {}
+        for mode, flag in (("dv", True), ("rewrite", False)):
+            res[f"{mode}_s"] = min(
+                timed_delete(n_parts, mode, flag, i) for i in range(2)
+            )
+        res["speedup"] = round(res["rewrite_s"] / max(res["dv_s"], 1e-9), 1)
+        out[f"parts_{n_parts}"] = res
+    return out
+
+
 def lm_probe(spark) -> dict:
     """Scale trajectory for the stupid-backoff n-gram LM (round-10
     operator). Training is one corpus scan + one (k, gram) agg; the
@@ -664,6 +721,13 @@ def main() -> int:
         "shuffle-join scoring) and merge it into the out file",
     )
     ap.add_argument(
+        "--dv",
+        action="store_true",
+        help="run ONLY the partitioned deletion-vector probe (vector "
+        "vs partition-rewrite delete wall) and merge it into the "
+        "out file",
+    )
+    ap.add_argument(
         "--storage",
         action="store_true",
         help="run ONLY the lakehouse storage probes (stats-prune "
@@ -687,6 +751,20 @@ def main() -> int:
         "without the full ~35-min resweep",
     )
     args = ap.parse_args()
+    if args.dv:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_dv")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["dv_partitioned"] = dv_partitioned_probe(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"dv_partitioned": doc["dv_partitioned"]}))
+        return 0
     if args.lm:
         from a2b_spark.session import get_spark
 
