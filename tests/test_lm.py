@@ -164,3 +164,13 @@ def test_reserved_output_collision_raises(spark, docs_df):
         stupid_backoff_logp(
             bad2, m, "id", "text", 2, extra_cols=("avg_logp10",)
         )
+
+
+def test_one_row_attach_plans_hash_join(spark, docs_df):
+    """The global-scalar attach must plan as BroadcastHashJoin: a
+    foldable dummy key (lit, hash*0) constant-folds and degrades to
+    BroadcastNestedLoopJoin — the plan-audit red flag this pins."""
+    m = ngram_lm_train(docs_df, "text", 2)
+    s = stupid_backoff_logp(docs_df, m, "id", "text", 2, broadcast_model=True)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
