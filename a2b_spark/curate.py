@@ -1,0 +1,181 @@
+"""``python -m a2b_spark.curate`` — the corpus-curation CLI.
+
+The command-line face of the training-data pipeline (the analogue of
+the reference's migrate command for its domain): point it at a
+documents parquet, pick stages, get curated shards plus a stats JSON.
+
+    python -m a2b_spark.curate \
+        --input /data/documents.parquet --output /data/curated \
+        --stages nfc,quality,perplexity,dedup,neardup,shard \
+        --min-tokens 5 --ppl-margin 0.6 --shards 64 --salt export-v1
+
+Stages (any subset, applied in canonical order regardless of the
+order given):
+
+- ``nfc``         Unicode NFC canonicalization (before any hashing)
+- ``quality``     token-count floor (``--min-tokens``)
+- ``perplexity``  corpus-trained trigram stupid-backoff LM; drop docs
+                  whose mean log10 prob falls ``--ppl-margin`` below
+                  the corpus mean (CCNet shape)
+- ``dedup``       exact dedup on the normalized-text fingerprint
+- ``neardup``     MinHash-LSH near-dup pairs; higher doc_id loses
+- ``shard``       deterministic shuffle-shard export (salted md5 —
+                  reproducible on any cluster size)
+
+Every stage is deterministic (salted hashes + exact decimals, no
+``rand()``): re-running the command on the same input produces
+byte-identical shard membership and order. Output:
+``<output>/shard=N/*.parquet`` plus ``<output>/_curation_stats.json``
+with per-stage surviving-document counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+STAGE_ORDER = ("nfc", "quality", "perplexity", "dedup", "neardup", "shard")
+
+
+def run_curation(
+    spark,
+    input_path: str,
+    output_path: str,
+    stages: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    ppl_margin: float = 0.6,
+    lm_order: int = 3,
+    n_shards: int = 16,
+    salt: str = "export-v1",
+) -> dict:
+    """Programmatic entry — the CLI is a thin argparse wrapper. Returns
+    the per-stage stats dict (also written next to the output)."""
+    from pyspark.sql import functions as F
+
+    unknown = set(stages) - set(STAGE_ORDER)
+    if unknown:
+        raise ValueError(
+            f"unknown stage(s) {sorted(unknown)}; valid: {list(STAGE_ORDER)}"
+        )
+    docs = spark.read.parquet(input_path)
+    for col in (id_col, text_col):
+        if col not in docs.columns:
+            raise ValueError(f"input lacks required column {col!r}")
+    stats = {"input": docs.count()}
+
+    if "nfc" in stages:
+        from a2b_spark.functions.unicode import nfc
+
+        docs = docs.withColumn(text_col, nfc(text_col))
+
+    if "quality" in stages:
+        from a2b_spark.functions.text import quality_features
+
+        qf = quality_features(F.col(text_col))
+        docs = docs.filter(qf["n_words"] >= min_tokens)
+        stats["quality"] = docs.count()
+
+    if "perplexity" in stages:
+        from a2b_spark.operators.lm import ngram_lm_train, stupid_backoff_logp
+
+        model = ngram_lm_train(docs, text_col, order=lm_order)
+        scored = stupid_backoff_logp(
+            docs.select(id_col, text_col),
+            model,
+            id_col,
+            text_col,
+            order=lm_order,
+            broadcast_model=True,
+        )
+        mean_lp = scored.agg(F.avg("avg_logp10")).first()[0]
+        keep = scored.filter(
+            F.col("avg_logp10") >= F.lit(mean_lp) - ppl_margin
+        ).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi")
+        stats["perplexity"] = docs.count()
+
+    if "dedup" in stages:
+        from a2b_spark.functions.text import fingerprint
+        from a2b_spark.operators.dedup import exact_dedup
+
+        docs = docs.withColumn("__fp", fingerprint(F.col(text_col)))
+        docs = exact_dedup(docs, ["__fp"], order_by=[id_col]).drop("__fp")
+        stats["dedup"] = docs.count()
+
+    if "neardup" in stages:
+        from a2b_spark.operators.dedup import minhash_near_dup_pairs
+
+        pairs = minhash_near_dup_pairs(
+            docs, text_col, id_col, num_hashes=32, bands=8, threshold=0.8
+        )
+        losers = pairs.select(
+            F.greatest("id_a", "id_b").alias(id_col)
+        ).distinct()
+        docs = docs.join(losers, id_col, "left_anti")
+        stats["neardup"] = docs.count()
+
+    if "shard" in stages:
+        from a2b_spark.operators.shards import shuffle_shards
+
+        sharded = shuffle_shards(docs, id_col, n_shards, salt=salt)
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(
+            output_path
+        )
+        stats["shards"] = n_shards
+    else:
+        docs.write.mode("overwrite").parquet(output_path)
+    stats["output"] = spark.read.parquet(output_path).count()
+
+    with open(os.path.join(output_path, "_curation_stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    return stats
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="a2b-curate", description=__doc__.split("\n\n")[0]
+    )
+    p.add_argument("--input", required=True, help="documents parquet path")
+    p.add_argument("--output", required=True, help="curated output dir")
+    p.add_argument(
+        "--stages",
+        default="nfc,quality,perplexity,dedup,neardup,shard",
+        help="comma-separated subset of "
+        "nfc,quality,perplexity,dedup,neardup,shard",
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-tokens", type=int, default=5)
+    p.add_argument("--ppl-margin", type=float, default=0.6)
+    p.add_argument("--lm-order", type=int, default=3)
+    p.add_argument("--shards", type=int, default=16)
+    p.add_argument("--salt", default="export-v1")
+    args = p.parse_args(argv)
+
+    from a2b_spark.session import get_spark
+
+    spark = get_spark("a2b_curate")
+    stats = run_curation(
+        spark,
+        args.input,
+        args.output,
+        tuple(s.strip() for s in args.stages.split(",") if s.strip()),
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_tokens=args.min_tokens,
+        ppl_margin=args.ppl_margin,
+        lm_order=args.lm_order,
+        n_shards=args.shards,
+        salt=args.salt,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

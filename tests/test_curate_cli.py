@@ -1,0 +1,103 @@
+"""Curation CLI (a2b_spark/curate.py) — end-to-end on the driver
+testdata, plus the determinism contract (same input → byte-identical
+shard membership) and the error paths."""
+
+import json
+import os
+
+import pytest
+
+from a2b_spark.curate import STAGE_ORDER, run_curation
+
+
+def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    stats = run_curation(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        out,
+        STAGE_ORDER,
+        n_shards=8,
+        salt="t1",
+    )
+    # monotone survivor counts, every stage recorded
+    assert (
+        stats["input"]
+        >= stats["quality"]
+        >= stats["perplexity"]
+        >= stats["dedup"]
+        >= stats["neardup"]
+        == stats["output"]
+        > 0
+    )
+    assert stats["shards"] == 8
+    # hive-sharded layout + stats file
+    assert os.path.isfile(os.path.join(out, "_curation_stats.json"))
+    shards = {
+        d for d in os.listdir(out) if d.startswith("shard=")
+    }
+    assert len(shards) == 8
+    with open(os.path.join(out, "_curation_stats.json")) as f:
+        assert json.load(f) == stats
+
+
+def test_deterministic_across_runs(spark, sf_dir, tmp_path):
+    outs = []
+    for tag in ("a", "b"):
+        out = str(tmp_path / tag)
+        run_curation(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            out,
+            ("quality", "dedup", "shard"),
+            n_shards=4,
+            salt="t2",
+        )
+        rows = {
+            (r.doc_id, r.shard, r.pos)
+            for r in spark.read.parquet(out).select(
+                "doc_id", "shard", "pos"
+            ).collect()
+        }
+        outs.append(rows)
+    assert outs[0] == outs[1]
+
+
+def test_stage_subset_and_errors(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "subset")
+    stats = run_curation(
+        spark, f"{sf_dir}/documents.parquet", out, ("quality",), min_tokens=1
+    )
+    assert "perplexity" not in stats and "shards" not in stats
+    assert stats["output"] == stats["quality"]
+    with pytest.raises(ValueError, match="unknown stage"):
+        run_curation(
+            spark, f"{sf_dir}/documents.parquet", out, ("bogus",)
+        )
+    with pytest.raises(ValueError, match="required column"):
+        run_curation(
+            spark,
+            f"{sf_dir}/documents.parquet",
+            out,
+            ("quality",),
+            id_col="nope",
+        )
+
+
+def test_cli_main(spark, sf_dir, tmp_path, capsys):
+    """argparse wrapper end-to-end (reuses the session fixture's JVM
+    via getOrCreate)."""
+    from a2b_spark.curate import main
+
+    out = str(tmp_path / "cli_out")
+    rc = main(
+        [
+            "--input", f"{sf_dir}/documents.parquet",
+            "--output", out,
+            "--stages", "quality,shard",
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["shards"] == 4 and printed["output"] > 0
