@@ -274,24 +274,34 @@ def stupid_backoff_logp(
             )
         return F.struct(*fields)
 
-    cand = (
-        staged.select(
-            "__id",
-            *extra_cols,
-            F.explode_outer(
-                F.when(
-                    sz > 0, F.transform(F.sequence(F.lit(1), sz), per_pos)
-                ).otherwise(F.array())
-            ).alias("g"),
+    # empty/whitespace-only docs emit one SENTINEL row (pos = 0, null
+    # grams) instead of vanishing — re-deriving them from a second
+    # docs read would cost a full extra text scan at 100 TB; the
+    # rollup below excludes sentinels from every token statistic and
+    # still emits the n_tok = 0 contract row
+    sentinel = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            *[
+                F.lit(None).cast("string").alias(f"g{k}")
+                for k in range(1, order + 1)
+            ],
         )
-        .select(
-            "__id",
-            *extra_cols,
-            "g.pos",
-            F.least(F.lit(order), F.col("g.pos")).alias("kmax"),
-            *[F.col(f"g.g{k}") for k in range(1, order + 1)],
-        )
-        .filter(F.col("pos").isNotNull())
+    )
+    cand = staged.select(
+        "__id",
+        *extra_cols,
+        F.explode(
+            F.when(
+                sz > 0, F.transform(F.sequence(F.lit(1), sz), per_pos)
+            ).otherwise(sentinel)
+        ).alias("g"),
+    ).select(
+        "__id",
+        *extra_cols,
+        "g.pos",
+        F.least(F.lit(order), F.col("g.pos")).alias("kmax"),
+        *[F.col(f"g.g{k}") for k in range(1, order + 1)],
     )
     n_total = model.filter(F.col("k") == 1).agg(
         F.max("ctx_cnt").alias("__n_total")
@@ -327,29 +337,23 @@ def stupid_backoff_logp(
     )
     logp = logp.otherwise(oov_floor)
     full = full.otherwise(F.lit(0))
+    real = F.col("pos") >= 1  # sentinel rows carry no token statistics
     tok_scores = joined.select(
         "__id",
         *extra_cols,
-        F.round(logp, 6).cast("decimal(18,6)").alias("__lp"),
-        hit.cast("int").alias("__hit"),
-        full.alias("__full"),
+        F.when(real, F.round(logp, 6).cast("decimal(18,6)")).alias("__lp"),
+        real.cast("int").alias("__real"),
+        (real & hit).cast("int").alias("__hit"),
+        F.when(real, full).otherwise(F.lit(0)).alias("__full"),
     )
+    n_tok = F.sum("__real").cast("long")
     scored = tok_scores.groupBy("__id", *extra_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok"),
-        F.sum(1 - F.col("__hit")).cast("long").alias("n_oov"),
+        n_tok.alias("n_tok"),
+        (F.sum("__real") - F.sum("__hit")).cast("long").alias("n_oov"),
         F.sum("__full").cast("long").alias("hits_full"),
         F.sum("__lp").cast("decimal(28,6)").alias("sum_logp10"),
-        (F.sum("__lp").cast("double") / F.count(F.lit(1))).alias("avg_logp10"),
+        F.when(
+            n_tok > 0, F.sum("__lp").cast("double") / n_tok
+        ).alias("avg_logp10"),
     )
-    # docs with zero tokens (empty/whitespace-only text) have no cand
-    # rows at all — re-derive them and emit the n_tok = 0 contract row
-    empties = docs.filter(F.size(toks) <= 0).select(
-        F.col(id_col).alias("__id"),
-        *[F.col(c) for c in extra_cols],
-        F.lit(0).cast("long").alias("n_tok"),
-        F.lit(0).cast("long").alias("n_oov"),
-        F.lit(0).cast("long").alias("hits_full"),
-        F.lit(None).cast("decimal(28,6)").alias("sum_logp10"),
-        F.lit(None).cast("double").alias("avg_logp10"),
-    )
-    return scored.unionByName(empties).withColumnRenamed("__id", id_col)
+    return scored.withColumnRenamed("__id", id_col)
