@@ -127,7 +127,13 @@ def run_curation(
         stats["shards"] = n_shards
     else:
         docs.write.mode("overwrite").parquet(output_path)
-    stats["output"] = spark.read.parquet(output_path).count()
+    try:
+        stats["output"] = spark.read.parquet(output_path).count()
+    except Exception:
+        # every document filtered out: a partitioned write of an empty
+        # frame leaves no readable files — an empty corpus is a valid
+        # (if alarming) curation outcome, not a crash
+        stats["output"] = 0
 
     with open(os.path.join(output_path, "_curation_stats.json"), "w") as f:
         json.dump(stats, f, indent=1)

@@ -101,3 +101,18 @@ def test_cli_main(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert printed["shards"] == 4 and printed["output"] > 0
+
+
+def test_empty_survivor_set(spark, sf_dir, tmp_path):
+    """min_tokens high enough to kill every doc: stats report 0, no
+    crash on the unreadable empty output."""
+    out = str(tmp_path / "empty")
+    stats = run_curation(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        out,
+        ("quality", "shard"),
+        min_tokens=10**6,
+        n_shards=2,
+    )
+    assert stats["quality"] == 0 and stats["output"] == 0
