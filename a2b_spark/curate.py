@@ -75,7 +75,13 @@ def run_curation(
         from a2b_spark.functions.text import quality_features
 
         qf = quality_features(F.col(text_col))
-        docs = docs.filter(qf["n_words"] >= min_tokens)
+        # eager pin after each filtering stage (the repo's fan-out-
+        # frame discipline): per-stage counts and every later stage
+        # otherwise re-run the whole upstream lineage — NFC's Arrow
+        # UDF and the LM join cascade once per remaining stage
+        docs = docs.filter(qf["n_words"] >= min_tokens).localCheckpoint(
+            eager=True
+        )
         stats["quality"] = docs.count()
 
     if "perplexity" in stages:
@@ -91,10 +97,15 @@ def run_curation(
             broadcast_model=True,
         )
         mean_lp = scored.agg(F.avg("avg_logp10")).first()[0]
+        # NULL-scored docs (zero tokens) were never judged by this
+        # criterion — the operator's never-drop contract carries
+        # through: a NULL comparison must not silently discard them
         keep = scored.filter(
-            F.col("avg_logp10") >= F.lit(mean_lp) - ppl_margin
+            (F.col("avg_logp10") >= F.lit(mean_lp) - ppl_margin)
+            | F.col("avg_logp10").isNull()
         ).select(id_col)
         docs = docs.join(keep, id_col, "left_semi")
+        docs = docs.localCheckpoint(eager=True)
         stats["perplexity"] = docs.count()
 
     if "dedup" in stages:
@@ -103,6 +114,7 @@ def run_curation(
 
         docs = docs.withColumn("__fp", fingerprint(F.col(text_col)))
         docs = exact_dedup(docs, ["__fp"], order_by=[id_col]).drop("__fp")
+        docs = docs.localCheckpoint(eager=True)
         stats["dedup"] = docs.count()
 
     if "neardup" in stages:
@@ -114,7 +126,9 @@ def run_curation(
         losers = pairs.select(
             F.greatest("id_a", "id_b").alias(id_col)
         ).distinct()
-        docs = docs.join(losers, id_col, "left_anti")
+        docs = docs.join(losers, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
         stats["neardup"] = docs.count()
 
     if "shard" in stages:

@@ -245,12 +245,19 @@ def stupid_backoff_logp(
     """
     reserved = (
         {"n_tok", "n_oov", "hits_full", "sum_logp10", "avg_logp10"}
-        & ({id_col} | set(extra_cols))
-    )
+        # internal staging columns of the scoring plan — a colliding
+        # extra would otherwise die later as an ambiguous-column
+        # AnalysisException instead of this actionable error
+        | {"pos", "kmax"}
+        | {f"g{k}" for k in range(1, order + 1)}
+        | {f"__c{k}" for k in range(1, order + 1)}
+        | {f"__x{k}" for k in range(1, order + 1)}
+        | {"__id", "__zk", "__n_total", "__lp", "__hit", "__full", "__real"}
+    ) & ({id_col} | set(extra_cols))
     if reserved:
         raise ValueError(
             f"id/extra columns {sorted(reserved)} collide with reserved "
-            "output columns; rename them first"
+            "output or internal columns; rename them first"
         )
     toks = _tokens(text_col)
     # stage the per-order gram arrays once per document (projection

@@ -41,14 +41,19 @@ def shuffle_shards(
             f"input columns {sorted(clash)} collide with the reserved "
             "shard/pos output columns; rename them first"
         )
+    import uuid
+
+    # uuid-suffixed temp name (the repo's compact() convention): a
+    # fixed "__h60" would silently destroy a user column of that name
+    hcol = f"__h60_{uuid.uuid4().hex[:8]}"
     h = _hash60(key_col, salt)
-    with_shard = df.withColumn("__h60", h).withColumn(
-        "shard", (F.col("__h60") % n_shards).cast("int")
+    with_shard = df.withColumn(hcol, h).withColumn(
+        "shard", (F.col(hcol) % n_shards).cast("int")
     )
     w = Window.partitionBy("shard").orderBy(
-        F.col("__h60"), F.col(key_col).cast("string")
+        F.col(hcol), F.col(key_col).cast("string")
     )
     return (
         with_shard.withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("__h60")
+        .drop(hcol)
     )

@@ -55,9 +55,13 @@ def q163_lm_perplexity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_cols=("lang", "source"),
     )
     # re-aggregate from the operator's EXACT decimal token sums —
-    # avg-of-avgs would reintroduce float-order sensitivity
+    # avg-of-avgs would reintroduce float-order sensitivity. Zero-token
+    # docs (n_tok = 0 contract rows) carry no scores: excluded so
+    # n_docs means "documents scored", matching the oracle, whose
+    # token-derived CTEs cannot see tokenless documents at all
     return (
-        per_doc.groupBy("lang", "source")
+        per_doc.filter(F.col("n_tok") > 0)
+        .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("n_tok"),
@@ -73,11 +77,20 @@ def q163_lm_perplexity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L04 = repr(LOG10_BACKOFF_04)
 
 O_Q163 = f"""
-WITH tok AS (
+WITH tok0 AS (
   SELECT doc_id, lang, source,
          unnest(string_split(text, ' ')) AS w,
-         generate_subscripts(string_split(text, ' '), 1) AS pos
+         generate_subscripts(string_split(text, ' '), 1) AS pos0
   FROM documents
+),
+tok AS (
+  -- mirror the operator's tokenizer EXACTLY: '' entries (empty or
+  -- multi-space text) are dropped and positions renumber over the
+  -- surviving tokens — string_split alone would score phantom tokens
+  -- and shift every lag() context on such a document
+  SELECT doc_id, lang, source, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM tok0 WHERE w <> ''
 ),
 tok_train AS (SELECT * FROM tok WHERE doc_id < {_LM_TRAIN_CAP}),
 n AS (SELECT COUNT(*) AS n FROM tok_train),

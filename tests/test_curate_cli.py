@@ -116,3 +116,19 @@ def test_empty_survivor_set(spark, sf_dir, tmp_path):
         n_shards=2,
     )
     assert stats["quality"] == 0 and stats["output"] == 0
+
+
+def test_perplexity_never_drops_unjudged_docs(spark, tmp_path):
+    """Zero-token docs get NULL LM scores — the perplexity stage must
+    pass them through (never-drop contract), not let a NULL comparison
+    silently discard them."""
+    src = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(1, "a b a b c d e f"), (2, ""), (3, "   "), (4, "a b c d e f g")],
+        "doc_id int, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = run_curation(
+        spark, src, out, ("perplexity",), ppl_margin=100.0
+    )
+    assert stats["perplexity"] == 4  # empty docs survive

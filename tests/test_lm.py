@@ -174,3 +174,13 @@ def test_one_row_attach_plans_hash_join(spark, docs_df):
     s = stupid_backoff_logp(docs_df, m, "id", "text", 2, broadcast_model=True)
     plan = s._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_internal_column_collision_raises(spark, docs_df):
+    m = ngram_lm_train(docs_df, "text", 2)
+    bad = docs_df.withColumn("pos", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        stupid_backoff_logp(bad, m, "id", "text", 2, extra_cols=("pos",))
+    bad2 = docs_df.withColumn("g1", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved"):
+        stupid_backoff_logp(bad2, m, "id", "text", 2, extra_cols=("g1",))

@@ -74,3 +74,9 @@ def test_reserved_column_collision_raises(spark):
     df = spark.createDataFrame([(1, 2)], "id int, shard int")
     with pytest.raises(ValueError, match="reserved"):
         shuffle_shards(df, "id", 4)
+
+
+def test_user_h60_column_survives(spark):
+    df = spark.createDataFrame([(1, "keep")], "id int, __h60 string")
+    out = shuffle_shards(df, "id", 2).collect()[0]
+    assert out["__h60"] == "keep"
