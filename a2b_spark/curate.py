@@ -60,6 +60,21 @@ def run_curation(
         raise ValueError(
             f"unknown stage(s) {sorted(unknown)}; valid: {list(STAGE_ORDER)}"
         )
+    # The overwrite-mode write would clobber the source while the lazy
+    # pipeline may still need to scan it — corrupting the job with the
+    # input destroyed. Resolve both paths and reject equal/nested.
+    in_abs = os.path.abspath(input_path)
+    out_abs = os.path.abspath(output_path)
+    if (
+        out_abs == in_abs
+        or out_abs.startswith(in_abs + os.sep)
+        or in_abs.startswith(out_abs + os.sep)
+    ):
+        raise ValueError(
+            f"output path {output_path!r} overlaps input path "
+            f"{input_path!r}; an overwrite write would destroy the "
+            "source mid-job — choose a disjoint output directory"
+        )
     docs = spark.read.parquet(input_path)
     for col in (id_col, text_col):
         if col not in docs.columns:

@@ -46,8 +46,16 @@ WEIGHT_SCALE = 8
 
 
 def _count_cols(text_col: str, vocab: list[str]):
-    """One integer count column per vocab term, all codegen."""
-    toks = F.split(F.col(text_col), " ")
+    """One integer count column per vocab term, all codegen.
+
+    NULL text is coalesced to '' BEFORE the split: split(NULL) is
+    NULL, filter(NULL) is NULL, and size(NULL) is -1 under Spark's
+    default ``spark.sql.legacy.sizeOfNull`` — a silent -1 per vocab
+    term that would poison gradients and scores. With the coalesce a
+    NULL/empty document contributes exact zero counts, matching the
+    DuckDB oracle and lm.py's empty-doc sentinel discipline.
+    """
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
 
     def eq(term):
         # closure factory: a default-arg lambda would grow a second
@@ -65,6 +73,12 @@ def bow_features(df: DataFrame, text_col: str, vocab: list[str]) -> DataFrame:
     """(df columns minus text) + __x0..__x{V-1} term-count columns."""
     if not vocab or len(set(vocab)) != len(vocab):
         raise ValueError("vocab must be non-empty and duplicate-free")
+    bad = [t for t in vocab if t == "" or " " in t]
+    if bad:
+        # '' would spuriously match the [''] array a NULL/empty doc
+        # coalesces to; a space-containing term can never equal a
+        # space-split token — both are silent-zero/phantom-count traps
+        raise ValueError(f"vocab terms must be non-empty, space-free: {bad}")
     keep = [c for c in df.columns if c != text_col]
     clash = {f"__x{j}" for j in range(len(vocab))} & set(keep)
     if clash:

@@ -46,7 +46,22 @@ def shuffle_shards(
     # uuid-suffixed temp name (the repo's compact() convention): a
     # fixed "__h60" would silently destroy a user column of that name
     hcol = f"__h60_{uuid.uuid4().hex[:8]}"
-    h = _hash60(key_col, salt)
+    # A NULL key would hash to NULL → shard NULL/undefined pos, and a
+    # partitioned write would silently drop the row into
+    # __HIVE_DEFAULT_PARTITION__ — breaking the byte-identical-shard
+    # contract. Fail loudly AT EXECUTION (no extra validation scan:
+    # the check rides the same expression as the hash).
+    h = F.when(
+        F.col(key_col).isNotNull(), _hash60(key_col, salt)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"shuffle_shards: NULL value in key column {key_col!r} — "
+                "shard assignment is undefined for NULL keys; filter or "
+                "fill them first"
+            )
+        )
+    )
     with_shard = df.withColumn(hcol, h).withColumn(
         "shard", (F.col(hcol) % n_shards).cast("int")
     )

@@ -79,8 +79,12 @@ def main() -> int:
         broadcast_model=True,
     )
     mean_lp = scored.agg(F.avg("avg_logp10")).first()[0]
+    # NULL-scored (zero-token) docs were never judged by this
+    # criterion — the isNull escape keeps the operator's never-drop
+    # contract (matches run_curation's perplexity stage)
     keep_ids = scored.filter(
-        F.col("avg_logp10") >= F.lit(mean_lp) - 0.6
+        (F.col("avg_logp10") >= F.lit(mean_lp) - 0.6)
+        | F.col("avg_logp10").isNull()
     ).select("doc_id")
     docs = docs.join(keep_ids, "doc_id", "left_semi")
     n_ppl = docs.count()

@@ -133,3 +133,48 @@ def test_reserved_column_collisions(spark, df):
     badz = df.withColumnRenamed("id", "z")
     with pytest.raises(ValueError, match="reserved"):
         bow_linear_score(badz, "text", VOCAB, ["0.1"] * 4, "0")
+
+
+def test_null_text_counts_as_zero_not_minus_one(spark):
+    # NULL text: split(NULL)->NULL, size(NULL) = -1 under default
+    # sizeOfNull — the coalesce guard must yield exact-zero counts so
+    # scores/gradients match the SQL oracle (ADVICE r10, medium)
+    df = spark.createDataFrame(
+        [(0, 1, "table merge"), (1, 0, None), (2, 0, "")],
+        "id int, label int, text string",
+    )
+    feats = {
+        r["id"]: [r[f"__x{j}"] for j in range(len(VOCAB))]
+        for r in bow_features(df, "text", VOCAB).collect()
+    }
+    assert feats[1] == [0, 0, 0, 0]
+    assert feats[2] == [0, 0, 0, 0]
+    assert feats[0] == [1, 0, 1, 0]
+    # scoring: z for a NULL doc is exactly the bias, never poisoned
+    zs = {
+        r["id"]: r["z"]
+        for r in bow_linear_score(
+            df, "text", VOCAB, ["0.5", "0.25", "-0.5", "1"], "-0.125"
+        ).collect()
+    }
+    assert zs[1] == Decimal("-0.125")
+    assert zs[2] == Decimal("-0.125")
+    # training with a NULL doc converges without -1 count corruption:
+    # weights equal training on the same frame with '' instead of NULL
+    df_empty = spark.createDataFrame(
+        [(0, 1, "table merge"), (1, 0, ""), (2, 0, "")],
+        "id int, label int, text string",
+    )
+    w_null, b_null = bow_logreg_train(df, "text", "label", VOCAB, iters=3)
+    w_emp, b_emp = bow_logreg_train(
+        df_empty, "text", "label", VOCAB, iters=3
+    )
+    assert w_null == w_emp and b_null == b_emp
+
+
+def test_rejects_empty_or_space_vocab_terms(spark):
+    df = spark.createDataFrame([(1, "a b")], "id int, text string")
+    with pytest.raises(ValueError, match="space-free"):
+        bow_features(df, "text", ["a", ""])
+    with pytest.raises(ValueError, match="space-free"):
+        bow_features(df, "text", ["a b"])

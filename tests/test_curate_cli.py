@@ -132,3 +132,18 @@ def test_perplexity_never_drops_unjudged_docs(spark, tmp_path):
         spark, src, out, ("perplexity",), ppl_margin=100.0
     )
     assert stats["perplexity"] == 4  # empty docs survive
+
+
+def test_output_overlapping_input_rejected(spark, sf_dir, tmp_path):
+    # overwrite-mode write into the input would destroy the source
+    # mid-job (ADVICE r10) — equal and nested paths both refuse
+    src = f"{sf_dir}/documents.parquet"
+    with pytest.raises(ValueError, match="overlaps input"):
+        run_curation(spark, src, src, ("quality",))
+    with pytest.raises(ValueError, match="overlaps input"):
+        run_curation(spark, src, f"{src}/part", ("quality",))
+    with pytest.raises(ValueError, match="overlaps input"):
+        run_curation(
+            spark, f"{tmp_path}/in/documents.parquet", f"{tmp_path}/in",
+            ("quality",),
+        )

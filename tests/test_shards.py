@@ -80,3 +80,14 @@ def test_user_h60_column_survives(spark):
     df = spark.createDataFrame([(1, "keep")], "id int, __h60 string")
     out = shuffle_shards(df, "id", 2).collect()[0]
     assert out["__h60"] == "keep"
+
+
+def test_null_key_fails_loudly(spark):
+    # NULL key → NULL hash → NULL shard → silent row drop into
+    # __HIVE_DEFAULT_PARTITION__ on a partitioned write (ADVICE r10).
+    # The guard rides the hash expression and raises at execution.
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "id int, payload string"
+    )
+    with pytest.raises(Exception, match="NULL value in key column"):
+        shuffle_shards(df, "id", 4).collect()
