@@ -69,7 +69,8 @@ def edit_distance_pairs(
         raise NotImplementedError(
             f"edit_distance_pairs supports max_dist in 1..{_MAX_K} "
             "(PassJoin candidate windows grow quadratically in k; use "
-            "q-gram minhash blocking beyond that)"
+            "edit_distance_pairs_approx — q-gram minhash blocking — "
+            "beyond that)"
         )
     if max_dist == 1 and same_length:
         return _halves_pairs(df, text_col, id_col)
@@ -240,6 +241,109 @@ def _passjoin_pairs(
     dist = F.expr(f"levenshtein(__ta, __tb, {int(k)})").cast("int")
     return (
         cands.withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= k))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def _char_qgram_hashes(base: DataFrame, q: int) -> DataFrame:
+    """(__id, khs): DISTINCT character q-gram xxhash64 set per string.
+
+    The string is bound ONCE as the ``__t`` attribute before the
+    higher-order transform (HOF lambdas get no common-subexpression
+    elimination — see the O(L²) n-gram postmortem in operators/lm.py);
+    each lambda evaluation is one O(q) substring copy + one hash, so
+    gram construction is O(L·q) per string, entirely JVM-side, and no
+    gram *string* ever leaves the executor — only 64-bit hashes.
+    Strings shorter than ``q`` get an empty set (they drop out of the
+    signature stage; see the recall floor in the caller's docstring).
+    """
+    n = F.length("__t")
+    grams = F.when(
+        n >= q,
+        F.transform(
+            F.sequence(F.lit(1), n - (q - 1)),
+            lambda i: F.xxhash64(F.col("__t").substr(i, F.lit(q))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return base.select("__id", F.array_distinct(grams).alias("khs"))
+
+
+def edit_distance_pairs_approx(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    qgram: int = 2,
+    num_hashes: int = 64,
+    bands: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, dist): unordered pairs with levenshtein distance
+    ≤ ``max_dist``, found by q-gram MINHASH-LSH BLOCKING instead of
+    PassJoin segment enumeration — the scale path for ``max_dist``
+    beyond 3, where PassJoin's candidate windows grow quadratically.
+
+    Precision is EXACT: every candidate is verified with the
+    thresholded codegen ``levenshtein(a, b, k)``, so no reported pair
+    is ever wrong and ``dist`` is the true edit distance. Recall is
+    probabilistic but engineered to saturate: ``k`` edits destroy at
+    most ``k·q`` distinct q-grams per side, so a qualifying pair's
+    gram-set jaccard is ≥ (G − k·q)/(G + k·q) for gram-set size G, and
+    with the default 64 single-row bands the per-pair miss probability
+    is (1 − j)^64 — below 1e-12 whenever j ≥ 0.35, i.e. for strings
+    longer than ~2·k·q chars. Everything is seed-fixed hashing:
+    output is DETERMINISTIC for a given input (re-runs and engines
+    agree bit-for-bit), which is what lets an exact brute-force oracle
+    certify it at test scale.
+
+    Recall floors (documented, not silent): strings shorter than
+    ``qgram`` produce no grams and never pair; strings whose length
+    approaches ``max_dist·qgram`` have diluted gram overlap and may
+    miss — for short-key corpora at k ≤ 3 use the exact
+    ``edit_distance_pairs`` instead.
+
+    Scale shape (100 TB tier): one gram pass O(L·q) per string, one
+    shuffle to aggregate ``num_hashes`` map-side-combined MIN slots,
+    one shuffle on (band, band-hash) for candidates, one melt-join to
+    fetch pair texts (single pass over the corpus — see
+    dedup._fetch_pair_payloads), then per-candidate verify. No stage
+    is quadratic in n; bucket sizes are bounded by band-hash
+    collisions exactly as in the near-dup LSH operators.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    if qgram < 1:
+        raise ValueError(f"qgram must be >= 1, got {qgram}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    from a2b_spark.operators.dedup import (
+        _fetch_pair_payloads,
+        _ids_packable,
+        _materialize,
+        _minhash_sigs,
+        lsh_candidate_pairs,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).filter(F.col("__t").isNotNull())
+    sh = _char_qgram_hashes(base, qgram)
+    sigs = _minhash_sigs(sh, "__id", num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, "__id", bands, num_hashes // bands,
+        packable=_ids_packable(df, id_col),
+    )
+    pay = _fetch_pair_payloads(cands, base, "__id", "__t", "__ta", "__tb")
+    k = int(max_dist)
+    dist = F.expr(f"levenshtein(__ta, __tb, {k})").cast("int")
+    return (
+        # length gap > k can't qualify: free prune before the verify
+        pay.filter(
+            F.abs(F.length("__ta") - F.length("__tb")) <= k
+        )
+        .withColumn("dist", dist)
         .filter((F.col("dist") >= 0) & (F.col("dist") <= k))
         .select("id_a", "id_b", "dist")
     )

@@ -38,13 +38,14 @@ from a2b_spark.queries import (
     round9b,
     round10,
     round10b,
+    round11,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 for mod in (relational, pipeline, analytic, curation, reports, round7, round7b,
-            round9, round9b, round10, round10b):
+            round9, round9b, round10, round10b, round11):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
