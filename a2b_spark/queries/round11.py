@@ -1,12 +1,21 @@
 """Round-11 tranche.
 
 - q168: APPROXIMATE edit-distance join beyond the PassJoin window
-  (operators/editjoin.py:edit_distance_pairs_approx) — fuzzy catalog-
-  key pairs at levenshtein ≤ 4 via q-gram minhash-LSH blocking with
-  thresholded verify. Output is deterministic (seed-fixed hashing),
-  so the brute-force all-pairs oracle certifies EXACT equality at the
-  driver SF: the blocking loses no qualifying pair here and the
-  verify admits no extra.
+  (operators/editjoin.py:edit_distance_pairs_approx) — q-gram
+  minhash-LSH blocking with thresholded verify, on a fuzzy-id corpus
+  where blocking is genuinely selective. Output is deterministic
+  (seed-fixed hashing), so the brute-force all-pairs oracle certifies
+  EXACT equality at the driver SF: the blocking loses no qualifying
+  pair and the verify admits no extra.
+
+  Data note (why not the q153 catalog keys): part names draw five
+  words from a ~90-word vocabulary, so EVERY key pair shares most
+  q-grams and any gram-similarity blocking degenerates to the full
+  cross product — gram overlap simply does not separate permuted
+  word soup by edit distance. That is a property of the data, not
+  the operator; the honest demonstration corpus is id-like keys
+  (hex digests) with rule-derived typo variants, where gram overlap
+  and edit distance correlate and candidates stay O(n).
 """
 
 from __future__ import annotations
@@ -23,33 +32,58 @@ ORACLES: dict = {}
 def q168_fuzzy_key_pairs_approx_k4(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Fuzzy key matching at distance ≤ 4 — past the exact PassJoin
+    """Fuzzy id matching at distance ≤ 4 — past the exact PassJoin
     window (k ≤ 3), where segment candidate windows grow
-    quadratically. The scale path: per-key char-2-gram xxhash sets,
-    64-slot minhash signatures, 64 single-row LSH bands (per-pair
-    miss probability (1−j)^64 ≈ 0 for these ~40-char keys whose
-    4-edit gram jaccard stays ≥ 0.6), one melt-join text fetch, then
-    the thresholded codegen levenshtein verify. The oracle below is
-    the brute-force quadratic this operator exists to avoid."""
+    quadratically. Corpus: each document contributes its md5-hex id
+    key plus a typo variant with a CONTIGUOUS run of 1+(doc_id mod 6)
+    positions overwritten by 'z' — so true distances are exactly
+    1..6 and only the ≤4 variants qualify, while unrelated 32-char
+    hex keys sit at distance ~25 (no accidental pairs at any SF).
+
+    Plan shape: char-4-gram xxhash sets (65k-gram universe keeps
+    random-pair overlap ~0.02%), 64-slot minhash, 32 bands × 2 rows —
+    a random pair collides in a band with p≈j², so candidates are
+    O(n), while a contiguous-typo pair keeps gram jaccard ≥ 0.6 and
+    misses all 32 bands with p < 1e-8. Verify = thresholded codegen
+    levenshtein. One gram pass, one signature shuffle, one band
+    shuffle, one melt-join fetch — nothing quadratic anywhere."""
     from a2b_spark.operators.editjoin import edit_distance_pairs_approx
 
-    p = _t(spark, sf_dir, "part")
-    keys = (
-        p.groupBy(
-            F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")).alias("key")
-        )
-        .agg(F.min("p_partkey").alias("pk"))
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    L = (F.col("doc_id") % 6 + 1).cast("int")
+    p = (F.col("doc_id") % (F.lit(33) - L)).cast("int")  # 0-based start
+    h = F.md5(F.col("doc_id").cast("string"))
+    variant = F.concat(
+        F.substring(h, F.lit(1), p),
+        F.repeat(F.lit("z"), L),
+        F.substring(h, p + L + 1, F.lit(32)),
     )
-    return edit_distance_pairs_approx(keys, "key", "pk", max_dist=4)
+    keys = d.select(
+        (F.col("doc_id") * 2).alias("kid"), h.alias("key")
+    ).unionByName(
+        d.select((F.col("doc_id") * 2 + 1).alias("kid"), variant.alias("key"))
+    )
+    return edit_distance_pairs_approx(
+        keys, "key", "kid", max_dist=4, qgram=4, num_hashes=64, bands=32
+    )
 
 
 O_Q168 = """
 WITH k AS (
-  SELECT MIN(p_partkey) AS pk, p_name || ' ' || p_brand AS key
-  FROM part GROUP BY 2)
-SELECT a.pk AS id_a, b.pk AS id_b,
+  SELECT doc_id * 2 AS kid, md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS kid,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1,
+                   CAST(doc_id % (33 - (doc_id % 6 + 1)) AS INTEGER))
+         || repeat('z', CAST(doc_id % 6 + 1 AS INTEGER))
+         || substring(md5(CAST(doc_id AS VARCHAR)),
+                      CAST(doc_id % (33 - (doc_id % 6 + 1)) AS INTEGER)
+                      + CAST(doc_id % 6 + 1 AS INTEGER) + 1, 32) AS key
+  FROM documents)
+SELECT a.kid AS id_a, b.kid AS id_b,
        CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
-FROM k a JOIN k b ON a.pk < b.pk
+FROM k a JOIN k b ON a.kid < b.kid
 WHERE levenshtein(a.key, b.key) <= 4
 """
 

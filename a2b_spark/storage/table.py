@@ -1803,7 +1803,23 @@ class VersionedParquetTable:
         # few key columns' pages, not the table (the difference
         # between "metadata-sized" and "one full-width scan")
         need_payload = self.cdf_enabled(base) and self.cdf_preimages(base)
-        pin_src = current if need_payload else current.select(*self.key_cols)
+        # STATS-SCOPED scan (round-11): the same ``_STATS`` key-band
+        # pruning merge uses picks the files that can physically hold
+        # the deleted keys — on a many-partition table the match scan
+        # then reads O(touched files), not O(table), which is what
+        # lets the vector path beat a partition rewrite at high
+        # partition counts (the SCALE_TRAJECTORY dv_partitioned
+        # probe). ``_read_files`` applies the live vector, preserving
+        # the "current is DV-filtered" invariant the no-bloat and
+        # CDF-only-live contracts below rely on. Fallback: no sidecar
+        # or unprunable keys → the full DV-filtered read, as before.
+        pruned = self._prunable_key_files(keys, base)
+        if pruned is not None:
+            kept_abs, _, schema = pruned
+            scan = self._read_files(spark, base, kept_abs, schema)
+        else:
+            scan = current
+        pin_src = scan if need_payload else scan.select(*self.key_cols)
         matched = (
             pin_src.alias("c")
             .join(

@@ -125,3 +125,68 @@ def test_encode_matches_reference_and_counts(spark):
     odd = spark.createDataFrame([(9, "zq")], "doc_id long, text string")
     r = bpe_encode(odd, "text", merges, "doc_id").collect()[0]
     assert r["tokens"] == ["z", "q", _EOW] or r["tokens"][-1].endswith(_EOW)
+
+
+def test_bpe_export_import_roundtrip_identical_encode(spark, tmp_path):
+    """Interop contract (round-11): train → export → import → the
+    imported merges encode a fixture corpus IDENTICALLY, and the
+    vocab covers every emitted token (the artifact an external
+    trainer consumes is self-contained)."""
+    from a2b_spark.operators.bpe import bpe_encode, bpe_train
+    from a2b_spark.operators.bpe_io import (
+        bpe_alphabet,
+        bpe_export,
+        bpe_import,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["low lower lowest", "new newer newest", "low new low",
+             "wider wide widest", "low lowest newer"] * 3)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", n_merges=25)
+    assert merges
+    alpha = bpe_alphabet(docs, "text")
+    out = str(tmp_path / "tok")
+    vocab = bpe_export(merges, out, alpha)
+    merges2, vocab2 = bpe_import(out)
+    assert merges2 == merges
+    assert vocab2 == vocab
+    enc1 = {r.doc_id: r.tokens
+            for r in bpe_encode(docs, "text", merges, "doc_id").collect()}
+    enc2 = {r.doc_id: r.tokens
+            for r in bpe_encode(docs, "text", merges2, "doc_id").collect()}
+    assert enc1 == enc2
+    emitted = {t for toks in enc1.values() for t in toks}
+    assert emitted <= set(vocab), emitted - set(vocab)
+    # deterministic id layout: alphabet block then rank order
+    assert vocab[sorted(set(alpha) | {"</w>"})[0]] == 0
+    ids = [vocab[a + b] for a, b in merges if (a + b) in vocab]
+    assert ids == sorted(ids)
+
+
+def test_bpe_io_error_paths(tmp_path):
+    import pytest as _pytest
+
+    from a2b_spark.operators.bpe_io import bpe_export, bpe_import
+
+    with _pytest.raises(ValueError, match="whitespace"):
+        bpe_export([("a b", "c")], str(tmp_path / "x"), ["a", "b", "c"])
+    d = str(tmp_path / "y")
+    bpe_export([("a", "b")], d, ["a", "b"])
+    # corrupt: merges references a symbol the vocab lacks
+    import json as _json
+
+    with open(f"{d}/vocab.json") as f:
+        v = _json.load(f)
+    v.pop("ab")
+    with open(f"{d}/vocab.json", "w") as f:
+        _json.dump(v, f)
+    with _pytest.raises(ValueError, match="mismatched artifact"):
+        bpe_import(d)
+    # malformed merge line
+    with open(f"{d}/merges.txt", "a") as f:
+        f.write("one two three\n")
+    with _pytest.raises(ValueError, match="expected"):
+        bpe_import(d)

@@ -336,3 +336,62 @@ def test_dv_partitioned_cdf_delete_rows(spark, tmp_path):
     ch = table_changes(t, spark, from_version=v0)
     got = {(r.k, r.change) for r in ch.collect()}
     assert got == {(5, "delete"), (6, "delete")}
+
+
+def test_dv_delete_match_scan_is_stats_scoped(spark, tmp_path, monkeypatch):
+    """Round-11: the DV delete's matched-key pin must read only the
+    files whose _STATS key band can hold the deleted keys — O(touched
+    files), not O(table) — on flat AND partitioned layouts. Spied via
+    _read_files (the pruned-scan entry point); correctness of the
+    resulting vector is asserted on both."""
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    calls = []
+    orig = VersionedParquetTable._read_files
+
+    def spy(self, spark_, base, abs_paths, schema):
+        calls.append(list(abs_paths))
+        return orig(self, spark_, base, abs_paths, schema)
+
+    monkeypatch.setattr(VersionedParquetTable, "_read_files", spy)
+
+    # ---- flat, key-clustered into 4 disjoint-band files
+    t = VersionedParquetTable(
+        str(tmp_path / "flat"), key_cols=("k",), deletion_vectors=True
+    )
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    t.overwrite(df.repartitionByRange(4, "k"))
+    t.enable_cdf(preimages=True)
+    t.delete_keys(spark.createDataFrame([(7,), (13,)], "k long"))
+    assert calls, "DV delete did not take the stats-scoped scan"
+    assert len(calls[-1]) == 1, calls[-1]  # keys 7,13 live in ONE band
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == sorted(set(range(400)) - {7, 13})
+
+    # ---- partitioned: files live under partition subdirs; bands must
+    # still scope the scan to the partitions holding the keys
+    calls.clear()
+    p = VersionedParquetTable(
+        str(tmp_path / "part"), key_cols=("k",), partition_by=("p",),
+        deletion_vectors=True,
+    )
+    pdf = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.floor(F.col("id") / 50).cast("int").alias("p"),  # key-ranged
+        (F.col("id") * 3).alias("v"),
+    )
+    p.overwrite(pdf.repartitionByRange(8, "p"))
+    p.delete_keys(spark.createDataFrame([(5,), (200,)], "k long"))
+    assert calls, "partitioned DV delete did not take the scoped scan"
+    import glob
+
+    total = len(
+        glob.glob(str(tmp_path / "part" / "v_*" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    # keys 5 and 200 live in two partitions' files out of 8
+    assert 0 < len(calls[-1]) < total, (len(calls[-1]), total)
+    got = sorted(r.k for r in p.read(spark).collect())
+    assert got == sorted(set(range(400)) - {5, 200})
