@@ -143,3 +143,50 @@ def bpe_alphabet(df, text_col: str) -> list[str]:
         .collect()
     )
     return sorted(r.c for r in rows if r.c != " ")
+
+
+def bpe_encode_ids(
+    df,
+    text_col: str,
+    merges: Sequence[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str,
+    unk_id: int | None = None,
+):
+    """(doc_id, token_ids array<int>, n_tokens): ``bpe_encode`` with
+    the vocab applied — the integer stream a training run consumes.
+    Tokens absent from the vocab (possible only when the alphabet
+    passed at export time missed corpus characters) map to ``unk_id``
+    when given, else raise AT EXECUTION with the offending token (a
+    silent drop would desync token counts from packing budgets)."""
+    from a2b_spark.operators.bpe import bpe_encode
+
+    toks = bpe_encode(df, text_col, merges, id_col)
+
+    # vocab rides the closure of one Arrow-batched map — same shape
+    # as the encoder itself; ids are emitted as a primitive int array
+    def to_ids(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did, tk, n in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["n_tokens"]
+            ):
+                ids = []
+                for t in tk:
+                    i = vocab.get(t, unk_id)
+                    if i is None:
+                        raise ValueError(
+                            f"token {t!r} not in vocab and no unk_id set "
+                            "(was the export alphabet complete?)"
+                        )
+                    ids.append(i)
+                rows.append((int(did), ids, int(n)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "token_ids", "n_tokens"]
+            )
+
+    return toks.mapInPandas(
+        to_ids, schema="doc_id long, token_ids array<int>, n_tokens long"
+    )

@@ -190,3 +190,35 @@ def test_bpe_io_error_paths(tmp_path):
         f.write("one two three\n")
     with _pytest.raises(ValueError, match="expected"):
         bpe_import(d)
+
+
+def test_bpe_encode_ids_matches_vocab(spark, tmp_path):
+    from a2b_spark.operators.bpe import bpe_encode, bpe_train
+    from a2b_spark.operators.bpe_io import (
+        bpe_alphabet,
+        bpe_encode_ids,
+        bpe_export,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "new newest"), (3, "low new")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", n_merges=10)
+    vocab = bpe_export(merges, str(tmp_path / "t"), bpe_alphabet(docs, "text"))
+    toks = {r.doc_id: r.tokens
+            for r in bpe_encode(docs, "text", merges, "doc_id").collect()}
+    ids = {r.doc_id: r.token_ids
+           for r in bpe_encode_ids(docs, "text", merges, vocab,
+                                   "doc_id").collect()}
+    for d in toks:
+        assert ids[d] == [vocab[t] for t in toks[d]]
+    # unknown token: loud without unk_id, mapped with it
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(9, "Zz")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="not in vocab"):
+        bpe_encode_ids(bad, "text", merges, vocab, "doc_id").collect()
+    got = bpe_encode_ids(bad, "text", merges, vocab, "doc_id",
+                         unk_id=0).collect()[0]
+    assert 0 in got.token_ids
