@@ -49,20 +49,7 @@ def q168_fuzzy_key_pairs_approx_k4(
     shuffle, one melt-join fetch — nothing quadratic anywhere."""
     from a2b_spark.operators.editjoin import edit_distance_pairs_approx
 
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    L = (F.col("doc_id") % 6 + 1).cast("int")
-    p = (F.col("doc_id") % (F.lit(33) - L)).cast("int")  # 0-based start
-    h = F.md5(F.col("doc_id").cast("string"))
-    variant = F.concat(
-        F.substring(h, F.lit(1), p),
-        F.repeat(F.lit("z"), L),
-        F.substring(h, p + L + 1, F.lit(32)),
-    )
-    keys = d.select(
-        (F.col("doc_id") * 2).alias("kid"), h.alias("key")
-    ).unionByName(
-        d.select((F.col("doc_id") * 2 + 1).alias("kid"), variant.alias("key"))
-    )
+    keys = _fuzzy_key_corpus(spark, sf_dir)
     return edit_distance_pairs_approx(
         keys, "key", "kid", max_dist=4, qgram=4, num_hashes=64, bands=32
     )
@@ -87,5 +74,83 @@ FROM k a JOIN k b ON a.kid < b.kid
 WHERE levenshtein(a.key, b.key) <= 4
 """
 
+Q169_CAP = 2000
+
 QUERIES["q168_fuzzy_key_pairs_approx_k4"] = q168_fuzzy_key_pairs_approx_k4
 ORACLES["q168_fuzzy_key_pairs_approx_k4"] = O_Q168
+
+
+def _fuzzy_key_corpus(
+    spark: SparkSession, sf_dir: str, cap: int | None = None
+) -> DataFrame:
+    """The q168 corpus (md5 id keys + contiguous-typo variants) as a
+    shared builder so the approx query and its exact twin certify the
+    SAME input (the check_recall.py pairing contract). ``cap`` bounds
+    the corpus to doc_id < cap — the exact twin's fixed-cost window."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    if cap is not None:
+        d = d.filter(F.col("doc_id") < cap)
+    L = (F.col("doc_id") % 6 + 1).cast("int")
+    p = (F.col("doc_id") % (F.lit(33) - L)).cast("int")
+    h = F.md5(F.col("doc_id").cast("string"))
+    variant = F.concat(
+        F.substring(h, F.lit(1), p),
+        F.repeat(F.lit("z"), L),
+        F.substring(h, p + L + 1, F.lit(32)),
+    )
+    return d.select(
+        (F.col("doc_id") * 2).alias("kid"), h.alias("key")
+    ).unionByName(
+        d.select((F.col("doc_id") * 2 + 1).alias("kid"), variant.alias("key"))
+    )
+
+
+def q169_fuzzy_key_pairs_exact_k4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT brute-force twin of q168 — the documented-quadratic
+    oracle companion (the q29-to-q36 pattern): all ordered key pairs
+    through the thresholded codegen levenshtein, no blocking. Exists
+    so tools/check_recall.py can certify, distributed and at ANY
+    scale factor, that q168's minhash blocking loses no pair; q168 is
+    the linear scale path, this is its certification harness. The
+    corpus is CAPPED at doc_id < 2000 (the fixed-cost certification
+    window of q159/q163): the quadratic companion must stay constant-
+    sized at every SF — check_recall compares q168's capped slice
+    against it, which certifies pair-level recall (a pair's blocking
+    fate depends only on its own two signatures, not corpus size).
+
+    Join shape: a BLOCKED cross as a plain equi hash join, never a
+    BroadcastNestedLoopJoin — each side hashes into B blocks and
+    explodes B block-pair tags, so a left row in block i and a right
+    row in block j meet exactly once under the (i, j) equi key; the
+    B² buckets parallelize and the thresholded levenshtein fuses into
+    the join's output stage (no n²-row shuffle)."""
+    B = 8
+    keys = _fuzzy_key_corpus(spark, sf_dir, cap=Q169_CAP)
+    blk = F.pmod(F.xxhash64("kid"), F.lit(B)).cast("int")
+    tags = F.explode(F.array(*[F.lit(t) for t in range(B)]))
+    a = keys.select(
+        F.col("kid").alias("id_a"), F.col("key").alias("__ka"),
+        blk.alias("__bi"), tags.alias("__bj"),
+    )
+    b = keys.select(
+        F.col("kid").alias("id_b"), F.col("key").alias("__kb"),
+        tags.alias("__bi"), blk.alias("__bj"),
+    )
+    dist = F.expr("levenshtein(__ka, __kb, 4)").cast("int")
+    return (
+        a.join(b, ["__bi", "__bj"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 4))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+O_Q169 = O_Q168.replace(
+    "FROM documents", "FROM documents WHERE doc_id < 2000"
+)
+
+QUERIES["q169_fuzzy_key_pairs_exact_k4"] = q169_fuzzy_key_pairs_exact_k4
+ORACLES["q169_fuzzy_key_pairs_exact_k4"] = O_Q169

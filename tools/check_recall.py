@@ -34,8 +34,19 @@ sys.path.insert(0, REPO)
 # corpus whose true-neighbor similarity gap (~0.02 here) is below the
 # code resolution; exact equality still holds and is still required
 # at the oracle SFs where the codebook resolves the corpus.
+# ("capped_slice", id_cap) = the exact twin runs on a CAPPED corpus
+# (ids < cap — its quadratic cost must stay constant-sized at every
+# SF); the approx side runs FULL-scale and its rows with both ids
+# under the cap must equal the twin exactly. Certifies pair-level
+# recall at scale: a pair's blocking fate depends only on its own two
+# signatures, never on corpus size.
 PAIRS = [
     ("q26_near_dup_minhash_lsh", "q25_near_dup_exact_jaccard", "exact"),
+    (
+        "q168_fuzzy_key_pairs_approx_k4",
+        "q169_fuzzy_key_pairs_exact_k4",
+        ("capped_slice", 4000),
+    ),
     ("q36_embedding_dups_lsh", "q29_embedding_dups", ("subset_miss", 0.01)),
     ("q30_knn_lsh", "q28_knn_bruteforce", "exact"),
     ("q38_knn_ivf", "q28_knn_bruteforce", "exact"),
@@ -81,6 +92,10 @@ def main() -> int:
         if exact not in cache:
             cache[exact] = rows(exact)
         e = cache[exact]
+        if isinstance(contract, tuple) and contract[0] == "capped_slice":
+            cap = contract[1]
+            a = sorted(r for r in a if r[0] < cap and r[1] < cap)
+            contract = "exact"
         a_set, e_set = set(a), set(e)
         n_miss, n_extra = len(e_set - a_set), len(a_set - e_set)
         if a == e:
