@@ -6,7 +6,7 @@ documents parquet, pick stages, get curated shards plus a stats JSON.
 
     python -m a2b_spark.curate \
         --input /data/documents.parquet --output /data/curated \
-        --stages nfc,quality,perplexity,dedup,neardup,shard \
+        --stages nfc,quality,perplexity,classifier,dedup,neardup,shard \
         --min-tokens 5 --ppl-margin 0.6 --shards 64 --salt export-v1
 
 Stages (any subset, applied in canonical order regardless of the
@@ -17,6 +17,10 @@ order given):
 - ``perplexity``  corpus-trained trigram stupid-backoff LM; drop docs
                   whose mean log10 prob falls ``--ppl-margin`` below
                   the corpus mean (CCNet shape)
+- ``classifier``  frozen bag-of-words linear quality model (pass
+                  ``--clf-vocab``/``--clf-weights``; train one with
+                  ``operators.classifier.bow_logreg_train``); keeps
+                  docs with exact-decimal score z ≥ ``--clf-threshold``
 - ``dedup``       exact dedup on the normalized-text fingerprint
 - ``neardup``     MinHash-LSH near-dup pairs; higher doc_id loses
 - ``shard``       deterministic shuffle-shard export (salted md5 —
@@ -35,7 +39,9 @@ import json
 import os
 from typing import Optional, Sequence
 
-STAGE_ORDER = ("nfc", "quality", "perplexity", "dedup", "neardup", "shard")
+STAGE_ORDER = (
+    "nfc", "quality", "perplexity", "classifier", "dedup", "neardup", "shard"
+)
 
 
 def run_curation(
@@ -50,6 +56,10 @@ def run_curation(
     lm_order: int = 3,
     n_shards: int = 16,
     salt: str = "export-v1",
+    clf_vocab: Sequence[str] | None = None,
+    clf_weights: Sequence[str] | None = None,
+    clf_bias: str = "0",
+    clf_threshold: str = "0",
 ) -> dict:
     """Programmatic entry — the CLI is a thin argparse wrapper. Returns
     the per-stage stats dict (also written next to the output)."""
@@ -123,6 +133,34 @@ def run_curation(
         docs = docs.localCheckpoint(eager=True)
         stats["perplexity"] = docs.count()
 
+    if "classifier" in stages:
+        from decimal import Decimal
+
+        from a2b_spark.operators.classifier import bow_linear_score
+
+        if not clf_vocab or not clf_weights:
+            raise ValueError(
+                "the classifier stage needs a frozen model: pass "
+                "clf_vocab and clf_weights (train one with "
+                "operators.classifier.bow_logreg_train)"
+            )
+        scored = bow_linear_score(
+            docs.select(id_col, text_col), text_col,
+            list(clf_vocab), list(clf_weights), clf_bias,
+        )
+        # z is an exact decimal; NULL/empty text scores exactly the
+        # bias (classifier.py's NULL-coalesce contract), so every doc
+        # is judged — no never-drop escape needed here
+        keep = scored.filter(
+            F.col("z") >= F.lit(str(Decimal(str(clf_threshold)))).cast(
+                "decimal(24,8)"
+            )
+        ).select(id_col)
+        docs = docs.join(keep, id_col, "left_semi").localCheckpoint(
+            eager=True
+        )
+        stats["classifier"] = docs.count()
+
     if "dedup" in stages:
         from a2b_spark.functions.text import fingerprint
         from a2b_spark.operators.dedup import exact_dedup
@@ -190,6 +228,20 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--lm-order", type=int, default=3)
     p.add_argument("--shards", type=int, default=16)
     p.add_argument("--salt", default="export-v1")
+    p.add_argument(
+        "--clf-vocab", default=None,
+        help="comma-separated terms of a frozen bag-of-words model "
+        "(required for the classifier stage)",
+    )
+    p.add_argument(
+        "--clf-weights", default=None,
+        help="comma-separated decimal weights, one per vocab term",
+    )
+    p.add_argument("--clf-bias", default="0")
+    p.add_argument(
+        "--clf-threshold", default="0",
+        help="keep documents with linear score z >= this decimal",
+    )
     args = p.parse_args(argv)
 
     from a2b_spark.session import get_spark
@@ -207,6 +259,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         lm_order=args.lm_order,
         n_shards=args.shards,
         salt=args.salt,
+        clf_vocab=(
+            [t for t in args.clf_vocab.split(",")] if args.clf_vocab else None
+        ),
+        clf_weights=(
+            [w for w in args.clf_weights.split(",")]
+            if args.clf_weights
+            else None
+        ),
+        clf_bias=args.clf_bias,
+        clf_threshold=args.clf_threshold,
     )
     print(json.dumps(stats))
     return 0

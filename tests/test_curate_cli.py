@@ -19,12 +19,17 @@ def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
         STAGE_ORDER,
         n_shards=8,
         salt="t1",
+        clf_vocab=["the", "data"],
+        clf_weights=["0.25", "0.5"],
+        clf_bias="-0.125",
+        clf_threshold="-10",  # permissive demo model: judges, keeps most
     )
     # monotone survivor counts, every stage recorded
     assert (
         stats["input"]
         >= stats["quality"]
         >= stats["perplexity"]
+        >= stats["classifier"]
         >= stats["dedup"]
         >= stats["neardup"]
         == stats["output"]
@@ -147,3 +152,21 @@ def test_output_overlapping_input_rejected(spark, sf_dir, tmp_path):
             spark, f"{tmp_path}/in/documents.parquet", f"{tmp_path}/in",
             ("quality",),
         )
+
+
+def test_classifier_stage_filters_and_requires_model(spark, sf_dir, tmp_path):
+    src = f"{sf_dir}/documents.parquet"
+    with pytest.raises(ValueError, match="frozen model"):
+        run_curation(spark, src, str(tmp_path / "o1"), ("classifier",))
+    # a threshold above every achievable z empties the corpus; one
+    # below keeps everything — the stage genuinely gates on z
+    lo = run_curation(
+        spark, src, str(tmp_path / "o2"), ("classifier",),
+        clf_vocab=["the"], clf_weights=["0.5"], clf_threshold="-100",
+    )
+    hi = run_curation(
+        spark, src, str(tmp_path / "o3"), ("classifier",),
+        clf_vocab=["the"], clf_weights=["0.5"], clf_threshold="1000000",
+    )
+    assert lo["classifier"] == lo["input"] and lo["output"] == lo["input"]
+    assert hi["classifier"] == 0 and hi["output"] == 0
