@@ -61,6 +61,8 @@ _op = st.one_of(
                                           unique=True)),
     st.tuples(st.just("restore"), st.integers(0, 9)),  # index into retained
     st.tuples(st.just("compact")),
+    st.tuples(st.just("zorder")),  # compact(cluster_by=keys): layout-only
+    st.tuples(st.just("purge")),   # physically drop DV tombstones
     st.tuples(st.just("vacuum"), st.integers(2, 5)),  # keep
 )
 
@@ -190,6 +192,13 @@ def _run_sequence(spark, tmp_path, dv, partitioned, ops):
             elif kind == "compact":
                 src.compact(spark, min_files=2)
                 # layout-only: model unchanged
+            elif kind == "zorder":
+                src.compact(spark, min_files=1, cluster_by=["k"])
+                # clustered rewrite: layout-only, model unchanged
+            elif kind == "purge":
+                src.purge_deleted(spark)
+                # tombstoned rows leave the files; logical content
+                # (and therefore the model) is unchanged
             elif kind == "vacuum":
                 src.vacuum(keep=op[1])
                 record()
