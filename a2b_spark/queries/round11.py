@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -154,3 +156,94 @@ O_Q169 = O_Q168.replace(
 
 QUERIES["q169_fuzzy_key_pairs_exact_k4"] = q169_fuzzy_key_pairs_exact_k4
 ORACLES["q169_fuzzy_key_pairs_exact_k4"] = O_Q169
+
+
+# --------------------------------------------------------------- Q170
+_Q170_SHARDS = 8
+_Q170_SALT = "q170-v1"
+_Q170_MIN_TOKENS = 30
+
+
+def q170_curation_cli_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation CLI end-to-end as an oracle query: run_curation's
+    SQL-expressible stage subset (nfc → quality → dedup → shard)
+    executes FOR REAL — partitioned parquet written to scratch and
+    read back — and the per-shard certification rollup (q164 shape:
+    counts, an exact char sum over the carried-through text, and the
+    shard heads by position) must match DuckDB replaying the same
+    four stages from their definitions: nfc_normalize, the
+    single-space token floor, min-doc_id survivor per normalized-text
+    md5 fingerprint, and the salted top-60-bit md5 shard/pos. One
+    divergence anywhere in the pipeline — a dropped doc, a wrong
+    survivor, a swapped shard position — diverges the driver hash."""
+    import shutil
+
+    from a2b_spark.curate import run_curation
+    from a2b_spark.queries.round7 import _scratch_path
+
+    out = _scratch_path(sf_dir, "q170")
+    try:
+        run_curation(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            ("nfc", "quality", "dedup", "shard"),
+            min_tokens=_Q170_MIN_TOKENS,
+            n_shards=_Q170_SHARDS,
+            salt=_Q170_SALT,
+        )
+        curated = spark.read.parquet(out)
+        return (
+            curated.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("head1"),
+                F.max(F.when(F.col("pos") == 2, F.col("doc_id"))).alias("head2"),
+            )
+            .orderBy("shard")
+            .localCheckpoint(eager=True)  # pin before the scratch sweep
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+O_Q170 = f"""
+WITH nfc AS (
+  SELECT doc_id, nfc_normalize(text) AS text FROM documents
+),
+q AS (
+  SELECT * FROM nfc
+  WHERE len(string_split(text, ' ')) >= {_Q170_MIN_TOKENS}
+),
+d AS (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM q GROUP BY 2
+),
+s AS (
+  SELECT q.doc_id, q.text,
+         CAST(h.h60 % {_Q170_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY h.h60 % {_Q170_SHARDS}
+           ORDER BY h.h60, CAST(q.doc_id AS VARCHAR)
+         ) AS pos
+  FROM d JOIN q USING (doc_id)
+  JOIN (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('{_Q170_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+    FROM documents
+  ) h USING (doc_id)
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       MAX(CASE WHEN pos = 1 THEN doc_id END) AS head1,
+       MAX(CASE WHEN pos = 2 THEN doc_id END) AS head2
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+QUERIES["q170_curation_cli_subset"] = q170_curation_cli_subset
+ORACLES["q170_curation_cli_subset"] = O_Q170
