@@ -219,10 +219,15 @@ def _minhash_sigs(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     codegen'd integer ops, the shuffle carries one (id, k longs) row
     per doc, and no shingle array ever crosses the Python boundary.
     Empty-set docs produce no exploded rows and drop out — exactly the
-    previous null-signature filter."""
-    ex = sh.filter(F.size("khs") > 0).select(
-        F.col(id_col), F.explode("khs").alias("kh")
-    )
+    previous null-signature filter; no explicit ``size > 0`` filter is
+    needed (inner ``explode`` emits nothing for empty/null arrays, and
+    Catalyst's InferFiltersFromGenerate inserts one regardless). NOTE
+    for callers: that inferred filter re-evaluates the WHOLE shingle
+    expression per row on a LAZY input (Filter/Project get no
+    common-subexpression elimination) — pass a MATERIALIZED frame
+    (``_materialize``) when the shingle pass is expensive, as every
+    in-repo caller does."""
+    ex = sh.select(F.col(id_col), F.explode("khs").alias("kh"))
     ex = ex.select(
         F.col(id_col),
         F.pmod(F.col("kh"), F.lit(_MERSENNE31)).alias("h1"),

@@ -329,7 +329,10 @@ def edit_distance_pairs_approx(
     base = df.select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     ).filter(F.col("__t").isNotNull())
-    sh = _char_qgram_hashes(base, qgram)
+    # materialized: Catalyst's InferFiltersFromGenerate otherwise
+    # re-evaluates the whole gram transform inside an inferred
+    # size>0 filter below the signature explode (see _minhash_sigs)
+    sh = _materialize(_char_qgram_hashes(base, qgram))
     sigs = _minhash_sigs(sh, "__id", num_hashes)
     cands = lsh_candidate_pairs(
         sigs, "__id", bands, num_hashes // bands,
