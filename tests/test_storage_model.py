@@ -64,19 +64,26 @@ _op = st.one_of(
     st.tuples(st.just("zorder")),  # compact(cluster_by=keys): layout-only
     st.tuples(st.just("purge")),   # physically drop DV tombstones
     st.tuples(st.just("vacuum"), st.integers(2, 5)),  # keep
+    st.tuples(st.just("widen")),   # w int -> bigint: metadata-only commit
+    st.tuples(st.just("addcon"), st.booleans()),  # True = satisfiable
+    st.tuples(st.just("dropcon")),
 )
 
 _ops = st.lists(_op, min_size=2, max_size=7)
 
 
-def _schema():
-    return "k long, g string, x double"
+def _schema(src, spark) -> str:
+    """Batch schema matching the table's CURRENT w type — widen (and
+    restore across a widen, which rolls the sidecar schema back)
+    changes what a valid batch looks like mid-sequence."""
+    wt = dict(src.read(spark).dtypes)["w"] if src.exists() else "int"
+    return f"k long, g string, x double, w {wt}"
 
 
 def _model_rollup(model: dict) -> dict:
     """group -> (count, sum_x) from the python model."""
     out = {}
-    for k, (g, x) in model.items():
+    for k, (g, x, _w) in model.items():
         n, s = out.get(g, (0, 0))
         out[g] = (n + 1, s + x)
     return out
@@ -100,7 +107,7 @@ def _read_model(table, spark) -> dict:
     df = table.read(spark)
     if df is None:
         return {}
-    return {r.k: (r.g, int(r.x)) for r in df.collect()}
+    return {r.k: (r.g, int(r.x), int(r.w)) for r in df.collect()}
 
 
 def _run_sequence(spark, tmp_path, dv, partitioned, ops):
@@ -112,13 +119,16 @@ def _run_sequence(spark, tmp_path, dv, partitioned, ops):
         deletion_vectors=dv,
     )
     src.overwrite(
-        spark.createDataFrame([(100, "g0", 1.0), (101, "g1", 2.0)], _schema())
+        spark.createDataFrame(
+            [(100, "g0", 1.0, 3), (101, "g1", 2.0, 5)],
+            "k long, g string, x double, w int",
+        )
     )
     src.enable_cdf(preimages=True)
     roll = VersionedParquetTable(
         str(tmp_path / "roll"), key_cols=("g",), retention=40
     )
-    model = {100: ("g0", 1), 101: ("g1", 2)}
+    model = {100: ("g0", 1, 3), 101: ("g1", 2, 5)}
     # record every version committed so far (enable_cdf may itself
     # commit): content is identical pre/post enablement
     snapshots = {
@@ -145,20 +155,20 @@ def _run_sequence(spark, tmp_path, dv, partitioned, ops):
         before_v = src.current_version_number()
         try:
             if kind == "merge":
-                rows = [(k, g, float(x)) for k, g, x in op[1]]
-                src.merge(spark.createDataFrame(rows, _schema()))
+                rows = [(k, g, float(x), x * 2 + 1) for k, g, x in op[1]]
+                src.merge(spark.createDataFrame(rows, _schema(src, spark)))
                 for k, g, x in op[1]:
-                    model[k] = (g, x)
+                    model[k] = (g, x, x * 2 + 1)
             elif kind == "append":
-                rows = [(k, g, float(x)) for k, g, x in op[1]]
+                rows = [(k, g, float(x), x * 2 + 1) for k, g, x in op[1]]
                 dedupe = op[2]
                 src.append(
-                    spark.createDataFrame(rows, _schema()),
+                    spark.createDataFrame(rows, _schema(src, spark)),
                     dedupe_keys=("k",) if dedupe else None,
                 )
                 for k, g, x in op[1]:
                     if k not in model:
-                        model[k] = (g, x)
+                        model[k] = (g, x, x * 2 + 1)
                     elif not dedupe:
                         raise AssertionError(
                             "append of existing key without dedupe_keys "
@@ -203,6 +213,18 @@ def _run_sequence(spark, tmp_path, dv, partitioned, ops):
                 src.vacuum(keep=op[1])
                 record()
                 continue  # no new version; nothing else to re-check
+            elif kind == "widen":
+                # metadata-only: data files hardlink, reads upcast;
+                # raises if already widened (except-branch atomicity)
+                src.widen_column(spark, "w", "bigint")
+            elif kind == "addcon":
+                # satisfiable constraint commits layout-only; an
+                # unsatisfiable one must raise ConstraintViolation and
+                # leave the table untouched (x is always in 0..50)
+                expr = "x >= 0" if op[1] else "x > 999999"
+                src.add_constraint(spark, "c_model", expr)
+            elif kind == "dropcon":
+                src.drop_constraint("c_model")  # raises if absent
         except (ValueError, AssertionError) as e:
             if isinstance(e, AssertionError):
                 raise
