@@ -219,7 +219,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "--stages",
         default="nfc,quality,perplexity,dedup,neardup,shard",
         help="comma-separated subset of "
-        "nfc,quality,perplexity,dedup,neardup,shard",
+        "nfc,quality,perplexity,classifier,dedup,neardup,shard "
+        "(classifier additionally needs --clf-vocab/--clf-weights; "
+        "default omits it because there is no default frozen model)",
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -259,11 +261,18 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         lm_order=args.lm_order,
         n_shards=args.shards,
         salt=args.salt,
+        # strip whitespace and drop empty entries: a trailing comma in
+        # a shell-quoted list is near-inevitable, and an empty vocab
+        # term is a phantom-match trap (classifier._validate_vocab now
+        # also rejects it loudly — this keeps the CLI ergonomic while
+        # a mid-list empty still errors via the length-match check)
         clf_vocab=(
-            [t for t in args.clf_vocab.split(",")] if args.clf_vocab else None
+            [t.strip() for t in args.clf_vocab.split(",") if t.strip()]
+            if args.clf_vocab
+            else None
         ),
         clf_weights=(
-            [w for w in args.clf_weights.split(",")]
+            [w.strip() for w in args.clf_weights.split(",") if w.strip()]
             if args.clf_weights
             else None
         ),

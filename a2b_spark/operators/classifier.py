@@ -45,6 +45,23 @@ _ERR_SCALE = 12
 WEIGHT_SCALE = 8
 
 
+def _validate_vocab(vocab: list[str]) -> None:
+    """Shared vocab contract for featurize AND score paths.
+
+    '' would spuriously match the [''] array a NULL/empty doc
+    coalesces to; a space-containing term can never equal a
+    space-split token — both are silent-zero/phantom-count traps, so
+    every entry point that builds count columns must reject them
+    (round-11 advice: bow_linear_score previously skipped this and a
+    trailing comma in a CLI vocab list silently skewed every z).
+    """
+    if not vocab or len(set(vocab)) != len(vocab):
+        raise ValueError("vocab must be non-empty and duplicate-free")
+    bad = [t for t in vocab if t == "" or " " in t]
+    if bad:
+        raise ValueError(f"vocab terms must be non-empty, space-free: {bad}")
+
+
 def _count_cols(text_col: str, vocab: list[str]):
     """One integer count column per vocab term, all codegen.
 
@@ -71,14 +88,7 @@ def _count_cols(text_col: str, vocab: list[str]):
 
 def bow_features(df: DataFrame, text_col: str, vocab: list[str]) -> DataFrame:
     """(df columns minus text) + __x0..__x{V-1} term-count columns."""
-    if not vocab or len(set(vocab)) != len(vocab):
-        raise ValueError("vocab must be non-empty and duplicate-free")
-    bad = [t for t in vocab if t == "" or " " in t]
-    if bad:
-        # '' would spuriously match the [''] array a NULL/empty doc
-        # coalesces to; a space-containing term can never equal a
-        # space-split token — both are silent-zero/phantom-count traps
-        raise ValueError(f"vocab terms must be non-empty, space-free: {bad}")
+    _validate_vocab(vocab)
     keep = [c for c in df.columns if c != text_col]
     clash = {f"__x{j}" for j in range(len(vocab))} & set(keep)
     if clash:
@@ -154,6 +164,7 @@ def bow_linear_score(
     quantized to WEIGHT_SCALE, counts are ints, so every engine
     computes identical values (σ is monotone: threshold on z, not p).
     Returns (frame_without_text, score_column) so callers compose."""
+    _validate_vocab(vocab)
     if len(weights) != len(vocab):
         raise ValueError("one weight per vocab term required")
     if "z" in df.columns and text_col != "z":

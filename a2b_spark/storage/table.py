@@ -1791,7 +1791,16 @@ class VersionedParquetTable:
         materialization) and every downstream consumer — the size
         check, the vector union, the CDF rows — derives from the
         pinned blocks: a 2-key delete on a billion-row table pays ONE
-        current-table key scan, not four."""
+        current-table key scan, not four.
+
+        PRECONDITION: ``keys`` must already be materialized (its only
+        caller, :meth:`delete_keys`, eagerly localCheckpoints the key
+        frame before dispatching here). This method consults ``keys``
+        from three independent actions — the ``_prunable_key_files``
+        pre-check and distinct-collect, then the match semi join — so
+        a lazy, expensive keys plan would re-run its upstream lineage
+        three times (round-11 advice). With the pin those are three
+        cheap scans of checkpointed blocks."""
         from a2b_spark.storage import stats as _stats
         from a2b_spark.storage.diff import null_safe_key_cond
 

@@ -178,3 +178,19 @@ def test_rejects_empty_or_space_vocab_terms(spark):
         bow_features(df, "text", ["a", ""])
     with pytest.raises(ValueError, match="space-free"):
         bow_features(df, "text", ["a b"])
+
+
+def test_score_path_enforces_same_vocab_contract(spark):
+    """bow_linear_score must reject what bow_features rejects (round-11
+    advice): an empty term — one trailing comma in a CLI vocab list —
+    would spuriously match the [''] array NULL/empty docs coalesce to,
+    silently skewing every z; space/duplicate terms silently miscount."""
+    df = spark.createDataFrame([(1, "a b")], "id int, text string")
+    with pytest.raises(ValueError, match="space-free"):
+        bow_linear_score(df, "text", ["a", ""], ["0.1", "0.2"])
+    with pytest.raises(ValueError, match="space-free"):
+        bow_linear_score(df, "text", ["a b"], ["0.1"])
+    with pytest.raises(ValueError, match="duplicate-free"):
+        bow_linear_score(df, "text", ["a", "a"], ["0.1", "0.2"])
+    with pytest.raises(ValueError, match="non-empty"):
+        bow_linear_score(df, "text", [], [])

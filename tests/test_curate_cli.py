@@ -170,3 +170,40 @@ def test_classifier_stage_filters_and_requires_model(spark, sf_dir, tmp_path):
     )
     assert lo["classifier"] == lo["input"] and lo["output"] == lo["input"]
     assert hi["classifier"] == 0 and hi["output"] == 0
+
+
+def test_cli_trailing_comma_vocab_stripped(spark, sf_dir, tmp_path, capsys):
+    """A trailing comma in --clf-vocab/--clf-weights (near-inevitable
+    in shell-quoted lists) must not inject the empty term that
+    spuriously matches NULL/empty docs' [''] array (round-11 advice):
+    main() strips empties, and the result matches the clean spelling."""
+    from a2b_spark.curate import main
+
+    outs = []
+    for vocab, weights in (("the,", "0.5,"), ("the", "0.5")):
+        out = str(tmp_path / f"tc{len(outs)}")
+        rc = main(
+            [
+                "--input", f"{sf_dir}/documents.parquet",
+                "--output", out,
+                "--stages", "classifier",
+                "--clf-vocab", vocab,
+                "--clf-weights", weights,
+                "--clf-threshold", "-100",
+            ]
+        )
+        assert rc == 0
+        outs.append(json.loads(capsys.readouterr().out.strip().splitlines()[-1]))
+    assert outs[0] == outs[1] and outs[0]["output"] == outs[0]["input"]
+
+
+def test_stages_help_lists_classifier(capsys):
+    """--help must surface every accepted stage (round-11 advice: the
+    classifier stage was accepted by STAGE_ORDER but undiscoverable)."""
+    from a2b_spark.curate import STAGE_ORDER, main
+
+    with pytest.raises(SystemExit):
+        main(["--help"])
+    text = capsys.readouterr().out
+    for stage in STAGE_ORDER:
+        assert stage in text
