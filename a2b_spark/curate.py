@@ -15,8 +15,10 @@ order given):
 - ``nfc``         Unicode NFC canonicalization (before any hashing)
 - ``quality``     token-count floor (``--min-tokens``)
 - ``perplexity``  corpus-trained trigram stupid-backoff LM; drop docs
-                  whose mean log10 prob falls ``--ppl-margin`` below
-                  the corpus mean (CCNet shape)
+                  whose per-token mean log10 prob falls ``--ppl-margin``
+                  below the TOKEN-WEIGHTED corpus mean (CCNet shape);
+                  the comparison is exact decimal arithmetic, so the
+                  surviving set is engine- and partition-invariant
 - ``classifier``  frozen bag-of-words linear quality model (pass
                   ``--clf-vocab``/``--clf-weights``; train one with
                   ``operators.classifier.bow_logreg_train``); keeps
@@ -110,6 +112,8 @@ def run_curation(
         stats["quality"] = docs.count()
 
     if "perplexity" in stages:
+        from decimal import Decimal
+
         from a2b_spark.operators.lm import ngram_lm_train, stupid_backoff_logp
 
         model = ngram_lm_train(docs, text_col, order=lm_order)
@@ -121,15 +125,36 @@ def run_curation(
             order=lm_order,
             broadcast_model=True,
         )
-        mean_lp = scored.agg(F.avg("avg_logp10")).first()[0]
-        # NULL-scored docs (zero tokens) were never judged by this
-        # criterion — the operator's never-drop contract carries
-        # through: a NULL comparison must not silently discard them
-        keep = scored.filter(
-            (F.col("avg_logp10") >= F.lit(mean_lp) - ppl_margin)
-            | F.col("avg_logp10").isNull()
-        ).select(id_col)
-        docs = docs.join(keep, id_col, "left_semi")
+        # EXACT thresholding (round-12): the corpus reference is the
+        # token-weighted mean T = Σ sum_logp10 / Σ n_tok, and a doc
+        # survives iff its per-token mean s/n >= T - margin. Both
+        # sides multiply through by the (positive) denominators —
+        #   s_i * Σn  >=  (Σs - margin * Σn) * n_i
+        # — so the whole decision is exact decimal×integer arithmetic:
+        # no float mean-of-means whose summation order could flip a
+        # boundary doc between engines or between runs. The 1-row agg
+        # is the only driver pull.
+        tot = scored.agg(
+            F.sum("sum_logp10").alias("s"), F.sum("n_tok").alias("n")
+        ).first()
+        n_total = int(tot["n"] or 0)
+        if n_total > 0:
+            # Decimal(str(float)) pins the margin to its shortest-repr
+            # literal — the same constant an SQL twin embeds
+            rhs = Decimal(str(tot["s"])) - Decimal(str(ppl_margin)) * n_total
+            keep = scored.filter(
+                (F.col("n_tok") == 0)
+                | F.col("sum_logp10").isNull()
+                | (
+                    F.col("sum_logp10").cast("decimal(20,6)")
+                    * F.lit(n_total)
+                    >= F.lit(str(rhs)).cast("decimal(24,6)")
+                    * F.col("n_tok")
+                )
+            ).select(id_col)
+            # NULL/zero-token docs were never judged by this criterion —
+            # the operator's never-drop contract carries through
+            docs = docs.join(keep, id_col, "left_semi")
         docs = docs.localCheckpoint(eager=True)
         stats["perplexity"] = docs.count()
 

@@ -39,13 +39,14 @@ from a2b_spark.queries import (
     round10,
     round10b,
     round11,
+    round12,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 for mod in (relational, pipeline, analytic, curation, reports, round7, round7b,
-            round9, round9b, round10, round10b, round11):
+            round9, round9b, round10, round10b, round11, round12):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
