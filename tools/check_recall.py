@@ -9,9 +9,15 @@ the driver's sf0.01 gate alone doesn't prove the configs hold at
 larger corpora. This runs both sides distributed and compares exact
 row sets.
 
-Usage: python tools/check_recall.py [sf_dir]   (default sf0.1;
-must run with the repo root on PYTHONPATH so executors can import
-a2b_spark for the Arrow-batched operators).
+Usage: python tools/check_recall.py [sf_dir] [--only approx_name ...]
+(default sf0.1; must run with the repo root on PYTHONPATH so executors
+can import a2b_spark for the Arrow-batched operators).
+
+``--only`` restricts to the named approx queries — the 100× path:
+fabricate a corpus with tools.scale_trajectory.build_scaled(spark,100)
+and run just the capped-slice q168 contract there (the other exact
+twins are corpus-sized and would run for hours at 500k docs, while
+q169's doc_id<2000 window stays constant-cost at ANY scale).
 """
 
 from __future__ import annotations
@@ -73,7 +79,18 @@ def _knn_set_recall(a_rows, e_rows) -> float:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:]]
+    only: set[str] = set()
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1:])
+        args = args[:i]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    pairs = [p for p in PAIRS if not only or p[0] in only]
+    unknown = only - {p[0] for p in PAIRS}
+    if unknown:
+        print(f"unknown --only name(s): {sorted(unknown)}")
+        return 2
     from a2b_spark.session import get_spark
 
     spark = get_spark("check-recall")
@@ -87,7 +104,7 @@ def main() -> int:
 
     cache: dict = {}
     failures = 0
-    for approx, exact, contract in PAIRS:
+    for approx, exact, contract in pairs:
         a = rows(approx)
         if exact not in cache:
             cache[exact] = rows(exact)
@@ -131,7 +148,7 @@ def main() -> int:
             f"missing={n_miss} extra={n_extra}; "
             f"first missing={missing} first extra={extra}"
         )
-    print(f"{len(PAIRS) - failures}/{len(PAIRS)} recall contracts hold at {sf_dir}")
+    print(f"{len(pairs) - failures}/{len(pairs)} recall contracts hold at {sf_dir}")
     return 1 if failures else 0
 
 
