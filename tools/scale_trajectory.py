@@ -710,6 +710,141 @@ def lm_probe(spark) -> dict:
     return out
 
 
+def skew_probe(spark) -> dict:
+    """The 100-TB argument's previously-unmeasured leg (round-11
+    verdict item 7): how the LSH near-dup surface behaves when the
+    corpus is deliberately SKEWED — shared boilerplate shingles
+    inflating band-bucket sizes (the hub-bucket case), plus a 90%-hot
+    exact-dedup key (the boilerplate-URL case the map-side-combine
+    formulation exists for).
+
+    Corpora (2000 docs each — constant-size so the probe measures
+    skew, not scale):
+    - uniform: sf0.1 docs as-is
+    - mild:    every doc prefixed with the SAME 10-token boilerplate
+    - heavy:   every doc prefixed with the SAME 120-token boilerplate
+               (pairwise jaccard pushed toward the LSH threshold — the
+               regime where banding selectivity genuinely decays)
+    - hotkey (exact-dedup only): 90% of docs share ONE text
+
+    Recorded per corpus: band-bucket distribution (buckets, max, p99),
+    candidate pairs, verified pairs, near-dup-pipeline wall
+    (q26 shape), connected-components wall over the verified pairs
+    (q44 shape), exact-dedup wall (q49 shape), and ratios vs uniform.
+    Interpretation contract: candidate growth must track TRUE pair
+    growth (boilerplate pushes real jaccard up — a quadratic true-pair
+    set is the workload's property, not a blocking defect); the red
+    flag is wall growing faster than candidates."""
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.dedup import (
+        _minhash_sigs,
+        banded_signatures,
+        exact_dedup,
+        kgram_hash_docs,
+        lsh_candidate_pairs,
+        minhash_near_dup_pairs,
+    )
+    from a2b_spark.operators.graph import connected_components
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+
+    def boiler(n):
+        return " ".join(f"bp{i}" for i in range(n))
+
+    variants = {
+        "uniform": base,
+        "mild": base.select(
+            "doc_id", F.concat(F.lit(boiler(10) + " "), "text").alias("text")
+        ),
+        "heavy": base.select(
+            "doc_id", F.concat(F.lit(boiler(120) + " "), "text").alias("text")
+        ),
+    }
+    out: dict = {}
+    for tag, docs in variants.items():
+        docs = docs.localCheckpoint()
+        sh = kgram_hash_docs(docs, "text", "doc_id", 3).localCheckpoint()
+        sigs = _minhash_sigs(sh, "doc_id", 64)
+        buckets = (
+            banded_signatures(sigs, "doc_id", 16, 4)
+            .groupBy("band", "bh")
+            .count()
+        )
+        bs = buckets.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("count").alias("mx"),
+            F.expr("percentile_approx(count, 0.99)").alias("p99"),
+        ).first()
+        n_cands = lsh_candidate_pairs(sigs, "doc_id", 16, 4, packable=True).count()
+        t0 = time.perf_counter()
+        n_pairs = minhash_near_dup_pairs(docs, "text", "doc_id", 0.8).count()
+        w_pairs = time.perf_counter() - t0
+        pairs = minhash_near_dup_pairs(docs, "text", "doc_id", 0.8)
+        t0 = time.perf_counter()
+        n_comp = (
+            connected_components(pairs, "id_a", "id_b")
+            .select("component")
+            .distinct()
+            .count()
+            if n_pairs
+            else 0
+        )
+        w_cc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_kept = exact_dedup(
+            docs.withColumn("fp", F.md5("text")), ["fp"], ["doc_id"]
+        ).count()
+        w_dedup = time.perf_counter() - t0
+        out[tag] = {
+            "buckets": int(bs["n"]),
+            "max_bucket": int(bs["mx"]),
+            "p99_bucket": int(bs["p99"]),
+            "candidates": int(n_cands),
+            "pairs": int(n_pairs),
+            "components": int(n_comp),
+            "dedup_survivors": int(n_kept),
+            "wall_pairs_s": round(w_pairs, 2),
+            "wall_cc_s": round(w_cc, 2),
+            "wall_dedup_s": round(w_dedup, 2),
+        }
+        spark.catalog.clearCache()
+    # hot exact-dedup key: 90% of docs collapse to one fingerprint
+    hot = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 > 0, F.lit("the same boilerplate page"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint()
+    t0 = time.perf_counter()
+    n_kept = exact_dedup(
+        hot.withColumn("fp", F.md5("text")), ["fp"], ["doc_id"]
+    ).count()
+    out["hotkey_dedup"] = {
+        "survivors": int(n_kept),
+        "wall_s": round(time.perf_counter() - t0, 2),
+    }
+    u = out["uniform"]
+    for tag in ("mild", "heavy"):
+        v = out[tag]
+        v["ratios_vs_uniform"] = {
+            "max_bucket": round(v["max_bucket"] / u["max_bucket"], 2),
+            "candidates": round(v["candidates"] / max(u["candidates"], 1), 2),
+            "wall_pairs": round(v["wall_pairs_s"] / u["wall_pairs_s"], 2),
+            "wall_per_candidate": round(
+                (v["wall_pairs_s"] / max(v["candidates"], 1))
+                / (u["wall_pairs_s"] / max(u["candidates"], 1)),
+                2,
+            ),
+        }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -741,6 +876,13 @@ def main() -> int:
         "across sf0.01 / sf0.1 / token-disjoint 10x) and merge it "
         "into the out file",
     )
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="run ONLY the LSH/dedup skew stress probe (boilerplate-"
+        "shingle bucket inflation + hot exact-dedup key) and merge it "
+        "into the out file",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
     ap.add_argument(
         "--only",
@@ -751,6 +893,20 @@ def main() -> int:
         "without the full ~35-min resweep",
     )
     args = ap.parse_args()
+    if args.skew:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_skew")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["skew"] = skew_probe(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"skew": doc["skew"]}))
+        return 0
     if args.dv:
         from a2b_spark.session import get_spark
 
