@@ -196,3 +196,39 @@ def weighted_hash_sample(
         % resolution
     )
     return df.filter(u < clamped * resolution)
+
+
+def frequency_cap(
+    df: DataFrame,
+    group_cols,
+    id_col: str,
+    cap: int,
+    salt: str = "fc1",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-domain frequency cap (the RefinedWeb/C4 move: no single
+    domain may contribute more than ``cap`` documents to the training
+    mix): keep at most ``cap`` rows per ``group_cols`` tuple, chosen
+    by the salted md5 order over ``id_col`` with the id string as the
+    tiebreak — a deterministic uniform draw, so the kept subset is
+    reproducible across runs, engines, partitionings, and cluster
+    sizes, and unbiased w.r.t. id ranges (a MIN(doc_id) cap would
+    favor old documents). Output adds ``rank_col`` (1-based position
+    in the group's kept order).
+
+    Scale shape: the salted two-phase top-k (operators/topk.py) —
+    a hot domain (the 100 TB boilerplate-site case) reduces to
+    ``salts * cap`` candidate rows on the map side before one tiny
+    final window, never a single-task sort of the whole domain.
+    DuckDB twin: ROW_NUMBER() OVER (PARTITION BY groups ORDER BY
+    h60(salt || id), CAST(id AS VARCHAR)) <= cap over the shared
+    top-60-bit-md5 idiom."""
+    from a2b_spark.operators.topk import top_k_per_group
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = [
+        _hash60(id_col, salt).asc(),
+        F.col(id_col).cast("string").asc(),
+    ]
+    return top_k_per_group(df, list(group_cols), order, cap, rank_col=rank_col)

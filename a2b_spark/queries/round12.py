@@ -207,3 +207,65 @@ ORDER BY shard
 
 QUERIES["q171_curation_cli_full"] = q171_curation_cli_full
 ORACLES["q171_curation_cli_full"] = O_Q171
+
+
+# --------------------------------------------------------------- Q172
+_Q172_CAP = 20
+_Q172_SALT = "q172-v1"
+
+
+def q172_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (RefinedWeb/C4: cap any one
+    domain's contribution to the mix) as an oracle query: keep at most
+    CAP docs per (lang, source) under the salted md5 draw, then roll
+    up per domain — kept count, exact char sum, the rank-1 and
+    rank-CAP doc ids (a wrong order, a missing doc, or an off-by-one
+    cap all diverge the hash). Spark side runs the salted two-phase
+    top-k (no hot-domain single-task sort); DuckDB replays with a
+    plain ROW_NUMBER over the shared hash idiom."""
+    from a2b_spark.operators.rangejoin import frequency_cap
+    from a2b_spark.queries.relational import _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    kept = frequency_cap(
+        d, ["lang", "source"], "doc_id", _Q172_CAP, salt=_Q172_SALT
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("head1"),
+            F.max(
+                F.when(F.col("rk") == _Q172_CAP, F.col("doc_id"))
+            ).alias("tail"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+O_Q172 = f"""
+WITH h AS (
+  SELECT doc_id, lang, source, text,
+         CAST(('0x' || substring(md5('{_Q172_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang, source ORDER BY h60, CAST(doc_id AS VARCHAR)
+  ) AS rk
+  FROM h
+),
+k AS (SELECT * FROM r WHERE rk <= {_Q172_CAP})
+SELECT lang, source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS head1,
+       MAX(CASE WHEN rk = {_Q172_CAP} THEN doc_id END) AS tail
+FROM k
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+QUERIES["q172_domain_frequency_cap"] = q172_domain_frequency_cap
+ORACLES["q172_domain_frequency_cap"] = O_Q172

@@ -1491,3 +1491,37 @@ def test_edit_distance_pairs_approx_edges(spark):
         edit_distance_pairs_approx(df, "v", "id", 0)
     with _pytest.raises(ValueError, match="bands"):
         edit_distance_pairs_approx(df, "v", "id", 4, bands=7)
+
+
+def test_frequency_cap_contract(spark):
+    """Per-domain cap (rangejoin.frequency_cap): at most cap rows per
+    group, deterministic across reruns AND repartitionings, 1-based
+    contiguous ranks, small groups pass through whole, and the kept
+    set is salt-sensitive (a different salt draws a different
+    subset)."""
+    from a2b_spark.operators.rangejoin import frequency_cap
+
+    rows = [(i, "hot" if i < 900 else f"c{i % 7}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+
+    def run(d, salt="s1"):
+        out = frequency_cap(d, ["dom"], "doc_id", 5, salt=salt).collect()
+        return {(r.dom, r.rk): r.doc_id for r in out}
+
+    a = run(df)
+    b = run(df.repartition(13, "doc_id"))
+    assert a == b  # partitioning-invariant
+    per = {}
+    for (dom, rk), _ in a.items():
+        per.setdefault(dom, []).append(rk)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert len(per["hot"]) == 5  # capped
+    # groups under the cap keep everything (c0..c6 hold ~14 docs... cap 5)
+    assert all(len(v) == 5 for v in per.values())
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, dom string")
+    assert frequency_cap(small, ["dom"], "doc_id", 5).count() == 2
+    assert run(df, salt="s2") != a  # the draw is salted
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        frequency_cap(df, ["dom"], "doc_id", 0)

@@ -264,6 +264,24 @@ def test_storage_interleaving_model(spark, tmp_path_factory, dv, partitioned, op
     _run_sequence(spark, tmp, dv, partitioned, ops)
 
 
+@pytest.mark.deep
+@settings(
+    parent=_SET,
+    max_examples=int(os.environ.get("A2B_STORAGE_MODEL_DEEP_EXAMPLES", "200")),
+)
+@seed(20260816)
+@given(dv=st.booleans(), partitioned=st.booleans(), ops=_ops)
+def test_storage_interleaving_model_deep(
+    spark, tmp_path_factory, dv, partitioned, ops
+):
+    """The periodic deep sweep (round-11 verdict item 8), reproducible
+    as ``python -m pytest -m deep -q`` — deselected from the default
+    run by pytest.ini's addopts. Same model, 200 sequences (~15 min);
+    override the count with A2B_STORAGE_MODEL_DEEP_EXAMPLES."""
+    tmp = tmp_path_factory.mktemp("storage_model_deep")
+    _run_sequence(spark, tmp, dv, partitioned, ops)
+
+
 def test_storage_model_restore_then_ivm_directed(spark, tmp_path):
     """Directed companion (always runs, no randomness): restore's
     inverse-diff CDF must keep the incremental rollup equal to the
