@@ -23,6 +23,12 @@ order given):
                   ``--clf-vocab``/``--clf-weights``; train one with
                   ``operators.classifier.bow_logreg_train``); keeps
                   docs with exact-decimal score z ≥ ``--clf-threshold``
+- ``decontam``    train/eval decontamination (the GPT-3 n-gram
+                  overlap rule): drop every doc sharing a word
+                  ``--decontam-n``-gram with the benchmark parquet at
+                  ``--decontam-benchmark`` (normalized with the same
+                  NFC pass when the nfc stage is enabled — grams must
+                  compare like-with-like)
 - ``dedup``       exact dedup on the normalized-text fingerprint
 - ``neardup``     MinHash-LSH near-dup pairs; higher doc_id loses
 - ``shard``       deterministic shuffle-shard export (salted md5 —
@@ -42,7 +48,8 @@ import os
 from typing import Optional, Sequence
 
 STAGE_ORDER = (
-    "nfc", "quality", "perplexity", "classifier", "dedup", "neardup", "shard"
+    "nfc", "quality", "perplexity", "classifier", "decontam",
+    "dedup", "neardup", "shard",
 )
 
 
@@ -62,6 +69,8 @@ def run_curation(
     clf_weights: Sequence[str] | None = None,
     clf_bias: str = "0",
     clf_threshold: str = "0",
+    decontam_benchmark: Optional[str] = None,
+    decontam_n: int = 8,
 ) -> dict:
     """Programmatic entry — the CLI is a thin argparse wrapper. Returns
     the per-stage stats dict (also written next to the output)."""
@@ -186,6 +195,38 @@ def run_curation(
         )
         stats["classifier"] = docs.count()
 
+    if "decontam" in stages:
+        from a2b_spark.operators.dedup import ngram_decontaminate
+
+        if not decontam_benchmark:
+            raise ValueError(
+                "the decontam stage needs a benchmark: pass "
+                "decontam_benchmark (a parquet of eval documents with "
+                f"a {text_col!r} column)"
+            )
+        bench = spark.read.parquet(decontam_benchmark)
+        if text_col not in bench.columns:
+            raise ValueError(
+                f"benchmark parquet lacks required column {text_col!r}"
+            )
+        if "nfc" in stages:
+            # grams must compare like-with-like: the corpus side was
+            # canonicalized above, so the benchmark side gets the
+            # identical pass
+            from a2b_spark.functions.unicode import nfc
+
+            bench = bench.withColumn(text_col, nfc(text_col))
+        if id_col not in bench.columns:
+            bench = bench.withColumn(id_col, F.monotonically_increasing_id())
+        hits = ngram_decontaminate(
+            docs.select(id_col, text_col), bench, text_col, id_col,
+            n=decontam_n,
+        )
+        docs = docs.join(
+            hits.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        stats["decontam"] = docs.count()
+
     if "dedup" in stages:
         from a2b_spark.functions.text import fingerprint
         from a2b_spark.operators.dedup import exact_dedup
@@ -244,9 +285,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "--stages",
         default="nfc,quality,perplexity,dedup,neardup,shard",
         help="comma-separated subset of "
-        "nfc,quality,perplexity,classifier,dedup,neardup,shard "
-        "(classifier additionally needs --clf-vocab/--clf-weights; "
-        "default omits it because there is no default frozen model)",
+        "nfc,quality,perplexity,classifier,decontam,dedup,neardup,"
+        "shard (classifier additionally needs --clf-vocab/"
+        "--clf-weights and decontam needs --decontam-benchmark; the "
+        "default omits both because they need external inputs)",
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -269,6 +311,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "--clf-threshold", default="0",
         help="keep documents with linear score z >= this decimal",
     )
+    p.add_argument(
+        "--decontam-benchmark", default=None,
+        help="parquet of eval/benchmark documents (required for the "
+        "decontam stage); docs sharing any --decontam-n word n-gram "
+        "with it are dropped",
+    )
+    p.add_argument("--decontam-n", type=int, default=8)
     args = p.parse_args(argv)
 
     from a2b_spark.session import get_spark
@@ -303,6 +352,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         ),
         clf_bias=args.clf_bias,
         clf_threshold=args.clf_threshold,
+        decontam_benchmark=args.decontam_benchmark,
+        decontam_n=args.decontam_n,
     )
     print(json.dumps(stats))
     return 0

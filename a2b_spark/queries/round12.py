@@ -11,6 +11,15 @@
   hash-match. The perplexity decision is EXACT in both engines
   (multiply-through decimal predicate, see a2b_spark/curate.py), so no
   float boundary can flip a surviving doc between engines.
+
+- q172: per-domain frequency capping (RefinedWeb/C4) via the new
+  rangejoin.frequency_cap operator — salted-md5 draw, salted two-phase
+  top-k execution (no hot-domain single-task sort).
+
+- q173: the CLI's new decontam stage (GPT-3 n-gram overlap rule)
+  certified end-to-end — a written-to-parquet benchmark sample, the
+  real CLI chain nfc → quality → decontam → dedup → shard, and a
+  DuckDB replay of the sample cut + gram join + tail stages.
 """
 
 from __future__ import annotations
@@ -269,3 +278,128 @@ ORDER BY lang, source
 
 QUERIES["q172_domain_frequency_cap"] = q172_domain_frequency_cap
 ORACLES["q172_domain_frequency_cap"] = O_Q172
+
+
+# --------------------------------------------------------------- Q173
+_Q173_MIN_TOKENS = 30
+_Q173_N = 5
+_Q173_SHARDS = 8
+_Q173_SALT = "q173-v1"
+_Q173_BENCH_SALT = "q173-bench"
+
+
+def q173_curation_cli_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLI's decontam stage certified end-to-end: a deterministic
+    20% hash sample of the corpus is WRITTEN to scratch parquet as the
+    'benchmark', then run_curation executes nfc → quality → decontam →
+    dedup → shard against it for real — every doc sharing a word
+    5-gram with the benchmark (trivially including the benchmark's own
+    members, which live in the corpus too) must vanish before dedup.
+    DuckDB replays the sample cut, the gram join, and the tail stages;
+    the per-shard rollup hash-matches or the stage is wrong."""
+    import shutil
+
+    from a2b_spark.curate import run_curation
+    from a2b_spark.operators.rangejoin import hash_sample
+    from a2b_spark.queries.relational import _t
+    from a2b_spark.queries.round7 import _scratch_path
+
+    bench_path = _scratch_path(sf_dir, "q173b")
+    out = _scratch_path(sf_dir, "q173")
+    try:
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        hash_sample(d, "doc_id", percent=20, salt=_Q173_BENCH_SALT).write.mode(
+            "overwrite"
+        ).parquet(bench_path)
+        run_curation(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            ("nfc", "quality", "decontam", "dedup", "shard"),
+            min_tokens=_Q173_MIN_TOKENS,
+            n_shards=_Q173_SHARDS,
+            salt=_Q173_SALT,
+            decontam_benchmark=bench_path,
+            decontam_n=_Q173_N,
+        )
+        curated = spark.read.parquet(out)
+        return (
+            curated.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("head1"),
+                F.max(F.when(F.col("pos") == 2, F.col("doc_id"))).alias("head2"),
+            )
+            .orderBy("shard")
+            .localCheckpoint(eager=True)  # pin before the scratch sweep
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(bench_path, ignore_errors=True)
+
+
+O_Q173 = f"""
+WITH nfc0 AS (
+  SELECT doc_id, nfc_normalize(text) AS text FROM documents
+),
+q AS (
+  SELECT * FROM nfc0
+  WHERE len(string_split(text, ' ')) >= {_Q173_MIN_TOKENS}
+),
+bench AS (
+  SELECT doc_id, text FROM nfc0
+  WHERE CAST(('0x' || substring(md5('{_Q173_BENCH_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+),
+gq AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(ws) >= {_Q173_N}
+           THEN [list_aggregate(ws[i+1:i+{_Q173_N}], 'string_agg', ' ')
+                 for i in range(0, len(ws)-{_Q173_N - 1})]
+           ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS ng
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM q)
+),
+gb AS (
+  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(ws) >= {_Q173_N}
+           THEN [list_aggregate(ws[i+1:i+{_Q173_N}], 'string_agg', ' ')
+                 for i in range(0, len(ws)-{_Q173_N - 1})]
+           ELSE [list_aggregate(ws, 'string_agg', ' ')] END)) AS ng
+  FROM (SELECT string_split(text, ' ') AS ws FROM bench)
+),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM gq JOIN gb USING (ng) WHERE ng <> ''
+),
+surv AS (
+  SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+d AS (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM surv GROUP BY 2
+),
+s AS (
+  SELECT c.doc_id, c.text,
+         CAST(h.h60 % {_Q173_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY h.h60 % {_Q173_SHARDS}
+           ORDER BY h.h60, CAST(c.doc_id AS VARCHAR)
+         ) AS pos
+  FROM d JOIN surv c USING (doc_id)
+  JOIN (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('{_Q173_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+    FROM documents
+  ) h USING (doc_id)
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       MAX(CASE WHEN pos = 1 THEN doc_id END) AS head1,
+       MAX(CASE WHEN pos = 2 THEN doc_id END) AS head2
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+QUERIES["q173_curation_cli_decontam"] = q173_curation_cli_decontam
+ORACLES["q173_curation_cli_decontam"] = O_Q173

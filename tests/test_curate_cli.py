@@ -207,3 +207,34 @@ def test_stages_help_lists_classifier(capsys):
     text = capsys.readouterr().out
     for stage in STAGE_ORDER:
         assert stage in text
+
+
+def test_decontam_stage(spark, sf_dir, tmp_path):
+    """The decontam stage drops exactly the docs sharing an n-gram
+    with the benchmark (here: the benchmark IS a slice of the corpus,
+    so every benchmark doc self-decontaminates), requires the
+    benchmark path, and validates its schema."""
+    src = f"{sf_dir}/documents.parquet"
+    with pytest.raises(ValueError, match="benchmark"):
+        run_curation(spark, src, str(tmp_path / "d0"), ("decontam",))
+
+    bench = str(tmp_path / "bench")
+    docs = spark.read.parquet(src)
+    docs.filter(docs.doc_id % 5 == 0).write.parquet(bench)
+    stats = run_curation(
+        spark, src, str(tmp_path / "d1"), ("decontam",),
+        decontam_benchmark=bench, decontam_n=5,
+    )
+    n_bench = docs.filter(docs.doc_id % 5 == 0).count()
+    # every benchmark doc is in the corpus and shares all its grams
+    # with itself; leaked near-dups may drop more
+    assert stats["decontam"] <= stats["input"] - n_bench
+    assert stats["decontam"] > 0
+
+    bad = str(tmp_path / "badbench")
+    docs.select("doc_id").write.parquet(bad)
+    with pytest.raises(ValueError, match="lacks required column"):
+        run_curation(
+            spark, src, str(tmp_path / "d2"), ("decontam",),
+            decontam_benchmark=bad,
+        )
