@@ -12,6 +12,11 @@ from a2b_spark.curate import STAGE_ORDER, run_curation
 
 def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
     out = str(tmp_path / "curated")
+    bench = str(tmp_path / "bench")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # a tiny benchmark that exists in the corpus: the decontam stage
+    # must drop at least its own members
+    docs.filter(docs.doc_id % 97 == 0).write.parquet(bench)
     stats = run_curation(
         spark,
         f"{sf_dir}/documents.parquet",
@@ -23,6 +28,8 @@ def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
         clf_weights=["0.25", "0.5"],
         clf_bias="-0.125",
         clf_threshold="-10",  # permissive demo model: judges, keeps most
+        decontam_benchmark=bench,
+        decontam_n=5,
     )
     # monotone survivor counts, every stage recorded
     assert (
@@ -30,6 +37,7 @@ def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
         >= stats["quality"]
         >= stats["perplexity"]
         >= stats["classifier"]
+        > stats["decontam"]  # strict: the benchmark's members must go
         >= stats["dedup"]
         >= stats["neardup"]
         == stats["output"]
