@@ -227,8 +227,18 @@ def frequency_cap(
 
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    order = [
-        _hash60(id_col, salt).asc(),
-        F.col(id_col).cast("string").asc(),
-    ]
+    # A NULL id would hash to NULL and sort NULLS FIRST in Spark but
+    # NULLS LAST in DuckDB — a silently divergent kept set. Fail
+    # loudly AT EXECUTION, riding the hash expression itself (the
+    # shuffle_shards NULL-key contract; no extra validation scan).
+    h = F.when(F.col(id_col).isNotNull(), _hash60(id_col, salt)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"frequency_cap: NULL value in id column {id_col!r} — "
+                "the deterministic draw is undefined for NULL ids; "
+                "filter or fill them first"
+            )
+        )
+    )
+    order = [h.asc(), F.col(id_col).cast("string").asc()]
     return top_k_per_group(df, list(group_cols), order, cap, rank_col=rank_col)

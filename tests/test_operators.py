@@ -1525,3 +1525,16 @@ def test_frequency_cap_contract(spark):
 
     with _pytest.raises(ValueError, match="cap"):
         frequency_cap(df, ["dom"], "doc_id", 0)
+
+
+def test_frequency_cap_null_id_raises(spark):
+    """NULL ids would sort NULLS FIRST in Spark but NULLS LAST in
+    DuckDB — the draw must fail loudly at execution instead (the
+    shuffle_shards NULL-key contract)."""
+    from a2b_spark.operators.rangejoin import frequency_cap
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a")], "doc_id long, dom string"
+    )
+    with pytest.raises(Exception, match="NULL value in id column"):
+        frequency_cap(df, ["dom"], "doc_id", 5).collect()
