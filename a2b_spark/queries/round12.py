@@ -403,3 +403,103 @@ ORDER BY shard
 
 QUERIES["q173_curation_cli_decontam"] = q173_curation_cli_decontam
 ORACLES["q173_curation_cli_decontam"] = O_Q173
+
+
+# --------------------------------------------------------------- Q174
+_Q174_MIN_DOCS = 3
+_Q174_BP = "SHARED COOKIE BANNER LINE"
+
+
+def q174_boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup (operators/lines.py): every
+    third doc gets the SAME planted banner line, every 3k+1-th doc a
+    line unique to it; boilerplate detection (distinct-doc count >=
+    MIN_DOCS, exact string match) must strip exactly the banner — plus
+    any full-text lines genuinely shared by >= MIN_DOCS corpus docs
+    (the planted exact-dup families; both engines recompute the same
+    set) — while unique lines, blank structure, and line order
+    survive reassembly byte-for-byte. Rolled up per lang: docs, exact
+    char sum of the cleaned text, docs changed."""
+    from a2b_spark.operators.lines import remove_boilerplate_lines
+    from a2b_spark.queries.relational import _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    staged_text = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_Q174_BP + "\n"), F.col("text")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"), F.lit("\nONLY-"), F.col("doc_id").cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    staged = d.select(
+        "doc_id", "lang", staged_text.alias("text")
+    ).withColumn("orig", F.col("text"))
+    cleaned = remove_boilerplate_lines(
+        staged, "text", "doc_id", min_docs=_Q174_MIN_DOCS
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            F.sum((F.col("text") != F.col("orig")).cast("int"))
+            .cast("long")
+            .alias("n_changed"),
+        )
+        .orderBy("lang")
+    )
+
+
+O_Q174 = f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 3 = 0
+           THEN '{_Q174_BP}' || chr(10) || text
+         WHEN doc_id % 3 = 1
+           THEN text || chr(10) || 'ONLY-' || CAST(doc_id AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, lang,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM staged
+),
+bp AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS nd
+    FROM l WHERE line <> '' GROUP BY 1
+  ) WHERE nd >= {_Q174_MIN_DOCS}
+),
+kept AS (
+  SELECT * FROM l WHERE line NOT IN (SELECT line FROM bp)
+),
+reb AS (
+  SELECT doc_id, lang,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY 1, 2
+),
+final AS (
+  SELECT s.doc_id, s.lang, COALESCE(r.text, '') AS text,
+         s.text AS orig
+  FROM staged s LEFT JOIN reb r USING (doc_id, lang)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN text <> orig THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM final
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["q174_boilerplate_line_removal"] = q174_boilerplate_line_removal
+ORACLES["q174_boilerplate_line_removal"] = O_Q174

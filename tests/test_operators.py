@@ -1538,3 +1538,43 @@ def test_frequency_cap_null_id_raises(spark):
     )
     with pytest.raises(Exception, match="NULL value in id column"):
         frequency_cap(df, ["dom"], "doc_id", 5).collect()
+
+
+def test_boilerplate_line_removal(spark):
+    """C4-style line dedup (operators/lines.py): lines in >= min_docs
+    DISTINCT docs vanish from every doc, within-doc repeats don't
+    count toward the threshold, blank lines are structure (preserved,
+    never boilerplate), order and separator survive reassembly, and
+    all-boilerplate docs come back empty rather than disappearing."""
+    from a2b_spark.operators.lines import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nunique line A"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "self repeated\nself repeated\nunique line B"),
+            (4, "COOKIE BANNER"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    bp = {r.line: r.n_docs for r in
+          boilerplate_lines(docs, "text", "doc_id", min_docs=2).collect()}
+    # within-doc repetition (doc 3) does not reach the cross-doc bar
+    assert bp == {"COOKIE BANNER": 3}
+
+    out = {r.doc_id: r.text for r in
+           remove_boilerplate_lines(docs, "text", "doc_id", 2).collect()}
+    assert out[1] == "real content one\n\nunique line A"  # blank kept
+    assert out[2] == "real content two"
+    assert out[3] == "self repeated\nself repeated\nunique line B"
+    assert out[4] == ""  # all-boilerplate doc survives, empty
+    assert out[5] == "" and out[6] == ""  # empty/NULL docs survive
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(docs, "text", "doc_id", 1)
