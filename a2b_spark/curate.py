@@ -23,6 +23,10 @@ order given):
                   ``--clf-vocab``/``--clf-weights``; train one with
                   ``operators.classifier.bow_logreg_train``); keeps
                   docs with exact-decimal score z ≥ ``--clf-threshold``
+- ``linedup``     C4-style cross-document line dedup: lines appearing
+                  in ≥ ``--line-min-docs`` distinct documents (cookie
+                  banners, navbars, license headers) are stripped from
+                  every document; order/blank structure preserved
 - ``decontam``    train/eval decontamination (the GPT-3 n-gram
                   overlap rule): drop every doc sharing a word
                   ``--decontam-n``-gram with the benchmark parquet at
@@ -48,7 +52,7 @@ import os
 from typing import Optional, Sequence
 
 STAGE_ORDER = (
-    "nfc", "quality", "perplexity", "classifier", "decontam",
+    "nfc", "linedup", "quality", "perplexity", "classifier", "decontam",
     "dedup", "neardup", "shard",
 )
 
@@ -71,6 +75,7 @@ def run_curation(
     clf_threshold: str = "0",
     decontam_benchmark: Optional[str] = None,
     decontam_n: int = 8,
+    line_min_docs: int = 16,
 ) -> dict:
     """Programmatic entry — the CLI is a thin argparse wrapper. Returns
     the per-stage stats dict (also written next to the output)."""
@@ -106,6 +111,17 @@ def run_curation(
         from a2b_spark.functions.unicode import nfc
 
         docs = docs.withColumn(text_col, nfc(text_col))
+
+    if "linedup" in stages:
+        from a2b_spark.operators.lines import remove_boilerplate_lines
+
+        # a REWRITE stage, not a filter: doc count is unchanged, but
+        # every later stage (token floors, LM, fingerprints) must see
+        # the cleaned text — hence its place right after nfc
+        docs = remove_boilerplate_lines(
+            docs, text_col, id_col, min_docs=line_min_docs
+        ).localCheckpoint(eager=True)
+        stats["linedup"] = docs.count()
 
     if "quality" in stages:
         from a2b_spark.functions.text import quality_features
@@ -284,11 +300,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument(
         "--stages",
         default="nfc,quality,perplexity,dedup,neardup,shard",
-        help="comma-separated subset of "
-        "nfc,quality,perplexity,classifier,decontam,dedup,neardup,"
-        "shard (classifier additionally needs --clf-vocab/"
-        "--clf-weights and decontam needs --decontam-benchmark; the "
-        "default omits both because they need external inputs)",
+        help="comma-separated subset of: nfc, linedup, quality, "
+        "perplexity, classifier, decontam, dedup, neardup, shard "
+        "(classifier additionally needs --clf-vocab/--clf-weights and "
+        "decontam needs --decontam-benchmark; the default omits both "
+        "because they need external inputs)",
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -318,6 +334,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "with it are dropped",
     )
     p.add_argument("--decontam-n", type=int, default=8)
+    p.add_argument(
+        "--line-min-docs", type=int, default=16,
+        help="linedup stage: strip lines appearing in at least this "
+        "many distinct documents",
+    )
     args = p.parse_args(argv)
 
     from a2b_spark.session import get_spark
@@ -354,6 +375,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         clf_threshold=args.clf_threshold,
         decontam_benchmark=args.decontam_benchmark,
         decontam_n=args.decontam_n,
+        line_min_docs=args.line_min_docs,
     )
     print(json.dumps(stats))
     return 0

@@ -246,3 +246,22 @@ def test_decontam_stage(spark, sf_dir, tmp_path):
             spark, src, str(tmp_path / "d2"), ("decontam",),
             decontam_benchmark=bad,
         )
+
+
+def test_linedup_stage(spark, tmp_path):
+    """The linedup stage strips cross-document boilerplate lines from
+    every doc's text without dropping documents; later stages see the
+    cleaned text (the shared banner no longer reaches the output)."""
+    src = str(tmp_path / "src")
+    rows = [(i, f"BANNER LINE\nunique body {i} with enough tokens "
+                + " ".join(f"w{j}" for j in range(10))) for i in range(20)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = run_curation(
+        spark, src, out, ("linedup", "quality", "shard"),
+        min_tokens=3, n_shards=2, line_min_docs=10,
+    )
+    assert stats["linedup"] == 20 and stats["output"] == 20  # rewrite, no drops
+    texts = [r.text for r in spark.read.parquet(out).collect()]
+    assert all("BANNER LINE" not in t for t in texts)
+    assert all("unique body" in t for t in texts)
