@@ -76,30 +76,28 @@ def boilerplate_lines(
     )
 
 
-def remove_boilerplate_lines(
+def strip_lines(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    min_docs: int = 2,
+    boilerplate_df: DataFrame,
+    line_col: str = "line",
     sep: str = "\n",
 ) -> DataFrame:
-    """``df`` with ``text_col`` rebuilt minus every line that appears
-    in at least ``min_docs`` distinct documents (exact string match,
-    blank lines never count as boilerplate). Documents whose every
-    line is boilerplate survive with empty text — dropping documents
-    is a separate policy decision (compose with a length filter).
-    Line order and the separator are preserved exactly."""
-    if min_docs < 2:
-        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    """``df`` with ``text_col`` rebuilt minus every line that EXACTLY
+    matches a ``boilerplate_df.line_col`` entry — the shared removal
+    kernel: the batch operator derives the set from the corpus itself;
+    the streaming twin ships a FROZEN set against every micro-batch.
+    Documents whose every line is boilerplate survive with empty text
+    — dropping documents is a separate policy decision (compose with
+    a length filter). Line order and the separator are preserved
+    exactly; empty boilerplate entries are ignored (blank lines are
+    structure)."""
     lines = _lines(df, text_col, id_col, sep)
     bp = (
-        lines.filter(F.col("line") != "")
-        .select(F.md5("line").alias("lh"), F.col(id_col))
+        boilerplate_df.filter(F.col(line_col) != "")
+        .select(F.md5(line_col).alias("lh"))
         .distinct()
-        .groupBy("lh")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= min_docs)
-        .select("lh")
     )
     kept = lines.join(
         bp.hint("broadcast"),
@@ -126,4 +124,26 @@ def remove_boilerplate_lines(
         .join(rebuilt, id_col, "left")
         .withColumn(text_col, F.coalesce(F.col("__rebuilt"), F.lit("")))
         .drop("__rebuilt")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """``df`` with ``text_col`` rebuilt minus every line that appears
+    in at least ``min_docs`` distinct documents (exact string match,
+    blank lines never count as boilerplate) — the corpus-derived
+    composition of :func:`boilerplate_lines` + :func:`strip_lines`."""
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    return strip_lines(
+        df,
+        text_col,
+        id_col,
+        boilerplate_lines(df, text_col, id_col, min_docs, sep),
+        sep=sep,
     )

@@ -127,3 +127,48 @@ def run_embedding_decontaminate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_line_cleanup_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    boilerplate_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: VersionedParquetTable,
+    checkpoint_dir: str,
+    sep: str = "\n",
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming twin of the batch linedup stage: arriving documents
+    have every line matching the STATIC ``boilerplate_df`` stripped
+    (exact string match via digest anti join — operators/lines.py's
+    shared strip_lines kernel), then append with idempotent keys.
+
+    Same cost model as the decontamination streams above: the
+    boilerplate set is fixed for the stream's lifetime (derive it
+    once from a reference corpus with boilerplate_lines; at
+    web-corpus scale the set is the tiny head of the line-frequency
+    distribution, so the per-batch anti join broadcasts), each
+    micro-batch pays one posexplode + rebuild bounded by its own
+    documents, and redelivery inserts nothing new. A REWRITE filter:
+    documents are cleaned, never dropped — compose with a quality
+    stage downstream for emptied docs."""
+    from a2b_spark.operators.lines import strip_lines
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_df must be a streaming DataFrame (spark.readStream)")
+    bp = boilerplate_df.select("line").localCheckpoint(eager=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cleaned = strip_lines(batch_df, text_col, id_col, bp, sep=sep)
+        table.append(cleaned, dedupe_keys=list(table.key_cols))
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -256,3 +256,56 @@ def test_streaming_embedding_decontaminate(spark, tmp_path):
     before = sorted(r.vec_id for r in table.read(spark).collect())
     run("eck_replay")
     assert sorted(r.vec_id for r in table.read(spark).collect()) == before
+
+
+def test_streaming_line_cleanup(spark, tmp_path):
+    """Streaming twin of the linedup stage: every arriving doc has the
+    static boilerplate lines stripped (== the batch strip_lines twin),
+    docs are cleaned never dropped, and full replay under a fresh
+    checkpoint inserts nothing (idempotent keyed append)."""
+    import os
+
+    from a2b_spark.operators.lines import boilerplate_lines, strip_lines
+    from a2b_spark.storage.table import VersionedParquetTable
+    from a2b_spark.streaming.filters import run_line_cleanup_stream
+
+    # reference corpus: banner shared by 3 docs -> frozen boilerplate set
+    ref = spark.createDataFrame(
+        [(900, "BANNER\nref a"), (901, "BANNER\nref b"), (902, "BANNER\nref c")],
+        "doc_id long, text string",
+    )
+    bp = boilerplate_lines(ref, "text", "doc_id", min_docs=3)
+    assert {r.line for r in bp.collect()} == {"BANNER"}
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    table = VersionedParquetTable(str(tmp_path / "clean"), key_cols=("doc_id",))
+
+    def run(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        run_line_cleanup_stream(
+            spark, stream, bp, "text", "doc_id", table, str(tmp_path / ckpt)
+        ).awaitTermination(120)
+
+    rows = [
+        (1, "BANNER\nbody one"),
+        (2, "body two\nBANNER"),
+        (3, "no banner here"),
+        (4, "BANNER"),
+    ]
+    batch_in = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_in.write.mode("append").parquet(src)
+    run("ck1")
+    got = {r.doc_id: r.text for r in table.read(spark).collect()}
+    want = {
+        r.doc_id: r.text
+        for r in strip_lines(batch_in, "text", "doc_id", bp).collect()
+    }
+    assert got == want == {
+        1: "body one", 2: "body two", 3: "no banner here", 4: ""
+    }
+
+    # replay everything under a fresh checkpoint: nothing new lands
+    v_before = table.current_version()
+    run("ck2")
+    assert {r.doc_id: r.text for r in table.read(spark).collect()} == want
