@@ -78,3 +78,59 @@ def streaming_dedup_first_seen(
     return df.groupBy(*keys).applyInPandasWithState(
         dedup, out_schema, state_schema, "update", timeout
     )
+
+
+def streaming_domain_quota(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cap: int,
+    ttl_minutes: Optional[int] = None,
+) -> DataFrame:
+    """Emit at most ``cap`` rows per group tuple across the stream's
+    lifetime — the streaming analogue of the batch per-domain
+    frequency cap (operators/rangejoin.frequency_cap), with the draw
+    the only semantic difference: batch selects by the salted-hash
+    order over the WHOLE corpus (needs global knowledge), a stream can
+    only admit in ARRIVAL order — the standard ingest-quota trade.
+
+    State per group is a single counter (8 bytes): 10^9 domains ≈ a
+    few GB across the state store; ``ttl_minutes`` expires idle
+    groups' quotas for the bounded-state variant (a domain going quiet
+    for the TTL earns a fresh quota — rate limiting rather than a
+    lifetime cap). Within a micro-batch, "first" follows Spark's
+    delivery order; the admitted count never exceeds ``cap`` even
+    when one batch delivers the whole group.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    keys = list(group_cols)
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def quota(
+        key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        emitted = 0
+        for pdf in pdfs:
+            room = cap - n - emitted
+            if room > 0 and len(pdf):
+                take = pdf.iloc[:room]
+                emitted += len(take)
+                yield take
+            # keep draining: the protocol requires consuming the iterator
+        state.update((n + emitted,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        quota, out_schema, state_schema, "update", timeout
+    )

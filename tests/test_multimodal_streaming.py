@@ -697,3 +697,53 @@ def test_streaming_real_codec_decode(spark, tmp_path):
         r = out[i]
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert abs(r.features[0] - mean) < 1e-6
+
+
+def test_streaming_domain_quota_across_batches(spark, tmp_path):
+    """streaming_domain_quota: at most cap rows per group across ALL
+    micro-batches — a group filled in batch 1 admits nothing later; a
+    group arriving split across batches admits only up to the
+    remainder; a one-batch flood of a whole group caps within the
+    batch."""
+    from a2b_spark.streaming.stateful import streaming_domain_quota
+
+    src_dir = str(tmp_path / "quota_in")
+    os.makedirs(src_dir)
+    # batch 1: A×2, B×1 ; batch 2: A×3 (only 1 more fits), B×1, C×4 (caps at 3)
+    spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 10)], "dom string, v int"
+    ).coalesce(1).write.parquet(f"{src_dir}/batch1")
+    spark.createDataFrame(
+        [("A", 3), ("A", 4), ("A", 5), ("B", 11), ("C", 20), ("C", 21),
+         ("C", 22), ("C", 23)],
+        "dom string, v int",
+    ).coalesce(1).write.parquet(f"{src_dir}/batch2")
+
+    sdf = (
+        spark.readStream.schema("dom string, v int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/batch*")
+    )
+    capped = streaming_domain_quota(sdf, ["dom"], cap=3)
+    q = (
+        capped.writeStream.format("memory")
+        .queryName("quota_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.dom, r.v) for r in spark.sql("SELECT * FROM quota_out").collect()]
+    per = {}
+    for dom, v in rows:
+        per.setdefault(dom, []).append(v)
+    assert len(per["A"]) == 3 and {1, 2} <= set(per["A"])  # batch-1 pair + 1
+    assert sorted(per["B"]) == [10, 11]  # under cap: everything lands
+    assert len(per["C"]) == 3  # one-batch flood caps inside the batch
+    assert len(rows) == 8
+
+    with pytest.raises(ValueError, match="cap"):
+        streaming_domain_quota(sdf, ["dom"], cap=0)
