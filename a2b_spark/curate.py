@@ -35,6 +35,11 @@ order given):
                   compare like-with-like)
 - ``dedup``       exact dedup on the normalized-text fingerprint
 - ``neardup``     MinHash-LSH near-dup pairs; higher doc_id loses
+- ``domaincap``   per-domain contribution cap (RefinedWeb/C4): keep at
+                  most ``--domain-cap`` docs per ``--domain-col`` value
+                  under the deterministic salted draw (runs after the
+                  dedup stages so survivors, not duplicates, spend the
+                  quota)
 - ``shard``       deterministic shuffle-shard export (salted md5 —
                   reproducible on any cluster size)
 
@@ -53,7 +58,7 @@ from typing import Optional, Sequence
 
 STAGE_ORDER = (
     "nfc", "linedup", "quality", "perplexity", "classifier", "decontam",
-    "dedup", "neardup", "shard",
+    "dedup", "neardup", "domaincap", "shard",
 )
 
 
@@ -76,6 +81,8 @@ def run_curation(
     decontam_benchmark: Optional[str] = None,
     decontam_n: int = 8,
     line_min_docs: int = 16,
+    domain_col: str = "source",
+    domain_cap: int = 10_000,
 ) -> dict:
     """Programmatic entry — the CLI is a thin argparse wrapper. Returns
     the per-stage stats dict (also written next to the output)."""
@@ -266,6 +273,19 @@ def run_curation(
         )
         stats["neardup"] = docs.count()
 
+    if "domaincap" in stages:
+        from a2b_spark.operators.rangejoin import frequency_cap
+
+        if domain_col not in docs.columns:
+            raise ValueError(
+                f"domaincap stage needs column {domain_col!r} (set "
+                "domain_col to the domain/source column)"
+            )
+        docs = frequency_cap(
+            docs, [domain_col], id_col, domain_cap, salt=f"{salt}-domaincap"
+        ).drop("rk").localCheckpoint(eager=True)
+        stats["domaincap"] = docs.count()
+
     if "shard" in stages:
         from a2b_spark.operators.shards import shuffle_shards
 
@@ -301,10 +321,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "--stages",
         default="nfc,quality,perplexity,dedup,neardup,shard",
         help="comma-separated subset of: nfc, linedup, quality, "
-        "perplexity, classifier, decontam, dedup, neardup, shard "
-        "(classifier additionally needs --clf-vocab/--clf-weights and "
-        "decontam needs --decontam-benchmark; the default omits both "
-        "because they need external inputs)",
+        "perplexity, classifier, decontam, dedup, neardup, domaincap, "
+        "shard (classifier additionally needs --clf-vocab/"
+        "--clf-weights and decontam needs --decontam-benchmark; the "
+        "default omits both because they need external inputs)",
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -338,6 +358,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         "--line-min-docs", type=int, default=16,
         help="linedup stage: strip lines appearing in at least this "
         "many distinct documents",
+    )
+    p.add_argument(
+        "--domain-col", default="source",
+        help="domaincap stage: the domain/source column to cap by",
+    )
+    p.add_argument(
+        "--domain-cap", type=int, default=10_000,
+        help="domaincap stage: max documents kept per domain value",
     )
     args = p.parse_args(argv)
 
@@ -376,6 +404,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         decontam_benchmark=args.decontam_benchmark,
         decontam_n=args.decontam_n,
         line_min_docs=args.line_min_docs,
+        domain_col=args.domain_col,
+        domain_cap=args.domain_cap,
     )
     print(json.dumps(stats))
     return 0

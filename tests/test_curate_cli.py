@@ -34,12 +34,14 @@ def test_full_pipeline_end_to_end(spark, sf_dir, tmp_path):
     # monotone survivor counts, every stage recorded
     assert (
         stats["input"]
+        == stats["linedup"]  # rewrite stage: cleans, never drops
         >= stats["quality"]
         >= stats["perplexity"]
         >= stats["classifier"]
         > stats["decontam"]  # strict: the benchmark's members must go
         >= stats["dedup"]
         >= stats["neardup"]
+        >= stats["domaincap"]
         == stats["output"]
         > 0
     )
@@ -265,3 +267,32 @@ def test_linedup_stage(spark, tmp_path):
     texts = [r.text for r in spark.read.parquet(out).collect()]
     assert all("BANNER LINE" not in t for t in texts)
     assert all("unique body" in t for t in texts)
+
+
+def test_domaincap_stage(spark, sf_dir, tmp_path):
+    """domaincap keeps at most --domain-cap docs per domain value,
+    deterministically; missing domain column errors loudly."""
+    src = f"{sf_dir}/documents.parquet"
+    stats = run_curation(
+        spark, src, str(tmp_path / "dc1"), ("domaincap",),
+        domain_col="lang", domain_cap=7,
+    )
+    out = spark.read.parquet(str(tmp_path / "dc1"))
+    per = {r.lang: r.n for r in out.groupBy("lang").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert per and all(n <= 7 for n in per.values())
+    assert stats["domaincap"] == stats["output"] == sum(per.values())
+    # deterministic: a second run keeps the identical doc set
+    run_curation(
+        spark, src, str(tmp_path / "dc2"), ("domaincap",),
+        domain_col="lang", domain_cap=7,
+    )
+    ids1 = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "dc2")).select("doc_id").collect()}
+    assert ids1 == ids2
+    with pytest.raises(ValueError, match="domaincap stage needs column"):
+        run_curation(
+            spark, src, str(tmp_path / "dc3"), ("domaincap",),
+            domain_col="nope",
+        )
