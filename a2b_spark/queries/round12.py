@@ -503,3 +503,153 @@ ORDER BY lang
 
 QUERIES["q174_boilerplate_line_removal"] = q174_boilerplate_line_removal
 ORACLES["q174_boilerplate_line_removal"] = O_Q174
+
+
+# --------------------------------------------------------------- Q175
+_Q175_MIN_TOKENS = 30
+_Q175_MIN_DOCS = 3
+_Q175_CAP = 15
+_Q175_SHARDS = 8
+_Q175_SALT = "q175-v1"
+_Q175_BP = "SHARED BANNER"
+
+
+def q175_curation_cli_linedup_domaincap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The CLI chain certified THROUGH the two round-12 stages: a
+    staged corpus (every third doc carries the same banner line) runs
+    nfc → linedup → quality → domaincap → dedup → shard for real, and
+    DuckDB replays all six — the banner must vanish from every doc
+    (and ONLY the banner), the token floor applies to the CLEANED
+    text, the per-source cap keeps exactly the salted-draw winners,
+    and the shard rollup hash-matches."""
+    import shutil
+
+    from a2b_spark.curate import run_curation
+    from a2b_spark.queries.relational import _t
+    from a2b_spark.queries.round7 import _scratch_path
+
+    staged_path = _scratch_path(sf_dir, "q175s")
+    out = _scratch_path(sf_dir, "q175")
+    try:
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "text"
+        )
+        d.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(_Q175_BP + "\n"), F.col("text")),
+            ).otherwise(F.col("text")),
+        ).write.mode("overwrite").parquet(staged_path)
+        run_curation(
+            spark,
+            staged_path,
+            out,
+            ("nfc", "linedup", "quality", "domaincap", "dedup", "shard"),
+            min_tokens=_Q175_MIN_TOKENS,
+            line_min_docs=_Q175_MIN_DOCS,
+            domain_col="source",
+            domain_cap=_Q175_CAP,
+            n_shards=_Q175_SHARDS,
+            salt=_Q175_SALT,
+        )
+        curated = spark.read.parquet(out)
+        return (
+            curated.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+                F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("head1"),
+                F.max(F.when(F.col("pos") == 2, F.col("doc_id"))).alias("head2"),
+            )
+            .orderBy("shard")
+            .localCheckpoint(eager=True)  # pin before the scratch sweep
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(staged_path, ignore_errors=True)
+
+
+O_Q175 = f"""
+WITH staged AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{_Q175_BP}' || chr(10) || nfc_normalize(text)
+              ELSE nfc_normalize(text) END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, chr(10))) AS line,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+  FROM staged
+),
+bp AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS nd
+    FROM l WHERE line <> '' GROUP BY 1
+  ) WHERE nd >= {_Q175_MIN_DOCS}
+),
+reb AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text
+  FROM l WHERE line NOT IN (SELECT line FROM bp)
+  GROUP BY 1
+),
+ld AS (
+  SELECT s.doc_id, s.lang, s.source, COALESCE(r.text, '') AS text
+  FROM staged s LEFT JOIN reb r USING (doc_id)
+),
+q AS (
+  SELECT * FROM ld
+  WHERE len(string_split(text, ' ')) >= {_Q175_MIN_TOKENS}
+),
+dc AS (
+  SELECT doc_id, lang, source, text FROM (
+    SELECT q.*,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY h.h60, CAST(doc_id AS VARCHAR)
+           ) AS rk
+    FROM q JOIN (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5('{_Q175_SALT}-domaincap' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+      FROM documents
+    ) h USING (doc_id)
+  ) WHERE rk <= {_Q175_CAP}
+),
+d AS (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+  FROM dc GROUP BY 2
+),
+s AS (
+  SELECT c.doc_id, c.text,
+         CAST(h.h60 % {_Q175_SHARDS} AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY h.h60 % {_Q175_SHARDS}
+           ORDER BY h.h60, CAST(c.doc_id AS VARCHAR)
+         ) AS pos
+  FROM d JOIN dc c USING (doc_id)
+  JOIN (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('{_Q175_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
+    FROM documents
+  ) h USING (doc_id)
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+       MAX(CASE WHEN pos = 1 THEN doc_id END) AS head1,
+       MAX(CASE WHEN pos = 2 THEN doc_id END) AS head2
+FROM s
+GROUP BY shard
+ORDER BY shard
+"""
+
+QUERIES["q175_curation_cli_linedup_domaincap"] = (
+    q175_curation_cli_linedup_domaincap
+)
+ORACLES["q175_curation_cli_linedup_domaincap"] = O_Q175
