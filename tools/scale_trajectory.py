@@ -70,6 +70,13 @@ QUERIES = [
     # round 9: gram first-seen agg + gram-keyed join back — expected
     # ≈ the q114 source-overlap family (same gram-keyed shuffles)
     "q152_ngram_novelty_curve",
+    # round 12: the new curation surfaces — line dedup (posexplode +
+    # digest count + rebuild), per-domain cap (salted two-phase
+    # top-k), and the 6-stage CLI chain whose LM retrains on the
+    # growing corpus (the one expected super-constant term)
+    "q174_boilerplate_line_removal",
+    "q172_domain_frequency_cap",
+    "q171_curation_cli_full",
 ]
 
 
