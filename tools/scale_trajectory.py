@@ -1029,10 +1029,20 @@ def main() -> int:
             "alpha_top_decade": round(alpha_top, 3),
         }
 
-    doc = {"queries": results, "runs": args.runs}
+    # MERGE into the existing document: the out file also carries the
+    # probe sections (skew, lm, dv_partitioned, storage, bpe,
+    # fuzzy_blocking_100x) — a sweep must never clobber them (it did
+    # in round 12: the --only path rebuilt the doc from 'queries'
+    # alone and silently dropped every other section)
+    doc = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            doc = json.load(f)
+    doc["queries"] = results
+    doc["runs"] = args.runs
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
-    print(json.dumps(doc))
+    print(json.dumps({"queries": results, "runs": args.runs}))
     return 0
 
 
