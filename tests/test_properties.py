@@ -509,3 +509,35 @@ def test_read_pruned_equals_filtered_read(
         )
     )
     assert got == want
+
+
+@given(uri=st.text(max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_parse_driver_uri_total(uri):
+    """The URI parser is TOTAL over arbitrary text: every input either
+    parses into a ParsedUri whose invariants hold or raises the typed
+    BadUriException — never a stray ValueError/IndexError from inside
+    urllib, and resolution by scheme never raises anything outside
+    the driver-resolution family."""
+    from a2b_spark.core.drivers import (
+        BadUriException,
+        DriverResolutionError,
+        _OPAQUE_SCHEMES,
+        parse_driver_uri,
+        resolve_source,
+    )
+
+    try:
+        p = parse_driver_uri(uri)
+    except BadUriException:
+        return
+    assert p.scheme and p.scheme == p.scheme.lower()
+    assert uri.startswith(uri[: len(p.scheme)])  # scheme is a prefix
+    if p.scheme in _OPAQUE_SCHEMES:
+        assert p.opaque == uri[len(p.scheme) + 1:]
+    else:
+        assert p.path
+    try:
+        resolve_source(uri)
+    except DriverResolutionError:
+        pass  # NoDriverForScheme / BadUri (yaml dir missing, etc.)
