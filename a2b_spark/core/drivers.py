@@ -235,6 +235,20 @@ def _src_parquet(p: ParsedUri, **opts):
     return ParquetSource(p.path)
 
 
+def _src_orc(p: ParsedUri, **opts):
+    from a2b_spark.sources.files import OrcSource
+
+    return OrcSource(p.path)
+
+
+def _dst_orc(p: ParsedUri, **opts):
+    from a2b_spark.sinks.orc import OrcDestination
+
+    return OrcDestination(
+        p.path, _require(opts, "key_cols", "orc", "destination")
+    )
+
+
 def _src_json(p: ParsedUri, **opts):
     from a2b_spark.sources.files import JsonSource
 
@@ -323,12 +337,14 @@ def default_registry() -> DriverRegistry:
     r = DriverRegistry()
     r.register("source", "csv", ("csv",), _src_csv)
     r.register("source", "parquet", ("parquet",), _src_parquet)
+    r.register("source", "orc", ("orc",), _src_orc)
     r.register("source", "json", ("json", "jsonl"), _src_json)
     r.register("source", "yaml-dir", ("yaml-dir", "yaml"), _src_yaml)
     r.register("source", "sql", ("sql",), _src_sql)
     r.register("source", "jdbc", ("jdbc",), _src_jdbc)
     r.register("destination", "csv", ("csv",), _dst_csv)
     r.register("destination", "parquet", ("parquet",), _dst_parquet)
+    r.register("destination", "orc", ("orc",), _dst_orc)
     r.register("destination", "jsonl", ("jsonl", "json"), _dst_jsonl)
     r.register("destination", "yaml-dir", ("yaml-dir", "yaml"), _dst_yaml)
     r.register("destination", "jdbc", ("jdbc",), _dst_jdbc)

@@ -62,3 +62,14 @@ class JsonSource:
         if self.schema is not None:
             reader = reader.schema(self.schema)
         return reader.json(self.path)
+
+
+class OrcSource:
+    """Columnar alternative to ParquetSource (Spark-native ORC reader;
+    predicate/column pushdown via Catalyst, same as parquet)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return spark.read.orc(self.path)

@@ -300,3 +300,41 @@ def test_jsonl_destination_keyed_merge_roundtrip(spark, tmp_path):
                     lines += [ln for ln in f.read().splitlines() if ln.strip()]
     parsed = [_json.loads(ln) for ln in lines]
     assert len(parsed) == 3 and {p["id"] for p in parsed} == {1, 2, 3}
+
+
+def test_orc_destination_keyed_merge_roundtrip(spark, tmp_path, sf_dir):
+    """ORC through the full versioned-table machinery: overwrite,
+    keyed merge (update-not-duplicate), snapshot isolation across the
+    merge, delete_keys, typed schema surviving the round trip — plus
+    URI resolution through the driver registry."""
+    from a2b_spark.core.drivers import resolve_destination, resolve_source
+    from a2b_spark.sinks.orc import OrcDestination
+    from a2b_spark.sources.files import OrcSource
+
+    dest = resolve_destination(
+        f"orc://{tmp_path}/orc_out", key_cols=("id",)
+    )
+    assert isinstance(dest, OrcDestination)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, v double"
+    )
+    dest.merge(df)
+    dest.merge(
+        spark.createDataFrame(
+            [(2, "B", 9.0), (3, "c", 3.5)], "id long, name string, v double"
+        )
+    )
+    held = dest.read_snapshot(spark)
+    got = {r.id: (r.name, r.v) for r in held.collect()}
+    assert got == {1: ("a", 1.5), 2: ("B", 9.0), 3: ("c", 3.5)}
+    # snapshot stays readable across a later merge (version isolation)
+    dest.merge(spark.createDataFrame([(4, "d", 4.0)], "id long, name string, v double"))
+    assert held.count() == 3 and dest.read_snapshot(spark).count() == 4
+    dest.delete_keys(spark.createDataFrame([(1,)], "id long"))
+    assert dest.read_snapshot(spark).count() == 3
+    # the ORC source reads the live version dir back with full types
+    live = f"{tmp_path}/orc_out/" + open(f"{tmp_path}/orc_out/_CURRENT").read().strip()
+    src = resolve_source(f"orc://{live}")
+    assert isinstance(src, OrcSource)
+    back = src.load(spark)
+    assert dict(back.dtypes)["v"] == "double" and back.count() == 3
