@@ -653,3 +653,78 @@ QUERIES["q175_curation_cli_linedup_domaincap"] = (
     q175_curation_cli_linedup_domaincap
 )
 ORACLES["q175_curation_cli_linedup_domaincap"] = O_Q175
+
+
+# --------------------------------------------------------------- Q176
+def q176_orc_table_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table machinery under the ORC format: customers
+    land in an OrcDestination, a keyed merge updates one slice and
+    inserts synthetic rows, a delete removes another — then the live
+    snapshot rolls up per segment (exact decimal balances). DuckDB
+    recomputes the same effective state from the raw parquet source,
+    so a wrong merge/delete/typed-readback anywhere in the ORC path
+    diverges the hash. (DuckDB never reads ORC — the oracle replays
+    the OPERATIONS, which is the point.)"""
+    import shutil
+
+    from a2b_spark.queries.relational import _t, dsum
+    from a2b_spark.queries.round7 import _scratch_path
+    from a2b_spark.sinks.orc import OrcDestination
+
+    path = _scratch_path(sf_dir, "q176")
+    try:
+        c = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        dest = OrcDestination(path, key_cols=("c_custkey",))
+        dest.merge(c)
+        # update every 7th key's balance to 0.01, insert a synthetic
+        # 'NEW' segment row per 501-multiple
+        upd = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+            "c_acctbal", F.lit(0.01)
+        )
+        ins = c.filter(F.col("c_custkey") % 501 == 0).select(
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+            F.lit("NEW").alias("c_mktsegment"),
+            F.lit(42.42).alias("c_acctbal"),
+        )
+        dest.merge(upd.unionByName(ins))
+        dest.delete_keys(
+            c.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+        )
+        snap = dest.read_snapshot(spark)
+        return (
+            snap.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                dsum("c_acctbal", "bal_sum", 2),
+            )
+            .orderBy("c_mktsegment")
+            .localCheckpoint(eager=True)  # pin before the scratch sweep
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+O_Q176 = """
+WITH eff AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 7 = 0 THEN 0.01 ELSE c_acctbal END
+           AS c_acctbal
+  FROM customer
+  WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW', 42.42
+  FROM customer WHERE c_custkey % 501 = 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         AS bal_sum
+FROM eff
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["q176_orc_table_walk"] = q176_orc_table_walk
+ORACLES["q176_orc_table_walk"] = O_Q176
