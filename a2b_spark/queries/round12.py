@@ -510,19 +510,25 @@ _Q175_MIN_TOKENS = 30
 _Q175_MIN_DOCS = 3
 _Q175_CAP = 15
 _Q175_SHARDS = 8
-_Q175_SALT = "q175-v1"
+_Q175_SALT = "q175-v2"
 _Q175_BP = "SHARED BANNER"
+_Q175_DUP_SHIFT = 1_000_000
 
 
 def q175_curation_cli_linedup_domaincap(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The CLI chain certified THROUGH the two round-12 stages: a
-    staged corpus (every third doc carries the same banner line) runs
-    nfc → linedup → quality → domaincap → dedup → shard for real, and
-    DuckDB replays all six — the banner must vanish from every doc
-    (and ONLY the banner), the token floor applies to the CLEANED
-    text, the per-source cap keeps exactly the salted-draw winners,
+    staged corpus (every third doc carries the same banner line, and
+    every fifth doc is DUPLICATED under a shifted id so capped sources
+    contain fingerprint twins) runs nfc → linedup → quality → dedup →
+    domaincap → shard — the execution order is ``curate.STAGE_ORDER``,
+    dedup strictly BEFORE domaincap — and DuckDB replays all six in
+    that same order. The banner must vanish from every doc (and ONLY
+    the banner), the token floor applies to the CLEANED text, exact
+    dedup drops the shifted twins before ranking so the per-source cap
+    is filled from dedup SURVIVORS only (the planted twins make the
+    gate diverge if the two stages are replayed in the other order),
     and the shard rollup hash-matches."""
     import shutil
 
@@ -536,18 +542,23 @@ def q175_curation_cli_linedup_domaincap(
         d = _t(spark, sf_dir, "documents").select(
             "doc_id", "lang", "source", "text"
         )
-        d.withColumn(
+        base = d.withColumn(
             "text",
             F.when(
                 F.col("doc_id") % 3 == 0,
                 F.concat(F.lit(_Q175_BP + "\n"), F.col("text")),
             ).otherwise(F.col("text")),
+        )
+        base.unionByName(
+            base.filter(F.col("doc_id") % 5 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(_Q175_DUP_SHIFT)
+            )
         ).write.mode("overwrite").parquet(staged_path)
         run_curation(
             spark,
             staged_path,
             out,
-            ("nfc", "linedup", "quality", "domaincap", "dedup", "shard"),
+            ("nfc", "linedup", "quality", "dedup", "domaincap", "shard"),
             min_tokens=_Q175_MIN_TOKENS,
             line_min_docs=_Q175_MIN_DOCS,
             domain_col="source",
@@ -573,12 +584,18 @@ def q175_curation_cli_linedup_domaincap(
 
 
 O_Q175 = f"""
-WITH staged AS (
+WITH base AS (
   SELECT doc_id, lang, source,
          CASE WHEN doc_id % 3 = 0
               THEN '{_Q175_BP}' || chr(10) || nfc_normalize(text)
               ELSE nfc_normalize(text) END AS text
   FROM documents
+),
+staged AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT doc_id + {_Q175_DUP_SHIFT}, lang, source, text
+  FROM base WHERE doc_id % 5 = 0
 ),
 l AS (
   SELECT doc_id, source,
@@ -606,24 +623,27 @@ q AS (
   SELECT * FROM ld
   WHERE len(string_split(text, ' ')) >= {_Q175_MIN_TOKENS}
 ),
+d AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM q
+  GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+),
+qd AS (
+  SELECT q.* FROM q JOIN d USING (doc_id)
+),
 dc AS (
   SELECT doc_id, lang, source, text FROM (
-    SELECT q.*,
+    SELECT qd.*,
            ROW_NUMBER() OVER (
              PARTITION BY source
              ORDER BY h.h60, CAST(doc_id AS VARCHAR)
            ) AS rk
-    FROM q JOIN (
+    FROM qd JOIN (
       SELECT doc_id,
              CAST(('0x' || substring(md5('{_Q175_SALT}-domaincap' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
-      FROM documents
+      FROM staged
     ) h USING (doc_id)
   ) WHERE rk <= {_Q175_CAP}
-),
-d AS (
-  SELECT MIN(doc_id) AS doc_id,
-         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-  FROM dc GROUP BY 2
 ),
 s AS (
   SELECT c.doc_id, c.text,
@@ -632,11 +652,11 @@ s AS (
            PARTITION BY h.h60 % {_Q175_SHARDS}
            ORDER BY h.h60, CAST(c.doc_id AS VARCHAR)
          ) AS pos
-  FROM d JOIN dc c USING (doc_id)
+  FROM dc c
   JOIN (
     SELECT doc_id,
            CAST(('0x' || substring(md5('{_Q175_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h60
-    FROM documents
+    FROM staged
   ) h USING (doc_id)
 )
 SELECT shard,
