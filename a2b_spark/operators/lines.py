@@ -5,16 +5,24 @@ any line occurring more than once in the corpus at three-sentence
 granularity, Gopher and RefinedWeb run the same pass at line level).
 
 Scale design (100 TB):
-- One posexplode pass over the corpus: (doc, pos, line). The line
-  STRING never rides the counting shuffle — only its md5 digest.
+- One posexplode pass over the corpus: (doc, pos, line). In the
+  removal pipeline the line STRING never rides the counting shuffle —
+  only its md5 digest (the audit view keeps one representative string
+  per digest and pays for it; that is what ``representative=True``
+  buys, and the pipeline never sets it).
 - Boilerplate = line digests whose DISTINCT-document count reaches
   ``min_docs``: one (digest, doc) distinct + one count agg — two hash
   shuffles on the digest, map-side combined, no windows.
 - Removal = anti join of the exploded lines against the boilerplate
-  digest set (tiny by definition — boilerplate is the head of the
-  line-frequency distribution; AQE broadcasts it), then per-document
-  reassembly via sort_array over (pos, line) structs — bounded by
-  document length, never a hot-key window.
+  digest set. At C4's canonical ``min_docs=2`` over a crawl the set is
+  NOT guaranteed tiny (billions of digests are possible), so the
+  broadcast is count-gated: ``broadcast="auto"`` checkpoints the set,
+  counts it, and hints broadcast only under ``broadcast_max_digests``;
+  past the gate the anti join shuffles both sides on the digest.
+  ``"force"`` (the streaming twin's frozen, known-small set) skips the
+  count; ``"never"`` leaves the decision entirely to AQE. Reassembly
+  is sort_array over (pos, line) structs — bounded by document length,
+  never a hot-key window.
 - Deterministic: exact string equality on lines, exact counts; no
   sampling, no hashing collisions beyond md5 (the repo-wide accepted
   128-bit space).
@@ -52,16 +60,33 @@ def boilerplate_lines(
     id_col: str,
     min_docs: int = 2,
     sep: str = "\n",
+    representative: bool = True,
 ) -> DataFrame:
-    """(line, n_docs) for every line appearing in at least ``min_docs``
-    DISTINCT documents — the audit view (what WOULD be removed).
-    Blank lines are structural, not boilerplate: excluded."""
+    """Lines appearing in at least ``min_docs`` DISTINCT documents.
+    Blank lines are structural, not boilerplate: excluded.
+
+    ``representative=True`` (the audit view — what WOULD be removed)
+    returns (line, n_docs), carrying one representative string per
+    digest through the counting shuffle. ``representative=False`` (the
+    removal pipeline's counting path) returns (lh, n_docs) with only
+    the 16-byte md5 digest ever riding a shuffle — at corpus scale
+    that is the difference between shuffling digests and shuffling the
+    corpus; feed it to :func:`strip_lines` via ``digest_col="lh"``."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     lines = _lines(df, text_col, id_col, sep).filter(F.col("line") != "")
-    # digest-keyed distinct + count: the line string crosses the
-    # shuffle once (inside the struct distinct), the count agg runs on
-    # digests; keep one representative string per digest for the audit
+    if not representative:
+        per_doc = lines.select(
+            F.md5("line").alias("lh"), F.col(id_col)
+        ).distinct()
+        return (
+            per_doc.groupBy("lh")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("lh", "n_docs")
+        )
+    # audit path: the line string crosses the shuffle once (inside the
+    # struct distinct) so the view can show WHAT matched, not just a hash
     per_doc = lines.select(
         F.md5("line").alias("lh"), F.col("line"), F.col(id_col)
     ).distinct()
@@ -83,24 +108,56 @@ def strip_lines(
     boilerplate_df: DataFrame,
     line_col: str = "line",
     sep: str = "\n",
+    digest_col: str | None = None,
+    broadcast: str = "auto",
+    broadcast_max_digests: int = 2_000_000,
 ) -> DataFrame:
     """``df`` with ``text_col`` rebuilt minus every line that EXACTLY
-    matches a ``boilerplate_df.line_col`` entry — the shared removal
-    kernel: the batch operator derives the set from the corpus itself;
-    the streaming twin ships a FROZEN set against every micro-batch.
+    matches a ``boilerplate_df`` entry — the shared removal kernel:
+    the batch operator derives the set from the corpus itself; the
+    streaming twin ships a FROZEN set against every micro-batch.
     Documents whose every line is boilerplate survive with empty text
     — dropping documents is a separate policy decision (compose with
     a length filter). Line order and the separator are preserved
     exactly; empty boilerplate entries are ignored (blank lines are
-    structure)."""
+    structure).
+
+    The set is matched by ``line_col`` strings unless ``digest_col``
+    names a column of precomputed md5(line) digests (the counting path
+    of :func:`boilerplate_lines` — keeps line strings off every
+    shuffle). ``broadcast`` gates the anti join's build side: the set
+    is corpus-derived and UNBOUNDED (C4's min_docs=2 on a crawl yields
+    billions of digests), so ``"auto"`` checkpoints + counts it and
+    hints broadcast only when it holds ≤ ``broadcast_max_digests``
+    entries, falling back to a shuffled anti join past the gate;
+    ``"force"`` hints unconditionally (for a set the CALLER knows is
+    small, e.g. the streaming twin's frozen set — no counting job per
+    micro-batch); ``"never"`` leaves the strategy to AQE's size
+    estimate. All three produce identical output."""
+    if broadcast not in ("auto", "force", "never"):
+        raise ValueError(
+            f"broadcast must be auto|force|never, got {broadcast!r}"
+        )
     lines = _lines(df, text_col, id_col, sep)
-    bp = (
-        boilerplate_df.filter(F.col(line_col) != "")
-        .select(F.md5(line_col).alias("lh"))
-        .distinct()
-    )
+    if digest_col is not None:
+        bp = boilerplate_df.select(F.col(digest_col).alias("lh")).distinct()
+    else:
+        bp = (
+            boilerplate_df.filter(F.col(line_col) != "")
+            .select(F.md5(line_col).alias("lh"))
+            .distinct()
+        )
+    if broadcast == "auto":
+        # pin the (possibly corpus-derived) set so the gating count and
+        # the join read the same materialization instead of recomputing
+        # the counting aggregation twice
+        bp = bp.localCheckpoint(eager=True)
+        if bp.count() <= broadcast_max_digests:
+            bp = bp.hint("broadcast")
+    elif broadcast == "force":
+        bp = bp.hint("broadcast")
     kept = lines.join(
-        bp.hint("broadcast"),
+        bp,
         F.md5(F.col("line")) == F.col("lh"),
         "left_anti",
     )
@@ -137,13 +194,18 @@ def remove_boilerplate_lines(
     """``df`` with ``text_col`` rebuilt minus every line that appears
     in at least ``min_docs`` distinct documents (exact string match,
     blank lines never count as boilerplate) — the corpus-derived
-    composition of :func:`boilerplate_lines` + :func:`strip_lines`."""
+    composition of :func:`boilerplate_lines` + :func:`strip_lines`,
+    wired digest-to-digest: line strings never ride the counting
+    shuffle, and the broadcast stays count-gated."""
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     return strip_lines(
         df,
         text_col,
         id_col,
-        boilerplate_lines(df, text_col, id_col, min_docs, sep),
+        boilerplate_lines(
+            df, text_col, id_col, min_docs, sep, representative=False
+        ),
         sep=sep,
+        digest_col="lh",
     )

@@ -163,7 +163,11 @@ def run_line_cleanup_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        cleaned = strip_lines(batch_df, text_col, id_col, bp, sep=sep)
+        # "force": the set is frozen and caller-vetted small — skip the
+        # auto mode's per-micro-batch gating count
+        cleaned = strip_lines(
+            batch_df, text_col, id_col, bp, sep=sep, broadcast="force"
+        )
         table.append(cleaned, dedupe_keys=list(table.key_cols))
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(

@@ -1578,3 +1578,72 @@ def test_boilerplate_line_removal(spark):
 
     with pytest.raises(ValueError, match="min_docs"):
         remove_boilerplate_lines(docs, "text", "doc_id", 1)
+
+
+def test_strip_lines_broadcast_gate(spark):
+    """The boilerplate set is corpus-derived and unbounded (C4
+    min_docs=2 on a crawl), so the anti join's broadcast must be
+    count-gated, and every strategy must agree byte-for-byte: auto
+    under the gate hints broadcast, auto OVER the gate falls back to
+    the shuffled anti join (no hint in the analyzed plan), force
+    always hints (the streaming twin's frozen set), never leaves it
+    to AQE. Also pins the digest-only counting path: (lh, n_docs)
+    schema, wired through digest_col without the line string ever
+    re-entering the plan."""
+    from a2b_spark.operators.lines import (
+        boilerplate_lines,
+        remove_boilerplate_lines,
+        strip_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nunique line A"),
+            (2, "COOKIE BANNER\nreal content two"),
+            (3, "self repeated\nself repeated\nunique line B"),
+            (4, "COOKIE BANNER"),
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    bpd = boilerplate_lines(
+        docs, "text", "doc_id", min_docs=2, representative=False
+    )
+    assert bpd.columns == ["lh", "n_docs"]
+
+    outs = {}
+    hinted = {}
+    for mode, kw in [
+        ("auto_bc", dict(broadcast="auto")),
+        ("auto_shuffle", dict(broadcast="auto", broadcast_max_digests=0)),
+        ("force", dict(broadcast="force")),
+        ("never", dict(broadcast="never")),
+    ]:
+        out = strip_lines(
+            docs, "text", "doc_id", bpd, digest_col="lh", **kw
+        )
+        outs[mode] = sorted((r.doc_id, r.text) for r in out.collect())
+        hinted[mode] = (
+            "ResolvedHint" in out._jdf.queryExecution().analyzed().toString()
+        )
+    assert hinted == {
+        "auto_bc": True,      # 1 digest <= gate -> broadcast
+        "auto_shuffle": False,  # gate=0 -> shuffled fallback engages
+        "force": True,
+        "never": False,
+    }
+    ref = outs["auto_bc"]
+    assert all(v == ref for v in outs.values())
+    # the composition rides the digest path and matches the string path
+    assert (
+        sorted(
+            (r.doc_id, r.text)
+            for r in remove_boilerplate_lines(docs, "text", "doc_id", 2)
+            .collect()
+        )
+        == ref
+    )
+
+    with pytest.raises(ValueError, match="broadcast"):
+        strip_lines(docs, "text", "doc_id", bpd, broadcast="maybe")

@@ -852,6 +852,88 @@ def skew_probe(spark) -> dict:
     return out
 
 
+def linedup_probe(spark) -> dict:
+    """The strip_lines broadcast-gate question (round-12 verdict item
+    2): at C4's canonical min_docs=2 a duplicate-heavy corpus makes
+    the boilerplate digest set corpus-sized, so the anti join's
+    forced broadcast was a 100-TB OOM hazard. The operator now
+    count-gates the hint; this probe builds exactly that corpus
+    (every even-id doc duplicated under a shifted id — half the
+    corpus's distinct lines become boilerplate), shows the shuffled
+    fallback ENGAGE at an over-gate threshold, and records both
+    paths' wall + an output checksum proving they agree."""
+    from pyspark.sql import functions as F
+
+    from a2b_spark.operators.lines import boilerplate_lines, strip_lines
+
+    # the sf0.1 docs are single-line; rechunk each into 4-token lines
+    # so the corpus has a real line structure (one line per 4-gram)
+    toks = F.split("text", " ")
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size(toks) - 1) / 4).cast("int"),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(toks, i * 4 + 1, 4), " "
+                    ),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000
+        )
+    ).localCheckpoint()
+    n_docs = corpus.count()
+    bpd = boilerplate_lines(
+        corpus, "text", "doc_id", min_docs=2, representative=False
+    ).localCheckpoint(eager=True)
+    n_dig = bpd.count()
+    gate = 5_000  # deliberately under the set size: fallback must engage
+
+    def run(mode, **kw):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = strip_lines(
+            corpus, "text", "doc_id", bpd, digest_col="lh",
+            broadcast=mode, **kw
+        )
+        chk = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            # 31-bit mask before the sum: raw xxhash64 overflows long
+            # under ANSI (verify-skill round-6 note)
+            F.sum(
+                F.pmod(F.xxhash64("doc_id", "text"), F.lit(2 ** 31))
+            ).alias("h"),
+        ).first()
+        return round(time.perf_counter() - t0, 2), (
+            int(chk["n"]), int(chk["h"])
+        )
+
+    w_shuffle, c_shuffle = run("auto", broadcast_max_digests=gate)
+    w_bcast, c_bcast = run("force")
+    return {
+        "corpus_docs": int(n_docs),
+        "min_docs": 2,
+        "bp_digests": int(n_dig),
+        "gate": gate,
+        "fallback_engaged": bool(n_dig > gate),
+        "default_gate_2m_would_broadcast": bool(n_dig <= 2_000_000),
+        "wall_shuffled_s": w_shuffle,
+        "wall_broadcast_s": w_bcast,
+        "outputs_equal": c_shuffle == c_bcast,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
@@ -890,6 +972,13 @@ def main() -> int:
         "shingle bucket inflation + hot exact-dedup key) and merge it "
         "into the out file",
     )
+    ap.add_argument(
+        "--linedup",
+        action="store_true",
+        help="run ONLY the strip_lines broadcast-gate probe (min_docs=2 "
+        "duplicate-heavy corpus: shuffled fallback engages, both "
+        "paths agree) and merge it into the out file",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
     ap.add_argument(
         "--only",
@@ -900,6 +989,20 @@ def main() -> int:
         "without the full ~35-min resweep",
     )
     args = ap.parse_args()
+    if args.linedup:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_linedup")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["linedup"] = linedup_probe(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"linedup": doc["linedup"]}))
+        return 0
     if args.skew:
         from a2b_spark.session import get_spark
 
