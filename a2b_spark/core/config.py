@@ -20,6 +20,13 @@ Config shape (all endpoint opts beyond the URI ride as data too)::
       - {name: old_db, uri: "sql:SELECT ...", driver: null, opts: {}}
     destinations:
       - {name: out, uri: "parquet:///data/out", opts: {key_cols: [id]}}
+
+``driver`` pins an explicit driver NAME when more than one implements
+the URI's scheme — the UnclearDriverException resolution, parity with
+the reference's annotation fields
+(``src/Annotations/DataMigration.php:107-113``); it works on named
+entries and inline endpoint dicts alike. Migration shape::
+
     migrations:
       - name: customers
         source: old_db                    # a named source, or a URI
@@ -143,10 +150,27 @@ def registry_from_config(
     def resolve(kind: str, ref, table: dict):
         """A migration endpoint: a named entry, or an inline URI."""
         if isinstance(ref, dict):
-            entry = ref  # inline {uri, driver, opts}
+            # inline {uri, driver, opts} — same unknown-key contract as
+            # named entries ('opt:'/'key_col:' typos must raise here,
+            # not surface later as a missing-option error)
+            bad = set(ref) - (_ENDPOINT_KEYS - {"name"})
+            if bad:
+                raise ValueError(
+                    f"inline {kind} endpoint: unknown keys {sorted(bad)} "
+                    f"(valid: {sorted(_ENDPOINT_KEYS - {'name'})})"
+                )
+            if "uri" not in ref:
+                raise ValueError(f"inline {kind} endpoint needs uri: {ref!r}")
+            entry = ref
         elif ref in table:
             entry = table[ref]
-        elif isinstance(ref, str) and (":" in ref or ref in ("stderr", "stdout")):
+        elif isinstance(ref, str) and (
+            ":" in ref
+            # bare stderr/stdout are DESTINATION names in the driver
+            # registry; a source named 'stderr' must hit the
+            # unknown-reference error, not a confusing no-scheme BadUri
+            or (kind == "destination" and ref in ("stderr", "stdout"))
+        ):
             entry = {"uri": ref}
         else:
             raise ValueError(
@@ -190,6 +214,18 @@ def registry_from_config(
                 extends=m.get("extends"),
             )
         )
+    # extends validates at LOAD time like every other wiring error (the
+    # runner re-checks at run time for programmatic registrations);
+    # deferred past the loop so a child may precede its parent in the file
+    for m in cfg.get("migrations") or ():
+        mig = reg.get(m["name"])
+        if mig.extends is not None:
+            if mig.extends not in reg:
+                raise ValueError(
+                    f"migration {mig.name!r} extends unknown migration "
+                    f"{mig.extends!r}"
+                )
+            reg.validate_extends(mig)
     return reg
 
 

@@ -102,6 +102,141 @@ def test_config_validation_is_loud(sf_dir, tmp_path):
         registry_from_config(cfg)
 
 
+def test_inline_endpoint_validation(sf_dir, tmp_path):
+    """Inline endpoint dicts get the SAME unknown-key contract as named
+    entries: an 'opt:'/'key_col:' typo raises at load, it does not
+    silently drop the options; and a bare 'stderr' SOURCE is an
+    unknown-name error, not a confusing no-scheme BadUri (the driver
+    registry maps bare stderr/stdout for destinations only)."""
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["migrations"][0]["source"] = {
+        "uri": f"parquet://{sf_dir}/region.parquet",
+        "opt": {"schema": None},  # typo for opts
+    }
+    with pytest.raises(ValueError, match="unknown keys.*opt"):
+        registry_from_config(cfg)
+
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["migrations"][0]["destination"] = {
+        "opts": {"key_cols": ["id"]}  # no uri at all
+    }
+    with pytest.raises(ValueError, match="needs uri"):
+        registry_from_config(cfg)
+
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["migrations"][0]["source"] = "stderr"
+    with pytest.raises(ValueError, match="unknown source 'stderr'"):
+        registry_from_config(cfg)
+
+    # ...while the bare-name DESTINATION keeps resolving (simulate mode)
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["migrations"][0]["destination"] = "stderr"
+    reg = registry_from_config(cfg)
+    assert type(reg.get("regions").destination).__name__ == "ConsoleDestination"
+
+
+def test_config_driver_pin(sf_dir, tmp_path):
+    """Explicit ``driver:`` on an endpoint resolves the
+    UnclearDriverException ladder (annotation-field parity,
+    src/Annotations/DataMigration.php:107-113): with two source
+    drivers on the parquet scheme the unpinned config raises, the
+    pinned one loads — on named entries and inline dicts alike — and
+    a bogus pin is NonexistentDriverException."""
+    from a2b_spark.core.drivers import (
+        NonexistentDriverException,
+        UnclearDriverException,
+        _src_parquet,
+        default_registry,
+    )
+
+    # a FRESH registry — mutating the _default() singleton would leak
+    # the extra parquet driver into every later resolution
+    drivers = default_registry()
+    drivers.register("source", "parquet-alt", ("parquet",), _src_parquet)
+
+    cfg = _base_cfg(sf_dir, tmp_path)
+    with pytest.raises(UnclearDriverException, match="parquet"):
+        registry_from_config(cfg, drivers)
+
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["sources"][0]["driver"] = "parquet-alt"  # named-entry pin
+    reg = registry_from_config(cfg, drivers)
+    assert reg.get("regions").source.path == f"{sf_dir}/region.parquet"
+
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["migrations"][0]["source"] = {  # inline-dict pin
+        "uri": f"parquet://{sf_dir}/region.parquet",
+        "driver": "parquet",
+    }
+    reg = registry_from_config(cfg, drivers)
+    assert reg.get("regions").source.path == f"{sf_dir}/region.parquet"
+
+    cfg = _base_cfg(sf_dir, tmp_path)
+    cfg["sources"][0]["driver"] = "parquet-v9"
+    with pytest.raises(NonexistentDriverException):
+        registry_from_config(cfg, drivers)
+
+
+def test_config_extends(spark, sf_dir, tmp_path):
+    """``extends`` through the config file: the child shares the
+    parent's mapping table when run for real (C10 semantics through
+    the loader), id-shape mismatch and unknown parents raise at LOAD
+    time — even when the child precedes its parent in the file."""
+    from a2b_spark.exec.executor import run_migration
+    from a2b_spark.mapping.store import MappingStore
+
+    def with_child(child_overrides=None, child_first=False):
+        cfg = _base_cfg(sf_dir, tmp_path)
+        cfg["destinations"].append(
+            {
+                "name": "regions_out2",
+                "uri": "parquet://%out_root%/regions2",
+                "opts": {"key_cols": ["id"]},
+            }
+        )
+        child = {
+            "name": "regions_again",
+            "source": "regions_src",
+            "destination": "regions_out2",
+            "source_ids": [{"name": "r_regionkey", "type": "int"}],
+            "destination_ids": [{"name": "id", "type": "int"}],
+            "transform": "examples.config_transforms:regions",
+            "extends": "regions",
+        }
+        child.update(child_overrides or {})
+        if child_first:
+            cfg["migrations"].insert(0, child)
+        else:
+            cfg["migrations"].append(child)
+        return cfg
+
+    reg = registry_from_config(with_child(child_first=True))
+    parent, child = reg.get("regions"), reg.get("regions_again")
+    assert child.mapping_key() == "regions"
+    store = MappingStore(spark, str(tmp_path / "maps"))
+    run_migration(spark, parent, store)
+    run_migration(spark, child, store)
+    # one shared table, not two: every child row resolved through it
+    assert (
+        store.load("regions", parent.source_ids, parent.destination_ids)
+        .count()
+        == 5
+    )
+    import os
+
+    assert not os.path.exists(store.path("regions_again"))
+    assert child.destination.read_snapshot(spark).count() == 5
+
+    with pytest.raises(ValueError, match="id definitions differ"):
+        registry_from_config(
+            with_child(
+                {"source_ids": [{"name": "r_regionkey", "type": "string"}]}
+            )
+        )
+    with pytest.raises(ValueError, match="extends unknown migration"):
+        registry_from_config(with_child({"extends": "ghost"}))
+
+
 def test_load_transform_errors():
     with pytest.raises(ValueError, match="dotted path"):
         load_transform("justaname")
