@@ -174,13 +174,18 @@ def run_curation(
             # Decimal(str(float)) pins the margin to its shortest-repr
             # literal — the same constant an SQL twin embeds
             rhs = Decimal(str(tot["s"])) - Decimal(str(ppl_margin)) * n_total
+            # compare on the NATIVE decimal(28,6) — a downcast (the old
+            # decimal(20,6)) could overflow to NULL past 14 integer
+            # digits and silently drop the doc, violating never-drop;
+            # both products land in decimal(38,6) (scale preserved by
+            # Spark's precision-loss rule), integer capacity 1e32 —
+            # far above any real corpus's s_i*Σn
             keep = scored.filter(
                 (F.col("n_tok") == 0)
                 | F.col("sum_logp10").isNull()
                 | (
-                    F.col("sum_logp10").cast("decimal(20,6)")
-                    * F.lit(n_total)
-                    >= F.lit(str(rhs)).cast("decimal(24,6)")
+                    F.col("sum_logp10") * F.lit(n_total)
+                    >= F.lit(str(rhs)).cast("decimal(28,6)")
                     * F.col("n_tok")
                 )
             ).select(id_col)
