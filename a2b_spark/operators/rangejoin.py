@@ -216,6 +216,16 @@ def frequency_cap(
     favor old documents). Output adds ``rank_col`` (1-based position
     in the group's kept order).
 
+    NOT interchangeable with the streaming twin: this operator picks
+    each domain's ``cap`` keepers by the salted draw over the WHOLE
+    corpus (global knowledge a stream never has), while
+    ``streaming/stateful.streaming_domain_quota`` admits the first
+    ``cap`` ARRIVALS per domain. Both are correct cap policies, but on
+    the same rows they generally keep DIFFERENT subsets —
+    tests/test_multimodal_streaming.py::test_domaincap_batch_vs_streaming_divergence
+    pins a frozen corpus where they disagree. Choose by semantics
+    (unbiased reproducible draw vs ingest quota), not by engine.
+
     Scale shape: the salted two-phase top-k (operators/topk.py) —
     a hot domain (the 100 TB boilerplate-site case) reduces to
     ``salts * cap`` candidate rows on the map side before one tiny

@@ -92,6 +92,12 @@ def streaming_domain_quota(
     the only semantic difference: batch selects by the salted-hash
     order over the WHOLE corpus (needs global knowledge), a stream can
     only admit in ARRIVAL order — the standard ingest-quota trade.
+    NOT interchangeable: on the same rows the two policies generally
+    keep DIFFERENT subsets (both capped, both correct) —
+    tests/test_multimodal_streaming.py::test_domaincap_batch_vs_streaming_divergence
+    pins a frozen corpus where they disagree. Replaying a stream's
+    input through frequency_cap will NOT reproduce what the stream
+    admitted; choose by semantics, not by engine.
 
     State per group is a single counter (8 bytes): 10^9 domains ≈ a
     few GB across the state store; ``ttl_minutes`` expires idle

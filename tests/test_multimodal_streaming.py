@@ -747,3 +747,55 @@ def test_streaming_domain_quota_across_batches(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cap"):
         streaming_domain_quota(sdf, ["dom"], cap=0)
+
+
+def test_domaincap_batch_vs_streaming_divergence(spark, tmp_path):
+    """The two domain-cap policies are NOT twins on the same corpus:
+    batch frequency_cap keeps the salted-draw winners (for ids 1..5
+    under the default salt that is {1, 2}), the stream admits the
+    first cap ARRIVALS (here 3 then 4 — arrival order deliberately
+    anti-aligned with the draw). Same frozen rows, same cap, different
+    kept sets — both capped, both correct, documented in both
+    docstrings so neither is mistaken for the other's replay."""
+    from a2b_spark.operators.rangejoin import frequency_cap
+    from a2b_spark.streaming.stateful import streaming_domain_quota
+
+    arrival = [3, 4, 5, 1, 2]  # ids, one micro-batch each, in this order
+    rows = [("A", i) for i in arrival]
+
+    batch_df = spark.createDataFrame(rows, "dom string, doc_id int")
+    batch_kept = {
+        r.doc_id
+        for r in frequency_cap(batch_df, ["dom"], "doc_id", 2).collect()
+    }
+    assert batch_kept == {1, 2}  # salted md5 order over ids 1..5
+
+    src_dir = str(tmp_path / "divergence_in")
+    os.makedirs(src_dir)
+    for n, i in enumerate(arrival):
+        spark.createDataFrame(
+            [("A", i)], "dom string, doc_id int"
+        ).coalesce(1).write.parquet(f"{src_dir}/batch{n}")
+    sdf = (
+        spark.readStream.schema("dom string, doc_id int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/batch*")
+    )
+    q = (
+        streaming_domain_quota(sdf, ["dom"], cap=2)
+        .writeStream.format("memory")
+        .queryName("divergence_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "divergence_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_kept = {
+        r.doc_id
+        for r in spark.sql("SELECT * FROM divergence_out").collect()
+    }
+    assert stream_kept == {3, 4}  # first two arrivals
+    assert stream_kept != batch_kept
