@@ -11,18 +11,39 @@ Training (classic Sennrich-style word-frequency BPE):
    table orders of magnitude smaller than the corpus — the 100 TB
    corpus is touched exactly once),
 2. each word → symbol sequence (chars + ``</w>`` terminator),
-3. per merge round: count adjacent symbol pairs weighted by word
-   frequency (explode + groupBy-sum with map-side partials), pick the
-   winner DETERMINISTICALLY (max count, then lexicographic pair — the
+3. per aggregation round: count adjacent symbol pairs weighted by
+   word frequency (explode + groupBy-sum with map-side partials),
+   rank DETERMINISTICALLY (max count, then lexicographic pair — the
    tie-break makes training reproducible across partitionings), and
-   apply the merge to the word table. Only the single winner row is
-   ever collected; the word table stays distributed and is
-   localCheckpoint-ed periodically so 500-merge lineages don't
-   accumulate 500 stacked plans.
+   accept a BATCH of merges from the top of the ranking (below),
+   applying them all in one pass over the word table. Only the top
+   rows are ever collected; the word table stays distributed and is
+   localCheckpoint-ed periodically so 50k-merge lineages don't
+   accumulate 50k stacked plans.
 
-Cost model: ``n_merges`` rounds × (one aggregation over the distinct-
-word table). At web scale the word table is ~10⁸ rows — each round is
-seconds on a real cluster, and NOTHING rescans the corpus after step 1.
+Merge batching (the round-12 scale fix — a production tokenizer is
+30k-50k merges, and one aggregation per merge is 30k-50k sequential
+Spark jobs): each round accepts the maximal CONSECUTIVE prefix of the
+ranking that is pairwise non-interacting, then trims it to candidates
+whose count STRICTLY dominates every unaccepted pair (rank-1 is
+always safe — it is the argmax regardless). "Interacting" means
+sharing a symbol, or one pair's concatenation appearing as the
+other's symbol — any channel by which applying one merge could
+change the other's count. The strict-dominance trim handles the rest:
+pairs that interact with an accepted merge can only DECREASE, and
+pairs newly CREATED by an accepted merge are count-bounded by an
+interacting parent, so a candidate strictly above all of them is
+exactly what the per-merge recount would have picked. Batched
+training is therefore merge-for-merge IDENTICAL to sequential
+(pinned in pytest on tie-heavy corpora, where ties force k=1 rounds
+— the guard degrades to the sequential algorithm, never past it).
+
+Cost model: ``ceil(n_merges / accepted-per-round)`` rounds × (one
+aggregation over the distinct-word table). On Zipf corpora the
+distinct-count head batches tens of merges per round (measured in
+SCALE_TRAJECTORY ``bpe.batched_1000``); at web scale the word table
+is ~10⁸ rows — each round is seconds on a real cluster, and NOTHING
+rescans the corpus after step 1.
 
 Apply (``bpe_encode``) is a pure Arrow-batched map with the merge
 ranks broadcast in the closure: per word, repeatedly merge the
@@ -37,7 +58,7 @@ IS oracle-checkable with a fixed merge table on rule-derived text
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,19 +78,70 @@ def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _accept_merge_batch(
+    rows, tail_bound: int, k_max: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """The sequential-exactness guard (module docstring): from the
+    ranked (a, b, n) rows, accept the maximal consecutive
+    non-interacting prefix, then trim to counts STRICTLY above every
+    unaccepted pair's possible count (``tail_bound`` bounds the
+    uncollected tail). Rank-1 survives unconditionally — it is the
+    round's argmax no matter what the other merges do."""
+    accepted: list[tuple[str, str, int]] = []
+    syms: set[str] = set()
+    made: set[str] = set()
+    stop_count = 0
+    for a, b, n in rows:
+        if n < min_pair_count:
+            # nothing below qualifies now, and interacting pairs down
+            # here stay strictly under every accepted count
+            break
+        if len(accepted) == k_max:
+            stop_count = n
+            break
+        if (
+            a in syms or b in syms          # shares a symbol
+            or a in made or b in made       # an accepted concat IS a symbol
+            or (a + b) in syms              # this concat IS an accepted symbol
+        ):
+            stop_count = n                  # first interaction stops the batch
+            break
+        accepted.append((a, b, n))
+        syms.update((a, b))
+        made.add(a + b)
+    if not accepted:
+        return []
+    bound = max(tail_bound, stop_count)
+    head, rest = accepted[0], accepted[1:]
+    return [(head[0], head[1])] + [
+        (a, b) for a, b, n in rest if n > bound
+    ]
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     min_pair_count: int = 2,
     checkpoint_every: int = 10,
+    batch_merges: int = 64,
+    stats_out: Optional[dict] = None,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns the ordered merge list (rank = position). Stops early when
     no pair reaches ``min_pair_count``. Deterministic: ties break on
-    the lexicographically smallest (first, second) pair."""
+    the lexicographically smallest (first, second) pair.
+
+    ``batch_merges`` caps how many merges one aggregation round may
+    accept (module docstring: the accepted batch is provably what
+    per-merge recounting would have picked, so any value returns the
+    IDENTICAL merge list — 1 forces the classic one-aggregation-per-
+    merge loop). ``stats_out``, if given, receives
+    ``{"rounds": ..., "merges": ...}`` for cost instrumentation."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
 
     words = _word_freqs(df, text_col).withColumn(
         "syms",
@@ -81,7 +153,10 @@ def bpe_train(
     words = words.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
-    for r in range(n_merges):
+    rounds = 0
+    applied_since_checkpoint = 0
+    while len(merges) < n_merges:
+        rounds += 1
         pairs = (
             words.select(
                 "freq",
@@ -96,41 +171,60 @@ def bpe_train(
             .groupBy("p")
             .agg(F.sum("freq").alias("n"))
         )
+        k_max = min(batch_merges, n_merges - len(merges))
+        # collect enough ranking to both fill the batch and bound the
+        # tail (tail pairs can interact; accepted counts must strictly
+        # beat them, so the M-th count is the conservative bound)
+        m = k_max * 4 + 32
         top = (
             pairs.orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
-            .limit(1)
+            .limit(m)
             .collect()
         )
-        if not top or top[0]["n"] < min_pair_count:
+        rows = [(r["p"]["a"], r["p"]["b"], int(r["n"])) for r in top]
+        tail_bound = rows[-1][2] if len(rows) == m else 0
+        batch = _accept_merge_batch(rows, tail_bound, k_max, min_pair_count)
+        if not batch:
             break
-        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
-        merges.append((a, b))
+        merges.extend(batch)
 
-        merged = a + b
+        merge_seq = list(batch)  # bind for the closure
 
         @F.pandas_udf("array<string>")
-        def apply_merge(syms_s):
+        def apply_merges(syms_s, _seq=merge_seq):
             import pandas as pd
 
             out = []
             for syms in syms_s:
                 syms = list(syms)
-                i = 0
-                res = []
-                while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(syms[i])
-                        i += 1
-                out.append(res)
+                for a, b in _seq:
+                    merged = a + b
+                    i = 0
+                    res = []
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            res.append(merged)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    syms = res
+                out.append(syms)
             return pd.Series(out)
 
-        words = words.withColumn("syms", apply_merge("syms"))
-        if (r + 1) % checkpoint_every == 0:
+        words = words.withColumn("syms", apply_merges("syms"))
+        applied_since_checkpoint += 1
+        if applied_since_checkpoint >= checkpoint_every:
             # cut the stacked-plan lineage before it dominates runtime
             words = words.localCheckpoint(eager=True)
+            applied_since_checkpoint = 0
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["merges"] = len(merges)
     return merges
 
 

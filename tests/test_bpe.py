@@ -109,6 +109,46 @@ def test_early_stop_and_validation(spark):
     assert bpe_train(df, "text", n_merges=5) == []
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(df, "text", n_merges=0)
+    with pytest.raises(ValueError, match="batch_merges"):
+        bpe_train(df, "text", n_merges=5, batch_merges=0)
+
+
+def test_batched_training_identical_to_sequential(spark):
+    """Merge batching is a COST optimization, never a semantic one:
+    batch_merges=1 (the classic one-aggregation-per-merge loop) and
+    batch_merges=64 must produce the identical merge list — on the
+    tie-heavy fixture (ties force the strict-dominance guard down to
+    k=1 rounds) AND on a seeded random corpus whose Zipf-ish head
+    actually batches (fewer aggregation rounds than merges, which is
+    the whole point)."""
+    import random
+
+    rng = random.Random(13)
+    random_corpus = [
+        " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(300)
+    ]
+
+    for corpus, n in ((_CORPUS, 25), (random_corpus, 40)):
+        df = spark.createDataFrame([(t,) for t in corpus], "text string")
+        seq_stats: dict = {}
+        bat_stats: dict = {}
+        seq = bpe_train(
+            df, "text", n_merges=n, batch_merges=1, stats_out=seq_stats
+        )
+        bat = bpe_train(
+            df, "text", n_merges=n, batch_merges=64, stats_out=bat_stats
+        )
+        assert bat == seq == _ref_train(corpus, n)
+        # classic loop: 1 round per merge (+1 if the stop round found
+        # nothing above min_pair_count)
+        assert seq_stats["rounds"] in (len(seq), len(seq) + 1)
+        assert bat_stats["rounds"] <= seq_stats["rounds"]
+    # the random corpus must genuinely batch, not degrade to k=1
+    assert bat_stats["rounds"] < len(bat)
 
 
 def test_encode_matches_reference_and_counts(spark):

@@ -599,6 +599,53 @@ def bpe_probe(spark) -> dict:
     out["encode_per_token_ratio_10x"] = round(
         out["encode_us_per_token"]["10x"] / out["encode_us_per_token"]["sf0.1"], 2
     )
+    # the realistic-parameterization leg (round-12 verdict item 4): a
+    # production tokenizer is 30k-50k merges, so wall must be
+    # SUB-LINEAR in merges — merge batching packs many merges into one
+    # aggregation round. The sf docs have a 31-word vocabulary (they
+    # cannot support 1000 merges), so train on a synthetic
+    # Zipf-frequency corpus of 20k distinct md5-hex words — the
+    # distinct-count regime a real crawl's word table lives in.
+    # Record rounds (the actual Spark-job count) and the wall ratio
+    # 1000-vs-100 merges (linear cost would be ~10×).
+    zipf = (
+        spark.range(20000)
+        .select(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 10).alias(
+                "word"
+            ),
+            F.explode(
+                F.sequence(
+                    F.lit(1), (F.lit(20000) / (F.col("id") + 1)).cast("int")
+                )
+            ).alias("rep"),
+        )
+        .select(F.col("word").alias("text"))
+        .localCheckpoint()
+    )
+    batched = {}
+    for n in (100, 1000):
+        stats: dict = {}
+        t0 = _t.time()
+        merges = bpe_train(
+            zipf, "text", n_merges=n, min_pair_count=2, stats_out=stats
+        )
+        batched[n] = {
+            "wall_s": round(_t.time() - t0, 2),
+            "merges": len(merges),
+            "rounds": stats["rounds"],
+        }
+    out["batched_1000"] = {
+        **batched[1000],
+        "wall_100_s": batched[100]["wall_s"],
+        "rounds_100": batched[100]["rounds"],
+        "wall_ratio_1000_vs_100": round(
+            batched[1000]["wall_s"] / batched[100]["wall_s"], 2
+        ),
+        "merges_per_round": round(
+            batched[1000]["merges"] / max(batched[1000]["rounds"], 1), 1
+        ),
+    }
     return out
 
 
