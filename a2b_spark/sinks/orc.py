@@ -1,9 +1,13 @@
 """Keyed ORC destination — the columnar alternative for deployments
 standardized on ORC (Hive-lineage warehouses). Same versioned-table
 machinery as the parquet sink: atomic version-flip commits,
-snapshot-isolated reads, keyed merge/delete, schema sidecar. The
-parquet-only extras (deletion vectors, _STATS file pruning) fall back
-to the generic rewrite paths — documented in storage/table.py."""
+snapshot-isolated reads, keyed merge/delete, schema sidecar, _STATS
+file pruning (pruned reads, stats-scoped merge/delete) and deletion
+vectors. ORC's one cost difference: pyarrow exposes no ORC footer
+statistics, so a commit's NEW files pay one distributed stats
+aggregation instead of driver-side footer reads
+(storage/stats.py:collect_file_stats_spark); hardlinked files still
+reuse the base sidecar by inode."""
 
 from __future__ import annotations
 

@@ -257,13 +257,22 @@ def build_version_stats(
     version_dir: str,
     base_dir: Optional[str] = None,
     base_stats: Optional[dict] = None,
+    batch_collector=None,
 ) -> dict:
     """Stats for every data file under ``version_dir``. Files that are
     HARDLINKS of a base-version file with the same relative path (same
     inode — how _commit_touched reuses untouched partitions) copy the
     base entry instead of re-reading the footer, so the cost of a
-    partitioned commit stays proportional to its new files."""
+    partitioned commit stays proportional to its new files.
+
+    ``batch_collector`` (callable ``(version_dir, rels) -> {rel:
+    stats}``) replaces the per-file parquet footer read for formats
+    whose footers pyarrow cannot read driver-side — ORC goes through
+    ONE distributed aggregation over all new files
+    (:func:`collect_file_stats_spark`). Rels it omits get the
+    never-pruned placeholder."""
     files: dict[str, dict] = {}
+    need: list[str] = []
     base_files = (base_stats or {}).get("files", {})
     for rel in _data_files(version_dir):
         full = os.path.join(version_dir, rel)
@@ -277,12 +286,116 @@ def build_version_stats(
                     continue
             except OSError:
                 pass
+        need.append(rel)
+    if batch_collector is not None:
+        collected = batch_collector(version_dir, need) if need else {}
+        for rel in need:
+            files[rel] = collected.get(rel, {"rows": None, "cols": {}})
+        return {"version": STATS_FORMAT_VERSION, "files": files}
+    for rel in need:
         try:
-            files[rel] = collect_parquet_file_stats(full)
+            files[rel] = collect_parquet_file_stats(
+                os.path.join(version_dir, rel)
+            )
         except Exception:
             # unreadable footer -> no stats -> file is never pruned
             files[rel] = {"rows": None, "cols": {}}
     return {"version": STATS_FORMAT_VERSION, "files": files}
+
+
+# Spark simpleString type name -> sidecar tag (the Spark-schema twin of
+# ``_type_tag``; decimals and nested types are unsupported in BOTH, so
+# a column is stats-eligible under the same rule whichever harvester
+# ran).
+_SPARK_TAGS = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f", "string": "s", "boolean": "b",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "d",
+}
+
+
+def collect_file_stats_spark(
+    spark, version_dir: str, rels: Sequence[str], fmt: str
+) -> dict:
+    """Per-file stats harvested by ONE distributed aggregation — the
+    stats path for formats whose footer statistics pyarrow cannot read
+    on the driver (ORC: ``pyarrow.orc.ORCFile`` exposes no column
+    statistics as of 16.x). Cost model: parquet commits pay driver-side
+    footer-only reads of new files; ORC commits pay one narrow Spark
+    job scanning the NEW files' stats columns (hardlinked files still
+    reuse the base sidecar via :func:`build_version_stats`, so a
+    partitioned commit's harvest stays proportional to its new data).
+
+    Returns ``{rel: {"rows": n, "cols": {...}}}`` in the same encoded
+    shape as :func:`collect_parquet_file_stats`. Any failure returns
+    ``{}`` — absent entries become never-pruned placeholders, never an
+    aborted commit. TimestampType min/max travel as ``unix_micros``
+    (exact, session-timezone-proof) and decode to the sidecar's naive
+    UTC; TIMESTAMP_NTZ collects verbatim. A float column whose min/max
+    lands on NaN (Spark sorts NaN above everything) encodes to None
+    via ``_encode`` — the file is simply never pruned on that bound."""
+    import datetime as dt
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.sql import functions as F
+
+    try:
+        abs_paths = [os.path.join(version_dir, r) for r in rels]
+        df = (
+            spark.read.format(fmt)
+            .option("mergeSchema", "true")  # pre-evolution files null-fill
+            .load(abs_paths)
+        )
+        wanted: list[tuple[str, str, str]] = []  # (name, tag, spark type)
+        for field in df.schema.fields[:MAX_STATS_COLUMNS]:
+            tname = field.dataType.simpleString()
+            tag = _SPARK_TAGS.get(tname)
+            if tag is not None:
+                wanted.append((field.name, tag, tname))
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, (name, tag, tname) in enumerate(wanted):
+            mn, mx = F.min(df[name]), F.max(df[name])
+            if tname == "timestamp":
+                mn, mx = F.unix_micros(mn), F.unix_micros(mx)
+            aggs.append(mn.alias(f"__mn_{i}"))
+            aggs.append(mx.alias(f"__mx_{i}"))
+            aggs.append(F.count(df[name]).alias(f"__nn_{i}"))
+        rows = (
+            df.groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+    except Exception:
+        return {}
+
+    epoch = dt.datetime(1970, 1, 1)
+
+    def _from_micros(m):
+        return None if m is None else epoch + dt.timedelta(microseconds=m)
+
+    out: dict[str, dict] = {}
+    for r in rows:
+        p = unquote(urlparse(r["__file"]).path)
+        rel = os.path.relpath(p, version_dir)
+        cols: dict[str, dict] = {}
+        for i, (name, tag, tname) in enumerate(wanted):
+            mn, mx = r[f"__mn_{i}"], r[f"__mx_{i}"]
+            if tname == "timestamp":
+                mn, mx = _from_micros(mn), _from_micros(mx)
+            mn, mx = _encode(mn, tag), _encode(mx, tag)
+            if tag == "s":
+                if mn is not None and len(mn) > MAX_STRING_LEN:
+                    mn = mn[:MAX_STRING_LEN]  # prefix = valid lower bound
+                if mx is not None and len(mx) > MAX_STRING_LEN:
+                    mx = None  # a truncated prefix is NOT an upper bound
+            cols[name] = {
+                "t": tag,
+                "min": mn,
+                "max": mx,
+                "nulls": int(r["__rows"]) - int(r[f"__nn_{i}"]),
+            }
+        out[rel] = {"rows": int(r["__rows"]), "cols": cols}
+    return out
 
 
 # ------------------------------------------------- columnar sidecar (v2)

@@ -173,8 +173,8 @@ class VersionedParquetTable:
         stores (streaming history tables).
 
         ``deletion_vectors``: WRITE-side opt-in (Delta DV analogue) —
-        small deletes on a parquet table (partitioned or not) commit
-        as a metadata-sized tombstone key list instead of rewriting
+        small deletes on a parquet or ORC table (partitioned or not)
+        commit as a metadata-sized tombstone key list instead of rewriting
         any data file or partition (see the ``DV_DIR`` note).
         Partitioned commits carry the vector; merge rewrites a
         re-introduced key's stale partition and trims it; append of a
@@ -402,18 +402,36 @@ class VersionedParquetTable:
             f.write(_json.dumps(sorted(_stats._data_files(tmp_target))))
 
     def _write_stats_sidecar(self, tmp_target: str, base: Optional[str]) -> None:
-        """Per-file min/max statistics (``_STATS``), parquet only —
+        """Per-file min/max statistics (``_STATS``), parquet and ORC —
         written into the staging dir so it commits atomically with the
         data. Hardlinked (untouched-partition) files reuse the base
-        version's entries by inode; only new files pay a footer read."""
-        if self.fmt != "parquet":
+        version's entries by inode. New files pay a driver-side
+        footer-only read (parquet) or one distributed aggregation over
+        the new files (ORC — pyarrow exposes no ORC footer statistics;
+        see ``stats.collect_file_stats_spark``). An ORC commit with no
+        active SparkSession simply skips the sidecar: every reader
+        treats a stats-less version as never-prunable."""
+        if self.fmt not in ("parquet", "orc"):
             return
         from a2b_spark.storage import stats as _stats
+
+        collector = None
+        if self.fmt != "parquet":
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                return
+            fmt = self.fmt
+
+            def collector(vdir, rels, _spark=spark, _fmt=fmt):
+                return _stats.collect_file_stats_spark(_spark, vdir, rels, _fmt)
 
         base_dir = os.path.join(self.path, base) if base else None
         base_stats = _stats.load_stats(base_dir) if base_dir else None
         _stats.write_stats(
-            tmp_target, _stats.build_version_stats(tmp_target, base_dir, base_stats)
+            tmp_target,
+            _stats.build_version_stats(
+                tmp_target, base_dir, base_stats, batch_collector=collector
+            ),
         )
 
     def prune_files(
@@ -454,8 +472,8 @@ class VersionedParquetTable:
         may satisfy ``predicates``, then apply the SAME predicates as a
         real filter — exact results whether or not any file has stats,
         with the scan bounded by the driver-side prune (the
-        data-skipping contract of Delta/Iceberg readers). Parquet only;
-        other formats fall back to a filtered full read."""
+        data-skipping contract of Delta/Iceberg readers). Parquet and
+        ORC; other formats fall back to a filtered full read."""
         from a2b_spark.storage import stats as _stats
 
         v = version or self.current_version()
@@ -463,7 +481,7 @@ class VersionedParquetTable:
             return None
         preds = _stats.normalize_predicates(predicates)
         cond = _stats.predicates_to_column(preds)
-        if self.fmt != "parquet":
+        if self.fmt not in ("parquet", "orc"):
             full = self.read(spark, version=v)
             return None if full is None else full.filter(cond)
         # the filter evaluates timestamp literals in the SESSION
@@ -1471,7 +1489,7 @@ class VersionedParquetTable:
         # loop preserves partition subdirs — and only the key list is
         # written); the rewrite paths below are the cap-overflow
         # fallback
-        if self.deletion_vectors and self.fmt == "parquet":
+        if self.deletion_vectors and self.fmt in ("parquet", "orc"):
             if self._try_delete_dv(keys_df.sparkSession, current, keys, base):
                 return
         if self.partition_by:
@@ -1771,8 +1789,8 @@ class VersionedParquetTable:
         self, spark: SparkSession, current: DataFrame, keys: DataFrame,
         base: str,
     ) -> bool:
-        """DELETION-VECTOR delete on a parquet table, partitioned or
-        not: commit = every data file HARDLINKED (the link loop
+        """DELETION-VECTOR delete on a parquet or ORC table,
+        partitioned or not: commit = every data file HARDLINKED (the link loop
         recreates partition subdirs) + the tombstone key list unioned
         into ``_dv/`` — zero data files rewritten, metadata-sized
         regardless of how large the touched files or partitions are
@@ -2003,7 +2021,7 @@ class VersionedParquetTable:
         sidecar_schema)`` or None when pruning is inapplicable (no
         sidecar / unprunable key type / NULL or NaN keys / key set
         over the 64k cap / nothing skippable)."""
-        if self.fmt != "parquet" or base is None:
+        if self.fmt not in ("parquet", "orc") or base is None:
             return None
         from a2b_spark.storage import stats as _stats
 
