@@ -38,9 +38,26 @@ training is therefore merge-for-merge IDENTICAL to sequential
 (pinned in pytest on tie-heavy corpora, where ties force k=1 rounds
 — the guard degrades to the sequential algorithm, never past it).
 
-Cost model: ``ceil(n_merges / accepted-per-round)`` rounds × (one
-aggregation over the distinct-word table). On Zipf corpora the
-distinct-count head batches tens of merges per round (measured in
+Two-tier training (the round-13 completion of that fix): classic BPE
+training consumes NOTHING but the (word, freq) table, so when the
+corpus's DISTINCT word count fits ``local_word_cap`` the table is
+collected once and trained EXACTLY on the driver with the standard
+incremental-pair-count algorithm (inverted pair→words index + lazy
+max-heap — each merge touches only the words containing it). A 100 TB
+corpus still pays exactly ONE distributed pass (the word count);
+30k–50k merges then run at in-memory speed instead of 30k–50k Spark
+jobs. The local trainer is merge-for-merge identical to the
+distributed loop (same counting: every adjacency, overlaps included,
+freq-weighted; same leftmost non-overlapping apply; same
+max-count-then-lexicographic tie-break) — pinned in pytest on
+tie-heavy and random corpora against both the distributed path and
+the independent reference. Only a corpus whose distinct-word table
+exceeds the cap (hapax-heavy web crawls before normalization) takes
+the distributed batched-round path below.
+
+Cost model (distributed tier): ``ceil(n_merges / accepted-per-round)``
+rounds × (one aggregation over the distinct-word table). On Zipf
+corpora the distinct-count head batches merges per round (measured in
 SCALE_TRAJECTORY ``bpe.batched_1000``); at web scale the word table
 is ~10⁸ rows — each round is seconds on a real cluster, and NOTHING
 rescans the corpus after step 1.
@@ -118,6 +135,87 @@ def _accept_merge_batch(
     ]
 
 
+def _word_adjacent_pairs(syms: list[str]) -> list[tuple[str, str]]:
+    """Every adjacency of the symbol sequence, overlaps included —
+    the exact multiset the distributed zip_with/explode counts."""
+    return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+
+
+def _apply_merge_seq(syms: list[str], a: str, b: str) -> list[str]:
+    """Leftmost non-overlapping merge of (a, b), the same pass the
+    distributed apply_merges UDF makes."""
+    merged = a + b
+    res: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            res.append(merged)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _train_local(
+    word_freqs: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Exact in-memory BPE on a collected (word, freq) table: inverted
+    pair→word-ids index + lazy-invalidation max-heap, so each merge
+    costs O(words containing the pair), not a corpus pass. Identical
+    semantics to the distributed loop (module docstring)."""
+    import heapq
+
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_EOW], f) for w, f in word_freqs
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set] = {}
+    for idx, (syms, f) in enumerate(words):
+        for p in _word_adjacent_pairs(syms):
+            pair_counts[p] = pair_counts.get(p, 0) + f
+            pair_words.setdefault(p, set()).add(idx)
+    heap = [(-n, a, b) for (a, b), n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negn, a, b = heapq.heappop(heap)
+        live = pair_counts.get((a, b), 0)
+        if -negn != live:
+            if live > 0:
+                heapq.heappush(heap, (-live, a, b))  # stale: reinsert live
+            continue
+        if live < min_pair_count:
+            break  # heap max is the global max: nothing qualifies
+        merges.append((a, b))
+        touched: set = set()
+        for idx in sorted(pair_words.get((a, b), ())):
+            syms, f = words[idx]
+            old = _word_adjacent_pairs(syms)
+            for p in set(old):
+                pair_words.get(p, set()).discard(idx)
+            for p in old:
+                pair_counts[p] = pair_counts.get(p, 0) - f
+                touched.add(p)
+            new_syms = _apply_merge_seq(syms, a, b)
+            new = _word_adjacent_pairs(new_syms)
+            for p in new:
+                pair_counts[p] = pair_counts.get(p, 0) + f
+                touched.add(p)
+            for p in set(new):
+                pair_words.setdefault(p, set()).add(idx)
+            words[idx] = (new_syms, f)
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c <= 0:
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -126,22 +224,51 @@ def bpe_train(
     checkpoint_every: int = 10,
     batch_merges: int = 64,
     stats_out: Optional[dict] = None,
+    local_word_cap: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
     Returns the ordered merge list (rank = position). Stops early when
     no pair reaches ``min_pair_count``. Deterministic: ties break on
     the lexicographically smallest (first, second) pair.
 
-    ``batch_merges`` caps how many merges one aggregation round may
-    accept (module docstring: the accepted batch is provably what
-    per-merge recounting would have picked, so any value returns the
-    IDENTICAL merge list — 1 forces the classic one-aggregation-per-
-    merge loop). ``stats_out``, if given, receives
-    ``{"rounds": ..., "merges": ...}`` for cost instrumentation."""
+    ``local_word_cap``: when the corpus's distinct-word table has at
+    most this many rows it is collected (the result of the single
+    corpus pass — a few tens of MB at the default) and trained EXACTLY
+    on the driver (module docstring: the merge list is identical to
+    the distributed loop's, and production-size merge counts run at
+    in-memory speed). 0 disables the local tier.
+
+    ``batch_merges`` caps how many merges one aggregation round of the
+    DISTRIBUTED tier may accept (module docstring: the accepted batch
+    is provably what per-merge recounting would have picked, so any
+    value returns the IDENTICAL merge list — 1 forces the classic
+    one-aggregation-per-merge loop). ``stats_out``, if given, receives
+    ``{"rounds": ..., "merges": ..., "mode": "local"|"distributed"}``
+    for cost instrumentation (the local tier reports rounds=0: it runs
+    no per-round Spark jobs)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if batch_merges < 1:
         raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
+    if local_word_cap < 0:
+        raise ValueError(
+            f"local_word_cap must be >= 0, got {local_word_cap}"
+        )
+
+    if local_word_cap:
+        head = _word_freqs(df, text_col).limit(local_word_cap + 1).collect()
+        if len(head) <= local_word_cap:
+            merges = _train_local(
+                [(r["word"], int(r["freq"])) for r in head],
+                n_merges,
+                min_pair_count,
+            )
+            if stats_out is not None:
+                stats_out["rounds"] = 0
+                stats_out["merges"] = len(merges)
+                stats_out["mode"] = "local"
+            return merges
+        # over the cap: fall through to the distributed tier
 
     words = _word_freqs(df, text_col).withColumn(
         "syms",
@@ -225,6 +352,7 @@ def bpe_train(
     if stats_out is not None:
         stats_out["rounds"] = rounds
         stats_out["merges"] = len(merges)
+        stats_out["mode"] = "distributed"
     return merges
 
 

@@ -40,13 +40,14 @@ from a2b_spark.queries import (
     round10b,
     round11,
     round12,
+    round13,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
 for mod in (relational, pipeline, analytic, curation, reports, round7, round7b,
-            round9, round9b, round10, round10b, round11, round12):
+            round9, round9b, round10, round10b, round11, round12, round13):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

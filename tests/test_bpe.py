@@ -83,9 +83,19 @@ _CORPUS = [
 
 def test_training_matches_reference_merge_for_merge(spark):
     df = spark.createDataFrame([(t,) for t in _CORPUS], "text string")
-    got = bpe_train(df, "text", n_merges=30)
     want = _ref_train(_CORPUS, 30)
+    # BOTH tiers: the default (local — the word table fits the cap)
+    # and the forced distributed loop must match the reference exactly
+    local_stats: dict = {}
+    got = bpe_train(df, "text", n_merges=30, stats_out=local_stats)
     assert got == want
+    assert local_stats["mode"] == "local" and local_stats["rounds"] == 0
+    dist_stats: dict = {}
+    got_dist = bpe_train(
+        df, "text", n_merges=30, local_word_cap=0, stats_out=dist_stats
+    )
+    assert got_dist == want
+    assert dist_stats["mode"] == "distributed"
     assert len(got) > 10  # the corpus genuinely supports many merges
     # the tie case resolved lexicographically at its round
     assert ("a", "b") in got and ("c", "d") in got
@@ -93,24 +103,40 @@ def test_training_matches_reference_merge_for_merge(spark):
 
 
 def test_training_is_partitioning_invariant(spark):
+    # forced distributed tier: the local tier is trivially invariant
     df1 = spark.createDataFrame([(t,) for t in _CORPUS], "text string").coalesce(1)
     df8 = spark.createDataFrame(
         [(t,) for t in _CORPUS * 3], "text string"
     ).repartition(8)
-    m1 = bpe_train(df1, "text", n_merges=12)
-    m8 = bpe_train(df8, "text", n_merges=12)
+    m1 = bpe_train(df1, "text", n_merges=12, local_word_cap=0)
+    m8 = bpe_train(df8, "text", n_merges=12, local_word_cap=0)
     # tripling every document scales all counts uniformly → same merges
     assert m1 == m8
 
 
 def test_early_stop_and_validation(spark):
     df = spark.createDataFrame([("x y z",)], "text string")
-    # every pair occurs once < min_pair_count=2 → no merges at all
+    # every pair occurs once < min_pair_count=2 → no merges, both tiers
     assert bpe_train(df, "text", n_merges=5) == []
+    assert bpe_train(df, "text", n_merges=5, local_word_cap=0) == []
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(df, "text", n_merges=0)
     with pytest.raises(ValueError, match="batch_merges"):
         bpe_train(df, "text", n_merges=5, batch_merges=0)
+    with pytest.raises(ValueError, match="local_word_cap"):
+        bpe_train(df, "text", n_merges=5, local_word_cap=-1)
+
+
+def test_local_cap_fallback_is_seamless(spark):
+    """A distinct-word table over the cap silently takes the
+    distributed tier and still returns the identical merge list."""
+    df = spark.createDataFrame([(t,) for t in _CORPUS], "text string")
+    over: dict = {}
+    got = bpe_train(
+        df, "text", n_merges=15, local_word_cap=3, stats_out=over
+    )
+    assert over["mode"] == "distributed"
+    assert got == _ref_train(_CORPUS, 15)
 
 
 def test_batched_training_identical_to_sequential(spark):
@@ -137,12 +163,16 @@ def test_batched_training_identical_to_sequential(spark):
         seq_stats: dict = {}
         bat_stats: dict = {}
         seq = bpe_train(
-            df, "text", n_merges=n, batch_merges=1, stats_out=seq_stats
+            df, "text", n_merges=n, batch_merges=1, stats_out=seq_stats,
+            local_word_cap=0,
         )
         bat = bpe_train(
-            df, "text", n_merges=n, batch_merges=64, stats_out=bat_stats
+            df, "text", n_merges=n, batch_merges=64, stats_out=bat_stats,
+            local_word_cap=0,
         )
         assert bat == seq == _ref_train(corpus, n)
+        # and the LOCAL tier produces the same list again
+        assert bpe_train(df, "text", n_merges=n) == seq
         # classic loop: 1 round per merge (+1 if the stop round found
         # nothing above min_pair_count)
         assert seq_stats["rounds"] in (len(seq), len(seq) + 1)

@@ -628,7 +628,8 @@ def bpe_probe(spark) -> dict:
         stats: dict = {}
         t0 = _t.time()
         merges = bpe_train(
-            zipf, "text", n_merges=n, min_pair_count=2, stats_out=stats
+            zipf, "text", n_merges=n, min_pair_count=2, stats_out=stats,
+            local_word_cap=0,  # measure the DISTRIBUTED tier
         )
         batched[n] = {
             "wall_s": round(_t.time() - t0, 2),
@@ -644,6 +645,25 @@ def bpe_probe(spark) -> dict:
         ),
         "merges_per_round": round(
             batched[1000]["merges"] / max(batched[1000]["rounds"], 1), 1
+        ),
+    }
+    # the LOCAL tier on the same corpus and merge budget (the round-13
+    # production path: one distributed word-count pass, then exact
+    # in-memory training) — wall should be seconds where the
+    # distributed loop takes minutes, with an identical merge list.
+    loc_stats: dict = {}
+    t0 = _t.time()
+    loc = bpe_train(
+        zipf, "text", n_merges=1000, min_pair_count=2, stats_out=loc_stats
+    )
+    loc_wall = _t.time() - t0
+    out["local_1000"] = {
+        "wall_s": round(loc_wall, 2),
+        "merges": len(loc),
+        "mode": loc_stats["mode"],
+        "identical_to_distributed": loc == merges,
+        "speedup_vs_distributed": round(
+            batched[1000]["wall_s"] / max(loc_wall, 1e-9), 1
         ),
     }
     return out
