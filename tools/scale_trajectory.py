@@ -919,6 +919,78 @@ def skew_probe(spark) -> dict:
     return out
 
 
+def orc_stats_probe(spark) -> dict:
+    """ORC commit cost vs parquet (round-13 ORC fast paths): the ORC
+    ``_STATS`` harvest is ONE distributed aggregation over the
+    commit's NEW files (pyarrow exposes no ORC footer statistics),
+    where parquet pays driver-side footer-only reads. Measured at 1M
+    rows / 16 range-clustered files:
+
+    - overwrite commit wall per format (the delta bounds the harvest
+      overhead — both formats also pay their own encode costs),
+    - a one-partition merge on a 16-partition table (hardlink stats
+      reuse: only the touched partition's new files are harvested, so
+      the ORC premium must NOT scale with table size),
+    - prune parity: the two sidecars must make IDENTICAL skip
+      decisions on the same band predicate.
+    """
+    import shutil
+    import tempfile
+
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    base = tempfile.mkdtemp(prefix="orc_probe_")
+    out: dict = {}
+    try:
+        df = spark.range(1_000_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 16).cast("int").alias("p"),
+            (F.col("id") * 2).alias("v"),
+            F.md5(F.col("id").cast("string")).alias("s"),
+        )
+        preds = [("k", "between", (0, 62_500))]
+        for fmt in ("parquet", "orc"):
+            t = VersionedParquetTable(
+                f"{base}/flat_{fmt}", key_cols=("k",), fmt=fmt
+            )
+            t0 = _t.time()
+            t.overwrite(df.repartitionByRange(16, "k"))
+            w_over = _t.time() - t0
+            kept, total = t.prune_files(preds)
+            # partitioned table: merge touches ONE partition
+            tp = VersionedParquetTable(
+                f"{base}/part_{fmt}", key_cols=("k",),
+                partition_by=("p",), fmt=fmt,
+            )
+            tp.overwrite(df)
+            t0 = _t.time()
+            tp.merge(
+                spark.createDataFrame(
+                    [(0, 0, 999, "x")], "k long, p int, v long, s string"
+                )
+            )
+            w_merge = _t.time() - t0
+            out[fmt] = {
+                "overwrite_s": round(w_over, 2),
+                "merge_1part_s": round(w_merge, 2),
+                "pruned_kept": len(kept),
+                "pruned_total": total,
+            }
+        out["overwrite_orc_vs_parquet"] = round(
+            out["orc"]["overwrite_s"] / out["parquet"]["overwrite_s"], 2
+        )
+        out["merge_orc_vs_parquet"] = round(
+            out["orc"]["merge_1part_s"] / out["parquet"]["merge_1part_s"], 2
+        )
+        out["prune_parity"] = (
+            out["orc"]["pruned_kept"] == out["parquet"]["pruned_kept"]
+            and out["orc"]["pruned_total"] == out["parquet"]["pruned_total"]
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def linedup_probe(spark) -> dict:
     """The strip_lines broadcast-gate question (round-12 verdict item
     2): at C4's canonical min_docs=2 a duplicate-heavy corpus makes
@@ -1046,6 +1118,13 @@ def main() -> int:
         "duplicate-heavy corpus: shuffled fallback engages, both "
         "paths agree) and merge it into the out file",
     )
+    ap.add_argument(
+        "--orc",
+        action="store_true",
+        help="run ONLY the ORC commit-cost probe (distributed stats "
+        "harvest vs parquet footer reads, prune parity) and merge it "
+        "into the out file",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_TRAJECTORY.json"))
     ap.add_argument(
         "--only",
@@ -1083,6 +1162,20 @@ def main() -> int:
         with open(args.out, "w") as f:
             json.dump(doc, f, indent=1)
         print(json.dumps({"skew": doc["skew"]}))
+        return 0
+    if args.orc:
+        from a2b_spark.session import get_spark
+
+        spark = get_spark("scale_trajectory_orc")
+        spark.sparkContext.setLogLevel("ERROR")
+        doc = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                doc = json.load(f)
+        doc["orc_stats"] = orc_stats_probe(spark)
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({"orc_stats": doc["orc_stats"]}))
         return 0
     if args.dv:
         from a2b_spark.session import get_spark
