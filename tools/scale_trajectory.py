@@ -936,6 +936,9 @@ def orc_stats_probe(spark) -> dict:
     """
     import shutil
     import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
 
     from a2b_spark.storage.table import VersionedParquetTable
 
@@ -949,6 +952,13 @@ def orc_stats_probe(spark) -> dict:
             F.md5(F.col("id").cast("string")).alias("s"),
         )
         preds = [("k", "between", (0, 62_500))]
+        # JIT/codegen warmup outside the measured walls (the first
+        # format measured would otherwise absorb it)
+        for fmt in ("parquet", "orc"):
+            w = VersionedParquetTable(
+                f"{base}/warm_{fmt}", key_cols=("k",), fmt=fmt
+            )
+            w.overwrite(df.limit(10_000).repartitionByRange(2, "k"))
         for fmt in ("parquet", "orc"):
             t = VersionedParquetTable(
                 f"{base}/flat_{fmt}", key_cols=("k",), fmt=fmt
