@@ -346,20 +346,27 @@ def collect_file_stats_spark(
             .option("mergeSchema", "true")  # pre-evolution files null-fill
             .load(abs_paths)
         )
-        wanted: list[tuple[str, str, str]] = []  # (name, tag, spark type)
-        for field in df.schema.fields[:MAX_STATS_COLUMNS]:
+        # a dotted/odd column name must never be re-parsed (repo
+        # odd-name rule, and df[name]/df[pos] both parse): rename ALL
+        # columns POSITIONALLY to safe handles first, keep the
+        # original name only for the sidecar keys
+        originals = [f.name for f in df.schema.fields]
+        df = df.toDF(*[f"__c{i}" for i in range(len(originals))])
+        wanted: list[tuple[str, str, str, int]] = []
+        for pos, field in enumerate(df.schema.fields[:MAX_STATS_COLUMNS]):
             tname = field.dataType.simpleString()
             tag = _SPARK_TAGS.get(tname)
             if tag is not None:
-                wanted.append((field.name, tag, tname))
+                wanted.append((originals[pos], tag, tname, pos))
         aggs = [F.count(F.lit(1)).alias("__rows")]
-        for i, (name, tag, tname) in enumerate(wanted):
-            mn, mx = F.min(df[name]), F.max(df[name])
+        for i, (name, tag, tname, pos) in enumerate(wanted):
+            c = F.col(f"__c{pos}")
+            mn, mx = F.min(c), F.max(c)
             if tname == "timestamp":
                 mn, mx = F.unix_micros(mn), F.unix_micros(mx)
             aggs.append(mn.alias(f"__mn_{i}"))
             aggs.append(mx.alias(f"__mx_{i}"))
-            aggs.append(F.count(df[name]).alias(f"__nn_{i}"))
+            aggs.append(F.count(c).alias(f"__nn_{i}"))
         rows = (
             df.groupBy(F.input_file_name().alias("__file"))
             .agg(*aggs)
@@ -378,7 +385,7 @@ def collect_file_stats_spark(
         p = unquote(urlparse(r["__file"]).path)
         rel = os.path.relpath(p, version_dir)
         cols: dict[str, dict] = {}
-        for i, (name, tag, tname) in enumerate(wanted):
+        for i, (name, tag, tname, _pos) in enumerate(wanted):
             mn, mx = r[f"__mn_{i}"], r[f"__mx_{i}"]
             if tname == "timestamp":
                 mn, mx = _from_micros(mn), _from_micros(mx)

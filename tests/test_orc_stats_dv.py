@@ -158,6 +158,25 @@ def test_orc_distributed_harvest_type_matrix(spark, tmp_path):
     assert not math.isnan(c["x"]["min"])
 
 
+def test_orc_harvest_odd_column_names(spark, tmp_path):
+    """The distributed harvest never re-parses column names (repo
+    odd-name rule: positional toDF rename) — dotted, spaced and
+    colon-bearing names all land in the sidecar with correct stats,
+    and the ':'-joined sidecar layout round-trips them."""
+    p = str(tmp_path / "odd")
+    df = spark.createDataFrame(
+        [(1, 2, "x"), (5, None, "y")],
+        "`a.b` long, `c d` long, `e:f` string",
+    )
+    df.coalesce(1).write.format("orc").save(p)
+    rels = [f for f in os.listdir(p) if not f.startswith(("_", "."))]
+    out = collect_file_stats_spark(spark, p, rels, "orc")
+    c = out[rels[0]]["cols"]
+    assert c["a.b"] == {"t": "i", "min": 1, "max": 5, "nulls": 0}
+    assert c["c d"] == {"t": "i", "min": 2, "max": 2, "nulls": 1}
+    assert c["e:f"] == {"t": "s", "min": "x", "max": "y", "nulls": 0}
+
+
 def test_orc_dv_delete_rewrites_zero_files(spark, tmp_path):
     t = VersionedParquetTable(
         str(tmp_path / "dv"), key_cols=("k",), retention=10,
