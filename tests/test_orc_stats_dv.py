@@ -236,6 +236,22 @@ def test_orc_dv_merge_reintroduces_tombstoned_key(spark, tmp_path):
     assert t.read(spark).count() == 39
 
 
+def test_orc_type_widening_reads_natively(spark, tmp_path):
+    """TYPE WIDENING is metadata-only under ORC too: the ORC reader
+    upcasts old physical int32/float32 pages under the widened sidecar
+    schema (the parquet claim, verified for ORC), and a post-widen
+    merge re-reads the old hardlinked files without rewrite errors."""
+    t = VersionedParquetTable(str(tmp_path / "w"), key_cols=("k",), fmt="orc")
+    t.overwrite(spark.createDataFrame([(1, 5, 1.5)], "k long, v int, f float"))
+    t.widen_column(spark, "v", "double")
+    t.widen_column(spark, "f", "double")
+    got = t.read(spark)
+    assert got.schema.simpleString() == "struct<k:bigint,v:double,f:double>"
+    assert _rows(got) == [(1, 5.0, 1.5)]
+    t.merge(spark.createDataFrame([(2, 7.5, 2.5)], "k long, v double, f double"))
+    assert _rows(t.read(spark)) == [(1, 5.0, 1.5), (2, 7.5, 2.5)]
+
+
 def test_orc_stats_scoped_merge_prunes_files(spark, tmp_path):
     """The _prunable_key_files planning step engages under ORC: a
     1-key merge against a key-clustered multi-file table rewrites only
