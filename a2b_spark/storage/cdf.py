@@ -417,8 +417,18 @@ try:  # pyspark >= 4: python data source API
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(return_type)
-        pf = pq.ParquetFile(partition.path)
-        present = set(pf.schema_arrow.names)
+        # DATA files follow the table's format (ORC tables stream
+        # their own .orc files on appends / initial loads); CHANGE
+        # files under _cdf/ are always parquet (_write_cdf)
+        is_orc = partition.path.endswith(".orc")
+        if is_orc:
+            import pyarrow.orc as _orc
+
+            pf = _orc.ORCFile(partition.path)
+            present = set(pf.schema.names)
+        else:
+            pf = pq.ParquetFile(partition.path)
+            present = set(pf.schema_arrow.names)
         # pre-resolve each output field to (source, typed constant)
         consts: dict[str, object] = {}
         for field in arrow_schema:
@@ -453,7 +463,16 @@ try:  # pyspark >= 4: python data source API
                 else:
                     consts[field.name] = pc.cast(pa.scalar(raw), field.type)
         read_cols = [f.name for f in arrow_schema if f.name in present]
-        for chunk in pf.iter_batches(batch_size=1 << 16, columns=read_cols):
+        if is_orc:
+            # one RecordBatch per stripe (writer-bounded stripe size —
+            # the ORC analogue of the parquet 64k-row batch bound)
+            chunks = (
+                pf.read_stripe(i, columns=read_cols)
+                for i in range(pf.nstripes)
+            )
+        else:
+            chunks = pf.iter_batches(batch_size=1 << 16, columns=read_cols)
+        for chunk in chunks:
             n = chunk.num_rows
             arrays = []
             for field in arrow_schema:

@@ -252,6 +252,81 @@ def test_orc_type_widening_reads_natively(spark, tmp_path):
     assert _rows(t.read(spark)) == [(1, 5.0, 1.5), (2, 7.5, 2.5)]
 
 
+def test_orc_appends_stream_reads_orc_data_files(spark, tmp_path):
+    """The vectorized appends source streams the table's OWN data
+    files — under ORC those are .orc, read stripe-wise through
+    pyarrow.orc (the parquet iter_batches twin). Partition-dir values
+    and _commit_version constants resolve identically."""
+    from a2b_spark.storage.cdf import VersionAppendsDataSource
+
+    t = VersionedParquetTable(
+        str(tmp_path / "a"), key_cols=("k",), partition_by=("epoch",),
+        partitions_derived_from_keys=True, retention=10, fmt="orc",
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, 10.0), (2, 0, 20.0)], "k long, epoch int, x double"
+        )
+    )
+    t.append(
+        spark.createDataFrame([(3, 1, 30.0)], "k long, epoch int, x double")
+    )
+    spark.dataSource.register(VersionAppendsDataSource)
+    out_dir = str(tmp_path / "out")
+    (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.k, r.epoch, r.x, r._commit_version)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 0, 10.0, 1), (2, 0, 20.0, 1), (3, 1, 30.0, 2)}
+
+
+def test_orc_changes_stream_initial_load(spark, tmp_path):
+    """a2b_table_changes streams an ORC table's INITIAL commit as
+    inserts straight from the .orc data files (the change files under
+    _cdf/ stay parquet regardless of table format)."""
+    from a2b_spark.storage.cdf import TableChangesDataSource
+
+    t = VersionedParquetTable(
+        str(tmp_path / "c"), key_cols=("k",), retention=10, fmt="orc"
+    )
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    t.enable_cdf()
+    t.merge(spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string"))
+    spark.dataSource.register(TableChangesDataSource)
+    out_dir = str(tmp_path / "out")
+    (
+        spark.readStream.format("a2b_table_changes")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        (r.k, r.v, r.change) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, "a", "insert"), (2, "b", "insert"),
+        (2, "B2", "update"), (3, "c", "insert"),
+    }
+
+
 def test_orc_stats_scoped_merge_prunes_files(spark, tmp_path):
     """The _prunable_key_files planning step engages under ORC: a
     1-key merge against a key-clustered multi-file table rewrites only
