@@ -110,13 +110,14 @@ def _read_model(table, spark) -> dict:
     return {r.k: (r.g, int(r.x), int(r.w)) for r in df.collect()}
 
 
-def _run_sequence(spark, tmp_path, dv, partitioned, ops):
+def _run_sequence(spark, tmp_path, dv, partitioned, ops, fmt="parquet"):
     src = VersionedParquetTable(
         str(tmp_path / "src"),
         key_cols=("k",),
         partition_by=("g",) if partitioned else None,
         retention=40,  # explicit vacuum ops only — no auto-trim surprises
         deletion_vectors=dv,
+        fmt=fmt,
     )
     src.overwrite(
         spark.createDataFrame(
@@ -258,10 +259,17 @@ def _run_sequence(spark, tmp_path, dv, partitioned, ops):
 
 @_SET
 @seed(20260816)
-@given(dv=st.booleans(), partitioned=st.booleans(), ops=_ops)
-def test_storage_interleaving_model(spark, tmp_path_factory, dv, partitioned, ops):
+@given(
+    dv=st.booleans(),
+    partitioned=st.booleans(),
+    fmt=st.sampled_from(["parquet", "orc"]),
+    ops=_ops,
+)
+def test_storage_interleaving_model(
+    spark, tmp_path_factory, dv, partitioned, fmt, ops
+):
     tmp = tmp_path_factory.mktemp("storage_model")
-    _run_sequence(spark, tmp, dv, partitioned, ops)
+    _run_sequence(spark, tmp, dv, partitioned, ops, fmt=fmt)
 
 
 @pytest.mark.deep
@@ -270,16 +278,21 @@ def test_storage_interleaving_model(spark, tmp_path_factory, dv, partitioned, op
     max_examples=int(os.environ.get("A2B_STORAGE_MODEL_DEEP_EXAMPLES", "200")),
 )
 @seed(20260816)
-@given(dv=st.booleans(), partitioned=st.booleans(), ops=_ops)
+@given(
+    dv=st.booleans(),
+    partitioned=st.booleans(),
+    fmt=st.sampled_from(["parquet", "orc"]),
+    ops=_ops,
+)
 def test_storage_interleaving_model_deep(
-    spark, tmp_path_factory, dv, partitioned, ops
+    spark, tmp_path_factory, dv, partitioned, fmt, ops
 ):
     """The periodic deep sweep (round-11 verdict item 8), reproducible
     as ``python -m pytest -m deep -q`` — deselected from the default
     run by pytest.ini's addopts. Same model, 200 sequences (~15 min);
     override the count with A2B_STORAGE_MODEL_DEEP_EXAMPLES."""
     tmp = tmp_path_factory.mktemp("storage_model_deep")
-    _run_sequence(spark, tmp, dv, partitioned, ops)
+    _run_sequence(spark, tmp, dv, partitioned, ops, fmt=fmt)
 
 
 def test_storage_model_restore_then_ivm_directed(spark, tmp_path):
