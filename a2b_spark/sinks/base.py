@@ -28,11 +28,15 @@ class VersionedTableDestination:
         path: str,
         key_cols: Sequence[str],
         partition_by: Optional[Sequence[str]] = None,
+        deletion_vectors: bool = False,
     ):
+        """``deletion_vectors`` passes through to the table (parquet
+        and ORC honor it; other formats delete via rewrite)."""
         from a2b_spark.storage.table import VersionedParquetTable
 
         self.table = VersionedParquetTable(
-            path, key_cols, partition_by, fmt=self.fmt
+            path, key_cols, partition_by, fmt=self.fmt,
+            deletion_vectors=deletion_vectors,
         )
         self.key_cols = tuple(key_cols)
 

@@ -19,5 +19,10 @@ from a2b_spark.sinks.base import VersionedTableDestination
 class OrcDestination(VersionedTableDestination):
     fmt = "orc"
 
-    def __init__(self, path: str, key_cols: Sequence[str]):
-        super().__init__(path, key_cols)
+    def __init__(
+        self,
+        path: str,
+        key_cols: Sequence[str],
+        deletion_vectors: bool = False,
+    ):
+        super().__init__(path, key_cols, deletion_vectors=deletion_vectors)
