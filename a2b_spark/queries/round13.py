@@ -109,3 +109,82 @@ ORDER BY o_orderpriority
 
 QUERIES["q177_orc_pruned_dv_read"] = q177_orc_pruned_dv_read
 ORACLES["q177_orc_pruned_dv_read"] = O_Q177
+
+
+# --------------------------------------------------------------- Q178
+def q178_orc_appends_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q145's ORC twin: the a2b_table_appends streaming source over an
+    ORC table streams the table's own ``.orc`` data files (stripe-wise
+    pyarrow.orc RecordBatches — the round-13 format dispatch in
+    storage/cdf.py), with partition values still resolved from dir
+    names and the commit tag synthesized per file. Orders lands in an
+    epoch-partitioned insert-only ORC table over four append commits
+    (epoch = o_orderkey % 4), the source drains availableNow into a
+    memory sink, and the per-epoch rollup of the STREAMED rows must
+    equal the oracle's recomputation from the source table."""
+    import os
+
+    from a2b_spark.queries.relational import dsum
+    from a2b_spark.queries.round7 import _scratch_path
+    from a2b_spark.storage.cdf import VersionAppendsDataSource
+    from a2b_spark.storage.table import VersionedParquetTable
+
+    if VersionAppendsDataSource is None:
+        raise RuntimeError(
+            "a2b_table_appends needs pyspark >= 4 (python data source API)"
+        )
+    path = _scratch_path(sf_dir, "q178")
+    tag = path.rsplit("_", 1)[1]
+    spark.dataSource.register(VersionAppendsDataSource)
+    t = VersionedParquetTable(
+        path,
+        key_cols=["o_orderkey"],
+        partition_by=("epoch",),
+        partitions_derived_from_keys=True,
+        retention=6,
+        fmt="orc",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("epoch"),
+    )
+    for e in (0, 1, 2, 3):  # one FRESH partition per commit
+        t.append(o.filter(F.col("epoch") == e))
+    sink = f"q178_sink_{tag}"
+    finished = (
+        spark.readStream.format("a2b_table_appends")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(path, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    if not finished:
+        raise TimeoutError("a2b_table_appends availableNow stream exceeded 300s")
+    return (
+        spark.table(sink)
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice", "total_price", 2),
+            F.min("_commit_version").alias("commit_version"),
+        )
+        .orderBy("epoch")
+    )
+
+
+O_Q178 = """
+SELECT CAST(o_orderkey % 4 AS INTEGER) AS epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(o_orderkey % 4 + 1 AS INTEGER) AS commit_version
+FROM orders
+GROUP BY 1, 4 ORDER BY 1
+"""
+
+QUERIES["q178_orc_appends_stream_rollup"] = q178_orc_appends_stream_rollup
+ORACLES["q178_orc_appends_stream_rollup"] = O_Q178
