@@ -255,8 +255,14 @@ def bpe_train(
             f"local_word_cap must be >= 0, got {local_word_cap}"
         )
 
+    word_freqs = _word_freqs(df, text_col)
     if local_word_cap:
-        head = _word_freqs(df, text_col).limit(local_word_cap + 1).collect()
+        # pin the word table so the cap probe and (on over-cap
+        # fallthrough) the distributed tier share ONE corpus pass —
+        # the module's "corpus touched exactly once" contract must
+        # hold on the fallback path too
+        word_freqs = word_freqs.localCheckpoint(eager=True)
+        head = word_freqs.limit(local_word_cap + 1).collect()
         if len(head) <= local_word_cap:
             merges = _train_local(
                 [(r["word"], int(r["freq"])) for r in head],
@@ -270,7 +276,7 @@ def bpe_train(
             return merges
         # over the cap: fall through to the distributed tier
 
-    words = _word_freqs(df, text_col).withColumn(
+    words = word_freqs.withColumn(
         "syms",
         F.concat(
             F.split(F.col("word"), ""),  # chars
