@@ -111,7 +111,7 @@ def q154_deletion_vector_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.merge(
         spark.createDataFrame(
-            [(reborn, "0-REBORN", 9999.99)],
+            spark.sparkContext.parallelize([(reborn, "0-REBORN", 9999.99)], 1),
             "o_orderkey long, o_orderpriority string, o_totalprice double",
         )
     )
@@ -208,7 +208,7 @@ def q155_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .unionByName(
             spark.createDataFrame(
-                [(hi + 1, "0-MOVED", 123.45)],
+                spark.sparkContext.parallelize([(hi + 1, "0-MOVED", 123.45)], 1),
                 "c_custkey long, c_mktsegment string, c_acctbal double",
             )
         )

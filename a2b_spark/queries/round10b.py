@@ -385,7 +385,7 @@ def q167_partitioned_dv_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # land the reborn key in a priority its stale bytes do NOT occupy
     t.merge(
         spark.createDataFrame(
-            [(reborn, "0-REBORN", 1234.56)],
+            spark.sparkContext.parallelize([(reborn, "0-REBORN", 1234.56)], 1),
             "o_orderkey long, o_orderpriority string, o_totalprice double",
         )
     )

@@ -81,8 +81,15 @@ def q148_pruned_merge_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = o.filter(
         (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") * 8 <= hi)
     ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+    # a literal driver-side batch is ONE partition of data: bare
+    # createDataFrame spreads 2 rows over defaultParallelism mostly
+    # EMPTY partitions, and every downstream action of the pinned
+    # batch then pays a task (plus a Python-worker round-trip) per
+    # empty partition — parallelize(..., 1) pins the honest layout
     extra = spark.createDataFrame(
-        [(hi + 1, "9-SYNTH", 111.11), (hi + 2, "9-SYNTH", 222.22)],
+        spark.sparkContext.parallelize(
+            [(hi + 1, "9-SYNTH", 111.11), (hi + 2, "9-SYNTH", 222.22)], 1
+        ),
         "o_orderkey long, o_orderpriority string, o_totalprice double",
     )
     t.merge(batch.unionByName(extra))
@@ -154,7 +161,8 @@ def q149_changes_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hi = c.agg(F.max("c_custkey")).first()[0]
     ins = spark.createDataFrame(
-        [(hi + 1, 777.77)], "c_custkey long, c_acctbal double"
+        spark.sparkContext.parallelize([(hi + 1, 777.77)], 1),
+        "c_custkey long, c_acctbal double",
     )
     t.merge(upd.unionByName(ins))                    # v3: update + insert
     t.delete_keys(c.filter(F.col("c_custkey") % 41 == 0)

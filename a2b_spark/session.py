@@ -49,6 +49,17 @@ def get_spark(app_name: str = "a2b_spark", shuffle_partitions: int | None = None
         # epoch) — queries normalize to microseconds explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Deployment-specific overrides (cluster memory sizes, shuffle/io
+    # codecs, join-strategy preferences) ride one env knob instead of
+    # code edits: SPARK_GRAFT_CONF is a JSON object of conf key→value
+    # applied LAST, so a 100 TB deployment tunes without forking the
+    # session factory, and local A/B experiments stay out of the code.
+    extra = os.environ.get("SPARK_GRAFT_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

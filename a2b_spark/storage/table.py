@@ -362,7 +362,26 @@ class VersionedParquetTable:
         d = os.path.join(self.path, version, DV_DIR)
         if not os.path.isdir(d) or not self.key_cols:
             return None
-        dv = spark.read.parquet(d)
+        reader = spark.read
+        try:
+            # the vector is a parquet this class itself wrote: its
+            # footer schema (one driver-side pyarrow read) given to the
+            # reader explicitly skips Spark's schema-inference job —
+            # one fewer action per DV consult. Any conversion surprise
+            # falls back to inference, never to a wrong schema.
+            import pyarrow.parquet as _pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if fs:
+                reader = reader.schema(
+                    from_arrow_schema(
+                        _pq.read_schema(os.path.join(d, fs[0]))
+                    )
+                )
+        except Exception:
+            pass
+        dv = reader.parquet(d)
         schema = self._version_schema(version)
         if schema is not None:
             dv = dv.select(
@@ -373,12 +392,40 @@ class VersionedParquetTable:
             )
         return dv
 
-    def _apply_dv(self, spark: SparkSession, df: DataFrame, vdir: str) -> DataFrame:
+    def _dv_count(self, version: str) -> int:
+        """Row count of the version's deletion vector WITHOUT a Spark
+        job: the vector is a local key-list parquet this class itself
+        wrote, so the footer metadata answers exactly (the keys are
+        distinct by the union-of-disjoint construction). Driver-side
+        pyarrow, O(files) footer reads."""
+        d = os.path.join(self.path, version, DV_DIR)
+        if not os.path.isdir(d) or not self.key_cols:
+            return 0
+        import pyarrow.parquet as _pq
+
+        return sum(
+            _pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    def _apply_dv(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        vdir: str,
+        dv: Optional[DataFrame] = _UNSET_BASE,
+    ) -> DataFrame:
         """Anti-join the version's deletion vector onto a data read —
         a BROADCAST anti join (the vector is capped at DV_MAX_KEYS), so
-        applying it costs one map-side pass, never a shuffle."""
+        applying it costs one map-side pass, never a shuffle. ``dv``:
+        pass the already-loaded vector frame (or None for "no vector")
+        to skip re-reading ``_dv/`` — callers that consult the vector
+        themselves (the pruned merge) otherwise pay a second footer
+        read + plan round-trip per commit."""
         version = os.path.basename(vdir)
-        dv = self._dv_df(spark, version)
+        if dv is _UNSET_BASE:
+            dv = self._dv_df(spark, version)
         if dv is None:
             return df
         from a2b_spark.storage.diff import null_safe_key_cond
@@ -1509,7 +1556,7 @@ class VersionedParquetTable:
                 cdf_df=_delete_cdf(scoped),
             )
             return
-        kept_info = self._prunable_key_files(keys, base)
+        kept_info = self._prunable_key_files(keys, base, pinned_distinct=True)
         if kept_info is not None:
             kept_abs, keep_rels, schema = kept_info
             scoped = self._read_files(
@@ -1570,6 +1617,7 @@ class VersionedParquetTable:
         extra_files: Optional[dict] = None,
         cdf_df: Optional[DataFrame] = None,
         dv_df: Optional[DataFrame] = None,
+        dv_state: Optional[str] = None,
     ) -> None:
         """Write a new version containing ``touched_df`` (the new
         contents of the touched partitions) and hard-link every
@@ -1646,7 +1694,7 @@ class VersionedParquetTable:
         # against the dir the untouched partitions were linked FROM
         self._write_stats_sidecar(tmp_target, old_version)
         self._carry_forward_metadata(tmp_target, old_version)
-        self._stage_dv(tmp_target, old_version, dv_df)
+        self._stage_dv(tmp_target, old_version, dv_df, dv_state=dv_state)
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
 
@@ -1753,7 +1801,10 @@ class VersionedParquetTable:
         if info is None:
             return False
         kept_abs, keep_rels, schema = info
-        current_touched = self._read_files(spark, base, kept_abs, schema)
+        # load the vector ONCE: both the DV-filtered read and the
+        # re-introduction trim below consult it
+        dv = self._dv_df(spark, base)
+        current_touched = self._read_files(spark, base, kept_abs, schema, dv=dv)
         merged = merge_dataframes(current_touched, batch, self.key_cols)
         cdf = None
         if self.cdf_enabled(base):
@@ -1766,7 +1817,6 @@ class VersionedParquetTable:
                 preimages=self.cdf_preimages(base),
             )
         dv_new = None
-        dv = self._dv_df(spark, base)
         if dv is not None:
             # a merged key that was DV-tombstoned is RE-INTRODUCED by
             # this commit: its stats-matching files (the only places
@@ -1840,7 +1890,7 @@ class VersionedParquetTable:
         # the "current is DV-filtered" invariant the no-bloat and
         # CDF-only-live contracts below rely on. Fallback: no sidecar
         # or unprunable keys → the full DV-filtered read, as before.
-        pruned = self._prunable_key_files(keys, base)
+        pruned = self._prunable_key_files(keys, base, pinned_distinct=True)
         if pruned is not None:
             kept_abs, _, schema = pruned
             scan = self._read_files(spark, base, kept_abs, schema)
@@ -1858,13 +1908,27 @@ class VersionedParquetTable:
             .localCheckpoint(eager=True)
         )
         deleted = matched.select(*self.key_cols).distinct()
-        n_new = deleted.count()  # pinned blocks: no table rescan
+        # ONE aggregation answers both sizes over the pinned blocks
+        # (matched-row count for the cap check, distinct-key count for
+        # the vector budget) — groupBy keeps NULL key groups, so the
+        # distinct count is NULL-safe like the distinct() it replaces
+        sizes = (
+            matched.groupBy(*self.key_cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum("__c").alias("n_matched"),
+            )
+            .first()
+        )
+        n_new = sizes["n_new"]
         if n_new == 0:
             return True  # nothing live matched: no commit
-        if matched.count() > DV_MAX_KEYS:
+        if sizes["n_matched"] > DV_MAX_KEYS:
             return False  # cap hit before the limit: set size unknown
         old_dv = self._dv_df(spark, base)
-        n_old = old_dv.count() if old_dv is not None else 0
+        # footer-metadata count: no Spark job for the existing vector
+        n_old = self._dv_count(base) if old_dv is not None else 0
         if n_old + n_new > DV_MAX_KEYS:
             return False  # vector would outgrow its broadcast budget
         # disjoint by construction (current is DV-filtered), so a
@@ -1905,7 +1969,10 @@ class VersionedParquetTable:
             op="delete",
             base=base,
             cdf_df=cdf,
+            # n_new > 0 above: the union vector is non-empty by
+            # construction — skip the isEmpty probe action
             dv_df=dv_new,
+            dv_state="nonempty",
         )
         return True
 
@@ -1932,7 +1999,7 @@ class VersionedParquetTable:
             return out
         from a2b_spark.storage import stats as _stats
 
-        n_keys = dv.count()
+        n_keys = self._dv_count(base)  # footer metadata: no Spark job
         vdir = os.path.join(self.path, base)
         all_rels = _stats._data_files(vdir)
         if self.partition_by:
@@ -1959,7 +2026,8 @@ class VersionedParquetTable:
                 # partitions were rewritten since): clear the vector
                 # with an all-hardlink commit (no writer involved)
                 self._commit_linked_files(
-                    None, all_rels, op="purge", base=base, dv_df=dv.limit(0)
+                    None, all_rels, op="purge", base=base,
+                    dv_df=dv.limit(0), dv_state="empty",
                 )
                 return {
                     "files_rewritten": 0,
@@ -1982,14 +2050,15 @@ class VersionedParquetTable:
                 if any(r.startswith(u + os.sep) for u in untouched_leaves)
             )
             self._commit_touched(
-                scoped, touched, op="purge", base=base, dv_df=dv.limit(0)
+                scoped, touched, op="purge", base=base,
+                dv_df=dv.limit(0), dv_state="empty",
             )
             return {
                 "files_rewritten": len(all_rels) - n_linked,
                 "files_linked": n_linked,
                 "purged_keys": n_keys,
             }
-        info = self._prunable_key_files(dv, base)
+        info = self._prunable_key_files(dv, base, pinned_distinct=True)
         if info is not None:
             kept_abs, keep_rels, schema = info
         else:
@@ -2006,6 +2075,7 @@ class VersionedParquetTable:
             op="purge",
             base=base,
             dv_df=dv.limit(0),  # explicit clear, never carry
+            dv_state="empty",
         )
         return {
             "files_rewritten": len(kept_abs),
@@ -2013,14 +2083,26 @@ class VersionedParquetTable:
             "purged_keys": n_keys,
         }
 
-    def _prunable_key_files(self, keyed_df: DataFrame, base: Optional[str]):
+    def _prunable_key_files(
+        self, keyed_df: DataFrame, base: Optional[str],
+        pinned_distinct: bool = False,
+    ):
         """The shared planning step of file-pruned merge/delete:
         collect the DISTINCT (driver-bounded) first-key values of
         ``keyed_df`` and match them against the ``_STATS`` per-file
         bands. Returns ``(kept_abs_paths, keep_rel_paths,
         sidecar_schema)`` or None when pruning is inapplicable (no
         sidecar / unprunable key type / NULL or NaN keys / key set
-        over the 64k cap / nothing skippable)."""
+        over the 64k cap / nothing skippable).
+
+        ``pinned_distinct``: the caller guarantees ``keyed_df`` is
+        already DISTINCT on the key tuple and MATERIALIZED (the
+        delete path pins ``keys_df.distinct().localCheckpoint()``).
+        Then one bounded ``limit(cap+1).collect()`` replaces the
+        two-action probe (map-only pre-check + distinct shuffle): the
+        NULL/NaN test runs driver-side on ≤ cap+1 collected scalars,
+        and an over-cap key set stops at the limit instead of paying
+        a count — one Spark action instead of two per delete."""
         if self.fmt not in ("parquet", "orc") or base is None:
             return None
         from a2b_spark.storage import stats as _stats
@@ -2037,24 +2119,42 @@ class VersionedParquetTable:
         # high-key insert (the band then spans the whole table). 64k
         # scalar keys is a few MB driver-side.
         cap = 1 << 16
-        # cheap one-pass pre-check first: a bulk-load-sized batch must
-        # not pay a distinct shuffle just to discover it exceeds the cap
-        unbandable = F.col(k).isNull()
-        if ktype in ("float", "double"):
-            # NaN sorts above every value yet parquet stats ignore it;
-            # NULL keys merge via eqNullSafe but never fall in a band
-            unbandable = unbandable | F.isnan(F.col(k))
-        pre = keyed_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(unbandable.cast("long")).alias("bad"),
-        ).first()
-        if not pre["n"] or pre["bad"] or pre["n"] > 4 * cap:
-            return None
-        keys = [
-            r[0] for r in keyed_df.select(k).distinct().limit(cap + 1).collect()
-        ]
-        if not keys or len(keys) > cap:
-            return None
+        if pinned_distinct:
+            # distinct first-key values via a bounded fetch over the
+            # pinned blocks; multi-column keys still dedupe the first
+            # key inside the same single action
+            src = keyed_df.select(k)
+            if len(self.key_cols) > 1:
+                src = src.distinct()
+            vals = [r[0] for r in src.limit(cap + 1).collect()]
+            if not vals or len(vals) > cap:
+                return None
+            # NULL/NaN keys merge via eqNullSafe but never fall in a
+            # [min,max] band (and NaN sorts above every value yet
+            # parquet stats ignore it) — driver-side test on ≤ cap+1
+            # scalars replaces the map-only pre-check action
+            if any(x is None or (isinstance(x, float) and x != x) for x in vals):
+                return None
+            keys = vals
+        else:
+            # cheap one-pass pre-check first: a bulk-load-sized batch must
+            # not pay a distinct shuffle just to discover it exceeds the cap
+            unbandable = F.col(k).isNull()
+            if ktype in ("float", "double"):
+                # NaN sorts above every value yet parquet stats ignore it;
+                # NULL keys merge via eqNullSafe but never fall in a band
+                unbandable = unbandable | F.isnan(F.col(k))
+            pre = keyed_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(unbandable.cast("long")).alias("bad"),
+            ).first()
+            if not pre["n"] or pre["bad"] or pre["n"] > 4 * cap:
+                return None
+            keys = [
+                r[0] for r in keyed_df.select(k).distinct().limit(cap + 1).collect()
+            ]
+            if not keys or len(keys) > cap:
+                return None
         kept_rels = self._files_matching_keys(vdir, k, sorted(keys))
         if kept_rels is None:
             return None
@@ -2065,13 +2165,17 @@ class VersionedParquetTable:
         keep_rels = [rel for rel in all_rels if rel not in kept_rels]
         return kept_abs, keep_rels, self._version_schema(base)
 
-    def _read_files(self, spark: SparkSession, base: str, abs_paths, schema):
+    def _read_files(
+        self, spark: SparkSession, base: str, abs_paths, schema,
+        dv: Optional[DataFrame] = _UNSET_BASE,
+    ):
         """Read exactly ``abs_paths`` of version ``base`` under the
         sidecar schema (empty typed frame when no file matched — a
         pure-insert batch). The version's deletion vector applies here
         too: these reads feed REWRITES (pruned merge/delete), and an
         unfiltered read would physically resurrect tombstoned rows
-        into the new files."""
+        into the new files. ``dv`` forwards to :meth:`_apply_dv` —
+        callers that already loaded the vector skip the second read."""
         vdir = os.path.join(self.path, base)
         if not abs_paths:
             if schema is None:
@@ -2084,7 +2188,7 @@ class VersionedParquetTable:
         )
         if schema is not None:
             reader = reader.schema(schema)
-        return self._apply_dv(spark, reader.load(abs_paths), vdir)
+        return self._apply_dv(spark, reader.load(abs_paths), vdir, dv=dv)
 
     @staticmethod
     def _files_matching_keys(vdir: str, key: str, keys_sorted: list):
@@ -2127,6 +2231,7 @@ class VersionedParquetTable:
         base: str,
         cdf_df: Optional[DataFrame] = None,
         dv_df: Optional[DataFrame] = None,
+        dv_state: Optional[str] = None,
     ) -> None:
         """File-granular sibling of :meth:`_commit_touched` for
         UNPARTITIONED tables: write ``df`` as this commit's new files
@@ -2180,24 +2285,32 @@ class VersionedParquetTable:
                 f.write(content)
         self._write_stats_sidecar(tmp_target, base)
         self._carry_forward_metadata(tmp_target, base)
-        self._stage_dv(tmp_target, base, dv_df)
+        self._stage_dv(tmp_target, base, dv_df, dv_state=dv_state)
         self._claim_version_dir(tmp_target, version)
         self._commit(version, base=base)
 
     def _stage_dv(
-        self, tmp_target: str, base: Optional[str], dv_df: Optional[DataFrame]
+        self,
+        tmp_target: str,
+        base: Optional[str],
+        dv_df: Optional[DataFrame],
+        dv_state: Optional[str] = None,
     ) -> None:
         """Stage this commit's deletion vector: ``dv_df=None`` carries
         the base version's ``_dv/`` (small file copy); a DataFrame
         replaces it — written as one parquet file when non-empty,
-        nothing (vector cleared) when empty."""
+        nothing (vector cleared) when empty. ``dv_state``: caller's
+        knowledge of the frame's emptiness ('empty' / 'nonempty') —
+        skips the ``isEmpty`` probe action; None runs the probe."""
         dst = os.path.join(tmp_target, DV_DIR)
         if dv_df is None:
             src = os.path.join(self.path, base or "", DV_DIR)
             if base and os.path.isdir(src):
                 shutil.copytree(src, dst)
             return
-        if dv_df.isEmpty():
+        if dv_state == "empty":
+            return
+        if dv_state != "nonempty" and dv_df.isEmpty():
             return
         dv_df.coalesce(1).write.parquet(dst)
     def compact(
