@@ -52,6 +52,10 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     parquet file scans as ONE split and would serialize the whole
     stage; at 100 TB the scan already has thousands of splits and this
     is a no-op — the shuffle only happens when the input is tiny."""
+    if df.isStreaming:
+        # no .rdd on a streaming frame; micro-batch partitioning is
+        # the source's concern (streaming twins pass through here)
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() >= target:
         return df

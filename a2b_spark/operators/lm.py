@@ -136,7 +136,14 @@ def ngram_lm_train(
     """
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
-    toked = df.select(_tokens(text_col).alias("__toks"))
+    from a2b_spark.operators.dedup import spread
+
+    # a small corpus scans as ONE split and the gram explode + map-side
+    # count aggregation would serialize on a single core; spread is a
+    # no-op once the scan has >= core-count splits (any real corpus)
+    toked = spread(df.select(F.col(text_col))).select(
+        _tokens(text_col).alias("__toks")
+    )
     # stage the per-order gram arrays as REAL columns (projection
     # boundary) so each is computed once per document, then ONE
     # explode of the concatenated (k, gram, ctx) struct arrays — a
@@ -259,10 +266,17 @@ def stupid_backoff_logp(
             f"id/extra columns {sorted(reserved)} collide with reserved "
             "output or internal columns; rename them first"
         )
+    from a2b_spark.operators.dedup import spread
+
     toks = _tokens(text_col)
     # stage the per-order gram arrays once per document (projection
     # boundary — see _gram_arrays), then index them per position with
-    # O(1) element_at: the k-gram ENDING at pos starts at pos-k+1
+    # O(1) element_at: the k-gram ENDING at pos starts at pos-k+1.
+    # spread first: scoring is the chain's per-row-heaviest segment
+    # (per-position explode + `order` hash joins before the rollup
+    # shuffle), and a single-file local scan would run it all on one
+    # core — a no-op at real scan widths
+    docs = spread(docs)
     ga = _gram_arrays(toks, order)
     staged = docs.select(
         F.col(id_col).alias("__id"),
