@@ -1078,8 +1078,19 @@ def semantic_dedup_pairs(
         "cluster_id", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb")
     )
     cos_raw = pair_cosine_raw()
+    # pin the pair join to an EXPLICIT partition count: the shuffled
+    # embeddings are few MB at test SFs, so AQE's byte-based
+    # coalescing would squash the join to 1-2 partitions — but the
+    # join OUTPUT is Σ(n_c²)/2 Arrow-cosine pairs and that compute
+    # fuses into the join stage, invisible to AQE's sizing. A
+    # user-numbered repartition is never coalesced; the count follows
+    # the session's shuffle-partition setting (cores locally, the
+    # deployment's own value on a cluster), so this stays
+    # scale-adaptive rather than a local[32] constant.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        a.join(b, "cluster_id")
+        a.repartition(n_part, "cluster_id")
+        .join(b.repartition(n_part, "cluster_id"), "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cos_raw(F.col("__va"), F.col("__vb")), 6))
         .filter(F.col("cos") >= threshold)

@@ -518,9 +518,17 @@ def q159_video_frame_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     iff n >= 3 ⇔ id%5 >= 1) and the exact per-frame mean — so frame
     SELECTION, container PLACEMENT, and pixel CONTENT are all under
     the value hash."""
+    from a2b_spark.operators.dedup import spread
     from a2b_spark.operators.multimodal import decode_media, sample_frames
 
-    docs = (
+    # spread the id slice before the synth/sample/decode Python
+    # stages: a single-file local scan is ONE split and the per-clip
+    # work (pure-Python JPEG encode per frame + container walk +
+    # decode) is the heaviest Python segment in the registry — it
+    # would serialize on one core. Unlike the cheap-synth codec
+    # rollups (q156-q158/q160/q161, measured +0.5s for the shuffle
+    # tax, no win), the video leg gains ~2x. No-op at real widths.
+    docs = spread(
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") < 500)

@@ -141,8 +141,18 @@ def q169_fuzzy_key_pairs_exact_k4(
         tags.alias("__bi"), blk.alias("__bj"),
     )
     dist = F.expr("levenshtein(__ka, __kb, 4)").cast("int")
+    # pin the join to B² explicit hash partitions: the shuffled INPUT
+    # is ~1-2 MB, so AQE's byte-based coalescing would squash it to
+    # 1-2 partitions — but the join OUTPUT explodes to |keys|²/B²
+    # levenshtein calls per bucket, and that compute fuses into the
+    # join stage. AQE cannot see the explosion; a user-specified
+    # repartition is never coalesced, so all B² buckets verify in
+    # parallel (measured 3.8s/2 tasks -> sub-second/64 tasks). The
+    # corpus is capped (fixed-cost window), so B² is a constant.
+    n_part = B * B
     return (
-        a.join(b, ["__bi", "__bj"])
+        a.repartition(n_part, "__bi", "__bj")
+        .join(b.repartition(n_part, "__bi", "__bj"), ["__bi", "__bj"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", dist)
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 4))
