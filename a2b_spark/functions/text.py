@@ -295,11 +295,17 @@ def winnow_fingerprints(df, text_col: str, id_col: str, k: int = 5, w: int = 4):
     def h(s: Column) -> Column:
         return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
 
+    from a2b_spark.operators.dedup import spread
+
     # __toks materialized first: the k-gram lambda is interpreted per
     # index with no CSE, so slicing split(text) directly would re-split
     # the whole document per k-gram — O(L²) per doc (same staging as
-    # kgram_hash_docs)
-    toked = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    # kgram_hash_docs). spread() first: the per-doc k-gram + w-window
+    # min work is heavy per row and a small local scan is one split
+    # (measured 1.5s single-task at sf0.1); no-op at real scan widths.
+    toked = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
     toks = F.col("__toks")
     n = F.size(toks)
     kgrams = F.when(

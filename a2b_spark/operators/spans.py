@@ -65,8 +65,14 @@ def duplicate_ngram_spans(
     gram64 = lambda i: F.xxhash64(  # noqa: E731
         F.concat_ws(" ", F.slice(toks, i, n))
     )
+    from a2b_spark.operators.dedup import spread
+
+    # spread before the per-row gram transform: heavy HOF work over a
+    # one-split local scan would serialize on one core (no-op at real
+    # scan widths — the kgram_hash_docs discipline)
     staged = (
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
         .filter(sz >= n)
         .select(
             id_col,
@@ -148,7 +154,13 @@ def remove_duplicate_spans(
     gram64 = lambda i: F.xxhash64(  # noqa: E731
         F.concat_ws(" ", F.slice(toks, i, n))
     )  # internal hash — see duplicate_ngram_spans
-    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    from a2b_spark.operators.dedup import spread
+
+    # spread before the gram transform and reassembly passes (both
+    # heavy per row; one-split local scans otherwise serialize them)
+    words = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
     staged = words.filter(sz >= n).select(
         id_col,
         F.transform(F.sequence(F.lit(1), sz - (n - 1)), gram64).alias("__gs"),
