@@ -125,9 +125,14 @@ def run_curation(
         # a REWRITE stage, not a filter: doc count is unchanged, but
         # every later stage (token floors, LM, fingerprints) must see
         # the cleaned text — hence its place right after nfc
+        # lazy checkpoint + count: the count is the single
+        # materializing action (no concurrent consumers until it
+        # returns), so each stage pays ONE job, not a materialize job
+        # plus a count job — the fan-out-frame discipline still holds
+        # because everything after reads the pinned blocks
         docs = remove_boilerplate_lines(
             docs, text_col, id_col, min_docs=line_min_docs
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         stats["linedup"] = docs.count()
 
     if "quality" in stages:
@@ -139,7 +144,7 @@ def run_curation(
         # otherwise re-run the whole upstream lineage — NFC's Arrow
         # UDF and the LM join cascade once per remaining stage
         docs = docs.filter(qf["n_words"] >= min_tokens).localCheckpoint(
-            eager=True
+            eager=False
         )
         stats["quality"] = docs.count()
 
@@ -192,7 +197,7 @@ def run_curation(
             # NULL/zero-token docs were never judged by this criterion —
             # the operator's never-drop contract carries through
             docs = docs.join(keep, id_col, "left_semi")
-        docs = docs.localCheckpoint(eager=True)
+        docs = docs.localCheckpoint(eager=False)
         stats["perplexity"] = docs.count()
 
     if "classifier" in stages:
@@ -219,7 +224,7 @@ def run_curation(
             )
         ).select(id_col)
         docs = docs.join(keep, id_col, "left_semi").localCheckpoint(
-            eager=True
+            eager=False
         )
         stats["classifier"] = docs.count()
 
@@ -252,7 +257,7 @@ def run_curation(
         )
         docs = docs.join(
             hits.select(id_col), id_col, "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         stats["decontam"] = docs.count()
 
     if "dedup" in stages:
@@ -261,7 +266,7 @@ def run_curation(
 
         docs = docs.withColumn("__fp", fingerprint(F.col(text_col)))
         docs = exact_dedup(docs, ["__fp"], order_by=[id_col]).drop("__fp")
-        docs = docs.localCheckpoint(eager=True)
+        docs = docs.localCheckpoint(eager=False)
         stats["dedup"] = docs.count()
 
     if "neardup" in stages:
@@ -274,7 +279,7 @@ def run_curation(
             F.greatest("id_a", "id_b").alias(id_col)
         ).distinct()
         docs = docs.join(losers, id_col, "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
         stats["neardup"] = docs.count()
 
@@ -288,7 +293,7 @@ def run_curation(
             )
         docs = frequency_cap(
             docs, [domain_col], id_col, domain_cap, salt=f"{salt}-domaincap"
-        ).drop("rk").localCheckpoint(eager=True)
+        ).drop("rk").localCheckpoint(eager=False)
         stats["domaincap"] = docs.count()
 
     if "shard" in stages:

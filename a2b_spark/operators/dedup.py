@@ -174,6 +174,40 @@ def _ids_packable(df: DataFrame, id_col: str) -> bool:
     the main job even starts."""
     if not isinstance(df.schema[id_col].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return False
+    # Footer fast path: when the frame reads local parquet, the id
+    # bounds come from row-group statistics driver-side — no Spark job
+    # at all. Bounds over the RAW files are conservative (wider than
+    # any filtered subset), so a True is always safe; anything odd —
+    # remote storage, missing column/stats, too many files to walk —
+    # falls through to the one-aggregate probe (itself answered from
+    # footer stats by the scan via aggregatePushdown).
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) <= 64 and all(
+        f.startswith("file:") and f.endswith(".parquet") for f in files
+    ):
+        try:
+            import pyarrow.parquet as _pq
+
+            lo = hi = None
+            for f in files:
+                md = _pq.ParquetFile(f[len("file:"):]).metadata
+                names = md.schema.names
+                if id_col not in names:
+                    raise ValueError("column absent")
+                ci = names.index(id_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("no stats")
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                return lo >= 0 and hi < (1 << 31)
+        except Exception:
+            pass
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
     return lo is not None and lo >= 0 and hi < (1 << 31)
 

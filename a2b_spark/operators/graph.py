@@ -125,10 +125,19 @@ def connected_components(
     action — an eager checkpoint plus a separate signature job would
     double the driver-sync count on this latency-bound fixpoint loop.
     """
-    # Materialize the input ONCE: edges usually arrive from an expensive
+    # Pin the input ONCE: edges usually arrive from an expensive
     # pair-generation pipeline (minhash/LSH), and both `nodes` and the
-    # round-0 edge set (plus every downstream action) must not replay it.
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # round-0 edge set (plus every downstream action) must not replay
+    # it. LAZY (eager=False): the first action below — the small-path
+    # bounded collect, or the loop's first signature aggregate — has a
+    # LINEAR lineage through `raw` (no concurrent subtrees racing to
+    # compute it), materializes the blocks as a side effect, and
+    # Spark's local-checkpoint completion fills any partitions a limit
+    # left uncomputed; `nodes` then reads pinned blocks. One fewer
+    # standalone materialization job per call.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
+    )
     nodes = (
         raw.select(F.col("a").alias("n"))
         .union(raw.select(F.col("b").alias("n")))
