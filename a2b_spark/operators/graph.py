@@ -125,19 +125,16 @@ def connected_components(
     action — an eager checkpoint plus a separate signature job would
     double the driver-sync count on this latency-bound fixpoint loop.
     """
-    # Pin the input ONCE: edges usually arrive from an expensive
+    # Materialize the input ONCE: edges usually arrive from an expensive
     # pair-generation pipeline (minhash/LSH), and both `nodes` and the
-    # round-0 edge set (plus every downstream action) must not replay
-    # it. LAZY (eager=False): the first action below — the small-path
-    # bounded collect, or the loop's first signature aggregate — has a
-    # LINEAR lineage through `raw` (no concurrent subtrees racing to
-    # compute it), materializes the blocks as a side effect, and
-    # Spark's local-checkpoint completion fills any partitions a limit
-    # left uncomputed; `nodes` then reads pinned blocks. One fewer
-    # standalone materialization job per call.
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=False
-    )
+    # round-0 edge set (plus every downstream action) must not replay it.
+    # EAGER deliberately (round-13 optimization A/B): a lazy pin whose
+    # first materializing action is the small-path bounded collect was
+    # measured consistently SLOWER (q68 5.5s vs 3.5s, q49 3.9 vs 3.0 —
+    # CollectLimit executes partitions incrementally, so the expensive
+    # pair lineage runs under several escalating limit jobs plus the
+    # checkpoint-completion fill-in, instead of one straight job).
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     nodes = (
         raw.select(F.col("a").alias("n"))
         .union(raw.select(F.col("b").alias("n")))
