@@ -313,6 +313,153 @@ _SPARK_TAGS = {
     "timestamp": "ts", "timestamp_ntz": "ts", "date": "d",
 }
 
+# ORC TypeDescription category name -> sidecar tag. Matches what the
+# distributed harvester records for the same file: it infers the FILE
+# schema, so a column's tag follows the file's physical type whichever
+# harvester ran (e.g. Spark writes TIMESTAMP_NTZ into ORC as bigint —
+# both paths record tag "i" over the raw int64 values). Categories not
+# listed (decimal, char/varchar, binary, nested) are skipped by both.
+_ORC_TAGS = {
+    "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+    "float": "f", "double": "f", "string": "s", "boolean": "b",
+    "timestamp": "ts", "date": "d",
+}
+
+# Driver-side footer harvest is a py4j loop (a few ms per file); past
+# this many new files one distributed aggregation amortizes better.
+MAX_FOOTER_HARVEST_FILES = 1024
+
+
+def collect_orc_footer_stats(
+    spark, version_dir: str, rels: Sequence[str]
+) -> Optional[dict]:
+    """Per-file ORC statistics from the file FOOTERS via the JVM ORC
+    reader (py4j) — metadata-only, no Spark job, no data pages; the ORC
+    twin of :func:`collect_parquet_file_stats` (pyarrow exposes no ORC
+    column statistics as of 16.x, but orc-core ships with Spark).
+    Returns None when any file resists (caller falls back to the
+    distributed harvest) — a partial answer must never silently replace
+    the exact one.
+
+    Soundness notes, each verified against orc-core 2.2 behavior:
+    - a column with ``getNumberOfValues() == 0`` (all null) stores the
+      type's UNINITIALIZED extremes — gated to min=max=None;
+    - double/float stats IGNORE NaN while Spark orders NaN above every
+      value, so a file's true max may be NaN; ``getSum()`` goes NaN
+      whenever any NaN was accumulated — on a NaN (or otherwise
+      undefined) sum the max is dropped (None never prunes). The min
+      stays: NaN can never lower it;
+    - timestamp stats carry exact nanos (``getTime()`` floors to the
+      millisecond, ``getNanos()`` restores the rest) and
+      ``getMinimumUTC``/``getMaximumUTC`` are the session-independent
+      instants the sidecar stores (naive UTC);
+    - strings longer than ORC's 1024-byte stat limit return None from
+      ``getMinimum``/``getMaximum``; the truncated ``getLowerBound`` is
+      still a valid LOWER bound, an upper bound is never synthesized."""
+    import math
+
+    if len(rels) > MAX_FOOTER_HARVEST_FILES:
+        return None
+    try:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        orcfile = jvm.org.apache.orc.OrcFile
+        out: dict[str, dict] = {}
+        for rel in rels:
+            full = os.path.join(version_dir, rel)
+            jpath = jvm.org.apache.hadoop.fs.Path("file://" + full)
+            reader = orcfile.createReader(jpath, orcfile.readerOptions(hconf))
+            schema = reader.getSchema()
+            if schema.getCategory().getName() != "struct":
+                return None
+            rows = int(reader.getNumberOfRows())
+            stats = reader.getStatistics()
+            names = list(schema.getFieldNames())
+            children = schema.getChildren()
+            cols: dict[str, dict] = {}
+            for i, name in enumerate(names[:MAX_STATS_COLUMNS]):
+                child = children[i]
+                category = child.getCategory().getName()
+                tag = _ORC_TAGS.get(category)
+                # Spark records its logical type as a schema attribute
+                # when it differs from the physical ORC category
+                # (TIMESTAMP_NTZ rides an int64 of micros). The
+                # distributed harvester sees the LOGICAL type, so this
+                # path must too; the one known mapping is handled, any
+                # other physical/logical divergence falls back whole.
+                catalyst = child.getAttributeValue("spark.sql.catalyst.type")
+                ntz_micros = False
+                if catalyst is not None:
+                    cat_tag = _SPARK_TAGS.get(catalyst)
+                    if catalyst == "timestamp_ntz" and category == "bigint":
+                        tag, ntz_micros = "ts", True
+                    elif cat_tag != tag:
+                        return None
+                if tag is None:
+                    continue
+                st = stats[int(child.getId())]
+                n_values = int(st.getNumberOfValues())
+                nulls = rows - n_values
+                if n_values == 0:
+                    cols[name] = {"t": tag, "min": None, "max": None, "nulls": nulls}
+                    continue
+                if ntz_micros:
+                    epoch = _dt.datetime(1970, 1, 1)
+                    mn = epoch + _dt.timedelta(microseconds=int(st.getMinimum()))
+                    mx = epoch + _dt.timedelta(microseconds=int(st.getMaximum()))
+                elif tag == "i":
+                    mn, mx = int(st.getMinimum()), int(st.getMaximum())
+                elif tag == "f":
+                    mn, mx = float(st.getMinimum()), float(st.getMaximum())
+                    s = st.getSum()
+                    if s is None or math.isnan(float(s)):
+                        mx = None  # NaN present: true max is NaN
+                        if mn == 1.7976931348623157e308:
+                            # ALL values NaN: ORC never updated min and
+                            # left Double.MAX_VALUE — drop it (a column
+                            # genuinely bounded at MAX_VALUE merely
+                            # loses pruning, never correctness)
+                            mn = None
+                elif tag == "s":
+                    mn = st.getMinimum()
+                    if mn is None:  # >1024b: truncated prefix = lower bound
+                        mn = st.getLowerBound()
+                    # None when truncated; ORC's incremented getUpperBound
+                    # is not used (MAX_STRING_LEN would drop it anyway)
+                    mx = st.getMaximum()
+                elif tag == "b":
+                    mn = int(st.getFalseCount()) == 0  # no False -> min True
+                    mx = int(st.getTrueCount()) > 0
+                elif tag == "ts":
+
+                    def _utc_micros(jts):
+                        if jts is None:
+                            return None
+                        micros = (int(jts.getTime()) // 1000) * 1_000_000 + int(
+                            jts.getNanos()
+                        ) // 1000
+                        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                            microseconds=micros
+                        )
+
+                    mn = _utc_micros(st.getMinimumUTC())
+                    mx = _utc_micros(st.getMaximumUTC())
+                else:  # "d"
+                    epoch_day = _dt.date(1970, 1, 1)
+                    mn = epoch_day + _dt.timedelta(days=int(st.getMinimumDayOfEpoch()))
+                    mx = epoch_day + _dt.timedelta(days=int(st.getMaximumDayOfEpoch()))
+                mn, mx = _encode(mn, tag), _encode(mx, tag)
+                if tag == "s":
+                    if mn is not None and len(mn) > MAX_STRING_LEN:
+                        mn = mn[:MAX_STRING_LEN]  # prefix = valid lower bound
+                    if mx is not None and len(mx) > MAX_STRING_LEN:
+                        mx = None  # a truncated prefix is NOT an upper bound
+                cols[name] = {"t": tag, "min": mn, "max": mx, "nulls": nulls}
+            out[rel] = {"rows": rows, "cols": cols}
+        return out
+    except Exception:
+        return None
+
 
 def collect_file_stats_spark(
     spark, version_dir: str, rels: Sequence[str], fmt: str

@@ -453,9 +453,13 @@ class VersionedParquetTable:
         written into the staging dir so it commits atomically with the
         data. Hardlinked (untouched-partition) files reuse the base
         version's entries by inode. New files pay a driver-side
-        footer-only read (parquet) or one distributed aggregation over
-        the new files (ORC — pyarrow exposes no ORC footer statistics;
-        see ``stats.collect_file_stats_spark``). An ORC commit with no
+        footer-only read: parquet via pyarrow, ORC via the JVM ORC
+        reader (``stats.collect_orc_footer_stats`` — zero Spark jobs;
+        the round-13 per-commit distributed harvest cost one job per
+        commit, which doubled the ORC walk queries). Very large ORC
+        commits (> MAX_FOOTER_HARVEST_FILES new files) or any footer
+        surprise fall back to the one distributed aggregation
+        (``stats.collect_file_stats_spark``). An ORC commit with no
         active SparkSession simply skips the sidecar: every reader
         treats a stats-less version as never-prunable."""
         if self.fmt not in ("parquet", "orc"):
@@ -470,6 +474,10 @@ class VersionedParquetTable:
             fmt = self.fmt
 
             def collector(vdir, rels, _spark=spark, _fmt=fmt):
+                if _fmt == "orc":
+                    got = _stats.collect_orc_footer_stats(_spark, vdir, rels)
+                    if got is not None:
+                        return got
                 return _stats.collect_file_stats_spark(_spark, vdir, rels, _fmt)
 
         base_dir = os.path.join(self.path, base) if base else None

@@ -343,3 +343,96 @@ def test_orc_stats_scoped_merge_prunes_files(spark, tmp_path):
     assert len(linked) >= 2  # untouched key-ranges carried by hardlink
     got = dict((r.k, r.v) for r in t.read(spark).collect())
     assert got[5] == "UPDATED" and len(got) == 300
+
+
+def test_orc_footer_harvest_matches_distributed(spark, tmp_path):
+    """The driver-side JVM footer harvest (collect_orc_footer_stats —
+    zero Spark jobs) must be value-identical to the distributed
+    aggregation it replaces, across every supported tag plus the traps:
+    NaN doubles (max dropped), an ALL-NaN double (both bounds dropped —
+    ORC leaves min uninitialized), all-null columns, >64-char string
+    maxima, exact timestamp micros, and TIMESTAMP_NTZ (physically an
+    int64 of micros — the catalyst-type attribute restores tag 'ts')."""
+    import datetime as dt
+
+    from a2b_spark.storage.stats import collect_orc_footer_stats
+
+    rows = [
+        (1, 1.5, float("nan"), "aaa", True,
+         dt.datetime(2026, 1, 2, 3, 4, 5, 123456), dt.date(2026, 1, 2),
+         None, dt.datetime(2025, 7, 1, 12, 0, 0, 654321)),
+        (2, float("nan"), float("nan"), "z" * 100, False,
+         dt.datetime(2026, 6, 1), None, None, None),
+        (3, None, float("nan"), None, None, None, dt.date(2026, 3, 1),
+         None, dt.datetime(2025, 7, 2)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k long, x double, allnan double, s string, b boolean, "
+        "ts timestamp, d date, allnull int, tn timestamp_ntz",
+    )
+    p = str(tmp_path / "ftr")
+    df.coalesce(1).write.format("orc").save(p)
+    rels = [f for f in os.listdir(p) if not f.startswith(("_", "."))]
+    assert len(rels) == 1
+    footer = collect_orc_footer_stats(spark, p, rels)
+    distributed = collect_file_stats_spark(spark, p, rels, "orc")
+    assert footer == distributed
+    c = footer[rels[0]]["cols"]
+    assert c["x"]["min"] == 1.5 and c["x"]["max"] is None
+    assert c["allnan"] == {"t": "f", "min": None, "max": None, "nulls": 0}
+    assert c["allnull"] == {"t": "i", "min": None, "max": None, "nulls": 3}
+    assert c["ts"]["min"] == "2026-01-02T03:04:05.123456"
+    assert c["s"]["min"] == "aaa" and c["s"]["max"] is None
+    # NTZ rides the file as physical bigint micros; the catalyst-type
+    # attribute restores the logical tag, matching the distributed path
+    assert c["tn"]["t"] == "ts"
+    assert c["tn"]["min"] == "2025-07-01T12:00:00.654321"
+
+
+def test_orc_footer_harvest_multifile_and_odd_names(spark, tmp_path):
+    """Per-file entries keyed by relative path (partition dirs
+    included), odd column names never re-parsed — and the harvest
+    answers without running a single Spark job."""
+    from a2b_spark.storage.stats import collect_orc_footer_stats
+
+    p = str(tmp_path / "mf")
+    df = spark.createDataFrame(
+        [(1, 2, "x", 0), (5, None, "y", 0), (9, 4, "q", 1)],
+        "`a.b` long, `c d` long, `e:f` string, part int",
+    )
+    df.repartition(1).write.format("orc").partitionBy("part").save(p)
+    rels = []
+    for root, dirs, files in os.walk(p):
+        dirs[:] = [d for d in dirs if "=" in d or not d.startswith(("_", "."))]
+        rels += [
+            os.path.relpath(os.path.join(root, f), p)
+            for f in files
+            if not f.startswith(("_", "."))
+        ]
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jobs_before = store.jobsList(None).size()
+    footer = collect_orc_footer_stats(spark, p, sorted(rels))
+    assert store.jobsList(None).size() == jobs_before  # zero Spark jobs
+    assert footer == collect_file_stats_spark(spark, p, sorted(rels), "orc")
+    merged_cols = {}
+    for e in footer.values():
+        merged_cols.update(e["cols"])
+    assert merged_cols["a.b"]["t"] == "i" and merged_cols["e:f"]["t"] == "s"
+
+
+def test_orc_footer_harvest_fallback_conditions(spark, tmp_path):
+    """None (-> distributed fallback) on oversize batches and on
+    unreadable files; never a partial answer."""
+    from a2b_spark.storage import stats as stats_mod
+    from a2b_spark.storage.stats import collect_orc_footer_stats
+
+    p = str(tmp_path / "fb")
+    spark.range(3).coalesce(1).write.format("orc").save(p)
+    rels = [f for f in os.listdir(p) if not f.startswith(("_", "."))]
+    too_many = rels * (stats_mod.MAX_FOOTER_HARVEST_FILES + 1)
+    assert collect_orc_footer_stats(spark, p, too_many) is None
+    bad = str(tmp_path / "bad.orc")
+    with open(bad, "wb") as f:
+        f.write(b"not an orc file")
+    assert collect_orc_footer_stats(spark, str(tmp_path), ["bad.orc"]) is None
