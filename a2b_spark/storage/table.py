@@ -1358,8 +1358,17 @@ class VersionedParquetTable:
         # PIN the batch once when more than one action will consult it
         # (touched-partition collect, duplicate-key CDC guard, CDF
         # change-file write, the data write itself) — see merge() for
-        # the non-deterministic-lineage divergence this prevents.
-        if self.partition_by or self.cdf_enabled(base):
+        # the non-deterministic-lineage divergence this prevents. On a
+        # partitioned table the pin job ALSO answers which partitions
+        # the batch touches (observation riding the checkpoint pass).
+        touched_pre: Optional[set] = None
+        if self.partition_by and not dedupe_keys:
+            batch, touched_pre = self._pin_with_touched(batch)
+        elif self.partition_by or self.cdf_enabled(base):
+            # with dedupe_keys the touched set must be recomputed on the
+            # POST-anti-join batch anyway (a partition whose rows all
+            # dedupe away must hardlink, not rewrite), so the
+            # observation would be wasted — plain pin
             batch = batch.localCheckpoint(eager=True)
         current = self.read(batch.sparkSession, version=base)
         if dedupe_keys:
@@ -1395,7 +1404,13 @@ class VersionedParquetTable:
                             batch.sparkSession, base, kept_abs, schema
                         )
                 elif self.partitions_derived_from_keys:
-                    touched = self._touched_partitions(batch)
+                    # dedupe_keys is None in this branch, so the pin's
+                    # observation already answered the touched set
+                    touched = (
+                        touched_pre
+                        if touched_pre is not None
+                        else self._touched_partitions(batch)
+                    )
                     probe = current.filter(self._partition_filter(touched))
                 clash = (
                     batch.alias("b")
@@ -1449,7 +1464,11 @@ class VersionedParquetTable:
                         "rewrites the stale partition and trims the "
                         "vector) or purge_deleted() first"
                     )
-            touched = self._touched_partitions(batch)
+            touched = (
+                touched_pre
+                if touched_pre is not None
+                else self._touched_partitions(batch)
+            )
             if not touched:
                 return
             appended = (
@@ -1584,6 +1603,40 @@ class VersionedParquetTable:
         )
 
     # ------------------------------------------------- partitioned merge
+    def _pin_with_touched(self, batch: DataFrame) -> tuple[DataFrame, set[tuple]]:
+        """Eagerly pin ``batch`` AND discover its touched partitions in
+        the SAME Spark job: a ``collect_set(struct(partition cols))``
+        Observation rides the checkpoint's materializing pass, so the
+        separate ``_touched_partitions`` distinct+collect (two AQE jobs
+        at bench scale, one distinct shuffle of the batch at any scale)
+        disappears. Semantics are identical to
+        :meth:`_touched_partitions` on the pinned frame: values go
+        through Spark's ``cast('string')``, struct dedup == DISTINCT,
+        and a NULL in any partition column still raises (collect_set
+        drops NULL *elements*, but a struct with a NULL field is not
+        itself NULL, so nothing is lost)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = batch.observe(
+            obs,
+            F.collect_set(
+                F.struct(
+                    *[F.col(c).cast("string").alias(c) for c in self.partition_by]
+                )
+            ).alias("touched"),
+        )
+        pinned = observed.localCheckpoint(eager=True)
+        rows = obs.get["touched"]  # checkpoint already ran the plan
+        for r in rows:
+            if any(x is None for x in r):
+                raise ValueError(
+                    "null partition value in batch: the hardlink-reuse "
+                    "layout requires non-null partition columns "
+                    f"(partition_by={self.partition_by})"
+                )
+        return pinned, {tuple(r) for r in rows}
+
     def _touched_partitions(self, df: DataFrame) -> set[tuple]:
         """Partition tuples present in ``df`` — a small driver-side list
         (partition columns are low-cardinality by design; this is not a
