@@ -46,15 +46,83 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _plain_scan_plan(df: DataFrame, col_name: str | None = None) -> bool:
+    """True when ``df``'s ANALYZED plan is only Project / Filter /
+    SubqueryAlias nodes over file-relation or pinned-RDD leaves — i.e.
+    shuffle-free (no joins, aggregates, unions, generators), and, when
+    ``col_name`` is given, no Alias anywhere (re)defines that column,
+    so it is provably the scanned relation's own attribute. Any py4j
+    surprise answers False — callers treat False as "use the safe
+    slow path", never as an error."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            n = stack.pop()
+            cls = n.getClass().getSimpleName()
+            if cls == "Project":
+                if col_name is not None:
+                    pl = n.projectList()
+                    for i in range(pl.size()):
+                        e = pl.apply(i)
+                        if (
+                            e.getClass().getSimpleName() == "Alias"
+                            and e.name() == col_name
+                        ):
+                            return False
+            elif cls not in (
+                "Filter",
+                "SubqueryAlias",
+                "LogicalRelation",
+                "LogicalRDD",
+                "DataSourceV2Relation",
+                "DataSourceV2ScanRelation",
+                "Range",
+                "LocalRelation",
+                "OneRowRelation",
+            ):
+                return False
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
+
+
+def _contains_map_type(dt: T.DataType) -> bool:
+    """Maps are unorderable: round-robin ``repartition(n)`` local-sorts
+    its input (sortBeforeRepartition) and raises on any MapType."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map_type(f.dataType) for f in dt.fields)
+    return False
+
+
 def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Ensure at least core-count partitions before compute-heavy
     per-row stages (signatures, all-pairs stream side). A small local
     parquet file scans as ONE split and would serialize the whole
     stage; at 100 TB the scan already has thousands of splits and this
-    is a no-op — the shuffle only happens when the input is tiny."""
+    is a no-op — the shuffle only happens when the input is tiny.
+
+    Guarded to frames whose plan is a bare scan / pinned-RDD shape:
+    ``.rdd`` under AQE finalizes the plan and eagerly EXECUTES any
+    upstream exchange stages as discarded extra jobs, so the partition
+    probe itself could run an expensive lineage twice. A frame with
+    upstream shuffles already has the session's shuffle-partition
+    parallelism, so skipping it loses nothing. Frames carrying a
+    MapType column are also passed through (maps are unorderable and
+    the keyless repartition's sort-before-repartition would raise)."""
     if df.isStreaming:
         # no .rdd on a streaming frame; micro-batch partitioning is
         # the source's concern (streaming twins pass through here)
+        return df
+    if any(_contains_map_type(f.dataType) for f in df.schema.fields):
+        return df
+    if not _plain_scan_plan(df):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() >= target:
@@ -181,6 +249,17 @@ def _ids_packable(df: DataFrame, id_col: str) -> bool:
     # remote storage, missing column/stats, too many files to walk —
     # falls through to the one-aggregate probe (itself answered from
     # footer stats by the scan via aggregatePushdown).
+    #
+    # SOUNDNESS GUARD: footer stats describe the FILE's column of that
+    # name. The fast path is only taken when the plan is a bare
+    # scan/filter/project that never re-derives ``id_col`` (an Alias of
+    # a withColumn/rename) and has no non-file rows (a Union with a
+    # local relation — inputFiles ignores those). Otherwise a derived
+    # id sharing a scanned column's name could probe the WRONG values
+    # and a false ``True`` would silently collide packed pair keys.
+    if not _plain_scan_plan(df, id_col):
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        return lo is not None and lo >= 0 and hi < (1 << 31)
     try:
         files = df.inputFiles()
     except Exception:
@@ -1121,7 +1200,12 @@ def semantic_dedup_pairs(
     # the session's shuffle-partition setting (cores locally, the
     # deployment's own value on a cluster), so this stays
     # scale-adaptive rather than a local[32] constant.
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # the conf is non-numeric on some platforms ("auto" under
+        # vendor AQE forks) — core count is the same scale signal
+        n_part = df.sparkSession.sparkContext.defaultParallelism
     return (
         a.repartition(n_part, "cluster_id")
         .join(b.repartition(n_part, "cluster_id"), "cluster_id")

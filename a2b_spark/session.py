@@ -58,8 +58,19 @@ def get_spark(app_name: str = "a2b_spark", shuffle_partitions: int | None = None
     if extra:
         import json
 
-        for k, v in json.loads(extra).items():
-            builder = builder.config(k, str(v))
+        try:
+            overrides = json.loads(extra)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                f"SPARK_GRAFT_CONF is not valid JSON: {e} "
+                f"(value was {extra!r})"
+            ) from e
+        for k, v in overrides.items():
+            # JSON true/false must land as Spark's lowercase booleans,
+            # not Python's str() "True"/"False"
+            builder = builder.config(
+                k, str(v).lower() if isinstance(v, bool) else str(v)
+            )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

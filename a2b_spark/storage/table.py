@@ -372,14 +372,20 @@ class VersionedParquetTable:
             import pyarrow.parquet as _pq
             from pyspark.sql.pandas.types import from_arrow_schema
 
-            fs = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            # _stage_dv writes exactly one parquet file; sorted() keeps
+            # the pick deterministic if that ever changes
+            fs = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
             if fs:
                 reader = reader.schema(
                     from_arrow_schema(
                         _pq.read_schema(os.path.join(d, fs[0]))
                     )
                 )
-        except Exception:
+        except (ImportError, ValueError, TypeError, KeyError):
+            # only the expected conversion/availability surprises fall
+            # back to Spark's schema inference; a genuine I/O error
+            # (corrupt vector file) must surface at read time below,
+            # not be silently deferred by a blanket except
             pass
         dv = reader.parquet(d)
         schema = self._version_schema(version)
