@@ -162,6 +162,13 @@ def run_curation(
             order=lm_order,
             broadcast_model=True,
         )
+        # pin the scores: the scoring cascade (per-position explode +
+        # `order` joins) is the chain's most expensive segment and has
+        # TWO consumers — the corpus-total aggregate right below and
+        # the keep semi-join. Unpinned it runs twice. The pinned rows
+        # are tiny (id, sum_logp10, n_tok); the total aggregate is the
+        # single materializing action.
+        scored = scored.localCheckpoint(eager=False)
         # EXACT thresholding (round-12): the corpus reference is the
         # token-weighted mean T = Σ sum_logp10 / Σ n_tok, and a doc
         # survives iff its per-token mean s/n >= T - margin. Both

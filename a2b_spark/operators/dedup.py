@@ -226,6 +226,83 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _pin_with_packable(
+    sh: DataFrame, id_col: str, probe_df: DataFrame, probe_col: str
+) -> tuple[DataFrame, bool]:
+    """Eagerly pin a similarity operator's shingle/signature frame AND
+    answer the pair-key packability probe (see _ids_packable).
+
+    Tiered to never cost more than the old flow: when the raw
+    ``probe_df``'s parquet footers can answer (the normal bare-scan
+    case), the answer is zero-cost and the pin is a plain checkpoint —
+    byte-identical to the previous code. Only when the footer path
+    cannot fire (derived ids, unions, pinned upstream frames — cases
+    that previously paid a standalone aggregate job plus its planning
+    round-trip) does a min/max Observation ride the checkpoint's own
+    materializing pass instead (~0.1s of listener latency versus a
+    full extra action). Observation bounds are sound and EXACT: every
+    id that can appear in a candidate pair is present in ``sh``
+    (candidates are generated from it), so its bounds — not the raw
+    table's conservative-wider ones — are the authoritative answer."""
+    if not isinstance(
+        probe_df.schema[probe_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        return _materialize(sh), False
+    if _plain_scan_plan(probe_df, probe_col):
+        footer = _footer_packable(probe_df, probe_col)
+        if footer is not None:
+            return _materialize(sh), footer
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    pinned = sh.observe(
+        obs, F.min(F.col(id_col)).alias("lo"), F.max(F.col(id_col)).alias("hi")
+    ).localCheckpoint(eager=True)
+    got = obs.get  # the eager checkpoint already ran the plan
+    lo, hi = got["lo"], got["hi"]
+    return pinned, lo is not None and lo >= 0 and hi < (1 << 31)
+
+
+def _footer_packable(df: DataFrame, id_col: str) -> bool | None:
+    """Zero-job packability answer from parquet row-group statistics,
+    or None when the footers cannot answer (remote storage, missing
+    stats, too many files). CALLER must have proven the plan is a bare
+    scan preserving ``id_col`` (_plain_scan_plan) — file stats describe
+    the FILE's column of that name, nothing else. Bounds over the raw
+    files are conservative (wider than any filtered subset), so a True
+    is always safe."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > 64 or not all(
+        f.startswith("file:") and f.endswith(".parquet") for f in files
+    ):
+        return None
+    try:
+        import pyarrow.parquet as _pq
+
+        lo = hi = None
+        for f in files:
+            md = _pq.ParquetFile(f[len("file:"):]).metadata
+            names = md.schema.names
+            if id_col not in names:
+                return None
+            ci = names.index(id_col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return lo >= 0 and hi < (1 << 31)
+    except Exception:
+        return None
+
+
 def _ids_packable(df: DataFrame, id_col: str) -> bool:
     """True when the id column is integral, non-negative, and < 2^31 —
     then an ordered (id_a, id_b) pair packs EXACTLY (no collisions)
@@ -257,36 +334,10 @@ def _ids_packable(df: DataFrame, id_col: str) -> bool:
     # local relation — inputFiles ignores those). Otherwise a derived
     # id sharing a scanned column's name could probe the WRONG values
     # and a false ``True`` would silently collide packed pair keys.
-    if not _plain_scan_plan(df, id_col):
-        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
-        return lo is not None and lo >= 0 and hi < (1 << 31)
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files and len(files) <= 64 and all(
-        f.startswith("file:") and f.endswith(".parquet") for f in files
-    ):
-        try:
-            import pyarrow.parquet as _pq
-
-            lo = hi = None
-            for f in files:
-                md = _pq.ParquetFile(f[len("file:"):]).metadata
-                names = md.schema.names
-                if id_col not in names:
-                    raise ValueError("column absent")
-                ci = names.index(id_col)
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        raise ValueError("no stats")
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-            if lo is not None:
-                return lo >= 0 and hi < (1 << 31)
-        except Exception:
-            pass
+    if _plain_scan_plan(df, id_col):
+        footer = _footer_packable(df, id_col)
+        if footer is not None:
+            return footer
     lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
     return lo is not None and lo >= 0 and hi < (1 << 31)
 
@@ -467,11 +518,13 @@ def minhash_near_dup_pairs(
     # k-gram hash sets feed three consumers (signatures + both verify
     # sides): pin the one text→k-gram pass instead of running it
     # three times (spillable blocks, freed on GC — see _materialize).
-    sh = _materialize(kgram_hash_docs(df, text_col, id_col, shingle_k))
+    sh, packable = _pin_with_packable(
+        kgram_hash_docs(df, text_col, id_col, shingle_k), id_col, df, id_col
+    )
     # empty-set docs can never reach jaccard ≥ threshold (> 0); they
     # drop out inside _minhash_sigs and never enter the candidate join
     sigs = _minhash_sigs(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=_ids_packable(df, id_col))
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows, packable=packable)
     return (
         _fetch_pair_payloads(cands, sh, id_col, "khs", "sh_a", "sh_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
@@ -525,7 +578,9 @@ def exact_jaccard_pairs(
     # one text→k-gram-hash pass feeds the index AND both verify sides.
     # No array_sort: prefix positions come from the (df, gram) window
     # below and the verify step is order-independent set algebra.
-    sh = _materialize(kgram_hash_docs(df, text_col, id_col, shingle_k))
+    sh, _packable = _pin_with_packable(
+        kgram_hash_docs(df, text_col, id_col, shingle_k), id_col, df, id_col
+    )
     sz = F.size("khs")
     # epsilon inside ceil: when t·sz is a true integer the float product
     # can land a hair ABOVE it and ceil would shorten the prefix by one
@@ -579,7 +634,7 @@ def exact_jaccard_pairs(
     cands = _dedup_pairs(
         joined.select("id_a", "id_b"),
         df.schema[id_col].dataType,
-        _ids_packable(df, id_col),
+        _packable,
     )
     return (
         _fetch_pair_payloads(cands, sh, id_col, "khs", "sh_a", "sh_b")
@@ -651,8 +706,9 @@ def simhash_near_dup_pairs(
         def th(t):
             return F.xxhash64(t)
     # sigs feed the banding pass plus both sides of the verify join-back
-    sigs = _materialize(
-        _simhash_sigs(df, text_col, id_col, th, bands, band_bits)
+    sigs, _packable = _pin_with_packable(
+        _simhash_sigs(df, text_col, id_col, th, bands, band_bits),
+        id_col, df, id_col,
     )
     # band rows carry only (id, band, bh): the ×bands bucket shuffle
     # must never ship the signature payload
@@ -678,7 +734,7 @@ def simhash_near_dup_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     cands = _dedup_pairs(
-        pairs, sigs.schema[id_col].dataType, _ids_packable(df, id_col)
+        pairs, sigs.schema[id_col].dataType, _packable
     )
     # Direct two-sided join, NOT _fetch_pair_payloads: the simhash
     # payload is 4 longs per doc (vs minhash's full k-gram arrays), so

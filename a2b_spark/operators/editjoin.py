@@ -320,9 +320,8 @@ def edit_distance_pairs_approx(
         )
     from a2b_spark.operators.dedup import (
         _fetch_pair_payloads,
-        _ids_packable,
-        _materialize,
         _minhash_sigs,
+        _pin_with_packable,
         lsh_candidate_pairs,
     )
 
@@ -331,12 +330,17 @@ def edit_distance_pairs_approx(
     ).filter(F.col("__t").isNotNull())
     # materialized: Catalyst's InferFiltersFromGenerate otherwise
     # re-evaluates the whole gram transform inside an inferred
-    # size>0 filter below the signature explode (see _minhash_sigs)
-    sh = _materialize(_char_qgram_hashes(base, qgram))
+    # size>0 filter below the signature explode (see _minhash_sigs);
+    # the packability probe rides the pin job (the old standalone
+    # aggregate probe was a full extra planning+job round-trip here —
+    # the corpus ids are derived, so the footer path never fired)
+    sh, packable = _pin_with_packable(
+        _char_qgram_hashes(base, qgram), "__id", df, id_col
+    )
     sigs = _minhash_sigs(sh, "__id", num_hashes)
     cands = lsh_candidate_pairs(
         sigs, "__id", bands, num_hashes // bands,
-        packable=_ids_packable(df, id_col),
+        packable=packable,
     )
     pay = _fetch_pair_payloads(cands, base, "__id", "__t", "__ta", "__tb")
     k = int(max_dist)
