@@ -402,10 +402,17 @@ def _minhash_sigs(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
         (F.pmod(F.xxhash64(F.col("kh"), F.lit(1)), F.lit(_MERSENNE31 - 1)) + 1).alias("h2"),
     )
     # h1, h2 ≥ 0 and h1 + 63·h2 < 2^37: plain % is already non-negative
-    # here and costs one hardware mod where pmod costs two
+    # here and costs one hardware mod where pmod costs two.
+    # The slot aggregates are built as SQL strings, NOT per-slot Column
+    # arithmetic: 64 slots × ~6 py4j round-trips each put ~0.4s of
+    # DRIVER-side construction latency ahead of every run of every
+    # LSH consumer (profiled as the pre-action "planning gap" of
+    # q26/q44/q49/q52/q68/q168); one expr() string parses JVM-side in
+    # one call. Semantics unchanged: same integer arithmetic, same
+    # remainder operator, same alias per slot.
     mins = ex.groupBy(id_col).agg(
         *[
-            F.min((F.col("h1") + i * F.col("h2")) % _MERSENNE31).alias(f"__m{i}")
+            F.expr(f"min((h1 + {i} * h2) % {_MERSENNE31}) AS __m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -665,22 +672,29 @@ def _simhash_sigs(df: DataFrame, text_col: str, id_col: str, th, bands: int, ban
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__t")
     )
     h = th(F.col("__t"))
+    # vote sums and band packing as SQL strings, NOT per-bit Column
+    # arithmetic: 60 sums + 60 bit terms cost ~800 py4j round-trips
+    # (~1s of driver-side construction ahead of EVERY run — profiled
+    # as q27's 1.2s pre-action gap); expr() strings parse JVM-side in
+    # one call each. Same integer arithmetic, same aliases.
     votes = toks.select(F.col(id_col), h.alias("__h")).groupBy(id_col).agg(
         *[
-            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{b}")
+            F.expr(f"sum((shiftright(__h, {b}) & 1) * 2 - 1) AS __v{b}")
             for b in range(nbits)
         ]
     )
     band_exprs = []
     for j in range(bands):
-        e = None
-        for p in range(band_bits):
-            bit = (F.col(f"__v{j * band_bits + p}") >= 0).cast("long") * F.lit(
-                1 << (band_bits - 1 - p)
-            )
-            e = bit if e is None else e + bit
-        band_exprs.append(e)
-    return votes.select(F.col(id_col), F.array(*band_exprs).alias("sig"))
+        parts = " + ".join(
+            f"cast(__v{j * band_bits + p} >= 0 as bigint) * "
+            f"{1 << (band_bits - 1 - p)}"
+            for p in range(band_bits)
+        )
+        band_exprs.append(f"({parts})")
+    return votes.select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(band_exprs) + ")").alias("sig"),
+    )
 
 
 def simhash_near_dup_pairs(
