@@ -1309,8 +1309,14 @@ class VersionedParquetTable:
         # lineage) re-evaluated per action could prune files by key set
         # A, commit data for set B, and record change rows for set C.
         # Skipped only when exactly one action will consult it (the
-        # unpartitioned tombstone-clash full rewrite without CDF).
-        if self.partition_by or not tombstone_clash or self.cdf_enabled(base):
+        # unpartitioned tombstone-clash full rewrite without CDF). On
+        # the partitioned-merge path the pin job ALSO answers which
+        # partitions the batch touches (observation riding the
+        # checkpoint pass — same fold as append's).
+        touched_pre: Optional[set] = None
+        if self.partition_by and not tombstone_clash:
+            batch, touched_pre = self._pin_with_touched(batch)
+        elif self.partition_by or not tombstone_clash or self.cdf_enabled(base):
             batch = batch.localCheckpoint(eager=True)
         if (
             not self.partition_by
@@ -1330,7 +1336,9 @@ class VersionedParquetTable:
                 preimages=self.cdf_preimages(base),
             )
         if self.partition_by and not tombstone_clash:
-            self._merge_partitioned(spark, current, batch, base, cdf_df=cdf)
+            self._merge_partitioned(
+                spark, current, batch, base, cdf_df=cdf, touched=touched_pre
+            )
         else:
             # unpartitioned — or the batch RE-INTRODUCES a dropped
             # column: untouched hardlinked partitions still hold the
@@ -1610,38 +1618,23 @@ class VersionedParquetTable:
 
     # ------------------------------------------------- partitioned merge
     def _pin_with_touched(self, batch: DataFrame) -> tuple[DataFrame, set[tuple]]:
-        """Eagerly pin ``batch`` AND discover its touched partitions in
-        the SAME Spark job: a ``collect_set(struct(partition cols))``
-        Observation rides the checkpoint's materializing pass, so the
-        separate ``_touched_partitions`` distinct+collect (two AQE jobs
-        at bench scale, one distinct shuffle of the batch at any scale)
-        disappears. Semantics are identical to
-        :meth:`_touched_partitions` on the pinned frame: values go
-        through Spark's ``cast('string')``, struct dedup == DISTINCT,
-        and a NULL in any partition column still raises (collect_set
-        drops NULL *elements*, but a struct with a NULL field is not
-        itself NULL, so nothing is lost)."""
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        observed = batch.observe(
-            obs,
-            F.collect_set(
-                F.struct(
-                    *[F.col(c).cast("string").alias(c) for c in self.partition_by]
-                )
-            ).alias("touched"),
-        )
-        pinned = observed.localCheckpoint(eager=True)
-        rows = obs.get["touched"]  # checkpoint already ran the plan
-        for r in rows:
-            if any(x is None for x in r):
-                raise ValueError(
-                    "null partition value in batch: the hardlink-reuse "
-                    "layout requires non-null partition columns "
-                    f"(partition_by={self.partition_by})"
-                )
-        return pinned, {tuple(r) for r in rows}
+        """Pin ``batch`` AND discover its touched partitions in the
+        SAME Spark job: the checkpoint is LAZY and the
+        ``_touched_partitions`` distinct+collect is its materializing
+        action, so the standalone eager-checkpoint job disappears and
+        later consumers read the pinned blocks. (A first version rode
+        a ``collect_set`` Observation on an eager checkpoint instead —
+        same job count, but ``Observation.get`` waits on the async
+        listener bus, measured ~80ms per call, which at ~10 commits
+        per storage walk cost MORE than the collect job it removed.
+        The collect is a plain all-partitions action — none of the
+        CollectLimit incremental-materialization hazards that made the
+        lazy pin lose in connected_components.) Semantics are
+        identical: same cast('string') dialect, DISTINCT dedup, and
+        the NULL partition-value check still raises before any
+        commit work."""
+        pinned = batch.localCheckpoint(eager=False)
+        return pinned, self._touched_partitions(pinned)
 
     def _touched_partitions(self, df: DataFrame) -> set[tuple]:
         """Partition tuples present in ``df`` — a small driver-side list
@@ -1787,10 +1780,15 @@ class VersionedParquetTable:
     def _merge_partitioned(
         self, spark: SparkSession, current: DataFrame, batch: DataFrame, base=None,
         cdf_df: Optional[DataFrame] = None,
+        touched: Optional[set] = None,
     ) -> None:
         from a2b_spark.storage.diff import null_safe_key_cond
 
-        touched = self._touched_partitions(batch)
+        # merge() passes the batch's touched set when its pin job
+        # already answered it (observation fold); recompute only when
+        # called without one
+        if touched is None:
+            touched = self._touched_partitions(batch)
         if not self.partitions_derived_from_keys:
             # keys may move between partitions: also rewrite wherever
             # the batch's keys CURRENTLY live (one thin scan)
